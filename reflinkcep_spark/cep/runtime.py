@@ -1,0 +1,218 @@
+"""Run-set NFA interpreter: the CEP match kernel.
+
+Event-at-a-time semantics equivalent to the reference executor
+(executor.py:22-94 + DST.py:61-227), re-engineered for throughput:
+
+* a fresh run starts at every event offset (every offset is a potential
+  match start),
+* ε-expansion is depth-first via worklist insertion, preserving the
+  exploration order that fixes match emission order,
+* each state is entered by ε at most once per consuming step
+  (ε-cycle guard),
+* after a consuming step, an ε-reachable accepting configuration is
+  emitted immediately ("dig"), and both the consumed and the accepted
+  configuration stay live,
+* captures are shared-tail cons lists and data environments are
+  copy-on-write dicts — no deep copies anywhere (the reference's main
+  hot spot, DST.py:141-166).
+
+After-match skip strategies (reference executor.py:70-91):
+    NoSkip            emit every accepted run
+    SkipToNext        per completing event, kill all runs that share a
+                      start offset with an emitted match
+    SkipPastLastEvent emit the first accepted run, then kill every run
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping, Optional, Sequence
+
+from reflinkcep_spark.cep.automaton import EPS, TAKE, Automaton
+from reflinkcep_spark.cep.compiler import compile_query
+from reflinkcep_spark.cep.query import Query
+
+__all__ = ["MatchEngine", "Match", "run_pattern"]
+
+_EMPTY_ATTRS: dict = {}
+
+
+class _Cfg:
+    """A live run configuration."""
+
+    __slots__ = ("state", "env", "caps", "last_take", "eps_seen")
+
+    def __init__(self, state, env, caps, last_take, eps_seen):
+        self.state = state
+        self.env = env  # data-variable environment (copy-on-write)
+        self.caps = caps  # {capture_name: cons-list (prev, event_pos)}
+        self.last_take = last_take
+        self.eps_seen = eps_seen  # states entered by ε this consume-step
+
+
+class Match:
+    """An accepted match: start offset, end offset, captured positions."""
+
+    __slots__ = ("start", "end", "captures")
+
+    def __init__(self, start: int, end: int, captures: dict):
+        self.start = start  # 0-based offset of the first possible event
+        self.end = end  # 0-based offset of the completing event
+        self.captures = captures  # {name: [event offsets]} in pattern order
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"Match({self.start}..{self.end}, {self.captures})"
+
+
+def _cons_to_list(cell) -> list:
+    out = []
+    while cell is not None:
+        cell, pos = cell
+        out.append(pos)
+    out.reverse()
+    return out
+
+
+class MatchEngine:
+    """Incremental matcher over one totally-ordered (sub)stream.
+
+    Feed events in order; collect emitted matches per event.  The live
+    run-set is the only state, so the same engine drives the batch
+    kernel and the streaming kernel (where the run-set is persisted
+    between micro-batches).
+    """
+
+    def __init__(self, automaton: Automaton, strategy: str = "NoSkip"):
+        self.aut = automaton
+        self.strategy = strategy
+        self.reset()
+
+    def reset(self) -> None:
+        self.runs: list = []  # [(start_offset, _Cfg)]
+        self.pos = 0  # 0-based offset of the next event
+
+    # -- core ---------------------------------------------------------
+    def feed(self, ev_type: Optional[str], attrs: Mapping) -> list[Match]:
+        aut = self.aut
+        edges = aut.edges
+        outputs = aut.outputs
+        pos = self.pos
+        self.pos = pos + 1
+
+        worklist = self.runs
+        self.runs = next_runs = []
+        worklist.append(
+            (pos, _Cfg(aut.start, aut.init_env, {}, False, {aut.start}))
+        )
+
+        i = 0
+        while i < len(worklist):
+            k, cfg = worklist[i]
+            i += 1
+            env = cfg.env
+            for e in edges[cfg.state]:
+                kind = e.kind
+                if kind == EPS:
+                    dst = e.dst
+                    if dst in cfg.eps_seen:
+                        continue
+                    nc = _Cfg(dst, env, cfg.caps, cfg.last_take, cfg.eps_seen | {dst})
+                    worklist.insert(i, (k, nc))
+                else:
+                    if not e.matches(ev_type, attrs, env):
+                        continue
+                    if kind == TAKE:
+                        new_env = e.update(attrs, env) if e.update else env
+                        caps = dict(cfg.caps)
+                        caps[e.sink] = (caps.get(e.sink), pos)
+                        nc = _Cfg(e.dst, new_env, caps, True, {e.dst})
+                        next_runs.append((k, nc))
+                        dug = self._dig_accept(nc)
+                        if dug is not None:
+                            next_runs.append((k, dug))
+                    else:  # IGNORE
+                        nc = _Cfg(e.dst, env, cfg.caps, False, {e.dst})
+                        next_runs.append((k, nc))
+
+        return self._emit(pos)
+
+    def _dig_accept(self, cfg: _Cfg) -> Optional[_Cfg]:
+        """Search the ε-closure of a just-consumed configuration for an
+        accepting state (reference find_accepted, DST.py:272-292)."""
+        if not cfg.last_take:
+            return None
+        aut = self.aut
+        edges = aut.edges
+        outputs = aut.outputs
+        visited = set()
+
+        def rec(c: _Cfg) -> Optional[_Cfg]:
+            visited.add(c.state)
+            for e in edges[c.state]:
+                dst = e.dst
+                if dst in visited or e.kind != EPS or dst in c.eps_seen:
+                    continue
+                nc = _Cfg(dst, c.env, c.caps, c.last_take, c.eps_seen | {dst})
+                if outputs[dst] is not None:
+                    return nc
+                found = rec(nc)
+                if found is not None:
+                    return found
+            return None
+
+        return rec(cfg)
+
+    def _emit(self, pos: int) -> list[Match]:
+        outputs = self.aut.outputs
+        out: list[Match] = []
+        killed: set = set()
+        strategy = self.strategy
+        runs = self.runs
+        for k, cfg in runs:
+            if k in killed:
+                continue
+            if cfg.last_take and outputs[cfg.state] is not None:
+                out.append(self._materialize(k, pos, cfg))
+                if strategy == "SkipToNext":
+                    killed.add(k)
+                elif strategy == "SkipPastLastEvent":
+                    runs.clear()
+                    break
+        if killed:
+            self.runs = [(k, c) for k, c in runs if k not in killed]
+        return out
+
+    def _materialize(self, k: int, pos: int, cfg: _Cfg) -> Match:
+        captures = {}
+        caps = cfg.caps
+        for key, var in outputs_items(self.aut, cfg.state):
+            cell = caps.get(var)
+            if cell is not None:
+                captures[key] = _cons_to_list(cell)
+        return Match(k, pos, captures)
+
+
+def outputs_items(aut: Automaton, state: int):
+    return aut.outputs[state].items()
+
+
+def run_pattern(
+    query: Query,
+    events: Iterable[tuple[Optional[str], Mapping]],
+    automaton: Automaton | None = None,
+) -> list[dict]:
+    """Run a query over an in-memory stream of ``(type, attrs)`` pairs.
+
+    Returns one dict per match: ``{name: [attrs, ...]}`` with capture
+    names in pattern order — the reference's ``Match`` output model
+    (executor.py:7, omitted-empty-name rule DST.py:302-311).
+    """
+    aut = automaton if automaton is not None else compile_query(query)
+    engine = MatchEngine(aut, query.strategy)
+    events = list(events)
+    results: list[dict] = []
+    for ev_type, attrs in events:
+        for m in engine.feed(ev_type, attrs):
+            results.append(
+                {name: [events[i][1] for i in idxs] for name, idxs in m.captures.items()}
+            )
+    return results
