@@ -1,0 +1,6 @@
+"""Spark-facing operators: the CEP match kernel and plan fast paths."""
+
+from reflinkcep_spark.operators.cep import match_pattern
+from reflinkcep_spark.operators.fastpath import try_fast_path
+
+__all__ = ["match_pattern", "try_fast_path"]

@@ -1,0 +1,178 @@
+"""Batch CEP operator: ``match_pattern`` over a DataFrame.
+
+Physical strategy
+-----------------
+The pattern kernel is a *grouped-map* operator:
+
+    df.repartition(keys).groupBy(keys).applyInPandas(run_nfa, schema)
+
+Each key's substream is matched independently — the one shuffle on the
+partition key is the only data movement, and parallelism scales with
+the number of keys (users/sessions/devices), which is exactly the axis
+that grows with data size.  Within a group, rows are sorted by the
+order column and fed through the NFA run-set engine
+(:mod:`reflinkcep_spark.cep.runtime`); Arrow carries the batch across
+the JVM↔Python boundary once in each direction.
+
+For patterns with a pure-Catalyst equivalent (plain filters, strict
+sequences), :mod:`reflinkcep_spark.operators.fastpath` avoids Python
+entirely; ``match_pattern(..., allow_fastpath=True)`` dispatches
+automatically.
+
+At 100 TB: the scan prunes columns to key+order+type+referenced attrs
+(we select them explicitly before the shuffle), the shuffle is on the
+match key (unavoidable for any per-key order-sensitive operator — same
+as Flink's keyBy), and state is bounded per key by the automaton's live
+run-set, not by history.  A ``max_active_runs`` guard caps the
+combinatorial blowup nd-relaxed patterns can exhibit.
+
+Output: one row per match:
+    keys… | match_seq | start_<ord> | end_<ord> | <name>: ARRAY<STRUCT<event>> …
+
+Capture columns are NULL when the (optional) sub-pattern captured
+nothing, mirroring the reference's omitted-key rule (DST.py:302-311).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from reflinkcep_spark.cep.compiler import compile_query
+from reflinkcep_spark.cep.query import Query
+from reflinkcep_spark.cep.runtime import MatchEngine
+
+__all__ = ["match_pattern", "MatchLimitExceeded"]
+
+
+class MatchLimitExceeded(RuntimeError):
+    """Raised when a key's live run-set exceeds ``max_active_runs``."""
+
+
+def match_pattern(
+    df: DataFrame,
+    query: Query,
+    *,
+    order_by: str,
+    partition_by: str | Sequence[str] | None = None,
+    type_col: str | None = "event_type",
+    attr_cols: Sequence[str] | None = None,
+    allow_fastpath: bool = True,
+    max_active_runs: int = 100_000,
+) -> DataFrame:
+    """Run a CEP pattern query over a DataFrame of events.
+
+    Parameters
+    ----------
+    order_by:
+        Column defining the total order of each (sub)stream.  Must be
+        unique within a partition key (e.g. ``event_id``).
+    partition_by:
+        Key column(s); each key is an independent substream (Flink's
+        ``keyBy``).  ``None`` = one global stream (single-task — only
+        for small inputs or tests).
+    type_col:
+        Column holding the event type matched against the pattern's
+        ``event`` fields; ``None`` treats every row as the pattern's
+        sole declared type.
+    attr_cols:
+        Attribute columns visible to conditions; defaults to every
+        column except the partition key(s).
+    """
+    keys = (
+        [partition_by]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    if attr_cols is None:
+        attr_cols = [c for c in df.columns if c not in keys]
+    attr_cols = list(attr_cols)
+    if order_by not in attr_cols:
+        attr_cols.append(order_by)
+    if type_col is not None and type_col not in attr_cols:
+        attr_cols.append(type_col)
+
+    if allow_fastpath:
+        from reflinkcep_spark.operators.fastpath import try_fast_path
+
+        fast = try_fast_path(
+            df,
+            query,
+            order_by=order_by,
+            keys=keys,
+            type_col=type_col,
+            attr_cols=attr_cols,
+        )
+        if fast is not None:
+            return fast
+
+    # Column pruning before the shuffle: ship only what the kernel reads.
+    projected = df.select(*keys, *attr_cols)
+
+    field_by_name = {f.name: f for f in projected.schema.fields}
+    event_struct = StructType([field_by_name[c] for c in attr_cols])
+    out_schema = StructType(
+        [field_by_name[k] for k in keys]
+        + [
+            StructField("match_seq", LongType(), False),
+            StructField("start_ord", field_by_name[order_by].dataType, True),
+            StructField("end_ord", field_by_name[order_by].dataType, True),
+        ]
+        + [
+            StructField(name, ArrayType(event_struct), True)
+            for name in query.names
+        ]
+    )
+
+    automaton = compile_query(query)
+    strategy = query.strategy
+    names = list(query.names)
+    out_columns = [f.name for f in out_schema.fields]
+    sole_type = None
+    if type_col is None:
+        declared = list(query.schema.keys())
+        sole_type = declared[0] if len(declared) == 1 else None
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        key_values = {k: pdf.iloc[0][k] for k in keys} if len(pdf) else {}
+        records = pdf[attr_cols].to_dict("records")
+        if type_col is not None:
+            types: Iterable = pdf[type_col].tolist()
+        else:
+            types = [sole_type] * len(records)
+
+        engine = MatchEngine(automaton, strategy)
+        rows = []
+        match_seq = 0
+        for ev_type, attrs in zip(types, records):
+            for m in engine.feed(ev_type, attrs):
+                row = dict(key_values)
+                row["match_seq"] = match_seq
+                captured = m.captures
+                all_pos = [p for idxs in captured.values() for p in idxs]
+                row["start_ord"] = records[min(all_pos)][order_by] if all_pos else None
+                row["end_ord"] = records[max(all_pos)][order_by] if all_pos else None
+                for name in names:
+                    idxs = captured.get(name)
+                    row[name] = (
+                        [records[i] for i in idxs] if idxs is not None else None
+                    )
+                rows.append(row)
+                match_seq += 1
+            if len(engine.runs) > max_active_runs:
+                raise MatchLimitExceeded(
+                    f"live run-set exceeded {max_active_runs} for key "
+                    f"{key_values!r}; pattern is likely nd-relaxed over a "
+                    f"hot key — add a stricter condition or raise the limit"
+                )
+        return pd.DataFrame(rows, columns=out_columns)
+
+    # groupBy itself shuffles on the keys — no explicit repartition needed.
+    grouped = projected.groupBy(*keys) if keys else projected.groupBy()
+    return grouped.applyInPandas(run_group, schema=out_schema)

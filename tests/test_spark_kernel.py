@@ -1,0 +1,150 @@
+"""Spark batch kernel: plumbing parity with the pure-Python engine.
+
+The golden tests already pin the match semantics; here we check that
+the grouped-map kernel (shuffle → per-key sort → NFA → Arrow round
+trip) reproduces the same matches per key, on synthetic multi-key
+frames and on the driver's events table.
+"""
+
+import pytest
+
+from reflinkcep_spark import Query, run_pattern
+from reflinkcep_spark.operators import match_pattern
+
+from tests.cep_cases import GOLDEN_CASES
+from tests.conftest import SF_DIR
+
+# Representative slice of the golden corpus: one per operator family.
+KERNEL_CASES = [c for c in GOLDEN_CASES if c[0] in (
+    "hello", "lpat_nm", "lpat_nm_ic", "lpat_inf_until_relaxed",
+    "cat_strict_3", "cat_ndrelaxed", "ams_skiptonext", "gpat_times",
+    "nested_until",
+)]
+
+
+def _events_df(spark, pairs, n_keys=3):
+    """The same stream replicated under several partition keys."""
+    rows = [
+        (k, i + 1, "e", n, p)
+        for k in range(n_keys)
+        for i, (n, p) in enumerate(pairs)
+    ]
+    return spark.createDataFrame(rows, "user_id int, id long, type string, name long, price long")
+
+
+def _expected_per_key(qyaml, pairs):
+    query = Query.from_yaml(qyaml)
+    stream = [("e", {"id": i + 1, "name": n, "price": p}) for i, (n, p) in enumerate(pairs)]
+    return run_pattern(query, stream)
+
+
+@pytest.mark.parametrize(
+    "name,qyaml,stream,expected",
+    KERNEL_CASES,
+    ids=[c[0] for c in KERNEL_CASES],
+)
+def test_kernel_matches_pure_engine(spark, name, qyaml, stream, expected):
+    query = Query.from_yaml(qyaml, name=name)
+    df = _events_df(spark, stream)
+    out = match_pattern(
+        df,
+        query,
+        order_by="id",
+        partition_by="user_id",
+        type_col="type",
+        allow_fastpath=False,
+    )
+    rows = out.collect()
+    want_one_key = _expected_per_key(qyaml, stream)
+
+    assert {r["user_id"] for r in rows} == ({0, 1, 2} if want_one_key else set())
+    for k in (0, 1, 2):
+        got = sorted(
+            (r for r in rows if r["user_id"] == k), key=lambda r: r["match_seq"]
+        )
+        assert len(got) == len(want_one_key)
+        for row, want in zip(got, want_one_key):
+            for cap_name, evs in want.items():
+                got_ids = [e["id"] for e in row[cap_name]]
+                assert got_ids == [e["id"] for e in evs]
+            # captures absent from the match must be NULL columns
+            for cap_name in query.names:
+                if cap_name not in want:
+                    assert row[cap_name] is None
+
+
+def test_kernel_on_events_table(spark):
+    """Purchase >100 followed (relaxed) by an error, per user."""
+    from reflinkcep_spark.sources import load_table
+
+    q = Query.from_yaml(
+        """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left:
+    type: spat
+    name: big
+    event: purchase
+    cndt: {expr: value > 100}
+  right:
+    type: spat
+    name: err
+    event: error
+    cndt: {expr: "True"}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+"""
+    )
+    events = load_table(spark, SF_DIR, "events")
+    out = match_pattern(
+        events.select("user_id", "event_id", "event_type", "value"),
+        q,
+        order_by="event_id",
+        partition_by="user_id",
+        allow_fastpath=False,
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+
+    # Independent cross-check in pandas per user.
+    pdf = events.select("user_id", "event_id", "event_type", "value").toPandas()
+    expected_pairs = set()
+    for uid, g in pdf.sort_values("event_id").groupby("user_id"):
+        recs = g.to_dict("records")
+        for i, r in enumerate(recs):
+            if r["event_type"] == "purchase" and r["value"] > 100:
+                nxt = next(
+                    (s for s in recs[i + 1:] if s["event_type"] == "error"), None
+                )
+                if nxt is not None:
+                    expected_pairs.add((uid, r["event_id"], nxt["event_id"]))
+    got_pairs = {
+        (r["user_id"], r["big"][0]["event_id"], r["err"][0]["event_id"])
+        for r in rows
+    }
+    assert got_pairs == expected_pairs
+
+
+def test_kernel_global_stream(spark):
+    q = Query.from_yaml(
+        """
+type: query
+patseq:
+  type: lpat
+  name: run
+  event: e
+  cndt: {expr: name == 1}
+  loop: {contiguity: strict, from: 2, to: 2}
+context:
+  schema: {e: []}
+"""
+    )
+    df = _events_df(spark, [(1, 0), (1, 1), (2, 0), (1, 2)], n_keys=1).drop("user_id")
+    out = match_pattern(
+        df, q, order_by="id", partition_by=None, type_col="type",
+        allow_fastpath=False,
+    )
+    rows = out.collect()
+    assert [[e["id"] for e in r["run"]] for r in rows] == [[1, 2]]
