@@ -3,36 +3,48 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine: ``reflinkcep_spark`` — CEP pattern matching (the reference's
+full operator surface) as a grouped-map NFA kernel with Catalyst fast
+paths, plus the relational operator set and training-data-pipeline
+operators (dedup / similarity search / text analysis / multimodal
+plumbing).  See SURVEY.md §2 for the inventory and
+reflinkcep_spark/queries/ for every query definition.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: signup → first
+    qualifying purchase per user (relaxed-contiguity CEP sequence
+    through the NFA kernel)."""
+    from reflinkcep_spark.queries.cep_queries import cep_signup_to_purchase
+
+    return cep_signup_to_purchase(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (CEP,
+    relational, pipeline)."""
+    from reflinkcep_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """Equivalent DuckDB SQL for every SQL-expressible query; names
+    absent here (iterative-condition CEP, skip strategies, sketching
+    dedup/ANN) are non-SQL-expressible → rows-only checks."""
+    from reflinkcep_spark.queries import all_oracles
+
+    return all_oracles()

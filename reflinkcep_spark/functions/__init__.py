@@ -1,0 +1,12 @@
+"""Large-scale data-pipeline functions: dedup, similarity, text analysis,
+multimodal column plumbing.
+
+Everything here is built from JVM-side ``pyspark.sql.functions``
+(whole-stage codegen) unless a genuinely imperative kernel is needed,
+in which case it's an Arrow-batched pandas UDF — never row-at-a-time
+Python.
+"""
+
+from reflinkcep_spark.functions import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

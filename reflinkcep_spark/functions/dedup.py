@@ -1,0 +1,346 @@
+"""Deduplication at scale: exact, token-Jaccard, MinHash+LSH, SimHash.
+
+Strategy ladder (cheapest first), each usable standalone:
+
+1. ``exact_groups`` — hash-groupBy on a content digest.  One shuffle on
+   the digest; the canonical first step of any 100 TB dedup run.
+2. ``token_jaccard_pairs`` — exact set-similarity via an inverted-index
+   join (explode tokens → join on token → count intersections).  A
+   ``max_df`` cap drops ubiquitous tokens, which is what keeps the
+   token join from quadratic blowup on stop-words (the classic
+   prefix/blocking trick).
+3. ``minhash_lsh_pairs`` — MinHash signatures + banded LSH buckets:
+   candidates only need one shuffle per band, then exact verification
+   on the (tiny) candidate set.  Sub-quadratic; recall < 1 by design.
+4. ``simhash_pairs`` — 64-bit SimHash with banded Hamming search
+   (4×16-bit bands find every pair within Hamming distance ≤ 3).
+
+All signatures are deterministic (xxhash64 with per-permutation salts),
+so runs are reproducible.  No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reflinkcep_spark.functions.text import distinct_tokens
+
+__all__ = [
+    "exact_groups",
+    "exact_dedup",
+    "token_jaccard_pairs",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "shingles",
+]
+
+
+def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content digest: the keeper (minimum id) and
+    the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (minimum id) per distinct content digest."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles as strings (for MinHash)."""
+    from reflinkcep_spark.functions.text import tokens
+
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )).otherwise(F.array_distinct(F.array(F.array_join(toks, " "))))
+
+
+def _token_stats(df: DataFrame, text_col: str, id_col: str, max_df: float | None):
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(distinct_tokens(F.col(text_col))).alias("tok"))
+    )
+    if max_df is not None:
+        n_docs = df.count()
+        cap = int(n_docs * max_df)
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap)
+            .select("tok")
+        )
+        # Anti-join out ubiquitous tokens; 'hot' is tiny → broadcast.
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
+    return toks
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: float | None = None,
+) -> DataFrame:
+    """Exact distinct-token Jaccard ≥ threshold, via inverted-index join.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.  Note: with
+    ``max_df`` set, Jaccard is computed over the capped vocabulary.
+    """
+    toks = _token_stats(df, text_col, id_col, max_df).cache()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram (shingle) Jaccard ≥ threshold via an
+    inverted-index join over shingles — the discriminative variant of
+    :func:`token_jaccard_pairs` for small-vocabulary corpora.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("g")
+    ).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document MinHash signature: for permutation i, the minimum of
+    xxhash64(i || shingle) over the shingle set.  Computed with
+    higher-order array functions — one pass over the data, no explode."""
+    sh = shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+            for i in range(num_perm)
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact shingle-Jaccard verify.
+
+    ``bands`` bands of ``num_perm // bands`` rows each: documents
+    agreeing on any full band become candidates; candidates are then
+    verified with the exact Jaccard over their shingle sets, so the
+    output contains no false positives (recall is bounded by the LSH
+    S-curve).
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[b * rows + r] for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    feature: str = "shingles",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """64-bit SimHash per document: bit i of the fingerprint is the sign
+    of Σ_tokens (±1 by bit i of xxhash64(token)).
+
+    Two codegen stages — a 64-slot counter fold over the feature array,
+    then bit assembly — with the counters materialized in between so the
+    (large) fold expression appears once, not 64 times.  No shuffle, no
+    UDF.
+
+    ``feature``: "shingles" (default — discriminative even on tiny
+    vocabularies) or "tokens" (classic distinct-token SimHash).
+    """
+    if feature == "tokens":
+        toks = distinct_tokens(F.col(text_col))
+    else:
+        toks = shingles(F.col(text_col), shingle_n)
+    bit_contrib = lambda t: F.array(  # noqa: E731
+        *[
+            F.when(
+                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+            for i in range(64)
+        ]
+    )
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, bit_contrib(t), lambda a, b: a + b),
+    )
+    staged = df.select(F.col(id_col).alias("doc_id"), counts.alias("__counts"))
+    fp = None
+    for i in range(64):
+        term = F.when(
+            F.element_at(F.col("__counts"), i + 1) > 0,
+            F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return staged.select("doc_id", fp.alias("fp"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    feature: str = "shingles",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Banded search: split the 64-bit fingerprint into 4 × 16-bit bands;
+    any pair within Hamming distance ≤ 3 agrees exactly on ≥ 1 band
+    (pigeonhole), so a per-band equi-join finds all of them, then the
+    exact popcount(xor) filter verifies.
+    """
+    fp = simhash_fingerprints(df, text_col, id_col, feature=feature)
+    banded = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("fp"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fp", "bb.band", "bb.chunk")
+
+    pairs = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (``ARRAY<FLOAT>``).
+
+* ``cosine_topk`` — exact brute-force top-k: broadcast the (small)
+  query set against the full corpus, dot products via ``zip_with`` +
+  ``aggregate`` (JVM codegen), rank with one window per query id.  The
+  correctness baseline, and at 100 TB still the right plan whenever the
+  query set is small (it's a broadcast map-side scan, no shuffle of the
+  corpus).
+* ``lsh_ann_topk`` — approximate: random-hyperplane LSH buckets the
+  corpus once (signatures are deterministic given ``seed``); queries
+  probe only their own bucket (plus optional 1-bit multiprobes), then
+  score exactly within candidates.  The scale path when the query set
+  is itself large.
+* ``embedding_neardup_pairs`` — all corpus pairs with cosine ≥ t via
+  bucket blocking (for near-duplicate detection rather than search).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "cosine_topk", "lsh_ann_topk", "embedding_neardup_pairs"]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity of two double arrays (cast upstream)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector.
+
+    Returns (query_id, rank, neighbor_id, sim); ties broken by
+    neighbor id for determinism.  ``queries`` is broadcast — keep it
+    small (the corpus side streams through the scan unshuffled; only
+    the per-query top-k window shuffles, and that input is already cut
+    down to candidates × queries).
+    """
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python so the
+    same planes can be reproduced anywhere)."""
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def _signature(vec_col, planes: list[list[float]]):
+    bits = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits.bitwiseOR(bit)
+    return bits.cast("int")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets + exact rescoring
+    within the probed buckets (candidates ≈ corpus / 2^n_planes per
+    probe)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _signature(F.col(vec_col), planes).alias("qbucket"),
+    )
+    if multiprobe:
+        # probe the home bucket and every 1-bit-flip neighbor bucket
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i)).cast("int")
+                for i in range(n_planes)
+            ],
+        )
+        q = q.select("query_id", "__qv", F.explode(probes).alias("qbucket"))
+    cand = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus near-duplicate pairs (cosine ≥ threshold) with LSH-bucket
+    blocking: only same-bucket pairs are scored.  High thresholds map to
+    tiny Hamming distance between signatures, so same-bucket blocking
+    keeps recall high while cutting the pair space by ~2^n_planes."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    pairs = (
+        c.alias("x")
+        .join(
+            c.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            cosine(F.col("x.v"), F.col("y.v")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+    return pairs

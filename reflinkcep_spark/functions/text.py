@@ -1,0 +1,131 @@
+"""Text analysis for document pipelines: tokenization, counting,
+quality scoring, language ID, fingerprinting.
+
+All hot-path functions are Catalyst expressions (split / regexp /
+aggregate / md5), so they pipeline inside whole-stage codegen and scale
+with the scan — no shuffle, no Python.  Language ID is the one
+heuristic that aggregates per-row token sets; it is still expressed
+with higher-order array functions, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "distinct_tokens",
+    "token_count",
+    "bpe_ish_count",
+    "punct_count",
+    "fingerprint_md5",
+    "rolling_fingerprint",
+    "quality_score",
+    "language_scores",
+    "text_profile",
+    "BPE_ISH_PATTERN",
+    "STOPWORDS",
+]
+
+# Word-ish pieces, digit runs, and single punctuation marks — a cheap
+# approximation of a byte-pair tokenizer's pre-tokenization split.  The
+# pattern is RE2-safe so the same string works in Spark and DuckDB.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "en", "por"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens with empties dropped (split-semantics-proof)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def distinct_tokens(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_PATTERN), 0))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set.  Identical in Spark and DuckDB, so it serves as
+    both a dedup key and an oracle-checkable value."""
+    return F.md5(F.array_join(F.array_sort(distinct_tokens(col)), " "))
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash over the token sequence (order-sensitive):
+    h = (h * 31 + xxhash64(token)) mod 2^31, kept modular so ANSI-mode
+    arithmetic can't overflow.  Engine-specific (xxhash64), so exposed
+    as a rows-only query, not an oracle-matched one."""
+    mod = F.lit(1 << 31).cast("long")
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(31) + F.pmod(F.xxhash64(t), mod), mod),
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Cheap document-quality heuristic in [0,1]: reward length up to
+    ~100 tokens, penalize punctuation density.  Pure arithmetic on two
+    counters → identical SQL runs in the oracle."""
+    n_tok = token_count(col).cast("double")
+    n_punct = punct_count(col).cast("double")
+    n_chars = F.length(col).cast("double")
+    length_term = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    return F.round(length_term * (F.lit(1.0) - punct_ratio), 6)
+
+
+def language_scores(col: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword hit ratio over the distinct token set."""
+    toks = distinct_tokens(F.lower(col))
+    out = []
+    for lang, words in STOPWORDS.items():
+        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        out.append((lang, hits.cast("double") / F.lit(len(words))))
+    return out
+
+
+def language_id(col: Column) -> Column:
+    """argmax over language_scores with 'und' (undetermined) when no
+    stopword hits at all."""
+    scores = language_scores(col)
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats frame: counts, quality, fingerprint."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_count(c).alias("n_bpe_tokens"),
+        F.length(c).alias("n_chars_actual"),
+        punct_count(c).alias("n_punct"),
+        quality_score(c).alias("quality"),
+        fingerprint_md5(c).alias("fingerprint"),
+    )

@@ -1,0 +1,340 @@
+"""CEP queries over the ``events`` stream table — the reference's
+operator surface exercised on the driver testdata (per-user substreams
+ordered by ``event_id``; FIXTURES.md §2 maps the reference's
+``(type, name, price)`` events onto ``(event_type, value)``).
+
+Where a pattern is expressible in plain SQL (single events, strict
+chains, first-after sequencing) the query carries a DuckDB oracle and
+the match output is flattened to scalar columns (capture arrays don't
+hash stably across engines).  Iterative-condition and skip-strategy
+patterns are non-SQL-expressible → rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reflinkcep_spark.cep.query import Query
+from reflinkcep_spark.operators import match_pattern
+from reflinkcep_spark.sources import load_table
+
+EVENT_SCHEMA = {"signup": [], "purchase": [], "error": [], "click": [], "view": []}
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+def _run(spark, sf_dir, qyaml: str, **kw):
+    return match_pattern(
+        _events(spark, sf_dir),
+        Query.from_yaml(qyaml),
+        order_by="event_id",
+        partition_by="user_id",
+        **kw,
+    )
+
+
+def _cap(name: str, i: int = 1):
+    return F.element_at(F.col(name), i)
+
+
+# --- spat: high-value purchases (fast path → pure filter) ------------
+
+def cep_high_purchases(spark, sf_dir):
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: spat
+  name: buy
+  event: purchase
+  cndt: {expr: value > 100}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+    )
+    return out.select(
+        "user_id",
+        _cap("buy")["event_id"].alias("event_id"),
+        F.round(_cap("buy")["value"], 2).alias("value"),
+    )
+
+
+SQL_HIGH_PURCHASES = """
+SELECT user_id, event_id, ROUND(value, 2) AS value
+FROM events WHERE event_type = 'purchase' AND value > 100
+"""
+
+
+# --- strict sequence: purchase immediately followed by error ---------
+
+def cep_purchase_then_error(spark, sf_dir):
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: combine
+  contiguity: strict
+  left:
+    type: spat
+    name: buy
+    event: purchase
+    cndt: {expr: value > 50}
+  right:
+    type: spat
+    name: err
+    event: error
+    cndt: {expr: "True"}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+    )
+    return out.select(
+        "user_id",
+        _cap("buy")["event_id"].alias("purchase_id"),
+        _cap("err")["event_id"].alias("error_id"),
+    )
+
+
+SQL_PURCHASE_THEN_ERROR = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, value,
+         LEAD(event_type) OVER w AS next_type,
+         LEAD(event_id) OVER w AS next_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, event_id AS purchase_id, next_id AS error_id
+FROM s WHERE event_type = 'purchase' AND value > 50 AND next_type = 'error'
+"""
+
+
+# --- strict bounded loop: three consecutive errors -------------------
+
+def cep_error_triples(spark, sf_dir):
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: lpat
+  name: errs
+  event: error
+  cndt: {expr: "True"}
+  loop: {contiguity: strict, from: 3, to: 3}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+    )
+    return out.select(
+        "user_id",
+        _cap("errs", 1)["event_id"].alias("e1"),
+        _cap("errs", 2)["event_id"].alias("e2"),
+        _cap("errs", 3)["event_id"].alias("e3"),
+    )
+
+
+SQL_ERROR_TRIPLES = """
+WITH s AS (
+  SELECT user_id, event_id, event_type,
+         LEAD(event_type, 1) OVER w AS t1, LEAD(event_id, 1) OVER w AS id1,
+         LEAD(event_type, 2) OVER w AS t2, LEAD(event_id, 2) OVER w AS id2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, event_id AS e1, id1 AS e2, id2 AS e3
+FROM s WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'
+"""
+
+
+# --- relaxed sequence: signup followed by first qualifying purchase --
+
+def cep_signup_to_purchase(spark, sf_dir):
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left:
+    type: spat
+    name: reg
+    event: signup
+    cndt: {expr: "True"}
+  right:
+    type: spat
+    name: buy
+    event: purchase
+    cndt: {expr: value > 50}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+        allow_fastpath=False,
+    )
+    return out.select(
+        "user_id",
+        _cap("reg")["event_id"].alias("signup_id"),
+        _cap("buy")["event_id"].alias("purchase_id"),
+    )
+
+
+SQL_SIGNUP_TO_PURCHASE = """
+SELECT s.user_id, s.event_id AS signup_id, MIN(p.event_id) AS purchase_id
+FROM events s
+JOIN events p ON p.user_id = s.user_id AND p.event_id > s.event_id
+            AND p.event_type = 'purchase' AND p.value > 50
+WHERE s.event_type = 'signup'
+GROUP BY s.user_id, s.event_id
+"""
+
+
+# --- quantified group pattern: (view · click) × 2 --------------------
+
+def cep_view_click_cycles(spark, sf_dir):
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: gpat-times
+  child:
+    type: combine
+    contiguity: strict
+    left:
+      type: spat
+      name: v
+      event: view
+      cndt: {expr: "True"}
+    right:
+      type: spat
+      name: c
+      event: click
+      cndt: {expr: "True"}
+  loop: {from: 2, to: 2}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+    )
+    return out.select(
+        "user_id",
+        _cap("v", 1)["event_id"].alias("v1"),
+        _cap("c", 1)["event_id"].alias("c1"),
+        _cap("v", 2)["event_id"].alias("v2"),
+        _cap("c", 2)["event_id"].alias("c2"),
+    )
+
+
+SQL_VIEW_CLICK_CYCLES = """
+WITH s AS (
+  SELECT user_id, event_id, event_type,
+         LEAD(event_type, 1) OVER w AS t1, LEAD(event_id, 1) OVER w AS id1,
+         LEAD(event_type, 2) OVER w AS t2, LEAD(event_id, 2) OVER w AS id2,
+         LEAD(event_type, 3) OVER w AS t3, LEAD(event_id, 3) OVER w AS id3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, event_id AS v1, id1 AS c1, id2 AS v2, id3 AS c2
+FROM s WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'view' AND t3 = 'click'
+"""
+
+
+# --- iterative condition + until: spending bursts (rows-only) --------
+
+def cep_spending_burst(spark, sf_dir):
+    """Runs of ≥2 consecutive purchases whose cumulative value stays
+    under 300 (iterative data variable + until — no SQL equivalent)."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: lpat-inf
+  name: run
+  event: purchase
+  cndt: {expr: S + value <= 300}
+  variables:
+    S: {update: S + value, initial: 0}
+  loop: {contiguity: strict, from: 2}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+        allow_fastpath=False,
+    )
+    return out.select(
+        "user_id",
+        F.col("start_ord").alias("first_id"),
+        F.col("end_ord").alias("last_id"),
+        F.size("run").cast("long").alias("n_purchases"),
+        F.round(
+            F.aggregate("run", F.lit(0.0), lambda a, e: a + e["value"]), 2
+        ).alias("total_value"),
+    )
+
+
+# --- after-match skip strategy: error streaks (rows-only) ------------
+
+def cep_error_streaks_skip(spark, sf_dir):
+    """Maximal-ish error streaks under SkipPastLastEvent — the strategy
+    itself is stateful and order-dependent → rows-only check."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left:
+    type: lpat-inf
+    name: errs
+    event: error
+    cndt: {expr: "True"}
+    loop: {contiguity: strict, from: 2}
+  right:
+    type: spat
+    name: ok
+    event: purchase
+    cndt: {expr: "True"}
+context:
+  strategy: SkipToNext
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+        allow_fastpath=False,
+    )
+    return out.select(
+        "user_id",
+        F.col("start_ord").alias("first_id"),
+        F.col("end_ord").alias("last_id"),
+        F.size("errs").cast("long").alias("n_errors"),
+    )
+
+
+QUERIES = {
+    "cep_high_purchases": cep_high_purchases,
+    "cep_purchase_then_error": cep_purchase_then_error,
+    "cep_error_triples": cep_error_triples,
+    "cep_signup_to_purchase": cep_signup_to_purchase,
+    "cep_view_click_cycles": cep_view_click_cycles,
+    "cep_spending_burst": cep_spending_burst,
+    "cep_error_streaks_skip": cep_error_streaks_skip,
+}
+
+ORACLES = {
+    "cep_high_purchases": SQL_HIGH_PURCHASES,
+    "cep_purchase_then_error": SQL_PURCHASE_THEN_ERROR,
+    "cep_error_triples": SQL_ERROR_TRIPLES,
+    "cep_signup_to_purchase": SQL_SIGNUP_TO_PURCHASE,
+    "cep_view_click_cycles": SQL_VIEW_CLICK_CYCLES,
+}

@@ -1,0 +1,240 @@
+"""Training-data-pipeline operators over ``documents`` / ``embeddings``:
+dedup, similarity search, text analysis, multimodal plumbing.
+
+Oracle-matched where the computation is engine-portable (md5, exact
+set Jaccard, regexp counting, cosine); probabilistic/sketching variants
+(MinHash-LSH, SimHash, random-hyperplane ANN) are deterministic but use
+engine-specific hashes → rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reflinkcep_spark.functions import dedup, multimodal, similarity, text
+from reflinkcep_spark.sources import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- dedup ------------------------------------------------------------
+
+def dedup_exact_groups(spark, sf_dir):
+    return dedup.exact_groups(_docs(spark, sf_dir))
+
+
+SQL_EXACT_GROUPS = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
+       COUNT(*) - 1 AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [array_to_string(t, ' ')] END) AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+FROM (
+  SELECT doc_a, doc_b, nc * 1.0 / (s1.n + s2.n - nc) AS j
+  FROM c JOIN sizes s1 ON s1.doc_id = doc_a JOIN sizes s2 ON s2.doc_id = doc_b
+) WHERE j >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidates verified by exact shingle Jaccard.
+    xxhash64 signatures are engine-specific → rows-only check; recall
+    vs the exact dedup_ngram_jaccard output is asserted in tests."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, num_perm=32, bands=8
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash banded Hamming-distance pairs (engine-specific hashing →
+    rows-only check)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# --- text analysis ----------------------------------------------------
+
+def text_profile(spark, sf_dir):
+    prof = text.text_profile(_docs(spark, sf_dir))
+    return prof.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        "quality",
+        "fingerprint",
+    )
+
+
+SQL_TEXT_PROFILE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       n_bpe AS n_bpe_tokens,
+       n_chars AS n_chars_actual,
+       n_punct,
+       ROUND(LEAST(1.0, len(toks) / 100.0) *
+             (1 - CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END),
+             6) AS quality,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM base
+"""
+
+
+def text_language(spark, sf_dir):
+    """Heuristic stopword language ID (rows-only: scoring heuristic,
+    not SQL-portable)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        text.language_id(F.col("text")).alias("lang_guess"),
+        F.col("lang").alias("lang_declared"),
+    )
+
+
+def doc_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint (xxhash64 chain →
+    rows-only)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", text.rolling_fingerprint(F.col("text")).alias("rolling_fp")
+    )
+
+
+# --- similarity search ------------------------------------------------
+
+def sim_cosine_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    out = similarity.cosine_topk(embs, queries, k=5)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rnk"),
+        "neighbor_id",
+        "sim",
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS sim
+  FROM q JOIN c ON c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS sim
+FROM r WHERE rnk <= 5
+"""
+
+
+def sim_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN with multiprobe (rows-only; recall vs
+    the exact top-k is asserted in tests)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    out = similarity.lsh_ann_topk(embs, queries, k=5, n_planes=4, dim=64)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id", "sim"
+    )
+
+
+def sim_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs with LSH blocking
+    (rows-only)."""
+    return similarity.embedding_neardup_pairs(
+        _embs(spark, sf_dir), threshold=0.4, n_planes=4, dim=64
+    )
+
+
+# --- multimodal -------------------------------------------------------
+
+def multimodal_bytes(spark, sf_dir):
+    """Binary-column plumbing over synthesized payloads: byte length +
+    magic sniffing (text payloads → octet-stream)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = multimodal.binary_metadata(docs, "payload")
+    return out.select(
+        "doc_id",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "media_type",
+    )
+
+
+SQL_MULTIMODAL_BYTES = """
+SELECT doc_id, octet_length(encode(text)) AS byte_len,
+       'application/octet-stream' AS media_type
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "text_profile": text_profile,
+    "text_language": text_language,
+    "doc_rolling_fingerprint": doc_rolling_fingerprint,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ann_lsh": sim_ann_lsh,
+    "sim_embedding_neardup": sim_embedding_neardup,
+    "multimodal_bytes": multimodal_bytes,
+}
+
+ORACLES = {
+    "dedup_exact_groups": SQL_EXACT_GROUPS,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "text_profile": SQL_TEXT_PROFILE,
+    "sim_cosine_topk": SQL_COSINE_TOPK,
+    "multimodal_bytes": SQL_MULTIMODAL_BYTES,
+}

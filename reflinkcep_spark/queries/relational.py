@@ -1,0 +1,419 @@
+"""Relational operator surface over the TPC-H-ish star schema.
+
+The reference engine has no relational operators at all (SURVEY §2.1);
+this is the Catalyst-native breadth a Spark engine gets for free —
+expressed as DataFrame plans (joins with broadcast hints, partial
+aggregation, windows, rollup/cube, set ops, scalar functions), each
+with a DuckDB oracle.
+
+Cross-engine determinism rules used throughout:
+* money sums ROUND(...,2), averages ROUND(...,4/6) — double summation
+  order differs between engines;
+* every integer-typed output cast to BIGINT (Spark's year()/size()/
+  row_number() return INT, DuckDB's return BIGINT);
+* LIMIT always paired with a total ORDER BY tie-broken on a key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from reflinkcep_spark.sources import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q1-style pricing summary (filter → groupBy agg) -----------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-30'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style top revenue (3-way join → agg → top-k) -----------------
+
+def q3_top_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer (filtered) is small → broadcast, no shuffle of lineitem side
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("order_key"))
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT o_orderkey AS order_key,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-01'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, order_key
+LIMIT 10
+"""
+
+
+# --- Q5-style multi-join through dimensions --------------------------
+
+def q5_nation_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(dims, cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_Q5 = """
+SELECT n_name AS nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --- Q6-style scan-heavy filter + scalar aggregate -------------------
+
+def q6_revenue_delta(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --- window functions: top-3 customers per nation --------------------
+
+def q_top_customers_per_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("cust_key"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+SQL_TOP_CUST = """
+SELECT nation, cust_key, acctbal, rnk FROM (
+  SELECT n_name AS nation, c_custkey AS cust_key,
+         ROUND(c_acctbal, 2) AS acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rnk <= 3
+"""
+
+
+# --- grouping sets: rollup + cube ------------------------------------
+
+def q_rollup_order_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_lineitem_flags(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- set operations ---------------------------------------------------
+
+def q_big_building_buyers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("cust_key")
+    )
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("cust_key")
+    )
+    return building.intersect(big)
+
+
+SQL_INTERSECT = """
+SELECT c_custkey AS cust_key FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS cust_key FROM orders WHERE o_totalprice > 400000
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.select(F.col("c_custkey").alias("cust_key")).exceptAll(
+        orders.select(F.col("o_custkey").alias("cust_key"))
+    ).distinct()
+
+
+SQL_EXCEPT = """
+SELECT DISTINCT c_custkey AS cust_key FROM customer
+EXCEPT
+SELECT o_custkey AS cust_key FROM orders
+"""
+
+
+# --- semi/anti joins --------------------------------------------------
+
+def q_orders_without_items(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_ANTI = """
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderstatus
+"""
+
+
+def q_parts_with_cheap_suppliers(spark, sf_dir):
+    """Semi join: parts that appear in some lineitem priced under 2000."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") < 2000)
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select(F.col("p_partkey").alias("part_key"), F.col("p_brand").alias("brand"))
+    )
+
+
+SQL_SEMI = """
+SELECT p_partkey AS part_key, p_brand AS brand
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_extendedprice < 2000)
+"""
+
+
+# --- scalar functions -------------------------------------------------
+
+def q_scalar_functions(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_size") % 5 == 0).select(
+        F.col("p_partkey").alias("part_key"),
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+SQL_SCALAR = """
+SELECT p_partkey AS part_key,
+       UPPER(SUBSTRING(p_name, 1, 8)) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       ROUND(p_retailprice * 1.1, 2) AS marked_up,
+       ABS(p_size - 25) AS size_dev,
+       CONCAT(p_brand, '/', p_type) AS brand_type
+FROM part WHERE p_size % 5 = 0
+"""
+
+
+def q_orders_by_month(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+SQL_BY_MONTH = """
+SELECT YEAR(o_orderdate) AS order_year, MONTH(o_orderdate) AS order_month,
+       COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_distinct_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+SQL_DISTINCT = """
+SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "q6_revenue_delta": q6_revenue_delta,
+    "q_top_customers_per_nation": q_top_customers_per_nation,
+    "q_rollup_order_priority": q_rollup_order_priority,
+    "q_cube_lineitem_flags": q_cube_lineitem_flags,
+    "q_big_building_buyers": q_big_building_buyers,
+    "q_customers_without_orders": q_customers_without_orders,
+    "q_orders_without_items": q_orders_without_items,
+    "q_parts_with_cheap_suppliers": q_parts_with_cheap_suppliers,
+    "q_scalar_functions": q_scalar_functions,
+    "q_orders_by_month": q_orders_by_month,
+    "q_distinct_counts": q_distinct_counts,
+}
+
+ORACLES = {
+    "q1_pricing_summary": SQL_Q1,
+    "q3_top_orders": SQL_Q3,
+    "q5_nation_revenue": SQL_Q5,
+    "q6_revenue_delta": SQL_Q6,
+    "q_top_customers_per_nation": SQL_TOP_CUST,
+    "q_rollup_order_priority": SQL_ROLLUP,
+    "q_cube_lineitem_flags": SQL_CUBE,
+    "q_big_building_buyers": SQL_INTERSECT,
+    "q_customers_without_orders": SQL_EXCEPT,
+    "q_orders_without_items": SQL_ANTI,
+    "q_parts_with_cheap_suppliers": SQL_SEMI,
+    "q_scalar_functions": SQL_SCALAR,
+    "q_orders_by_month": SQL_BY_MONTH,
+    "q_distinct_counts": SQL_DISTINCT,
+}

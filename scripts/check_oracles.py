@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Self-check mimicking the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
+sf=0.01, compare row count, sorted column names, and values
+(columns sorted by name, rows sorted by all columns).
+
+Usage: python3 scripts/check_oracles.py [--sf-dir DIR] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(got.columns) != sorted(want.columns):
+        problems.append(f"columns {sorted(got.columns)} != {sorted(want.columns)}")
+        return problems
+    if len(got) != len(want):
+        problems.append(f"row count {len(got)} != {len(want)}")
+        return problems
+    g, w = normalize(got), normalize(want)
+    for col in g.columns:
+        gc, wc = g[col], w[col]
+        if gc.dtype.kind == "f" or wc.dtype.kind == "f":
+            import numpy as np
+
+            bad = ~np.isclose(
+                gc.astype(float), wc.astype(float), rtol=0, atol=1e-9, equal_nan=True
+            )
+            if bad.any():
+                i = int(bad.idxmax())
+                problems.append(
+                    f"col {col}: {int(bad.sum())} mismatches, first at row {i}: "
+                    f"{gc[i]!r} != {wc[i]!r}"
+                )
+        else:
+            neq = gc.astype(object).where(gc.notna(), None) != wc.astype(object).where(
+                wc.notna(), None
+            )
+            if neq.any():
+                i = int(neq.idxmax())
+                problems.append(
+                    f"col {col}: {int(neq.sum())} mismatches, first at row {i}: "
+                    f"{gc[i]!r} != {wc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from reflinkcep_spark.session import get_spark
+    from reflinkcep_spark.sources import TABLES
+
+    spark = get_spark(app_name="check-oracles")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(qs)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            got = qs[name](spark, args.sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        elapsed = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(got)} rows ({elapsed:.1f}s) [rows-only]")
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = compare(name, got, want)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: ({elapsed:.1f}s)")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"OK    {name}: {len(got)} rows ({elapsed:.1f}s)")
+    spark.stop()
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

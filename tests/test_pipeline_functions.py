@@ -1,0 +1,124 @@
+"""Pipeline-function semantics on the sf0.001 tables: dedup recall
+relationships, ANN recall vs exact top-k, multimodal stub plumbing.
+(Value-level oracle parity is covered by scripts/check_oracles.py and
+the driver's own gate.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reflinkcep_spark.functions import dedup, multimodal, similarity, text
+from reflinkcep_spark.sources import load_table
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_exact_dedup_keeps_one_per_group(spark, docs):
+    groups = dedup.exact_groups(docs)
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == groups.count()
+    # keeper ids agree between the two formulations
+    keeper_ids = {r["keeper_id"] for r in groups.collect()}
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == keeper_ids
+
+
+def test_minhash_finds_near_duplicates_no_false_positives(spark, docs):
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.5))
+    lsh = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.5, num_perm=32, bands=8))
+    # verification step guarantees no false positives
+    assert lsh <= exact
+    # banded LSH at these parameters should catch the strong pairs
+    strong = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.8))
+    if strong:
+        assert len(lsh & strong) / len(strong) >= 0.9
+
+
+def test_simhash_pairs_are_real_near_dups(spark, docs):
+    sim = _pairs(dedup.simhash_pairs(docs, max_hamming=3))
+    weak = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.3))
+    assert sim <= weak
+    if weak:
+        assert sim, "simhash found nothing despite existing near-dups"
+
+
+def test_ann_recall_against_exact_topk(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(embs, queries, k=5)
+    ann = similarity.lsh_ann_topk(embs, queries, k=5, n_planes=4, dim=64)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ann_set = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    # near-random vectors are LSH-adversarial; 4 planes + multiprobe
+    # measured ≈0.58 recall here — gate well below to avoid flakiness
+    assert len(ann_set & exact_set) / len(exact_set) >= 0.4
+    # rank-1 sims must be genuine cosines in [-1, 1]
+    for r in ann.collect():
+        assert -1.0 <= r["sim"] <= 1.0
+
+
+def test_multimodal_fake_decoder_plumbing(spark, docs):
+    payloads = docs.select(
+        F.col("doc_id").alias("item_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    out = multimodal.extract_features(payloads, dim=16, decoder="fake")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(r["media_type"] == "application/octet-stream" for r in rows)
+    # deterministic: same payload → same features
+    again = {r["item_id"]: r["features"] for r in out.collect()}
+    for r in rows:
+        assert again[r["item_id"]] == r["features"]
+
+
+def test_multimodal_strict_decoder_raises(spark, docs):
+    payloads = docs.limit(2).select(
+        F.col("doc_id").alias("item_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    out = multimodal.extract_features(payloads, dim=4, decoder="strict")
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        out.collect()
+
+
+def test_magic_byte_sniffing(spark):
+    rows = [
+        (1, bytes.fromhex("89504e470d0a1a0a") + b"x"),
+        (2, b"\xff\xd8\xff\xe0rest"),
+        (3, b"plain text"),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    got = {
+        r["item_id"]: r["media_type"]
+        for r in multimodal.binary_metadata(df, "payload").collect()
+    }
+    assert got == {1: "image/png", 2: "image/jpeg", 3: "application/octet-stream"}
+
+
+def test_language_id_sane(spark, docs):
+    out = docs.select(text.language_id(F.col("text")).alias("lang")).distinct()
+    langs = {r["lang"] for r in out.collect()}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert set(df.columns) == {"user_id", "signup_id", "purchase_id"}
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30
