@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is materialized through the noop sink (full computation, no
+driver-side collect).  The mix covers every execution path: pure-scan
+aggregation, shuffled joins, window fast paths, the Python NFA kernel,
+inverted-index and LSH joins, and higher-order-function text analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",      # scan + partial agg
+    "q3_top_orders",           # 3-way join + agg + top-k
+    "q5_nation_revenue",       # multi-join through broadcast dims
+    "cep_high_purchases",      # CEP fast path: pure filter
+    "cep_error_triples",       # CEP fast path: strict loop windows
+    "cep_signup_to_purchase",  # CEP NFA kernel (relaxed sequence)
+    "cep_spending_burst",      # CEP NFA kernel (iterative condition)
+    "dedup_exact_groups",      # hash-groupBy dedup
+    "dedup_ngram_jaccard",     # inverted-index set-similarity join
+    "dedup_minhash_lsh",       # MinHash + banded LSH + verify
+    "sim_cosine_topk",         # brute-force vector search
+    "text_profile",            # higher-order-function text analysis
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+
+    from reflinkcep_spark.queries import all_queries
+    from reflinkcep_spark.session import get_spark
+
+    spark = get_spark(app_name="reflinkcep-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + Python worker pool outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,195 @@
+"""Streaming CEP operator: ``match_pattern_stream`` over a streaming DataFrame.
+
+Physical strategy
+-----------------
+``df.groupBy(keys).applyInPandasWithState(step, ...)`` — Spark's
+arbitrary-stateful-processing operator.  Per key, the persisted state is
+the NFA's live run-set (the reference's ``S`` + event counter ``i``,
+reference executor.py:27-29) plus the minimal trailing event buffer that
+live runs still reference for capture output.  Matches are emitted in
+append mode at the micro-batch in which their completing event arrives —
+the same "emit at completion event" semantics as the reference
+(executor.py:34-68) and the batch kernel.
+
+State size is bounded by the automaton's live run-set, NOT by stream
+history: the event buffer is pruned to positions at or after the oldest
+live run's start offset every micro-batch, and an optional
+processing-time ``idle_timeout_ms`` evicts keys that stop receiving
+events (state TTL — mandatory hygiene for a 100 TB keyspace).
+
+Ordering contract: rows are totally ordered per key by ``order_by``;
+within a micro-batch we sort, across micro-batches we require the source
+to deliver each key's rows in order (Kafka per-partition order, file
+mtime order).  The reference has no event time at all — it is explicitly
+processing-time (reference exp/genjava.py:93-94) — so out-of-order
+repair is out of scope here; batch mode re-sorts globally and is the
+replay path.
+
+Everything dynamic in the engine state is plain data (ints, dicts,
+tuples — see runtime._Cfg): the state column is one pickled BINARY blob,
+and the automaton itself (static, per-query) ships once inside the
+serialized task closure, never in the state store.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, LongType, StructField, StructType
+
+from reflinkcep_spark.cep.compiler import compile_query
+from reflinkcep_spark.cep.query import Query
+from reflinkcep_spark.cep.runtime import MatchEngine, _Cfg
+
+__all__ = ["match_pattern_stream"]
+
+
+def _save_engine(engine: MatchEngine, match_seq: int, buffer: dict) -> bytes:
+    runs = [
+        (k, (c.state, c.env, c.caps, c.last_take, tuple(c.eps_seen)))
+        for k, c in engine.runs
+    ]
+    return pickle.dumps((engine.pos, runs, match_seq, buffer), protocol=5)
+
+
+def _load_engine(blob: bytes, engine: MatchEngine) -> tuple[int, dict]:
+    pos, runs, match_seq, buffer = pickle.loads(blob)
+    engine.pos = pos
+    engine.runs = [
+        (k, _Cfg(state, env, caps, last_take, set(eps)))
+        for k, (state, env, caps, last_take, eps) in runs
+    ]
+    return match_seq, buffer
+
+
+def match_pattern_stream(
+    df: DataFrame,
+    query: Query,
+    *,
+    order_by: str,
+    partition_by: str | Sequence[str],
+    type_col: str | None = "event_type",
+    attr_cols: Sequence[str] | None = None,
+    max_active_runs: int = 100_000,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Run a CEP pattern query over a *streaming* DataFrame.
+
+    Same output schema as the batch :func:`match_pattern`:
+    ``keys… | match_seq | start_ord | end_ord | <name>: ARRAY<STRUCT>…``.
+    ``match_seq`` is a per-key monotone counter that survives across
+    micro-batches.
+
+    Parameters mirror the batch operator; ``partition_by`` is mandatory
+    (streaming state must be keyed).  ``idle_timeout_ms`` drops a key's
+    run-set after that much processing-time inactivity.
+    """
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    if not keys:
+        raise ValueError("streaming CEP requires partition_by (keyed state)")
+
+    if attr_cols is None:
+        attr_cols = [c for c in df.columns if c not in keys]
+    attr_cols = list(attr_cols)
+    if order_by not in attr_cols:
+        attr_cols.append(order_by)
+    if type_col is not None and type_col not in attr_cols:
+        attr_cols.append(type_col)
+
+    projected = df.select(*keys, *attr_cols)
+    field_by_name = {f.name: f for f in projected.schema.fields}
+    event_struct = StructType([field_by_name[c] for c in attr_cols])
+    out_schema = StructType(
+        [field_by_name[k] for k in keys]
+        + [
+            StructField("match_seq", LongType(), False),
+            StructField("start_ord", field_by_name[order_by].dataType, True),
+            StructField("end_ord", field_by_name[order_by].dataType, True),
+        ]
+        + [StructField(n, ArrayType(event_struct), True) for n in query.names]
+    )
+    state_schema = StructType([StructField("blob", BinaryType(), True)])
+
+    automaton = compile_query(query)
+    strategy = query.strategy
+    names = list(query.names)
+    out_columns = [f.name for f in out_schema.fields]
+    sole_type = None
+    if type_col is None:
+        declared = list(query.schema.keys())
+        sole_type = declared[0] if len(declared) == 1 else None
+    n_keys = len(keys)
+    timeout = "ProcessingTimeTimeout" if idle_timeout_ms else "NoTimeout"
+
+    def step(key: tuple, pdf_iter: Iterable[pd.DataFrame], state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        engine = MatchEngine(automaton, strategy)
+        match_seq, buffer = 0, {}
+        if state.exists:
+            match_seq, buffer = _load_engine(state.get[0], engine)
+
+        chunks = [p for p in pdf_iter if len(p)]
+        rows: list[dict] = []
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(order_by, kind="mergesort")
+            records = pdf[attr_cols].to_dict("records")
+            types: Iterable = (
+                pdf[type_col].tolist() if type_col is not None
+                else [sole_type] * len(records)
+            )
+            key_values = dict(zip(keys, key[:n_keys]))
+            for ev_type, rec in zip(types, records):
+                buffer[engine.pos] = rec
+                for m in engine.feed(ev_type, rec):
+                    row = dict(key_values)
+                    row["match_seq"] = match_seq
+                    all_pos = [p for idxs in m.captures.values() for p in idxs]
+                    row["start_ord"] = (
+                        buffer[min(all_pos)][order_by] if all_pos else None
+                    )
+                    row["end_ord"] = (
+                        buffer[max(all_pos)][order_by] if all_pos else None
+                    )
+                    for name in names:
+                        idxs = m.captures.get(name)
+                        row[name] = (
+                            [buffer[i] for i in idxs] if idxs is not None else None
+                        )
+                    rows.append(row)
+                    match_seq += 1
+                if len(engine.runs) > max_active_runs:
+                    raise RuntimeError(
+                        f"live run-set exceeded {max_active_runs} for key "
+                        f"{key!r}; add a stricter condition or raise the limit"
+                    )
+
+        # Prune the buffer to what live runs can still reference: every
+        # capture position of a run is >= its start offset.
+        if engine.runs:
+            oldest = min(k for k, _ in engine.runs)
+            buffer = {p: r for p, r in buffer.items() if p >= oldest}
+        else:
+            buffer = {}
+
+        state.update((_save_engine(engine, match_seq, buffer),))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if rows:
+            yield pd.DataFrame(rows, columns=out_columns)
+
+    return projected.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

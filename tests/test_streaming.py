@@ -1,0 +1,117 @@
+"""Streaming CEP kernel: cross-micro-batch state parity with batch.
+
+The same per-key event stream is split across several parquet files and
+replayed through the file source one file per micro-batch
+(``maxFilesPerTrigger=1`` + ``availableNow``), so live run-sets MUST
+survive the state store round trip for matches that span batches.
+Results are compared with the batch kernel on the unsplit input.
+"""
+
+import os
+import time
+
+import pytest
+
+from reflinkcep_spark import Query
+from reflinkcep_spark.operators import match_pattern
+from reflinkcep_spark.streaming import match_pattern_stream
+
+Q_SEQ = """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left:
+    type: lpat
+    name: burst
+    event: e
+    cndt: {expr: name == 1}
+    loop: {contiguity: relaxed, from: 2, to: 2}
+  right:
+    type: spat
+    name: stop
+    event: e
+    cndt: {expr: name == 9}
+context:
+  schema: {e: [id, name, price]}
+"""
+
+# Per-key stream: the two name==1 events land in DIFFERENT micro-batch
+# files than the closing name==9 event, forcing cross-batch state.
+PAIRS = [(1, 0), (7, 0), (1, 1), (7, 2), (9, 0), (1, 3), (1, 4), (9, 1)]
+
+
+def _rows(n_keys=3):
+    return [
+        (k, i + 1, "e", n, p)
+        for k in range(n_keys)
+        for i, (n, p) in enumerate(PAIRS)
+    ]
+
+
+SCHEMA = "user_id int, id long, type string, name long, price long"
+
+
+def _canon(rows):
+    return sorted(
+        (
+            r["user_id"],
+            tuple(e["id"] for e in (r["burst"] or [])),
+            tuple(e["id"] for e in (r["stop"] or [])),
+        )
+        for r in rows
+    )
+
+
+@pytest.mark.parametrize("idle_timeout_ms", [None, 60_000])
+def test_stream_matches_batch(spark, tmp_path, idle_timeout_ms):
+    query = Query.from_yaml(Q_SEQ)
+    rows = _rows()
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+    want = _canon(
+        match_pattern(
+            batch_df, query, order_by="id", partition_by="user_id",
+            type_col="type", allow_fastpath=False,
+        ).collect()
+    )
+    assert want  # the case must be non-trivial
+
+    # Split each key's stream into 3 chronological files.
+    src = tmp_path / "src"
+    src.mkdir()
+    by_order = sorted(rows, key=lambda r: r[1])
+    cuts = [by_order[0:8], by_order[8:16], by_order[16:24]]
+    for i, chunk in enumerate(cuts):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"part{i}")
+        )
+        t = time.time() + i  # strictly increasing mtimes => batch order
+        for root, _dirs, files in os.walk(src / f"part{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    out = match_pattern_stream(
+        stream,
+        query,
+        order_by="id",
+        partition_by="user_id",
+        type_col="type",
+        idle_timeout_ms=idle_timeout_ms,
+    )
+    sink = f"stream_cep_{os.getpid()}_{1 if idle_timeout_ms else 0}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _canon(spark.table(sink).collect())
+    assert got == want
