@@ -107,7 +107,12 @@ def _validate_node(node: Mapping, where: str = "patseq") -> None:
             _require(node, ("loop",), where)
             _require(node["loop"], ("from", "to"), f"{where}.loop")
             n, m = int(node["loop"]["from"]), int(node["loop"]["to"])
-            if not (1 <= n <= m):
+            # from=0 is accepted but behaves as from=1: the reference's
+            # construction (compile.py:515-516, range(n-1, m)) never adds
+            # a zero-iteration ε-edge, only a duplicate last-copy edge
+            # that the ε-once guard neutralizes.  Verified by probe and
+            # pinned by tests/test_differential.py (gtimes-0-2).
+            if not (0 <= n <= m) or m < 1:
                 raise QueryError(f"{where}: bad group bounds {{{n},{m}}}")
         elif ntype == "gpat-inf":
             _require(node, ("loop",), where)
