@@ -13,14 +13,17 @@ from pyspark.sql import functions as F
 
 from reflinkcep_spark.functions import dedup, multimodal, similarity, text
 from reflinkcep_spark.sources import load_table
+from reflinkcep_spark.sources.tables import spread
 
 
 def _docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents")
+    # documents is CPU-bound work (shingles/hashes) over a narrow scan —
+    # spread it across cores; no-op once the scan has enough splits.
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings")
+    return spread(load_table(spark, sf_dir, "embeddings"))
 
 
 # --- dedup ------------------------------------------------------------

@@ -23,6 +23,11 @@ from reflinkcep_spark.sources import load_table
 
 
 def _t(spark, sf_dir, name):
+    # No spread() here: for scan→partial-agg→small-shuffle plans the
+    # map-side combine already minimizes data movement, and a forced
+    # repartition shuffles the full fact table for nothing (measured
+    # +50% on q1 at sf0.1).  spread() pays off only before CPU-heavy
+    # per-row work — see queries/pipeline.py.
     return load_table(spark, sf_dir, name)
 
 

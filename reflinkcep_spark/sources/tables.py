@@ -43,6 +43,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow scan across the session's cores.
+
+    A small parquet file arrives as ONE split, serializing any
+    CPU-heavy per-row work (shingling, hashing, vector math) onto one
+    task.  The tiny shuffle buys full-width parallelism.  At 100 TB the
+    scan already yields thousands of splits (>= defaultParallelism) and
+    this is a no-op — the guard makes it safe to leave in place.
+
+    Use it ONLY in front of CPU-heavy per-row stages: for plain
+    scan→aggregate plans the map-side combine already minimizes the
+    shuffle and a forced repartition moves the whole table for nothing.
+
+    The guard estimates splits from file sizes (``inputFiles`` +
+    filesystem stat) instead of ``df.rdd.getNumPartitions()``, which
+    would force a second full physical-planning pass per query.
+    """
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
+    try:
+        files = [f.removeprefix("file:") for f in df.inputFiles()]
+        splits = sum(
+            max(1, os.path.getsize(f) // max_split) for f in files if os.path.exists(f)
+        )
+    except Exception:  # non-local or non-file-backed plan: leave it alone
+        return df
+    if 0 < splits < p:
+        df = df.repartition(p)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
