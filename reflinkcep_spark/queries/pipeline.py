@@ -126,23 +126,71 @@ FROM base
 
 
 def text_language(spark, sf_dir):
-    """Heuristic stopword language ID (rows-only: scoring heuristic,
-    not SQL-portable)."""
+    """Heuristic stopword language ID: per-language hit ratio over the
+    distinct token set, argmax with (score, lang) tie-break."""
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    staged = docs.select(
         "doc_id",
-        text.language_id(F.col("text")).alias("lang_guess"),
         F.col("lang").alias("lang_declared"),
+        text.distinct_tokens(F.lower(F.col("text"))).alias("__toks"),
+    )
+    return staged.select(
+        "doc_id",
+        text.language_id(F.col("__toks"), tokenized=True).alias("lang_guess"),
+        "lang_declared",
     )
 
 
+def _sql_text_language() -> str:
+    score_cols = []
+    structs = []
+    for lang, words in text.STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(
+            f"len(list_intersect(t, {arr}))::DOUBLE / {len(words)} AS s_{lang}"
+        )
+        structs.append(f"{{'score': s_{lang}, 'lang': '{lang}'}}")
+    # Struct max in DuckDB compares fields in declaration order — the
+    # same (score, then lang) ordering as Spark's array_max over
+    # struct(score, lang), ties broken by max lang string.
+    best = "list_aggregate([" + ", ".join(structs) + "], 'max')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang AS lang_declared,
+         list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   x -> x <> '')) AS t
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, lang_declared, {", ".join(score_cols)} FROM toks
+)
+SELECT doc_id,
+       CASE WHEN ({best}).score > 0 THEN ({best}).lang ELSE 'und' END AS lang_guess,
+       lang_declared
+FROM scores
+"""
+
+
 def doc_rolling_fingerprint(spark, sf_dir):
-    """Order-sensitive rolling-hash fingerprint (xxhash64 chain →
-    rows-only)."""
+    """Order-sensitive polynomial rolling hash over the token sequence
+    (md5-derived token hashes — portable, see rolling_fingerprint)."""
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", text.rolling_fingerprint(F.col("text")).alias("rolling_fp")
     )
+
+
+SQL_ROLLING_FP = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+             t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+         (acc, h) -> (acc * 31 + h) % 2147483648
+       ) AS rolling_fp
+FROM documents
+"""
 
 
 # --- similarity search ------------------------------------------------
@@ -238,6 +286,8 @@ ORACLES = {
     "dedup_exact_groups": SQL_EXACT_GROUPS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_profile": SQL_TEXT_PROFILE,
+    "text_language": _sql_text_language(),
+    "doc_rolling_fingerprint": SQL_ROLLING_FP,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }
