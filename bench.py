@@ -51,8 +51,14 @@ def main() -> int:
     spark = get_spark(app_name="reflinkcep-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + Python worker pool outside the timed region.
+    # Warm the JVM + Python worker pool outside the timed region: the
+    # first Arrow UDF in a session pays worker spawn + pandas import on
+    # every core; that's session setup, not query cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    def _warm(pdf_iter):
+        yield from pdf_iter
+
+    spark.range(0, 64, 1, 32).mapInPandas(_warm, "id long").collect()
 
     qs = all_queries()
     timings: dict[str, float] = {}
