@@ -25,6 +25,8 @@ HEADLINE = [
     "q1_pricing_summary",      # scan + partial agg
     "q3_top_orders",           # 3-way join + agg + top-k
     "q5_nation_revenue",       # multi-join through broadcast dims
+    "q_user_sessions",         # gap sessionization (window + agg)
+    "q_asof_last_click",       # as-of join (union + window)
     "cep_high_purchases",      # CEP fast path: pure filter
     "cep_error_triples",       # CEP fast path: strict loop windows
     "cep_signup_to_purchase",  # CEP NFA kernel (relaxed sequence)

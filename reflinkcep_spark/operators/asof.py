@@ -1,0 +1,75 @@
+"""As-of join: for each left row, the most recent right row at or
+before it, per key.
+
+Physical strategy: tag the two inputs, union them, and run ONE ordered
+window pass per key — ``last(right_col, ignorenulls=True)`` over rows
+``unboundedPreceding..current`` carries the latest right values forward
+onto every left row.  Cost = one shuffle on the key + one sort, which
+is the floor for any per-key order-sensitive operator.
+
+The naive alternatives do not survive scale: an inequality
+(``l.ts >= r.ts``) join degenerates to a per-key cross product, and a
+"latest right per left via groupBy-max then equi-join" is two extra
+shuffles.  The union-window shape is also AQE/skew-join friendly
+because the single shuffle is a plain hash partitioning on the key.
+
+Semantics match DuckDB's ``ASOF LEFT JOIN ... ON l.k = r.k AND
+l.on >= r.on`` (inclusive; left rows with no prior right row get
+NULLs), which is exactly what the driver oracle runs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str | Sequence[str],
+    right_cols: Sequence[str],
+    suffix: str = "",
+) -> DataFrame:
+    """Left as-of join ``left`` with ``right`` on ``on`` per ``by`` key.
+
+    Every ``left`` row gains ``right_cols`` (plus ``suffix``) from the
+    right row with the greatest ``on`` value <= the left row's; ties on
+    ``on`` prefer the right row (inclusive).  Output = all left rows
+    and columns, in arbitrary order.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    right_cols = list(right_cols)
+    out_right = [c + suffix for c in right_cols]
+
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs = right.select(*keys, on, *right_cols).withColumn("__side", F.lit(0))
+    for c in lhs.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    # Right rows sort before left rows at equal `on` (__side 0 < 1), so
+    # `last` sees them — that's the inclusive (>=) as-of semantics.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(o)
+        for c, o in zip(right_cols, out_right)
+    ]
+    return (
+        unioned.select(*left.columns, "__side", *carried)
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )

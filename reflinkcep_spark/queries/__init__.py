@@ -5,18 +5,20 @@ Each sub-module defines ``QUERIES`` (name → fn(spark, sf_dir) → DF) and
 oracle are non-SQL-expressible operators checked rows-only.
 """
 
-from reflinkcep_spark.queries import cep_queries, pipeline, relational
+from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
+
+_MODULES = (relational, temporal, cep_queries, pipeline)
 
 
 def all_queries():
     out = {}
-    for mod in (relational, cep_queries, pipeline):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (relational, cep_queries, pipeline):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out

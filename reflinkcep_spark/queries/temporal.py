@@ -1,0 +1,157 @@
+"""Temporal operators over the ``events`` stream table: tumbling-window
+aggregation, gap-based sessionization, and as-of joins.
+
+The reference engine has no event time at all (SURVEY.md §1.1 — its
+Flink oracle runs in processing time), so this module is part of the
+beyond-the-reference surface: the time-based operators any streaming
+analytics deployment needs, each a single-shuffle DataFrame plan with a
+DuckDB oracle.
+
+Cross-engine determinism: timestamps are compared/bucketed in epoch
+microseconds (both engines store micros here), sums ROUND()ed, counts
+cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from reflinkcep_spark.operators.asof import asof_join
+from reflinkcep_spark.sources import load_table
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+# --- tumbling-window aggregation -------------------------------------
+
+def q_events_tumbling(spark, sf_dir):
+    """Hourly tumbling window per event type: F.window() grouping —
+    partial-aggregated map-side, one shuffle on (window, type)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_s,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- gap-based sessionization ----------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, in microseconds
+
+
+def q_user_sessions(spark, sf_dir):
+    """Sessionize each user's stream with a 30-minute inactivity gap:
+    lag → new-session flag → running sum = session id, then per-session
+    rollup.  One shuffle on user_id; both window passes and the final
+    aggregation reuse that partitioning."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    new_session = (
+        F.coalesce(
+            (F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US, F.lit(True)
+        )
+    ).cast("long")
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.min("us") / 1_000_000).cast("long").alias("start_s"),
+        (F.max("us") / 1_000_000).cast("long").alias("end_s"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+sess AS (
+  SELECT user_id, us, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       (MIN(us) // 1000000)::BIGINT AS start_s,
+       (MAX(us) // 1000000)::BIGINT AS end_s,
+       ROUND(SUM(value), 2) AS session_value
+FROM sess
+GROUP BY 1, 2
+"""
+
+
+# --- as-of join -------------------------------------------------------
+
+def q_asof_last_click(spark, sf_dir):
+    """Every purchase annotated with the user's most recent click at or
+    before it (NULLs when none) — the union+window as-of join, matched
+    against DuckDB's native ASOF LEFT JOIN."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.round("value", 2).alias("click_value"),
+    )
+    out = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        right_cols=["click_id", "click_value"],
+    )
+    return out.select("user_id", "purchase_id", "click_id", "click_value")
+
+
+SQL_ASOF_LAST_CLICK = """
+SELECT p.user_id, p.event_id AS purchase_id,
+       c.event_id AS click_id, ROUND(c.value, 2) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+QUERIES = {
+    "q_events_tumbling": q_events_tumbling,
+    "q_user_sessions": q_user_sessions,
+    "q_asof_last_click": q_asof_last_click,
+}
+
+ORACLES = {
+    "q_events_tumbling": SQL_EVENTS_TUMBLING,
+    "q_user_sessions": SQL_USER_SESSIONS,
+    "q_asof_last_click": SQL_ASOF_LAST_CLICK,
+}

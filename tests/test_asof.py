@@ -1,0 +1,39 @@
+"""asof_join edge semantics: inclusive ties, no-prior-match NULLs,
+per-key isolation, latest-wins among candidates."""
+
+from reflinkcep_spark.operators.asof import asof_join
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, "L10"),  # right at ts=10 exists → tie is inclusive
+            (1, 5, "L5"),    # before any right row → NULL
+            (1, 25, "L25"),  # picks latest right (20), not first (10)
+            (2, 15, "L15"),  # other key: only key-2 right rows visible
+        ],
+        "k long, ts long, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "R10"), (1, 20, "R20"), (2, 1, "R1"), (3, 0, "R0")],
+        "k long, ts long, rlbl string",
+    )
+    out = asof_join(left, right, on="ts", by="k", right_cols=["rlbl"])
+    got = {(r.k, r.ts): r.rlbl for r in out.collect()}
+    assert got == {
+        (1, 10): "R10",
+        (1, 5): None,
+        (1, 25): "R20",
+        (2, 15): "R1",
+    }
+    assert out.columns == ["k", "ts", "lbl", "rlbl"]
+
+
+def test_asof_join_suffix_keeps_overlapping_name(spark):
+    left = spark.createDataFrame([(1, 10, 99.0)], "k long, ts long, value double")
+    right = spark.createDataFrame([(1, 9, 1.5)], "k long, ts long, value double")
+    out = asof_join(
+        left, right, on="ts", by="k", right_cols=["value"], suffix="_r"
+    )
+    row = out.collect()[0]
+    assert (row.value, row.value_r) == (99.0, 1.5)
