@@ -173,6 +173,17 @@ def match_pattern(
                 )
         return pd.DataFrame(rows, columns=out_columns)
 
-    # groupBy itself shuffles on the keys — no explicit repartition needed.
-    grouped = projected.groupBy(*keys) if keys else projected.groupBy()
+    # Pin the kernel's parallelism: AQE's size-based partition
+    # coalescing sees a few MB of shuffled events and would squash the
+    # exchange to 1-2 partitions, serializing the Python NFA onto 1-2
+    # cores (measured 32→2 tasks at sf0.1).  An explicit repartition
+    # with a fixed count is exempt from coalescing, and groupBy reuses
+    # its hash partitioning, so there is still exactly ONE shuffle.
+    if keys:
+        n_parts = int(
+            projected.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        grouped = projected.repartition(n_parts, *keys).groupBy(*keys)
+    else:
+        grouped = projected.groupBy()
     return grouped.applyInPandas(run_group, schema=out_schema)
