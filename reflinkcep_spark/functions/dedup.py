@@ -103,26 +103,8 @@ def token_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.  Note: with
     ``max_df`` set, Jaccard is computed over the capped vocabulary.
     """
-    toks = _token_stats(df, text_col, id_col, max_df).cache()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-
-    a = toks.alias("a")
-    b = toks.alias("b")
-    common = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    toks = _token_stats(df, text_col, id_col, max_df)
+    return _jaccard_from_features(toks, "tok", threshold)
 
 
 def ngram_jaccard_pairs(
@@ -140,19 +122,47 @@ def ngram_jaccard_pairs(
     """
     sh = df.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("g")
-    ).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    return _jaccard_from_features(sh, "g", threshold)
+
+
+def _jaccard_from_features(ex: DataFrame, feat_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard ≥ threshold from an exploded (doc_id, feature)
+    frame.
+
+    Inverted-index shape WITHOUT a self-join: group by feature, expand
+    in-posting-list pairs JVM-side, count co-occurrences, then attach
+    set sizes via two joins on the (small) aggregated frames.  The
+    classic self-join on the feature column evaluates the upstream
+    feature pipeline twice and leaves build-side choice to AQE
+    (measured 2-11s flapping at sf0.1); this shape computes features
+    once and shuffles them once.  Posting-list length is the quadratic
+    knob — cap ubiquitous features upstream (``max_df``) exactly like
+    any inverted-index similarity join at scale.
+    """
+    ids = F.col("ids")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda a: F.transform(
+                    ids, lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     common = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        ex.groupBy(feat_col)
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         common.join(sa, "doc_a")

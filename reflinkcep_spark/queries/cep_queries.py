@@ -321,6 +321,133 @@ context:
     )
 
 
+# --- nd-relaxed + until: view combinations in calm windows -----------
+
+def cep_view_combos_ndrelaxed(spark, sf_dir):
+    """All 3-view combinations inside a window where every event's value
+    stays < 15 (nd-relaxed contiguity emits every combination; the
+    ``until`` conjunct bounds the otherwise-exponential run set —
+    SURVEY.md §2.1 contiguity table, §2.3 until semantics)."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: lpat-inf
+  name: vs
+  event: view
+  cndt: {expr: value < 15}
+  loop: {contiguity: nd-relaxed, from: 3}
+  until: {expr: value >= 15}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+        allow_fastpath=False,
+    )
+    return out.select(
+        "user_id",
+        F.col("start_ord").alias("first_id"),
+        F.col("end_ord").alias("last_id"),
+        F.size("vs").cast("long").alias("n_views"),
+    )
+
+
+# --- optional sub-pattern: purchase with optional preceding click ----
+
+def cep_optional_click_prefix(spark, sf_dir):
+    """Big purchases with an optional click directly before them —
+    from=0 loop makes the capture optional; empty captures surface as
+    NULL columns (reference omitted-key rule, DST.py:302-311)."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: combine
+  contiguity: strict
+  left:
+    type: lpat
+    name: c
+    event: click
+    cndt: {expr: "True"}
+    loop: {contiguity: strict, from: 0, to: 1}
+  right:
+    type: spat
+    name: p
+    event: purchase
+    cndt: {expr: value > 150}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+        allow_fastpath=False,
+    )
+    return out.select(
+        "user_id",
+        _cap("p")["event_id"].alias("purchase_id"),
+        F.when(F.col("c").isNotNull(), _cap("c")["event_id"]).alias("click_id"),
+    )
+
+
+SQL_OPTIONAL_CLICK_PREFIX = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, value,
+         lag(event_type) OVER w AS prev_type,
+         lag(event_id) OVER w AS prev_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, event_id AS purchase_id, NULL::BIGINT AS click_id
+FROM ordered WHERE event_type = 'purchase' AND value > 150
+UNION ALL
+SELECT user_id, event_id, prev_id
+FROM ordered
+WHERE event_type = 'purchase' AND value > 150 AND prev_type = 'click'
+"""
+
+
+# --- gpat-inf: repeated view→click units until an error --------------
+
+def cep_view_click_runs(spark, sf_dir):
+    """One-or-more (view then click) units, stopped by any error —
+    unbounded group quantifier with until (gpat-inf,
+    reference compile.py:529-585)."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: gpat-inf
+  child:
+    type: combine
+    contiguity: relaxed
+    left:
+      type: spat
+      name: v
+      event: view
+      cndt: {expr: "True"}
+    right:
+      type: spat
+      name: c
+      event: click
+      cndt: {expr: "True"}
+  loop: {from: 1}
+  until: {expr: "value > 40"}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+        allow_fastpath=False,
+    )
+    return out.select(
+        "user_id",
+        F.col("start_ord").alias("first_id"),
+        F.col("end_ord").alias("last_id"),
+        F.size("v").cast("long").alias("n_units"),
+    )
+
+
 QUERIES = {
     "cep_high_purchases": cep_high_purchases,
     "cep_purchase_then_error": cep_purchase_then_error,
@@ -329,6 +456,9 @@ QUERIES = {
     "cep_view_click_cycles": cep_view_click_cycles,
     "cep_spending_burst": cep_spending_burst,
     "cep_error_streaks_skip": cep_error_streaks_skip,
+    "cep_view_combos_ndrelaxed": cep_view_combos_ndrelaxed,
+    "cep_optional_click_prefix": cep_optional_click_prefix,
+    "cep_view_click_runs": cep_view_click_runs,
 }
 
 ORACLES = {
@@ -337,4 +467,5 @@ ORACLES = {
     "cep_error_triples": SQL_ERROR_TRIPLES,
     "cep_signup_to_purchase": SQL_SIGNUP_TO_PURCHASE,
     "cep_view_click_cycles": SQL_VIEW_CLICK_CYCLES,
+    "cep_optional_click_prefix": SQL_OPTIONAL_CLICK_PREFIX,
 }
