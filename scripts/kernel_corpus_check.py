@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Run the FULL differential grammar corpus (tests/test_differential.py)
+through the Spark batch kernel and compare with the reference engine.
+
+The fast pytest corpus checks the pure-Python runtime; this script
+pushes every enumerated query through the real applyInPandas kernel
+(shuffle → per-key sort → NFA → Arrow round trip) on a 2-key frame.
+Matches are compared per key as ordered capture-id sequences.
+
+Usage: python3 scripts/kernel_corpus_check.py [--limit N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+# Repo root must precede the reference checkout: both have a tests/ dir.
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args()
+
+    from tests.test_differential import CASES, STREAM, _ref_matches
+
+    from reflinkcep_spark import Query
+    from reflinkcep_spark.operators import match_pattern
+    from reflinkcep_spark.session import get_spark
+
+    spark = get_spark(app_name="kernel-corpus-check", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = [
+        (k, i + 1, t, a["name"], a["price"])
+        for k in range(2)
+        for i, (t, a) in enumerate(STREAM)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, id long, etype string, name long, price long"
+    ).cache()
+    df.count()
+
+    def canon(matches):
+        """Order-insensitive: emission order is pinned by the golden and
+        kernel unit tests; fast-path plans may legally reorder."""
+        return sorted(
+            tuple(sorted((n, tuple(ids)) for n, ids in m.items()))
+            for m in matches
+        )
+
+    cases = CASES[: args.limit] if args.limit else CASES
+    t0 = time.time()
+    failures = []
+    for idx, (cid, pat, strategy) in enumerate(cases):
+        want = canon(
+            {n: list(ids) for n, ids in m.items()}
+            for m in _ref_matches(pat, strategy)
+        )
+        q = Query.from_dict(
+            {
+                "patseq": pat,
+                "context": {
+                    "schema": {
+                        "e": ["id", "name", "price"],
+                        "f": ["id", "name", "price"],
+                    },
+                    "strategy": strategy,
+                },
+            }
+        )
+        out = match_pattern(
+            df, q, order_by="id", partition_by="user_id", type_col="etype",
+            allow_fastpath=True,
+        ).collect()
+        for key in (0, 1):
+            got_caps = canon(
+                {
+                    n: [e["id"] for e in (r[n] or [])]
+                    for n in q.names
+                    if r[n] is not None
+                }
+                for r in out
+                if r["user_id"] == key
+            )
+            if got_caps != want:
+                failures.append((cid, key, got_caps, want))
+        if (idx + 1) % 25 == 0:
+            print(f"  {idx + 1}/{len(cases)} checked, {len(failures)} failures,"
+                  f" {time.time() - t0:.0f}s", flush=True)
+
+    print(f"{len(cases)} cases x 2 keys in {time.time() - t0:.0f}s; "
+          f"{len(failures)} failures")
+    for cid, key, got, want in failures[:5]:
+        print("FAIL", cid, "key", key)
+        print("  got ", got)
+        print("  want", want)
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
