@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: signup → first
-    qualifying purchase per user (relaxed-contiguity CEP sequence
-    through the NFA kernel)."""
+    qualifying purchase per user (relaxed-contiguity CEP sequence;
+    the planner dispatches it to the pure-Catalyst window fast path)."""
     from reflinkcep_spark.queries.cep_queries import cep_signup_to_purchase
 
     return cep_signup_to_purchase(spark, "/root/testdata/sf0.001")

@@ -106,9 +106,83 @@ def try_fast_path(
                 df, lpat, order_by=order_by, keys=keys,
                 type_col=type_col, attr_cols=attr_cols,
             )
+        pair = _relaxed_spat_pair(query.patseq)
+        # SkipToNext is a no-op here: each start offset emits at most
+        # one match anyway (a run takes the FIRST qualifying right
+        # event).  SkipPastLastEvent is order-dependent → kernel.
+        if pair is not None and query.strategy in ("NoSkip", "SkipToNext"):
+            return _plan_relaxed_pair(
+                df, pair, query, order_by=order_by, keys=keys,
+                type_col=type_col, attr_cols=attr_cols,
+            )
     except Exception:
         return None  # anything untranslatable falls back to the kernel
     return None
+
+
+def _relaxed_spat_pair(node: Mapping) -> Optional[tuple[Mapping, Mapping]]:
+    if (
+        node["type"] == "combine"
+        and node["contiguity"] == "relaxed"
+        and node["left"].get("type") == "spat"
+        and node["right"].get("type") == "spat"
+        and not node["left"].get("variables")
+        and not node["right"].get("variables")
+        and node["left"]["name"] != node["right"]["name"]
+    ):
+        return node["left"], node["right"]
+    return None
+
+
+def _plan_relaxed_pair(
+    df: DataFrame,
+    pair: tuple[Mapping, Mapping],
+    query: Query,
+    *,
+    order_by: str,
+    keys: Sequence[str],
+    type_col: Optional[str],
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """``a followedBy b``: for every left match, the FIRST subsequent
+    event the automaton cannot skip — a qualifying right event (match)
+    or an event of an undeclared type (run death, since relaxed ignore
+    edges are enumerated from the declared schema — reference
+    compile.py:414-453).  One window pass, no join, no Python.
+    """
+    a_leaf, b_leaf = pair
+    base = df.select(*keys, *attr_cols)
+    is_a = F.expr(_leaf_condition_sql(a_leaf, type_col))
+    is_b = F.expr(_leaf_condition_sql(b_leaf, type_col))
+    blocking = is_b
+    if type_col is not None:
+        declared = [str(t) for t in query.schema.keys()]
+        blocking = blocking | ~F.col(type_col).isin(declared)
+
+    ev = F.struct(*[F.col(c).alias(c) for c in attr_cols])
+    w_follow = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    # min over (ord, payload) structs = earliest blocking event.
+    first_block = F.min(
+        F.when(blocking, F.struct(F.col(order_by).alias("o"), is_b.alias("hit"), ev.alias("ev")))
+    ).over(w_follow)
+
+    matched = (
+        base.select(*keys, *attr_cols, is_a.alias("__a"), first_block.alias("__b"))
+        .filter(F.col("__a") & F.col("__b").isNotNull() & F.col("__b.hit"))
+    )
+    mw = Window.partitionBy(*keys).orderBy(F.col("__b.o"), F.col(order_by))
+    return matched.select(
+        *keys,
+        (F.row_number().over(mw) - F.lit(1)).cast("long").alias("match_seq"),
+        F.col(order_by).alias("start_ord"),
+        F.col("__b.o").alias("end_ord"),
+        F.array(ev).alias(a_leaf["name"]),
+        F.array(F.col("__b.ev")).alias(b_leaf["name"]),
+    )
 
 
 def _plan_spat_chain(

@@ -179,7 +179,10 @@ patseq:
 context:
   schema: {signup: [], purchase: [], error: [], click: [], view: []}
 """,
-        allow_fastpath=False,
+        # Planner dispatch: this relaxed spat-pair qualifies for the
+        # first-blocking-event window fast path — pure Catalyst, no
+        # Python.  The NFA kernel path for the same shape is pinned by
+        # tests/test_fastpath.py equivalence.
     )
     return out.select(
         "user_id",

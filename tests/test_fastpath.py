@@ -85,11 +85,23 @@ def _canon(rows, names, with_seq=True):
     return out
 
 
+Q_REL_PAIR = """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left: {type: spat, name: a, event: e, cndt: {expr: name == 1}}
+  right: {type: spat, name: b, event: e, cndt: {expr: name == 3}}
+context:
+  schema: {e: [id, name, price]}
+"""
+
+
 @pytest.mark.parametrize(
     "qyaml,names,with_seq",
     [(Q_SPAT, ["a1"], True), (Q_CHAIN, ["a", "b", "c"], True),
-     (Q_LPAT, ["al"], False)],
-    ids=["spat", "chain3", "strict-lpat"],
+     (Q_LPAT, ["al"], False), (Q_REL_PAIR, ["a", "b"], True)],
+    ids=["spat", "chain3", "strict-lpat", "relaxed-pair"],
 )
 def test_fastpath_equals_kernel(spark, qyaml, names, with_seq):
     query = Query.from_yaml(qyaml)
@@ -108,6 +120,37 @@ def test_fastpath_equals_kernel(spark, qyaml, names, with_seq):
         slow.collect(), names, with_seq
     )
     assert len(fast.collect()) > 0
+
+
+def test_relaxed_pair_undeclared_type_kills_run(spark):
+    """An event of a type NOT in the declared schema cannot be skipped
+    by relaxed contiguity (ignore edges are enumerated from the schema,
+    reference compile.py:414-453) — the fast path must replicate the
+    kernel's run death, not skip over it."""
+    rows = [
+        (0, 1, "e", 1, 0),  # a-match
+        (0, 2, "x", 9, 9),  # undeclared type: kills the run
+        (0, 3, "e", 3, 0),  # would-be b-match
+        (0, 4, "e", 1, 0),  # a-match …
+        (0, 5, "e", 2, 0),  # declared, skippable
+        (0, 6, "e", 3, 0),  # … completed here
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, id long, type string, name long, price long"
+    )
+    query = Query.from_yaml(Q_REL_PAIR)
+    fast = try_fast_path(
+        df, query, order_by="id", keys=["user_id"], type_col="type",
+        attr_cols=["id", "type", "name", "price"],
+    )
+    assert fast is not None
+    slow = match_pattern(
+        df, query, order_by="id", partition_by="user_id", type_col="type",
+        allow_fastpath=False,
+    )
+    want = _canon(slow.collect(), ["a", "b"])
+    assert _canon(fast.collect(), ["a", "b"]) == want
+    assert {(r["start_ord"], r["end_ord"]) for r in fast.collect()} == {(4, 6)}
 
 
 def test_fastpath_declines_relaxed(spark):
