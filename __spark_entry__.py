@@ -24,13 +24,27 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """The harness calls us with ITS SparkSession; make sure the
+    package is importable on that session's Python workers before any
+    kernel (applyInPandas) plan executes."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from reflinkcep_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: signup → first
     qualifying purchase per user (relaxed-contiguity CEP sequence;
     the planner dispatches it to the pure-Catalyst window fast path)."""
     from reflinkcep_spark.queries.cep_queries import cep_signup_to_purchase
 
-    return cep_signup_to_purchase(spark, "/root/testdata/sf0.001")
+    return _shipped(cep_signup_to_purchase)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -38,7 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     relational, pipeline)."""
     from reflinkcep_spark.queries import all_queries
 
-    return all_queries()
+    return {name: _shipped(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -16,7 +16,40 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "ensure_package_shipped"]
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``reflinkcep_spark`` importable on Python workers of a
+    session we did not create.
+
+    The CEP kernel closures reference this package, so workers must
+    import it.  Our own ``get_spark`` exports PYTHONPATH before the JVM
+    starts; for a foreign session (the driver harness's), that is too
+    late — so zip the package once and ``addPyFile`` it, which
+    distributes to and sys.path-registers on every worker, local or
+    cluster."""
+    if getattr(spark, "_reflinkcep_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"reflinkcep_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "reflinkcep_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._reflinkcep_pkg_shipped = True
 
 
 def get_spark(

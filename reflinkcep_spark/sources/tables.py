@@ -30,10 +30,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in the parquet footer, which
+        # Spark rejects outright (PARQUET_TYPE_ILLEGAL) unless told to
+        # read nanos as BIGINT.  The conf is dynamic (SQLConf), so set
+        # it here too — the driver harness calls us with its OWN
+        # session, which won't have gone through get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in the parquet footer; Spark reads it
-    # as a nanosecond BIGINT (legacy.parquet.nanosAsLong) — restore a real
-    # timestamp so event-time semantics and oracle comparisons line up.
+    # Restore a real timestamp from the nanosecond BIGINT so event-time
+    # semantics and oracle comparisons line up.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 

@@ -29,6 +29,13 @@ Everything dynamic in the engine state is plain data (ints, dicts,
 tuples — see runtime._Cfg): the state column is one pickled BINARY blob,
 and the automaton itself (static, per-query) ships once inside the
 serialized task closure, never in the state store.
+
+Spark 4's ``transformWithStateInPandas`` would be the successor API
+(typed state, timers, RocksDB); its Python driver worker needs
+protobuf, which this container lacks (probed: StreamingPythonRunner
+init fails on ``google.protobuf`` import), so the operator stays on
+``applyInPandasWithState`` — same keyed-state model, default HDFS-backed
+store.
 """
 
 from __future__ import annotations
