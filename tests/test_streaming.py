@@ -63,6 +63,82 @@ def _canon(rows):
     )
 
 
+Q_ITER = """
+type: query
+patseq:
+  type: lpat-inf
+  name: run
+  event: e
+  cndt: {expr: X + price <= 6}
+  variables:
+    X: {update: X + price, initial: 0}
+  loop: {contiguity: strict, from: 2}
+context:
+  schema: {e: [id, name, price]}
+"""
+
+
+def test_stream_iterative_condition_state(spark, tmp_path):
+    """Data-variable environments (running sums) must survive the
+    pickled state round trip between micro-batches: feed 2 events per
+    batch so every multi-event run crosses a batch boundary."""
+    query = Query.from_yaml(Q_ITER)
+    pairs = [(1, 2), (1, 1), (1, 2), (1, 9), (1, 3), (1, 3), (1, 1)]
+    rows = [
+        (k, i + 1, "e", n, p)
+        for k in range(2)
+        for i, (n, p) in enumerate(pairs)
+    ]
+    want = _canon_caps(
+        match_pattern(
+            spark.createDataFrame(rows, SCHEMA), query, order_by="id",
+            partition_by="user_id", type_col="type", allow_fastpath=False,
+        ).collect(),
+        ["run"],
+    )
+    assert want
+
+    src = tmp_path / "src"
+    src.mkdir()
+    by_order = sorted(rows, key=lambda r: r[1])
+    for i in range(0, len(by_order), 4):  # 2 ids x 2 keys per file
+        spark.createDataFrame(by_order[i : i + 4], SCHEMA).coalesce(1).write.parquet(
+            str(src / f"part{i}")
+        )
+        t = time.time() + i
+        for root, _dirs, files in os.walk(src / f"part{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    out = match_pattern_stream(
+        stream, query, order_by="id", partition_by="user_id", type_col="type"
+    )
+    sink = f"stream_iter_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _canon_caps(spark.table(sink).collect(), ["run"]) == want
+
+
+def _canon_caps(rows, names):
+    return sorted(
+        (r["user_id"],)
+        + tuple(tuple(e["id"] for e in (r[n] or [])) for n in names)
+        for r in rows
+    )
+
+
 @pytest.mark.parametrize("idle_timeout_ms", [None, 60_000])
 def test_stream_matches_batch(spark, tmp_path, idle_timeout_ms):
     query = Query.from_yaml(Q_SEQ)
