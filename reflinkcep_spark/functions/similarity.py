@@ -22,7 +22,13 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "cosine_topk", "lsh_ann_topk", "embedding_neardup_pairs"]
+__all__ = [
+    "cosine",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "embedding_neardup_pairs",
+]
 
 
 def _dot(a, b):
@@ -146,6 +152,88 @@ def lsh_ann_topk(
     cand = c.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("qbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    fit_sample: float | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into ``n_cells`` cells; every query probes its
+    ``nprobe`` nearest centroids and is rescored exactly (cosine) inside
+    the probed cells only — candidates ≈ corpus · nprobe / n_cells.
+
+    The quantizer fit is Spark ML KMeans (optionally on a
+    ``fit_sample`` fraction — at corpus scale you fit on a sample, the
+    transform/assignment is a pure per-row expression either way).  The
+    (tiny) centroid table rides into the query plan as literals, so
+    probing is JVM-side expression work, no extra join.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = _as_double(corpus, vec_col)
+    fit_input = c.sample(fit_sample, seed=seed) if fit_sample else c
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__vec", predictionCol="cell"
+    ).fit(fit_input.select(array_to_vector(F.col(vec_col)).alias("__vec")))
+
+    centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in centers])
+
+    def _sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # Corpus cell assignment = nearest centroid (same rule KMeans.transform
+    # applies, expressed as a column so no ML vector conversion on the
+    # scan path).
+    def _nearest_cells(vec, n):
+        ranked = F.array_sort(
+            F.zip_with(
+                cent_arr,
+                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                lambda ctr, i: F.struct(
+                    _sq_dist(vec, ctr).alias("d"), i.alias("cell")
+                ),
+            )
+        )
+        return F.slice(F.transform(ranked, lambda s: s["cell"]), 1, n)
+
+    assigned = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(_nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_nearest_cells(F.col(vec_col), nprobe)).alias("qcell"),
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qcell"))
         & (F.col("neighbor_id") != F.col("query_id")),
     )
     scored = cand.select(

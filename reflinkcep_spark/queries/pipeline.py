@@ -237,6 +237,17 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
+def sim_ann_ivf(spark, sf_dir):
+    """IVF ANN: KMeans coarse quantizer + nprobe cell search (rows-only;
+    recall vs exact top-k asserted in tests)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    out = similarity.ivf_ann_topk(embs, queries, k=5, n_cells=16, nprobe=4)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id", "sim"
+    )
+
+
 def sim_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs with LSH blocking
     (rows-only)."""
@@ -278,6 +289,7 @@ QUERIES = {
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
     "sim_embedding_neardup": sim_embedding_neardup,
     "multimodal_bytes": multimodal_bytes,
 }

@@ -68,6 +68,18 @@ def test_ann_recall_against_exact_topk(spark, embs):
         assert -1.0 <= r["sim"] <= 1.0
 
 
+def test_ivf_recall_against_exact_topk(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(embs, queries, k=5)
+    ivf = similarity.ivf_ann_topk(embs, queries, k=5, n_cells=8, nprobe=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    # probing half the cells: measured recall well above this gate
+    assert len(ivf_set & exact_set) / len(exact_set) >= 0.4
+    for r in ivf.collect():
+        assert -1.0 <= r["sim"] <= 1.0
+
+
 def test_multimodal_fake_decoder_plumbing(spark, docs):
     payloads = docs.select(
         F.col("doc_id").alias("item_id"), F.encode("text", "UTF-8").alias("payload")
