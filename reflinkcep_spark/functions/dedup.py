@@ -120,8 +120,14 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    # Shuffle 8-byte shingle hashes, not ~20-char strings: same exact
+    # Jaccard (collision odds ~ |vocab|²/2⁶⁴), smaller exchange, faster
+    # group-hashing — the right trade at any corpus size.
     sh = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("g")
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("g"),
     )
     return _jaccard_from_features(sh, "g", threshold)
 
