@@ -201,6 +201,63 @@ def _patterns():
     # until that can never fire / always fires immediately
     pats.append(("lpinf-u-never", _lpat_inf("relaxed", 1, until="price >= 100")))
     pats.append(("lpinf-u-always", _lpat_inf("relaxed", 1, until="price >= 0")))
+    # Denser quantifier × condition × contiguity grid
+    for contig in CONTIGUITIES:
+        for frm, to in [(1, 1), (1, 3), (0, 3), (3, 3), (0, 1)]:
+            pats.append((f"lp2-{contig}-{frm}-{to}", _lpat(contig, frm, to)))
+            pats.append(
+                (
+                    f"lp2p-{contig}-{frm}-{to}",
+                    _lpat(contig, frm, to, cndt=SIMPLE2),
+                )
+            )
+        pats.append((f"lp2-true-{contig}", _lpat(contig, 2, 3, cndt={"expr": "True"})))
+        pats.append((f"lpinf3-{contig}", _lpat_inf(contig, 3)))
+        pats.append(
+            (f"lpinf3-u-{contig}", _lpat_inf(contig, 3, until="name == 3"))
+        )
+    # Sequences with loop right sides under strict combine (legal: the
+    # leaf-right restriction only binds non-strict combines)
+    for rcontig in CONTIGUITIES:
+        pats.append(
+            (
+                f"cat-strict-lpatright-{rcontig}",
+                _combine(
+                    "strict",
+                    _spat(name="a"),
+                    _lpat(rcontig, 1, 2, name="b", cndt=SIMPLE2),
+                ),
+            )
+        )
+        pats.append(
+            (
+                f"cat-strict-lpinfright-{rcontig}",
+                _combine("strict", _spat(name="a"), _lpat_inf(rcontig, 2, name="b")),
+            )
+        )
+    # Three-element chains mixing contiguities (right still a leaf)
+    for c1 in ("strict", "relaxed"):
+        for c2 in CONTIGUITIES:
+            pats.append(
+                (
+                    f"chain-{c1}-{c2}",
+                    _combine(
+                        c2,
+                        _combine(c1, _spat(name="a"), _spat(name="b", cndt=SIMPLE2)),
+                        _spat(name="c", cndt={"expr": "price > 0"}),
+                    ),
+                )
+            )
+    # Group-of-group nesting (gpat wrapper inside a quantified group)
+    inner = {"type": "gpat", "child": _combine("strict", _spat(name="a"), _spat(name="b", cndt=SIMPLE2))}
+    pats.append(
+        ("gtimes-nested", {"type": "gpat-times", "child": inner, "loop": {"from": 1, "to": 2}})
+    )
+    # Iterative condition on the unbounded group child
+    ic_child = _combine("strict", _lpat("strict", 1, 2, name="a", iterative=True), _spat(name="b", cndt=SIMPLE2))
+    pats.append(
+        ("ginf-ic", {"type": "gpat-inf", "child": ic_child, "loop": {"from": 1}})
+    )
     return pats
 
 
