@@ -144,14 +144,45 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# --- JSON property extraction ----------------------------------------
+
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured access: parse the props JSON column with a typed
+    from_json schema (pushdown-friendly — the scan reads only props +
+    grouping keys) and aggregate the extracted field."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_JSON = """
+SELECT event_type,
+       COUNT(json_extract(props, '$.k')) AS n_with_k,
+       SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       ROUND(AVG(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_user_sessions": q_user_sessions,
     "q_asof_last_click": q_asof_last_click,
+    "q_events_props_json": q_events_props_json,
 }
 
 ORACLES = {
     "q_events_tumbling": SQL_EVENTS_TUMBLING,
     "q_user_sessions": SQL_USER_SESSIONS,
     "q_asof_last_click": SQL_ASOF_LAST_CLICK,
+    "q_events_props_json": SQL_EVENTS_PROPS_JSON,
 }
