@@ -127,6 +127,34 @@ context:
     assert got_pairs == expected_pairs
 
 
+def test_kernel_run_limit_guard(spark):
+    """nd-relaxed over an all-matching stream doubles the live run-set
+    per event; the max_active_runs guard must fail fast with a clear
+    error instead of OOMing the executor."""
+    import pytest as _pytest
+
+    q = Query.from_yaml(
+        """
+type: query
+patseq:
+  type: lpat-inf
+  name: run
+  event: e
+  cndt: {expr: "True"}
+  loop: {contiguity: nd-relaxed, from: 1}
+context:
+  schema: {e: []}
+"""
+    )
+    df = _events_df(spark, [(1, 0)] * 40, n_keys=1)
+    out = match_pattern(
+        df, q, order_by="id", partition_by="user_id", type_col="type",
+        allow_fastpath=False, max_active_runs=1000,
+    )
+    with _pytest.raises(Exception, match="exceeded 1000"):
+        out.collect()
+
+
 def test_kernel_global_stream(spark):
     q = Query.from_yaml(
         """

@@ -63,6 +63,73 @@ def _canon(rows):
     )
 
 
+Q_SKIP = """
+type: query
+patseq:
+  type: lpat-inf
+  name: errs
+  event: e
+  cndt: {expr: name == 1}
+  loop: {contiguity: strict, from: 2}
+context:
+  strategy: SkipPastLastEvent
+  schema: {e: [id, name, price]}
+"""
+
+
+def test_stream_skip_strategy_state(spark, tmp_path):
+    """SkipPastLastEvent clears the whole run-set on emission; that
+    cleared state must round-trip between micro-batches (a stale
+    pre-clear run-set would re-emit skipped matches)."""
+    query = Query.from_yaml(Q_SKIP)
+    pairs = [(1, 0), (1, 1), (1, 2), (2, 0), (1, 3), (1, 4), (1, 5)]
+    rows = [
+        (k, i + 1, "e", n, p)
+        for k in range(2)
+        for i, (n, p) in enumerate(pairs)
+    ]
+    want = _canon_caps(
+        match_pattern(
+            spark.createDataFrame(rows, SCHEMA), query, order_by="id",
+            partition_by="user_id", type_col="type", allow_fastpath=False,
+        ).collect(),
+        ["errs"],
+    )
+    assert want
+
+    src = tmp_path / "src"
+    src.mkdir()
+    by_order = sorted(rows, key=lambda r: r[1])
+    for i in range(0, len(by_order), 4):
+        spark.createDataFrame(by_order[i : i + 4], SCHEMA).coalesce(1).write.parquet(
+            str(src / f"part{i}")
+        )
+        t = time.time() + i
+        for root, _dirs, files in os.walk(src / f"part{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    out = match_pattern_stream(
+        stream, query, order_by="id", partition_by="user_id", type_col="type"
+    )
+    sink = f"stream_skip_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _canon_caps(spark.table(sink).collect(), ["errs"]) == want
+
+
 Q_ITER = """
 type: query
 patseq:
