@@ -258,6 +258,25 @@ def _patterns():
     pats.append(
         ("ginf-ic", {"type": "gpat-inf", "child": ic_child, "loop": {"from": 1}})
     )
+    # Group patterns on the RIGHT of a strict combine (legal there: the
+    # leaf-right restriction, SURVEY.md §2.3, binds non-strict only)
+    gchild = _combine("strict", _spat(name="x", cndt=SIMPLE2), _spat(name="y"))
+    pats.append(
+        (
+            "cat-gpat-right",
+            _combine("strict", _spat(name="h"), {"type": "gpat", "child": gchild}),
+        )
+    )
+    pats.append(
+        (
+            "cat-gtimes-right",
+            _combine(
+                "strict",
+                _spat(name="h"),
+                {"type": "gpat-times", "child": gchild, "loop": {"from": 1, "to": 2}},
+            ),
+        )
+    )
     return pats
 
 
