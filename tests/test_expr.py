@@ -1,0 +1,58 @@
+"""Expression sub-language: sandbox rejection, SQL translation, and
+evaluator semantics (reference DST.py:84-89 eval + genjava.py:371-379
+and/or/not rewrite)."""
+
+import pytest
+
+from reflinkcep_spark.cep.expr import (
+    ExprError,
+    compile_predicate,
+    compile_update,
+    to_sql,
+)
+
+REJECTED = [
+    "__import__('os').system('id')",  # call
+    "(1).__class__",                  # attribute
+    "name.__dict__",                  # attribute
+    "open('x')",                      # call
+    "lambda: 1",                      # lambda
+    "[x for x in ()]",                # comprehension
+    "x[0]",                           # subscript
+    "f'{name}'",                      # f-string
+    "name if price else 0",           # conditional
+    "name := 3",                      # walrus / invalid
+    "import os",                      # statement
+    "",                               # empty
+]
+
+
+@pytest.mark.parametrize("expr", REJECTED, ids=[r[:20] or "<empty>" for r in REJECTED])
+def test_sandbox_rejects_at_compile_time(expr):
+    with pytest.raises(ExprError):
+        compile_predicate(expr)
+
+
+def test_predicate_and_update_semantics():
+    p = compile_predicate("name == 1 and X + price <= 5")
+    assert p({"name": 1, "price": 2}, {"X": 3})
+    assert not p({"name": 1, "price": 3}, {"X": 3})
+    # update maps are simultaneous assignments from the OLD env
+    u = compile_update({"X": "X + price", "Y": "X"})
+    assert u({"price": 4}, {"X": 1, "Y": 0}) == {"X": 5, "Y": 1}
+
+
+def test_to_sql_translation():
+    assert (
+        to_sql("name == 1 and not (price < 4 or price >= 10)")
+        == "((name = 1) AND (NOT ((price < 4) OR (price >= 10))))"
+    )
+    # chained comparison expands to conjunction
+    assert "AND" in to_sql("1 <= price <= 4")
+    # != maps to SQL inequality
+    assert "<>" in to_sql("name != 2") or "!=" in to_sql("name != 2")
+
+
+def test_to_sql_column_map():
+    sql = to_sql("name == 1", {"name": "__l1_name"})
+    assert "__l1_name" in sql
