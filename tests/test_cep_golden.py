@@ -5,6 +5,7 @@ test cases."""
 import pytest
 
 from reflinkcep_spark import Pattern, Query, run_pattern
+from reflinkcep_spark.sinks import render_matches as fancy
 
 from tests.cep_cases import GOLDEN_CASES, SCHEMA_E
 
@@ -14,19 +15,6 @@ def make_events(pairs):
         ("e", {"id": i + 1, "name": n, "price": p})
         for i, (n, p) in enumerate(pairs)
     ]
-
-
-def fancy(matches):
-    def ev(a):
-        return f"e({a['id']},{a['name']},{a['price']})"
-
-    return "\n".join(
-        "; ".join(
-            f"{name}: " + ", ".join(ev(a) for a in evs)
-            for name, evs in match.items()
-        )
-        for match in matches
-    )
 
 
 @pytest.mark.parametrize(
