@@ -17,13 +17,21 @@ live run's start offset every micro-batch, and an optional
 processing-time ``idle_timeout_ms`` evicts keys that stop receiving
 events (state TTL — mandatory hygiene for a 100 TB keyspace).
 
-Ordering contract: rows are totally ordered per key by ``order_by``;
-within a micro-batch we sort, across micro-batches we require the source
-to deliver each key's rows in order (Kafka per-partition order, file
-mtime order).  The reference has no event time at all — it is explicitly
-processing-time (reference exp/genjava.py:93-94) — so out-of-order
-repair is out of scope here; batch mode re-sorts globally and is the
-replay path.
+Ordering contract, two modes:
+
+* **arrival order** (default) — rows are totally ordered per key by
+  ``order_by``; within a micro-batch we sort, across micro-batches the
+  source must deliver each key's rows in order (Kafka per-partition
+  order, file mtime order).  This mirrors the reference, which is
+  explicitly processing-time (reference exp/genjava.py:93-94).
+* **event time** (``event_time_col=...``) — out-of-order arrival is
+  repaired with a watermark-gated reorder buffer: incoming rows park in
+  state, and on every micro-batch exactly those with event time <= the
+  current watermark are released to the NFA in ``order_by`` order.  The
+  caller applies ``df.withWatermark(event_time_col, delay)`` upstream;
+  rows later than the delay are dropped by Spark before they reach us.
+  Matches are therefore delayed by one watermark lag — the standard
+  completeness/latency trade.
 
 Everything dynamic in the engine state is plain data (ints, dicts,
 tuples — see runtime._Cfg): the state column is one pickled BINARY blob,
@@ -56,22 +64,24 @@ from reflinkcep_spark.cep.runtime import MatchEngine, _Cfg
 __all__ = ["match_pattern_stream"]
 
 
-def _save_engine(engine: MatchEngine, match_seq: int, buffer: dict) -> bytes:
+def _save_engine(
+    engine: MatchEngine, match_seq: int, buffer: dict, pending: list
+) -> bytes:
     runs = [
         (k, (c.state, c.env, c.caps, c.last_take, tuple(c.eps_seen)))
         for k, c in engine.runs
     ]
-    return pickle.dumps((engine.pos, runs, match_seq, buffer), protocol=5)
+    return pickle.dumps((engine.pos, runs, match_seq, buffer, pending), protocol=5)
 
 
-def _load_engine(blob: bytes, engine: MatchEngine) -> tuple[int, dict]:
-    pos, runs, match_seq, buffer = pickle.loads(blob)
+def _load_engine(blob: bytes, engine: MatchEngine) -> tuple[int, dict, list]:
+    pos, runs, match_seq, buffer, pending = pickle.loads(blob)
     engine.pos = pos
     engine.runs = [
         (k, _Cfg(state, env, caps, last_take, set(eps)))
         for k, (state, env, caps, last_take, eps) in runs
     ]
-    return match_seq, buffer
+    return match_seq, buffer, pending
 
 
 def match_pattern_stream(
@@ -84,6 +94,7 @@ def match_pattern_stream(
     attr_cols: Sequence[str] | None = None,
     max_active_runs: int = 100_000,
     idle_timeout_ms: int | None = None,
+    event_time_col: str | None = None,
 ) -> DataFrame:
     """Run a CEP pattern query over a *streaming* DataFrame.
 
@@ -95,6 +106,10 @@ def match_pattern_stream(
     Parameters mirror the batch operator; ``partition_by`` is mandatory
     (streaming state must be keyed).  ``idle_timeout_ms`` drops a key's
     run-set after that much processing-time inactivity.
+
+    ``event_time_col`` enables the watermark-gated reorder buffer (see
+    module docstring): pass the timestamp column AND apply
+    ``df.withWatermark(event_time_col, delay)`` before calling.
     """
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     if not keys:
@@ -107,6 +122,8 @@ def match_pattern_stream(
         attr_cols.append(order_by)
     if type_col is not None and type_col not in attr_cols:
         attr_cols.append(type_col)
+    if event_time_col is not None and event_time_col not in attr_cols:
+        attr_cols.append(event_time_col)
 
     projected = df.select(*keys, *attr_cols)
     field_by_name = {f.name: f for f in projected.schema.fields}
@@ -139,12 +156,12 @@ def match_pattern_stream(
             return
 
         engine = MatchEngine(automaton, strategy)
-        match_seq, buffer = 0, {}
+        match_seq, buffer, pending = 0, {}, []
         if state.exists:
-            match_seq, buffer = _load_engine(state.get[0], engine)
+            match_seq, buffer, pending = _load_engine(state.get[0], engine)
 
         chunks = [p for p in pdf_iter if len(p)]
-        rows: list[dict] = []
+        incoming: list = []  # [(ev_type, record)] in feed order
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(order_by, kind="mergesort")
@@ -153,8 +170,33 @@ def match_pattern_stream(
                 pdf[type_col].tolist() if type_col is not None
                 else [sole_type] * len(records)
             )
+            incoming = list(zip(types, records))
+
+        if event_time_col is not None:
+            # Watermark-gated reorder buffer: park everything, release
+            # rows whose event time the watermark has passed, oldest
+            # first.  Spark already dropped rows older than the
+            # watermark delay, so `pending` is bounded by delay × rate.
+            wm = state.getCurrentWatermarkMs()
+            for ev_type, rec in incoming:
+                ts = rec[event_time_col]
+                ts_ms = ts.value // 1_000_000 if ts is not None else None
+                # ts < wm is LATE: the NFA may already have consumed
+                # later events; feeding it would violate event-time
+                # order, so it is dropped (the watermark contract).
+                # applyInPandasWithState does not pre-filter late rows
+                # the way windowed aggregations do — that is on us.
+                if ts_ms is not None and ts_ms >= wm:
+                    pending.append((ts_ms, ev_type, rec))
+            ready = [p for p in pending if p[0] <= wm]
+            pending = [p for p in pending if p[0] > wm]
+            ready.sort(key=lambda p: (p[2][order_by],))
+            incoming = [(t, r) for _ms, t, r in ready]
+
+        rows: list[dict] = []
+        if incoming:
             key_values = dict(zip(keys, key[:n_keys]))
-            for ev_type, rec in zip(types, records):
+            for ev_type, rec in incoming:
                 buffer[engine.pos] = rec
                 for m in engine.feed(ev_type, rec):
                     row = dict(key_values)
@@ -187,7 +229,7 @@ def match_pattern_stream(
         else:
             buffer = {}
 
-        state.update((_save_engine(engine, match_seq, buffer),))
+        state.update((_save_engine(engine, match_seq, buffer, pending),))
         if idle_timeout_ms:
             state.setTimeoutDuration(idle_timeout_ms)
         if rows:
