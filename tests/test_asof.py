@@ -29,6 +29,18 @@ def test_asof_join_semantics(spark):
     assert out.columns == ["k", "ts", "lbl", "rlbl"]
 
 
+def test_asof_join_composite_key(spark):
+    left = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 10)], "k long, sub string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, "x", 5, "RX"), (1, "y", 6, "RY")], "k long, sub string, ts long, rlbl string"
+    )
+    out = asof_join(left, right, on="ts", by=["k", "sub"], right_cols=["rlbl"])
+    got = {(r.k, r.sub): r.rlbl for r in out.collect()}
+    assert got == {(1, "x"): "RX", (1, "y"): "RY"}
+
+
 def test_asof_join_suffix_keeps_overlapping_name(spark):
     left = spark.createDataFrame([(1, 10, 99.0)], "k long, ts long, value double")
     right = spark.createDataFrame([(1, 9, 1.5)], "k long, ts long, value double")
