@@ -150,9 +150,59 @@ def match_pattern_stream(
     n_keys = len(keys)
     timeout = "ProcessingTimeTimeout" if idle_timeout_ms else "NoTimeout"
 
+    def feed(engine, incoming, buffer, match_seq, key, key_values):
+        rows: list[dict] = []
+        for ev_type, rec in incoming:
+            buffer[engine.pos] = rec
+            for m in engine.feed(ev_type, rec):
+                row = dict(key_values)
+                row["match_seq"] = match_seq
+                all_pos = [p for idxs in m.captures.values() for p in idxs]
+                row["start_ord"] = (
+                    buffer[min(all_pos)][order_by] if all_pos else None
+                )
+                row["end_ord"] = (
+                    buffer[max(all_pos)][order_by] if all_pos else None
+                )
+                for name in names:
+                    idxs = m.captures.get(name)
+                    row[name] = (
+                        [buffer[i] for i in idxs] if idxs is not None else None
+                    )
+                rows.append(row)
+                match_seq += 1
+            if len(engine.runs) > max_active_runs:
+                raise RuntimeError(
+                    f"live run-set exceeded {max_active_runs} for key "
+                    f"{key!r}; add a stricter condition or raise the limit"
+                )
+        return rows, match_seq
+
     def step(key: tuple, pdf_iter: Iterable[pd.DataFrame], state):
         if state.hasTimedOut:
+            # Idle eviction.  In event-time mode, first flush whatever
+            # the watermark has already released — otherwise parked
+            # events (and their matches) would vanish with the state.
+            rows: list[dict] = []
+            if event_time_col is not None and state.exists:
+                engine = MatchEngine(automaton, strategy)
+                match_seq, buffer, pending = _load_engine(state.get[0], engine)
+                wm = state.getCurrentWatermarkMs()
+                ready = sorted(
+                    (p for p in pending if p[0] <= wm),
+                    key=lambda p: (p[2][order_by],),
+                )
+                rows, _ = feed(
+                    engine,
+                    [(t, r) for _ms, t, r in ready],
+                    buffer,
+                    match_seq,
+                    key,
+                    dict(zip(keys, key[:n_keys])),
+                )
             state.remove()
+            if rows:
+                yield pd.DataFrame(rows, columns=out_columns)
             return
 
         engine = MatchEngine(automaton, strategy)
@@ -195,31 +245,10 @@ def match_pattern_stream(
 
         rows: list[dict] = []
         if incoming:
-            key_values = dict(zip(keys, key[:n_keys]))
-            for ev_type, rec in incoming:
-                buffer[engine.pos] = rec
-                for m in engine.feed(ev_type, rec):
-                    row = dict(key_values)
-                    row["match_seq"] = match_seq
-                    all_pos = [p for idxs in m.captures.values() for p in idxs]
-                    row["start_ord"] = (
-                        buffer[min(all_pos)][order_by] if all_pos else None
-                    )
-                    row["end_ord"] = (
-                        buffer[max(all_pos)][order_by] if all_pos else None
-                    )
-                    for name in names:
-                        idxs = m.captures.get(name)
-                        row[name] = (
-                            [buffer[i] for i in idxs] if idxs is not None else None
-                        )
-                    rows.append(row)
-                    match_seq += 1
-                if len(engine.runs) > max_active_runs:
-                    raise RuntimeError(
-                        f"live run-set exceeded {max_active_runs} for key "
-                        f"{key!r}; add a stricter condition or raise the limit"
-                    )
+            rows, match_seq = feed(
+                engine, incoming, buffer, match_seq, key,
+                dict(zip(keys, key[:n_keys])),
+            )
 
         # Prune the buffer to what live runs can still reference: every
         # capture position of a run is >= its start offset.
