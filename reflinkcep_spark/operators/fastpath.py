@@ -13,6 +13,15 @@ Python, no Arrow transfer):
    ``collect_list`` window + higher-order functions computing the
    satisfying-prefix length, exploded into one row per admissible
    length.
+4. **Mixed strict/relaxed ``spat`` chains** of any length
+   (``a · b ∘ c`` …) → backward propagation of "the first event the
+   automaton cannot skip" as nested structs through window ``min``
+   (relaxed links) / ``lead`` (strict links); one sort, L-1 window
+   passes, no join.
+5. **All-nd-relaxed ``spat`` chains** (``a ⊙ b ⊙ c``,
+   ``followedByAny``) → a cascade of equi-joins on the partition keys
+   with a range predicate per link (every increasing tuple of
+   qualifying events is a match).
 
 Output schema matches the kernel's
 (keys | match_seq | start_ord | end_ord | per-name capture arrays), so
@@ -40,19 +49,26 @@ from reflinkcep_spark.cep.query import Query
 __all__ = ["try_fast_path"]
 
 
-def _strict_spat_chain(node: Mapping) -> Optional[list[Mapping]]:
-    """Flatten ``node`` into a list of spat leaves if it is an
-    all-strict concatenation of simple (variable-free) spats."""
+def _spat_chain(node: Mapping) -> Optional[tuple[list[Mapping], list[str]]]:
+    """Flatten ``node`` into ``(leaves, links)`` if it is a
+    concatenation of simple (variable-free) spats; ``links[i]`` is the
+    contiguity between ``leaves[i]`` and ``leaves[i+1]``."""
     t = node["type"]
     if t == "spat":
-        return None if node.get("variables") else [node]
+        return None if node.get("variables") else ([node], [])
     if t == "gpat":
-        return _strict_spat_chain(node["child"])
-    if t == "combine" and node["contiguity"] == "strict":
-        left = _strict_spat_chain(node["left"])
-        right = _strict_spat_chain(node["right"])
-        if left is not None and right is not None:
-            return left + right
+        return _spat_chain(node["child"])
+    if t == "combine" and node["contiguity"] in ("strict", "relaxed", "nd-relaxed"):
+        left = _spat_chain(node["left"])
+        right = _spat_chain(node["right"])
+        if left is None or right is None:
+            return None
+        if node["contiguity"] != "strict" and len(right[0]) != 1:
+            # The reference only compiles a LEAF right child for
+            # non-strict combines (compile.py:415-419 reads
+            # right_ast["event"] directly); mirror that limit.
+            return None
+        return left[0] + right[0], left[1] + [node["contiguity"]] + right[1]
     return None
 
 
@@ -89,30 +105,44 @@ def try_fast_path(
 ) -> Optional[DataFrame]:
     """Return a pure-DataFrame plan for ``query`` or ``None``."""
     try:
-        chain = _strict_spat_chain(query.patseq)
+        chain = _spat_chain(query.patseq)
         if chain is not None:
-            if len(chain) > 1 and query.strategy == "SkipPastLastEvent":
-                return None
-            names = [leaf["name"] for leaf in chain]
+            leaves, links = chain
+            names = [leaf["name"] for leaf in leaves]
             if len(set(names)) != len(names):
                 return None
-            return _plan_spat_chain(
-                df, chain, order_by=order_by, keys=keys,
-                type_col=type_col, attr_cols=attr_cols,
-            )
+            if len(leaves) == 1 or all(c == "strict" for c in links):
+                if len(leaves) > 1 and query.strategy == "SkipPastLastEvent":
+                    return None
+                return _plan_spat_chain(
+                    df, leaves, order_by=order_by, keys=keys,
+                    type_col=type_col, attr_cols=attr_cols,
+                )
+            # SkipToNext is a no-op on strict/relaxed chains: runs are
+            # deterministic, so each start offset emits at most one
+            # match anyway (relaxed links take the FIRST qualifying
+            # event).  SkipPastLastEvent is order-dependent → kernel.
+            if all(c in ("strict", "relaxed") for c in links):
+                if query.strategy in ("NoSkip", "SkipToNext"):
+                    return _plan_relaxed_chain(
+                        df, leaves, links, query, order_by=order_by,
+                        keys=keys, type_col=type_col, attr_cols=attr_cols,
+                    )
+                return None
+            # nd-relaxed links branch one run per qualifying event —
+            # only NoSkip preserves the plain cross-product semantics.
+            if all(c == "nd-relaxed" for c in links):
+                if query.strategy == "NoSkip":
+                    return _plan_nd_chain(
+                        df, leaves, order_by=order_by, keys=keys,
+                        type_col=type_col, attr_cols=attr_cols,
+                    )
+                return None
+            return None
         lpat = _strict_simple_lpat(query.patseq)
         if lpat is not None and query.strategy == "NoSkip":
             return _plan_strict_lpat(
                 df, lpat, order_by=order_by, keys=keys,
-                type_col=type_col, attr_cols=attr_cols,
-            )
-        pair = _relaxed_spat_pair(query.patseq)
-        # SkipToNext is a no-op here: each start offset emits at most
-        # one match anyway (a run takes the FIRST qualifying right
-        # event).  SkipPastLastEvent is order-dependent → kernel.
-        if pair is not None and query.strategy in ("NoSkip", "SkipToNext"):
-            return _plan_relaxed_pair(
-                df, pair, query, order_by=order_by, keys=keys,
                 type_col=type_col, attr_cols=attr_cols,
             )
     except Exception:
@@ -120,23 +150,10 @@ def try_fast_path(
     return None
 
 
-def _relaxed_spat_pair(node: Mapping) -> Optional[tuple[Mapping, Mapping]]:
-    if (
-        node["type"] == "combine"
-        and node["contiguity"] == "relaxed"
-        and node["left"].get("type") == "spat"
-        and node["right"].get("type") == "spat"
-        and not node["left"].get("variables")
-        and not node["right"].get("variables")
-        and node["left"]["name"] != node["right"]["name"]
-    ):
-        return node["left"], node["right"]
-    return None
-
-
-def _plan_relaxed_pair(
+def _plan_relaxed_chain(
     df: DataFrame,
-    pair: tuple[Mapping, Mapping],
+    leaves: list[Mapping],
+    links: list[str],
     query: Query,
     *,
     order_by: str,
@@ -144,44 +161,125 @@ def _plan_relaxed_pair(
     type_col: Optional[str],
     attr_cols: Sequence[str],
 ) -> DataFrame:
-    """``a followedBy b``: for every left match, the FIRST subsequent
-    event the automaton cannot skip — a qualifying right event (match)
-    or an event of an undeclared type (run death, since relaxed ignore
-    edges are enumerated from the declared schema — reference
-    compile.py:414-453).  One window pass, no join, no Python.
+    """Mixed strict/relaxed spat chain (``a · b ∘ c`` …), any length.
+
+    Runs are deterministic: after taking leaf ``l``, a relaxed link
+    skips events until the FIRST event the automaton cannot ignore —
+    a qualifying leaf ``l+1`` event (take) or an event of an
+    undeclared type (run death: relaxed ignore edges are enumerated
+    from the declared schema, reference compile.py:414-453).  A strict
+    link admits only the immediately next row.
+
+    Plan: propagate BACKWARD from the last leaf.  For each leaf
+    ``l ≥ 1`` compute per-row ``__m{l}`` = the resolution of link
+    ``l-1`` seen from this row: ``min`` over the following frame of a
+    ``(ord, hit, event, tail)`` struct restricted to blocking rows
+    (relaxed), or ``lead(…, 1)`` (strict).  The ``tail`` field carries
+    the already-computed ``__m{l+1}`` of the RESOLVING row, so one
+    chained struct per start row encodes the entire (unique) run.
+    L-1 window passes over one sort, no join, no Python.
     """
-    a_leaf, b_leaf = pair
     base = df.select(*keys, *attr_cols)
-    is_a = F.expr(_leaf_condition_sql(a_leaf, type_col))
-    is_b = F.expr(_leaf_condition_sql(b_leaf, type_col))
-    blocking = is_b
-    if type_col is not None:
-        declared = [str(t) for t in query.schema.keys()]
-        blocking = blocking | ~F.col(type_col).isin(declared)
-
+    L = len(leaves)
+    w_order = Window.partitionBy(*keys).orderBy(order_by)
+    w_follow = w_order.rowsBetween(1, Window.unboundedFollowing)
     ev = F.struct(*[F.col(c).alias(c) for c in attr_cols])
-    w_follow = (
-        Window.partitionBy(*keys)
-        .orderBy(order_by)
-        .rowsBetween(1, Window.unboundedFollowing)
+    declared = (
+        [str(t) for t in query.schema.keys()] if type_col is not None else None
     )
-    # min over (ord, payload) structs = earliest blocking event.
-    first_block = F.min(
-        F.when(blocking, F.struct(F.col(order_by).alias("o"), is_b.alias("hit"), ev.alias("ev")))
-    ).over(w_follow)
 
-    matched = (
-        base.select(*keys, *attr_cols, is_a.alias("__a"), first_block.alias("__b"))
-        .filter(F.col("__a") & F.col("__b").isNotNull() & F.col("__b.hit"))
-    )
-    mw = Window.partitionBy(*keys).orderBy(F.col("__b.o"), F.col(order_by))
+    cur = base
+    tail_col: Optional[str] = None
+    for l in range(L - 1, 0, -1):
+        is_l = F.expr(_leaf_condition_sql(leaves[l], type_col))
+        fields = [F.col(order_by).alias("o"), is_l.alias("hit"), ev.alias("ev")]
+        if tail_col is not None:
+            fields.append(F.col(tail_col).alias("tail"))
+        payload = F.struct(*fields)
+        if links[l - 1] == "strict":
+            m = F.lead(payload, 1).over(w_order)
+        else:
+            blocking = is_l
+            if declared is not None:
+                blocking = blocking | ~F.col(type_col).isin(declared)
+            # min over (o, …) structs = earliest blocking event.
+            m = F.min(F.when(blocking, payload)).over(w_follow)
+        tail_col = f"__m{l}"
+        cur = cur.select("*", m.alias(tail_col))
+
+    # Walk the nested struct: paths[j] resolves leaf j+1 for a run
+    # starting at this row.  The innermost struct has no "tail".
+    paths = [F.col(tail_col)]
+    for _ in range(2, L):
+        paths.append(paths[-1]["tail"])
+    pred = F.expr(_leaf_condition_sql(leaves[0], type_col))
+    for p in paths:
+        pred = pred & p.isNotNull() & p["hit"]
+    matched = cur.filter(pred)
+
+    end_o = paths[-1]["o"]
+    mw = Window.partitionBy(*keys).orderBy(end_o, F.col(order_by))
     return matched.select(
         *keys,
         (F.row_number().over(mw) - F.lit(1)).cast("long").alias("match_seq"),
         F.col(order_by).alias("start_ord"),
-        F.col("__b.o").alias("end_ord"),
-        F.array(ev).alias(a_leaf["name"]),
-        F.array(F.col("__b.ev")).alias(b_leaf["name"]),
+        end_o.alias("end_ord"),
+        F.array(ev).alias(leaves[0]["name"]),
+        *[
+            F.array(paths[l - 1]["ev"]).alias(leaves[l]["name"])
+            for l in range(1, L)
+        ],
+    )
+
+
+def _plan_nd_chain(
+    df: DataFrame,
+    leaves: list[Mapping],
+    *,
+    order_by: str,
+    keys: Sequence[str],
+    type_col: Optional[str],
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """All-nd-relaxed spat chain (``followedByAny``): ANY event —
+    matching or not, declared or not — may be skipped (ignore edges
+    guarded by ``ANY_TYPE``, reference compile.py:454-472), so the
+    match set is every strictly increasing tuple of qualifying events.
+    Cascade of equi-joins on the partition keys with a range predicate
+    per link; Catalyst picks broadcast/sort-merge per side sizes.
+    Emission order differs from the kernel (which orders by run age at
+    each completing event); match sets are identical.
+    """
+    base = df.select(*keys, *attr_cols)
+    ev = F.struct(*[F.col(c).alias(c) for c in attr_cols])
+    frontier: Optional[DataFrame] = None
+    for j, leaf in enumerate(leaves):
+        is_j = F.expr(_leaf_condition_sql(leaf, type_col))
+        side = base.filter(is_j).select(
+            *keys, F.col(order_by).alias(f"__o{j}"), ev.alias(f"__e{j}")
+        )
+        if frontier is None:
+            frontier = side
+        elif keys:
+            frontier = frontier.join(side, on=list(keys), how="inner").filter(
+                F.col(f"__o{j - 1}") < F.col(f"__o{j}")
+            )
+        else:
+            frontier = frontier.crossJoin(side).filter(
+                F.col(f"__o{j - 1}") < F.col(f"__o{j}")
+            )
+
+    L = len(leaves)
+    end_o = F.col(f"__o{L - 1}")
+    mw = Window.partitionBy(*keys).orderBy(
+        end_o, *[F.col(f"__o{j}") for j in range(L - 1)]
+    )
+    return frontier.select(
+        *keys,
+        (F.row_number().over(mw) - F.lit(1)).cast("long").alias("match_seq"),
+        F.col("__o0").alias("start_ord"),
+        end_o.alias("end_ord"),
+        *[F.array(F.col(f"__e{j}")).alias(leaf["name"]) for j, leaf in enumerate(leaves)],
     )
 
 

@@ -451,8 +451,75 @@ context:
     )
 
 
+# --- 3-step relaxed funnel: signup → purchase → error ----------------
+
+def cep_funnel_3step(spark, sf_dir):
+    """Signup, then FIRST qualifying purchase after it, then FIRST
+    error after that purchase — a left-assoc relaxed spat chain
+    (reference compile.py:414-453 ignore-edge semantics).  Dispatches
+    to the generalized first-blocking-event window fast path
+    (operators/fastpath.py `_plan_relaxed_chain`): L-1 window passes
+    over one per-user sort, no join, no Python."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left:
+    type: combine
+    contiguity: relaxed
+    left:
+      type: spat
+      name: reg
+      event: signup
+      cndt: {expr: "True"}
+    right:
+      type: spat
+      name: buy
+      event: purchase
+      cndt: {expr: value > 50}
+  right:
+    type: spat
+    name: err
+    event: error
+    cndt: {expr: "True"}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+    )
+    return out.select(
+        "user_id",
+        _cap("reg")["event_id"].alias("signup_id"),
+        _cap("buy")["event_id"].alias("purchase_id"),
+        _cap("err")["event_id"].alias("error_id"),
+    )
+
+
+SQL_FUNNEL_3STEP = """
+WITH nb AS (
+  SELECT user_id, event_id, event_type,
+         MIN(CASE WHEN event_type = 'purchase' AND value > 50 THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_buy,
+         MIN(CASE WHEN event_type = 'error' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err
+  FROM events
+)
+SELECT s.user_id, s.event_id AS signup_id, s.next_buy AS purchase_id,
+       b.next_err AS error_id
+FROM nb s
+JOIN nb b ON b.user_id = s.user_id AND b.event_id = s.next_buy
+WHERE s.event_type = 'signup' AND b.next_err IS NOT NULL
+"""
+
+
 QUERIES = {
     "cep_high_purchases": cep_high_purchases,
+    "cep_funnel_3step": cep_funnel_3step,
     "cep_purchase_then_error": cep_purchase_then_error,
     "cep_error_triples": cep_error_triples,
     "cep_signup_to_purchase": cep_signup_to_purchase,
@@ -466,6 +533,7 @@ QUERIES = {
 
 ORACLES = {
     "cep_high_purchases": SQL_HIGH_PURCHASES,
+    "cep_funnel_3step": SQL_FUNNEL_3STEP,
     "cep_purchase_then_error": SQL_PURCHASE_THEN_ERROR,
     "cep_error_triples": SQL_ERROR_TRIPLES,
     "cep_signup_to_purchase": SQL_SIGNUP_TO_PURCHASE,

@@ -96,12 +96,41 @@ context:
   schema: {e: [id, name, price]}
 """
 
+def _chain_yaml(contigs, strategy=None):
+    """((a L1 b) L2 c) with per-link contiguities and conditions
+    name==1 / name==2 / name==3."""
+    l1, l2 = contigs
+    ctx = "schema: {e: [id, name, price]}"
+    if strategy:
+        ctx += f"\n  strategy: {strategy}"
+    return f"""
+type: query
+patseq:
+  type: combine
+  contiguity: {l2}
+  left:
+    type: combine
+    contiguity: {l1}
+    left: {{type: spat, name: a, event: e, cndt: {{expr: name == 1}}}}
+    right: {{type: spat, name: b, event: e, cndt: {{expr: name == 2}}}}
+  right: {{type: spat, name: c, event: e, cndt: {{expr: name == 3}}}}
+context:
+  {ctx}
+"""
+
 
 @pytest.mark.parametrize(
     "qyaml,names,with_seq",
     [(Q_SPAT, ["a1"], True), (Q_CHAIN, ["a", "b", "c"], True),
-     (Q_LPAT, ["al"], False), (Q_REL_PAIR, ["a", "b"], True)],
-    ids=["spat", "chain3", "strict-lpat", "relaxed-pair"],
+     (Q_LPAT, ["al"], False), (Q_REL_PAIR, ["a", "b"], True),
+     (_chain_yaml(["relaxed", "relaxed"]), ["a", "b", "c"], True),
+     (_chain_yaml(["strict", "relaxed"]), ["a", "b", "c"], True),
+     (_chain_yaml(["relaxed", "strict"]), ["a", "b", "c"], True),
+     (_chain_yaml(["relaxed", "relaxed"], "SkipToNext"), ["a", "b", "c"], True),
+     (_chain_yaml(["nd-relaxed", "nd-relaxed"]), ["a", "b", "c"], False)],
+    ids=["spat", "chain3", "strict-lpat", "relaxed-pair", "relaxed3",
+         "strict-relaxed", "relaxed-strict", "relaxed3-skiptonext",
+         "ndrelaxed3"],
 )
 def test_fastpath_equals_kernel(spark, qyaml, names, with_seq):
     query = Query.from_yaml(qyaml)
