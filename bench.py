@@ -30,6 +30,7 @@ HEADLINE = [
     "cep_high_purchases",      # CEP fast path: pure filter
     "cep_error_triples",       # CEP fast path: strict loop windows
     "cep_signup_to_purchase",  # CEP relaxed sequence (window fast path)
+    "cep_funnel_3step",        # CEP 3-step relaxed chain (window fast path)
     "cep_spending_burst",      # CEP NFA kernel (iterative condition)
     "dedup_exact_groups",      # hash-groupBy dedup
     "dedup_ngram_jaccard",     # inverted-index set-similarity join

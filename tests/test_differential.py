@@ -236,7 +236,7 @@ def _patterns():
             )
         )
     # Three-element chains mixing contiguities (right still a leaf)
-    for c1 in ("strict", "relaxed"):
+    for c1 in CONTIGUITIES:
         for c2 in CONTIGUITIES:
             pats.append(
                 (
@@ -248,6 +248,28 @@ def _patterns():
                     ),
                 )
             )
+    # Four-element chains: deeper nesting through the deterministic
+    # (strict/relaxed) and cross-product (nd-relaxed) fast-path shapes
+    for cs in (
+        ("relaxed", "relaxed", "relaxed"),
+        ("strict", "relaxed", "strict"),
+        ("relaxed", "strict", "relaxed"),
+        ("nd-relaxed", "nd-relaxed", "nd-relaxed"),
+    ):
+        pats.append(
+            (
+                f"chain4-{'-'.join(c[:2] for c in cs)}",
+                _combine(
+                    cs[2],
+                    _combine(
+                        cs[1],
+                        _combine(cs[0], _spat(name="a"), _spat(name="b", cndt=SIMPLE2)),
+                        _spat(name="c", cndt={"expr": "price > 0"}),
+                    ),
+                    _spat(name="d", cndt={"expr": "price < 9"}),
+                ),
+            )
+        )
     # Group-of-group nesting (gpat wrapper inside a quantified group)
     inner = {"type": "gpat", "child": _combine("strict", _spat(name="a"), _spat(name="b", cndt=SIMPLE2))}
     pats.append(
