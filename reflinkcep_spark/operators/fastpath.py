@@ -83,6 +83,17 @@ def _strict_simple_lpat(node: Mapping) -> Optional[Mapping]:
     return None
 
 
+def _strict_simple_lpat_inf(node: Mapping) -> Optional[Mapping]:
+    if (
+        node["type"] == "lpat-inf"
+        and node["loop"]["contiguity"] == "strict"
+        and not node.get("variables")
+        and "until" not in node
+    ):
+        return node
+    return None
+
+
 def _leaf_condition_sql(
     leaf: Mapping, type_col: Optional[str], column_map: Mapping[str, str] | None = None
 ) -> str:
@@ -143,6 +154,12 @@ def try_fast_path(
         if lpat is not None and query.strategy == "NoSkip":
             return _plan_strict_lpat(
                 df, lpat, order_by=order_by, keys=keys,
+                type_col=type_col, attr_cols=attr_cols,
+            )
+        lpi = _strict_simple_lpat_inf(query.patseq)
+        if lpi is not None and query.strategy in ("NoSkip", "SkipToNext"):
+            return _plan_strict_lpat_inf(
+                df, lpi, query.strategy, order_by=order_by, keys=keys,
                 type_col=type_col, attr_cols=attr_cols,
             )
     except Exception:
@@ -330,6 +347,96 @@ def _plan_spat_chain(
         ],
     )
     return out
+
+
+def _plan_strict_lpat_inf(
+    df: DataFrame,
+    node: Mapping,
+    strategy: str,
+    *,
+    order_by: str,
+    keys: Sequence[str],
+    type_col: Optional[str],
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Strict unbounded loop (``oneOrMore``/``timesOrMore(n)``,
+    consecutive) via gaps-and-islands.  A maximal run ("island") of
+    adjacent qualifying rows of length M contains every match:
+
+    * ``NoSkip`` — every sub-run of length >= n (the automaton may
+      stop accepting at any length);
+    * ``SkipToNext`` — exactly the length-``n`` sub-run at each start
+      offset: the first acceptance for a start index completes at its
+      n-th event, and the strategy then kills that start's remaining
+      runs (reference executor.py:81-83).
+
+    Output size is inherently quadratic in island length under NoSkip
+    — identical to the kernel's match set, but produced by one sort +
+    one ``(keys, island)`` aggregation instead of per-event run-set
+    bookkeeping in Python."""
+    n = max(int(node["loop"]["from"]), 1)
+    name = node["name"]
+
+    base = df.select(*keys, *attr_cols)
+    cond = F.expr(_leaf_condition_sql(node, type_col))
+    w = Window.partitionBy(*keys).orderBy(order_by)
+    ev = F.struct(*[F.col(c).alias(c) for c in attr_cols])
+
+    # Islands: adjacency is judged on the FULL per-key stream (strict
+    # contiguity), so row-number before filtering; after filtering,
+    # rn - row_number is constant exactly within a maximal run.
+    qual = base.select(
+        *keys,
+        F.col(order_by).alias("__ord"),
+        ev.alias("__ev"),
+        F.row_number().over(w).alias("__rn"),
+        cond.alias("__q"),
+    ).filter(F.col("__q"))
+    wq = Window.partitionBy(*keys).orderBy("__ord")
+    islands = (
+        qual.withColumn("__grp", F.col("__rn") - F.row_number().over(wq))
+        .groupBy(*keys, "__grp")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__ord").alias("o"), F.col("__ev").alias("ev")))
+            ).alias("__arr")
+        )
+        .filter(F.size("__arr") >= n)
+    )
+
+    M = F.size("__arr")
+    if strategy == "NoSkip":
+        sl = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), M - n + 1),
+                lambda s: F.transform(
+                    F.sequence(F.lit(n), M - s + 1),
+                    lambda L: F.struct(s.alias("s"), L.alias("L")),
+                ),
+            )
+        )
+    else:  # SkipToNext: one fixed-length-n match per start offset
+        sl = F.transform(
+            F.sequence(F.lit(1), M - n + 1),
+            lambda s: F.struct(s.alias("s"), F.lit(n).alias("L")),
+        )
+
+    capture = F.transform(
+        F.slice("__arr", F.col("__sl.s"), F.col("__sl.L")), lambda x: x["ev"]
+    )
+    exploded = islands.select(*keys, "__arr", F.explode(sl).alias("__sl")).select(
+        *keys, capture.alias("__cap")
+    )
+    start_o = F.element_at("__cap", 1)[order_by]
+    end_o = F.element_at("__cap", -1)[order_by]
+    mw = Window.partitionBy(*keys).orderBy(end_o, start_o)
+    return exploded.select(
+        *keys,
+        (F.row_number().over(mw) - F.lit(1)).cast("long").alias("match_seq"),
+        start_o.alias("start_ord"),
+        end_o.alias("end_ord"),
+        F.col("__cap").alias(name),
+    )
 
 
 def _plan_strict_lpat(

@@ -96,6 +96,32 @@ context:
   schema: {e: [id, name, price]}
 """
 
+Q_LPAT_INF = """
+type: query
+patseq:
+  type: lpat-inf
+  name: al
+  event: e
+  cndt: {expr: name == 1}
+  loop: {contiguity: strict, from: 2}
+context:
+  schema: {e: [id, name, price]}
+"""
+
+Q_LPAT_INF_STN = """
+type: query
+patseq:
+  type: lpat-inf
+  name: al
+  event: e
+  cndt: {expr: name == 1}
+  loop: {contiguity: strict, from: 2}
+context:
+  strategy: SkipToNext
+  schema: {e: [id, name, price]}
+"""
+
+
 def _chain_yaml(contigs, strategy=None):
     """((a L1 b) L2 c) with per-link contiguities and conditions
     name==1 / name==2 / name==3."""
@@ -127,10 +153,12 @@ context:
      (_chain_yaml(["strict", "relaxed"]), ["a", "b", "c"], True),
      (_chain_yaml(["relaxed", "strict"]), ["a", "b", "c"], True),
      (_chain_yaml(["relaxed", "relaxed"], "SkipToNext"), ["a", "b", "c"], True),
-     (_chain_yaml(["nd-relaxed", "nd-relaxed"]), ["a", "b", "c"], False)],
+     (_chain_yaml(["nd-relaxed", "nd-relaxed"]), ["a", "b", "c"], False),
+     (Q_LPAT_INF, ["al"], False),
+     (Q_LPAT_INF_STN, ["al"], False)],
     ids=["spat", "chain3", "strict-lpat", "relaxed-pair", "relaxed3",
          "strict-relaxed", "relaxed-strict", "relaxed3-skiptonext",
-         "ndrelaxed3"],
+         "ndrelaxed3", "strict-lpat-inf", "strict-lpat-inf-skiptonext"],
 )
 def test_fastpath_equals_kernel(spark, qyaml, names, with_seq):
     query = Query.from_yaml(qyaml)
