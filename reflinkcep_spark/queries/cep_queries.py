@@ -517,9 +517,70 @@ WHERE s.event_type = 'signup' AND b.next_err IS NOT NULL
 """
 
 
+# --- strict lpat-inf: all runs of consecutive errors -----------------
+
+def cep_error_runs(spark, sf_dir):
+    """Every sub-run of >= 2 consecutive error events per user (strict
+    unbounded loop, NoSkip — reference compile.py:208-372).  Dispatches
+    to the gaps-and-islands fast path (operators/fastpath.py
+    `_plan_strict_lpat_inf`): one sort + one island aggregation, no
+    Python."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: lpat-inf
+  name: errs
+  event: error
+  cndt: {expr: "True"}
+  loop: {contiguity: strict, from: 2}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+    )
+    return out.select(
+        "user_id",
+        F.col("start_ord").alias("start_id"),
+        F.col("end_ord").alias("end_id"),
+        F.size("errs").cast("long").alias("run_len"),
+    )
+
+
+SQL_ERROR_RUNS = """
+WITH q AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+e AS (
+  SELECT user_id, event_id,
+         rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+  FROM q WHERE event_type = 'error'
+),
+isl AS (
+  SELECT user_id, grp, COUNT(*) AS m,
+         LIST(event_id ORDER BY event_id) AS ids
+  FROM e GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+nums AS (
+  SELECT UNNEST(generate_series(1, (SELECT MAX(m) FROM isl))) AS g
+)
+SELECT i.user_id,
+       i.ids[s.g] AS start_id,
+       i.ids[s.g + l.g - 1] AS end_id,
+       l.g AS run_len
+FROM isl i
+JOIN nums s ON s.g <= i.m - 1
+JOIN nums l ON l.g >= 2 AND l.g <= i.m - s.g + 1
+"""
+
+
 QUERIES = {
     "cep_high_purchases": cep_high_purchases,
     "cep_funnel_3step": cep_funnel_3step,
+    "cep_error_runs": cep_error_runs,
     "cep_purchase_then_error": cep_purchase_then_error,
     "cep_error_triples": cep_error_triples,
     "cep_signup_to_purchase": cep_signup_to_purchase,
@@ -534,6 +595,7 @@ QUERIES = {
 ORACLES = {
     "cep_high_purchases": SQL_HIGH_PURCHASES,
     "cep_funnel_3step": SQL_FUNNEL_3STEP,
+    "cep_error_runs": SQL_ERROR_RUNS,
     "cep_purchase_then_error": SQL_PURCHASE_THEN_ERROR,
     "cep_error_triples": SQL_ERROR_TRIPLES,
     "cep_signup_to_purchase": SQL_SIGNUP_TO_PURCHASE,
