@@ -166,7 +166,9 @@ def q_events_props_json(spark, sf_dir):
 SQL_EVENTS_PROPS_JSON = """
 SELECT event_type,
        COUNT(json_extract(props, '$.k')) AS n_with_k,
-       SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       -- ::BIGINT on the SUM: DuckDB's SUM(BIGINT) yields HUGEINT,
+       -- which hash-mismatches Spark's BIGINT even for equal values.
+       SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        ROUND(AVG(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
 FROM events
 GROUP BY event_type

@@ -43,9 +43,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # Integer division: `ts / 1000` would promote the ~1.7e18 BIGINT
+        # to double (2^53 mantissa) and silently perturb ~1.6% of
+        # microsecond values by ±1, shifting event-time ordering and
+        # window/session boundaries vs engines that truncate exactly.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
