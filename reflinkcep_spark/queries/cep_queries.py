@@ -286,11 +286,49 @@ context:
     )
 
 
-# --- after-match skip strategy: error streaks (rows-only) ------------
+SQL_SPENDING_BURST = """
+WITH q AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, event_id, value,
+         rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+  FROM q WHERE event_type = 'purchase'
+),
+isl AS (
+  SELECT user_id, grp, COUNT(*) AS m,
+         LIST(event_id ORDER BY event_id) AS ids,
+         LIST(value ORDER BY event_id) AS vals
+  FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+nums AS (SELECT UNNEST(generate_series(1, (SELECT MAX(m) FROM isl))) AS g)
+-- Engine semantics (probed): every (start, len>=2) sub-run of a
+-- consecutive-purchase island whose LEFT-FOLD sum stays <= 300.  All
+-- purchase values are positive, so the per-step prefix condition
+-- S + value <= 300 is equivalent to the total; list_reduce is a left
+-- fold, bitwise-identical to the kernel's Python accumulation and to
+-- Spark's F.aggregate.
+SELECT i.user_id,
+       i.ids[s.g] AS first_id,
+       i.ids[s.g + l.g - 1] AS last_id,
+       l.g::BIGINT AS n_purchases,
+       ROUND(list_reduce(i.vals[s.g : s.g + l.g - 1], (a, b) -> a + b), 2)
+         AS total_value
+FROM isl i
+JOIN nums s ON s.g <= i.m - 1
+JOIN nums l ON l.g >= 2 AND l.g <= i.m - s.g + 1
+WHERE list_reduce(i.vals[s.g : s.g + l.g - 1], (a, b) -> a + b) <= 300
+"""
+
+
+# --- after-match skip strategy: error streaks ------------------------
 
 def cep_error_streaks_skip(spark, sf_dir):
-    """Maximal-ish error streaks under SkipPastLastEvent — the strategy
-    itself is stateful and order-dependent → rows-only check."""
+    """Error streaks closed by a purchase under SkipToNext: per start
+    offset only the first-emitted (= longest, to island end) run
+    survives — reference executor.py:70-83 skip semantics."""
     out = _run(
         spark,
         sf_dir,
@@ -324,6 +362,42 @@ context:
     )
 
 
+SQL_ERROR_STREAKS_SKIP = """
+WITH nb AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         MIN(CASE WHEN event_type = 'purchase' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_buy
+  FROM events
+),
+e AS (
+  SELECT user_id, event_id, next_buy,
+         rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+  FROM nb WHERE event_type = 'error'
+),
+isl AS (
+  SELECT user_id, grp, COUNT(*) AS m,
+         LIST(event_id ORDER BY event_id) AS ids,
+         LIST(next_buy ORDER BY event_id) AS nbs
+  FROM e GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+nums AS (SELECT UNNEST(generate_series(1, (SELECT MAX(m) FROM isl))) AS g)
+-- Engine semantics (probed): the strict >=2 error loop is greedy to
+-- the island end; the relaxed-followed purchase is the first one after
+-- the island; SkipToNext keeps exactly one match per start offset (the
+-- longest, emitted first).  So each island of m errors yields starts
+-- s = 1..m-1, each running to the island end.
+SELECT i.user_id,
+       i.ids[s.g] AS first_id,
+       i.nbs[i.m] AS last_id,
+       (i.m - s.g + 1)::BIGINT AS n_errors
+FROM isl i
+JOIN nums s ON s.g <= i.m - 1
+WHERE i.nbs[i.m] IS NOT NULL
+"""
+
+
 # --- nd-relaxed + until: view combinations in calm windows -----------
 
 def cep_view_combos_ndrelaxed(spark, sf_dir):
@@ -354,6 +428,46 @@ context:
         F.col("end_ord").alias("last_id"),
         F.size("vs").cast("long").alias("n_views"),
     )
+
+
+SQL_VIEW_COMBOS_NDRELAXED = """
+WITH seg AS (
+  SELECT user_id, event_id, event_type, value,
+         SUM(CASE WHEN value >= 15 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING) AS s
+  FROM events
+),
+v AS (
+  SELECT user_id, s, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, s ORDER BY event_id) AS idx
+  FROM seg WHERE event_type = 'view' AND value < 15
+),
+pairs AS (
+  SELECT a.user_id, a.event_id AS first_id, b.event_id AS last_id,
+         (b.idx - a.idx - 1)::BIGINT AS j
+  FROM v a
+  JOIN v b ON b.user_id = a.user_id AND b.s = a.s AND b.idx >= a.idx + 2
+),
+-- Engine semantics (probed): nd-relaxed emits EVERY subsequence of
+-- length >= 3 of the calm-window views; the until barrier (any event
+-- with value >= 15) kills runs, so first/last must share a segment.
+-- A match keeps only (first, last, n), so choosing k interior views
+-- out of the j available multiplies the row by C(j, k).
+sizes AS (
+  SELECT p.user_id, p.first_id, p.last_id, k.g AS k,
+         (factorial(p.j::INTEGER)
+            // (factorial(k.g::INTEGER) * factorial((p.j - k.g)::INTEGER)))::BIGINT
+           AS mult
+  FROM pairs p
+  JOIN (SELECT UNNEST(generate_series(1, (SELECT COALESCE(MAX(j), 0) FROM pairs))) AS g) k
+    ON k.g <= p.j
+)
+SELECT s.user_id, s.first_id, s.last_id, (s.k + 2)::BIGINT AS n_views
+FROM sizes s
+JOIN (SELECT UNNEST(generate_series(1, (SELECT COALESCE(MAX(mult), 0) FROM sizes))) AS g) r
+  ON r.g <= s.mult
+"""
 
 
 # --- optional sub-pattern: purchase with optional preceding click ----
@@ -449,6 +563,46 @@ context:
         F.col("end_ord").alias("last_id"),
         F.size("v").cast("long").alias("n_units"),
     )
+
+
+SQL_VIEW_CLICK_RUNS = """
+WITH RECURSIVE seg AS (
+  SELECT user_id, event_id, event_type, value,
+         SUM(CASE WHEN value > 40 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING) AS s
+  FROM events
+),
+w AS (
+  SELECT user_id, s, event_id, event_type, value,
+         MIN(CASE WHEN event_type = 'click' THEN event_id END)
+           OVER (PARTITION BY user_id, s ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click,
+         LEAD(event_id)
+           OVER (PARTITION BY user_id ORDER BY event_id) AS succ_id
+  FROM seg
+),
+-- Engine semantics (probed): within a unit the relaxed combine takes
+-- the FIRST click after the view; BETWEEN iterations the loop is
+-- strict — the next unit's view must be the event immediately after
+-- the previous click.  A match is emitted at every completed unit;
+-- any event with value > 40 (the until barrier) kills active runs and
+-- cannot start or join one, so the whole chain lives in one segment.
+rec AS (
+  SELECT user_id, s, event_id AS first_id, next_click AS last_id, 1 AS n
+  FROM w
+  WHERE event_type = 'view' AND value <= 40 AND next_click IS NOT NULL
+  UNION ALL
+  SELECT r.user_id, r.s, r.first_id, wv.next_click, r.n + 1
+  FROM rec r
+  JOIN w wc ON wc.user_id = r.user_id AND wc.s = r.s
+           AND wc.event_id = r.last_id
+  JOIN w wv ON wv.user_id = r.user_id AND wv.s = r.s
+           AND wv.event_id = wc.succ_id AND wv.event_type = 'view'
+  WHERE wv.next_click IS NOT NULL
+)
+SELECT user_id, first_id, last_id, n::BIGINT AS n_units FROM rec
+"""
 
 
 # --- 3-step relaxed funnel: signup → purchase → error ----------------
@@ -601,4 +755,8 @@ ORACLES = {
     "cep_signup_to_purchase": SQL_SIGNUP_TO_PURCHASE,
     "cep_view_click_cycles": SQL_VIEW_CLICK_CYCLES,
     "cep_optional_click_prefix": SQL_OPTIONAL_CLICK_PREFIX,
+    "cep_spending_burst": SQL_SPENDING_BURST,
+    "cep_error_streaks_skip": SQL_ERROR_STREAKS_SKIP,
+    "cep_view_combos_ndrelaxed": SQL_VIEW_COMBOS_NDRELAXED,
+    "cep_view_click_runs": SQL_VIEW_CLICK_RUNS,
 }
