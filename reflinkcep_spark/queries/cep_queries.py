@@ -731,6 +731,204 @@ JOIN nums l ON l.g >= 2 AND l.g <= i.m - s.g + 1
 """
 
 
+# --- SkipPastLastEvent: non-overlapping error pairs ------------------
+
+def cep_error_pairs_skippast(spark, sf_dir):
+    """Greedy non-overlapping error pairs: a strict >=2 loop under
+    SkipPastLastEvent accepts as soon as two errors are consumed, then
+    kills every live run (reference executor.py:84-87), so each error
+    island tiles into floor(m/2) disjoint pairs."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: lpat-inf
+  name: errs
+  event: error
+  cndt: {expr: "True"}
+  loop: {contiguity: strict, from: 2}
+context:
+  strategy: SkipPastLastEvent
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+        allow_fastpath=False,
+    )
+    return out.select(
+        "user_id",
+        F.col("start_ord").alias("e1"),
+        F.col("end_ord").alias("e2"),
+    )
+
+
+SQL_ERROR_PAIRS_SKIPPAST = """
+WITH q AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+e AS (
+  SELECT user_id, event_id,
+         rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+  FROM q WHERE event_type = 'error'
+),
+isl AS (
+  SELECT user_id, grp, COUNT(*) AS m, LIST(event_id ORDER BY event_id) AS ids
+  FROM e GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+nums AS (SELECT UNNEST(generate_series(1, (SELECT MAX(m) // 2 FROM isl))) AS g)
+SELECT i.user_id, i.ids[2 * t.g - 1] AS e1, i.ids[2 * t.g] AS e2
+FROM isl i JOIN nums t ON 2 * t.g <= i.m
+"""
+
+
+# --- relaxed-contiguity bounded loop: high-purchase chains -----------
+
+def cep_high_purchase_chains(spark, sf_dir):
+    """Chains of 2-3 CONSECUTIVE qualifying purchases in the filtered
+    substream: a relaxed loop ignores non-matching events but must take
+    each next matching one (reference compile.py:131-181), so every
+    window of 2 and 3 adjacent high purchases matches once."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: lpat
+  name: buys
+  event: purchase
+  cndt: {expr: value > 100}
+  loop: {contiguity: relaxed, from: 2, to: 3}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+        allow_fastpath=False,
+    )
+    return out.select(
+        "user_id",
+        _cap("buys", 1)["event_id"].alias("b1"),
+        _cap("buys", 2)["event_id"].alias("b2"),
+        # try_element_at: the capture has 2 or 3 events; index 3 must
+        # yield NULL for the short form, not an ANSI error.
+        F.try_element_at(F.col("buys"), F.lit(3))["event_id"].alias("b3"),
+    )
+
+
+SQL_HIGH_PURCHASE_CHAINS = """
+WITH hp AS (
+  SELECT user_id, event_id,
+         LEAD(event_id, 1) OVER w AS n1,
+         LEAD(event_id, 2) OVER w AS n2
+  FROM events WHERE event_type = 'purchase' AND value > 100
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, event_id AS b1, n1 AS b2, NULL::BIGINT AS b3
+FROM hp WHERE n1 IS NOT NULL
+UNION ALL
+SELECT user_id, event_id AS b1, n1 AS b2, n2 AS b3
+FROM hp WHERE n2 IS NOT NULL
+"""
+
+
+# --- nd-relaxed combine: signup to EVERY later big purchase ----------
+
+def cep_signup_any_purchase(spark, sf_dir):
+    """followedByAny: nd-relaxed contiguity keeps ignoring past
+    matching events too, so each signup pairs with EVERY later
+    qualifying purchase, not just the first (reference
+    compile.py:414-475 nd-relaxed ignore-edge)."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: combine
+  contiguity: nd-relaxed
+  left:
+    type: spat
+    name: reg
+    event: signup
+    cndt: {expr: "True"}
+  right:
+    type: spat
+    name: buy
+    event: purchase
+    cndt: {expr: value > 150}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+        allow_fastpath=False,
+    )
+    return out.select(
+        "user_id",
+        _cap("reg")["event_id"].alias("signup_id"),
+        _cap("buy")["event_id"].alias("purchase_id"),
+    )
+
+
+SQL_SIGNUP_ANY_PURCHASE = """
+SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+FROM events s
+JOIN events p ON p.user_id = s.user_id AND p.event_id > s.event_id
+             AND p.event_type = 'purchase' AND p.value > 150
+WHERE s.event_type = 'signup'
+"""
+
+
+# --- head gpat: grouped strict error→purchase pair -------------------
+
+def cep_error_then_purchase_grouped(spark, sf_dir):
+    """A head-position group pattern wrapping a strict (error, purchase)
+    pair — gpat at the head compiles to its child fragment (reference
+    compile.py:477-479); semantics must be identical to the bare
+    combine."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: gpat
+  child:
+    type: combine
+    contiguity: strict
+    left:
+      type: spat
+      name: e
+      event: error
+      cndt: {expr: "True"}
+    right:
+      type: spat
+      name: p
+      event: purchase
+      cndt: {expr: "True"}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+    )
+    return out.select(
+        "user_id",
+        _cap("e")["event_id"].alias("error_id"),
+        _cap("p")["event_id"].alias("purchase_id"),
+    )
+
+
+SQL_ERROR_THEN_PURCHASE_GROUPED = """
+WITH s AS (
+  SELECT user_id, event_id, event_type,
+         LEAD(event_type) OVER w AS next_type,
+         LEAD(event_id) OVER w AS next_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, event_id AS error_id, next_id AS purchase_id
+FROM s WHERE event_type = 'error' AND next_type = 'purchase'
+"""
+
+
 QUERIES = {
     "cep_high_purchases": cep_high_purchases,
     "cep_funnel_3step": cep_funnel_3step,
@@ -744,6 +942,10 @@ QUERIES = {
     "cep_view_combos_ndrelaxed": cep_view_combos_ndrelaxed,
     "cep_optional_click_prefix": cep_optional_click_prefix,
     "cep_view_click_runs": cep_view_click_runs,
+    "cep_error_pairs_skippast": cep_error_pairs_skippast,
+    "cep_high_purchase_chains": cep_high_purchase_chains,
+    "cep_error_then_purchase_grouped": cep_error_then_purchase_grouped,
+    "cep_signup_any_purchase": cep_signup_any_purchase,
 }
 
 ORACLES = {
@@ -759,4 +961,8 @@ ORACLES = {
     "cep_error_streaks_skip": SQL_ERROR_STREAKS_SKIP,
     "cep_view_combos_ndrelaxed": SQL_VIEW_COMBOS_NDRELAXED,
     "cep_view_click_runs": SQL_VIEW_CLICK_RUNS,
+    "cep_error_pairs_skippast": SQL_ERROR_PAIRS_SKIPPAST,
+    "cep_high_purchase_chains": SQL_HIGH_PURCHASE_CHAINS,
+    "cep_error_then_purchase_grouped": SQL_ERROR_THEN_PURCHASE_GROUPED,
+    "cep_signup_any_purchase": SQL_SIGNUP_ANY_PURCHASE,
 }
