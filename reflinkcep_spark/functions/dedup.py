@@ -73,22 +73,47 @@ def shingles(col, n: int = 3):
     )).otherwise(F.array_distinct(F.array(F.array_join(toks, " "))))
 
 
+def _hash64(col, hash_fn: str = "xxhash64"):
+    """64-bit feature hash.  ``xxhash64`` is the production default
+    (fastest, JVM-native).  ``md5`` derives a 60-bit positive long from
+    the md5 hex digest — bit-identical to DuckDB's
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``, which is what makes the
+    sketch queries oracle-checkable cross-engine."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _cap_hot_features(ex: DataFrame, feat_col: str, max_df: float | None) -> DataFrame:
+    """Drop features present in more than ``max_df`` of documents.
+
+    Posting-list length is the quadratic knob of every inverted-index
+    similarity join: one ubiquitous feature makes Σ|posting|² explode,
+    so ubiquity capping is mandatory at scale.  The document total is
+    computed IN-PLAN (count-distinct aggregate + broadcast cross join),
+    not via a driver-side ``df.count()`` action, so the whole query
+    stays one lazy plan."""
+    if max_df is None:
+        return ex
+    n_docs = ex.agg(F.count_distinct("doc_id").alias("__n_docs"))
+    hot = (
+        ex.groupBy(feat_col)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.col("__n_docs") * F.lit(max_df))
+        .select(feat_col)
+    )
+    # Anti-join out ubiquitous features; 'hot' is tiny → broadcast.
+    return ex.join(F.broadcast(hot), feat_col, "left_anti")
+
+
 def _token_stats(df: DataFrame, text_col: str, id_col: str, max_df: float | None):
     toks = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(distinct_tokens(F.col(text_col))).alias("tok"))
     )
-    if max_df is not None:
-        n_docs = df.count()
-        cap = int(n_docs * max_df)
-        hot = (
-            toks.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > cap)
-            .select("tok")
-        )
-        # Anti-join out ubiquitous tokens; 'hot' is tiny → broadcast.
-        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
-    return toks
+    return _cap_hot_features(toks, "tok", max_df)
 
 
 def token_jaccard_pairs(
@@ -113,10 +138,17 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: float | None = 0.1,
 ) -> DataFrame:
     """Exact word-n-gram (shingle) Jaccard ≥ threshold via an
     inverted-index join over shingles — the discriminative variant of
     :func:`token_jaccard_pairs` for small-vocabulary corpora.
+
+    ``max_df`` (default 10%) drops shingles present in more docs than
+    that fraction — without it a single ubiquitous shingle (a boiler-
+    plate sentence, a license header) makes the posting-list expansion
+    quadratic in corpus size.  Jaccard is then computed over the capped
+    shingle sets; pass ``max_df=None`` for the uncapped exact join.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
@@ -129,7 +161,7 @@ def ngram_jaccard_pairs(
             F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
         ).alias("g"),
     )
-    return _jaccard_from_features(sh, "g", threshold)
+    return _jaccard_from_features(_cap_hot_features(sh, "g", max_df), "g", threshold)
 
 
 def _jaccard_from_features(ex: DataFrame, feat_col: str, threshold: float) -> DataFrame:
@@ -185,6 +217,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature, single-pass and explode-free.
 
@@ -204,14 +237,23 @@ def minhash_signatures(
     """
     MAXL = (1 << 63) - 1
     hashed = F.transform(
-        shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        shingles(F.col(text_col), shingle_n), lambda s: _hash64(s, hash_fn)
     )
+
+    if hash_fn == "xxhash64":
+        perm = lambda i, h: F.xxhash64(F.lit(i), h)  # noqa: E731
+    else:
+        # Portable salt-rehash: md5 of "<i>:<hash-as-decimal>", same
+        # string DuckDB builds with i::VARCHAR || ':' || h::VARCHAR.
+        perm = lambda i, h: _hash64(  # noqa: E731
+            F.concat(F.lit(f"{i}:"), h.cast("string")), "md5"
+        )
     sig = F.aggregate(
         hashed,
         F.array_repeat(F.lit(MAXL).cast("long"), num_perm),
         lambda acc, h: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(F.lit(i), h) for i in range(num_perm)]),
+            F.array(*[perm(i, h) for i in range(num_perm)]),
             lambda a, b: F.least(a, b),
         ),
     )
@@ -259,6 +301,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact shingle-Jaccard verify.
 
@@ -269,7 +312,13 @@ def minhash_lsh_pairs(
     S-curve).
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col)
+    sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col, hash_fn)
+    if hash_fn == "xxhash64":
+        band_key = lambda cols: F.xxhash64(*cols)  # noqa: E731
+    else:
+        # md5 over the comma-joined decimal row values — DuckDB:
+        # md5(array_to_string(sig[a:b], ',')).
+        band_key = lambda cols: F.md5(F.concat_ws(",", *cols))  # noqa: E731
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -277,8 +326,8 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[b * rows + r] for r in range(rows)]
+                        band_key(
+                            [F.col("signature")[b * rows + r] for r in range(rows)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -317,17 +366,21 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     feature: str = "shingles",
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    n_bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash per document: bit i of the fingerprint is the sign
-    of Σ_tokens (±1 by bit i of xxhash64(token)).
+    """``n_bits``-bit SimHash per document: bit i of the fingerprint is
+    the sign of Σ_tokens (±1 by bit i of hash64(token)).
 
-    Two codegen stages — a 64-slot counter fold over the feature array,
-    then bit assembly — with the counters materialized in between so the
-    (large) fold expression appears once, not 64 times.  No shuffle, no
-    UDF.
+    Two codegen stages — an ``n_bits``-slot counter fold over the
+    feature array, then bit assembly — with the counters materialized
+    in between so the (large) fold expression appears once, not
+    ``n_bits`` times.  No shuffle, no UDF.
 
     ``feature``: "shingles" (default — discriminative even on tiny
     vocabularies) or "tokens" (classic distinct-token SimHash).
+    ``hash_fn``: "xxhash64" (production) or "md5" (60 usable bits —
+    pair with ``n_bits=60`` for the cross-engine-checkable variant).
     """
     if feature == "tokens":
         toks = distinct_tokens(F.col(text_col))
@@ -336,19 +389,20 @@ def simhash_fingerprints(
     bit_contrib = lambda t: F.array(  # noqa: E731
         *[
             F.when(
-                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                F.shiftright(_hash64(t, hash_fn), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
             ).otherwise(F.lit(-1))
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     counts = F.aggregate(
         toks,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), n_bits),
         lambda acc, t: F.zip_with(acc, bit_contrib(t), lambda a, b: a + b),
     )
     staged = df.select(F.col(id_col).alias("doc_id"), counts.alias("__counts"))
     fp = None
-    for i in range(64):
+    for i in range(n_bits):
         term = F.when(
             F.element_at(F.col("__counts"), i + 1) > 0,
             F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long"),
@@ -363,15 +417,22 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     feature: str = "shingles",
+    hash_fn: str = "xxhash64",
+    n_bits: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Banded search: split the 64-bit fingerprint into 4 × 16-bit bands;
+    Banded search: split the ``n_bits`` fingerprint into 4 equal bands;
     any pair within Hamming distance ≤ 3 agrees exactly on ≥ 1 band
     (pigeonhole), so a per-band equi-join finds all of them, then the
     exact popcount(xor) filter verifies.
     """
-    fp = simhash_fingerprints(df, text_col, id_col, feature=feature)
+    assert n_bits % 4 == 0, "n_bits must split into 4 equal bands"
+    band_bits = n_bits // 4
+    band_mask = (1 << band_bits) - 1
+    fp = simhash_fingerprints(
+        df, text_col, id_col, feature=feature, hash_fn=hash_fn, n_bits=n_bits
+    )
     banded = fp.select(
         "doc_id",
         "fp",
@@ -380,8 +441,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("fp"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("fp"), b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("chunk"),
                     )
                     for b in range(4)
@@ -412,9 +473,9 @@ def simhash_pairs(
         .select(
             F.col("p.x.doc_id").alias("doc_a"),
             F.col("p.y.doc_id").alias("doc_b"),
-            F.bit_count(F.col("p.x.fp").bitwiseXOR(F.col("p.y.fp"))).alias(
-                "hamming"
-            ),
+            F.bit_count(F.col("p.x.fp").bitwiseXOR(F.col("p.y.fp")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -173,6 +173,7 @@ def ivf_ann_topk(
     nprobe: int = 4,
     seed: int = 42,
     fit_sample: float | None = None,
+    max_fit_rows: int = 1_000_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -181,17 +182,22 @@ def ivf_ann_topk(
     ``nprobe`` nearest centroids and is rescored exactly (cosine) inside
     the probed cells only — candidates ≈ corpus · nprobe / n_cells.
 
-    The quantizer fit is Spark ML KMeans (optionally on a
-    ``fit_sample`` fraction — at corpus scale you fit on a sample, the
-    transform/assignment is a pure per-row expression either way).  The
-    (tiny) centroid table rides into the query plan as literals, so
-    probing is JVM-side expression work, no extra join.
+    The quantizer fit is Spark ML KMeans, bounded to ``max_fit_rows``
+    (default 1M) — a coarse quantizer needs a sample, not the corpus;
+    an unbounded fit would run an iterative full-corpus ML job in front
+    of every query at 100 TB.  Cell ASSIGNMENT stays exact for the full
+    corpus regardless (a per-row nearest-centroid expression).  Pass
+    ``fit_sample`` (a fraction) for an unbiased sample on top of the
+    row cap.  The (tiny) centroid table rides into the query plan as
+    literals, so probing is JVM-side expression work, no extra join.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     c = _as_double(corpus, vec_col)
     fit_input = c.sample(fit_sample, seed=seed) if fit_sample else c
+    if max_fit_rows is not None:
+        fit_input = fit_input.limit(max_fit_rows)
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="__vec", predictionCol="cell"
     ).fit(fit_input.select(array_to_vector(F.col(vec_col)).alias("__vec")))
@@ -259,25 +265,46 @@ def embedding_neardup_pairs(
     """Corpus near-duplicate pairs (cosine ≥ threshold) with LSH-bucket
     blocking: only same-bucket pairs are scored.  High thresholds map to
     tiny Hamming distance between signatures, so same-bucket blocking
-    keeps recall high while cutting the pair space by ~2^n_planes."""
+    keeps recall high while cutting the pair space by ~2^n_planes.
+
+    Shape: bucket-GROUPING with (id, vec) structs carried through the
+    aggregation — signatures are computed once and shuffled once, and
+    in-bucket pairs expand JVM-side.  (A bucket self-join would
+    re-evaluate the signature pipeline on both sides and leave the join
+    strategy to AQE — the same anti-pattern ``minhash_lsh_pairs``
+    documents and avoids.)  Each pair lands in exactly one bucket, so
+    no distinct pass is needed.  Σ|bucket|² is the cost knob: size
+    ``n_planes`` so expected bucket size stays bounded
+    (≈ corpus / 2^n_planes; e.g. 1B vectors want n_planes ≥ ~24, not
+    the old default 8)."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = _as_double(corpus, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _signature(F.col(vec_col), planes).alias("bucket"),
     )
-    pairs = (
-        c.alias("x")
-        .join(
-            c.alias("y"),
-            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
-        )
+    ids = F.col("ids")
+    combos = F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda a: F.transform(
+                    ids, lambda b: F.struct(a.alias("x"), b.alias("y"))
+                ),
+            )
+        ),
+        lambda p: p["x"]["id"] < p["y"]["id"],
+    )
+    return (
+        c.groupBy("bucket")
+        .agg(F.collect_list(F.struct("id", "v")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
         .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            cosine(F.col("x.v"), F.col("y.v")).alias("sim"),
+            F.col("p.x.id").alias("id_a"),
+            F.col("p.y.id").alias("id_b"),
+            cosine(F.col("p.x.v"), F.col("p.y.v")).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
-    return pairs

@@ -88,6 +88,109 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+# Portable-hash twins: same sketch pipelines with md5-derived 60-bit
+# hashes (bit-identical to DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT)
+# so the driver's hash gate covers the MinHash-LSH and SimHash operators
+# end-to-end.  xxhash64 stays the production default.
+
+_SQL_SHINGLES = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [array_to_string(t, ' ')] END) AS s
+  FROM toks
+)"""
+
+
+def dedup_minhash_lsh_md5(spark, sf_dir):
+    """MinHash+LSH with the portable md5-derived hash family — the
+    oracle recomputes signatures, bands and the exact-Jaccard verify in
+    DuckDB, closing the driver hash gate over the whole sketch path."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, num_perm=32, bands=8, hash_fn="md5"
+    )
+
+
+SQL_MINHASH_LSH_MD5 = f"""
+WITH {_SQL_SHINGLES},
+hs AS (
+  SELECT doc_id, s,
+         list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, s,
+         list_transform(range(0, 32), i ->
+           list_min(list_transform(h,
+             v -> ('0x' || substr(md5(i::VARCHAR || ':' || v::VARCHAR), 1, 15))::BIGINT)))
+           AS sig
+  FROM hs
+),
+banded AS (
+  SELECT doc_id, s, b.g AS band,
+         md5(array_to_string(sig[b.g * 4 + 1 : b.g * 4 + 4], ',')) AS bucket
+  FROM sig, (SELECT unnest(range(0, 8)) AS g) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.s AS s_a, b.s AS s_b
+  FROM banded a
+  JOIN banded b ON b.band = a.band AND b.bucket = a.bucket
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+FROM (
+  SELECT doc_a, doc_b,
+         len(list_intersect(s_a, s_b)) * 1.0
+           / (len(s_a) + len(s_b) - len(list_intersect(s_a, s_b))) AS j
+  FROM cand
+) WHERE j >= 0.5
+"""
+
+
+def dedup_simhash_md5(spark, sf_dir):
+    """60-bit SimHash (md5 hash family, 4×15-bit bands) with a full
+    DuckDB oracle for the banded Hamming search."""
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=3, hash_fn="md5", n_bits=60
+    )
+
+
+SQL_SIMHASH_MD5 = f"""
+WITH {_SQL_SHINGLES},
+hs AS (
+  SELECT doc_id,
+         list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+  FROM sh
+),
+fp AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 60), i ->
+           CASE WHEN list_sum(list_transform(h,
+                      v -> CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS f
+  FROM hs
+),
+banded AS (
+  SELECT doc_id, f, b.g AS band, (f >> (b.g * 15)) & 32767 AS chunk
+  FROM fp, (SELECT unnest(range(0, 4)) AS g) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.f, b.f))::BIGINT AS hamming
+FROM banded a
+JOIN banded b ON b.band = a.band AND b.chunk = a.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
 # --- text analysis ----------------------------------------------------
 
 def text_profile(spark, sf_dir):
@@ -226,17 +329,6 @@ FROM r WHERE rnk <= 5
 """
 
 
-def sim_ann_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN with multiprobe (rows-only; recall vs
-    the exact top-k is asserted in tests)."""
-    embs = _embs(spark, sf_dir)
-    queries = embs.filter(F.col("vec_id") < 8)
-    out = similarity.lsh_ann_topk(embs, queries, k=5, n_planes=4, dim=64)
-    return out.select(
-        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id", "sim"
-    )
-
-
 def sim_ann_ivf(spark, sf_dir):
     """IVF ANN: KMeans coarse quantizer + nprobe cell search (rows-only;
     recall vs exact top-k asserted in tests)."""
@@ -248,12 +340,79 @@ def sim_ann_ivf(spark, sf_dir):
     )
 
 
-def sim_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs with LSH blocking
-    (rows-only)."""
-    return similarity.embedding_neardup_pairs(
-        _embs(spark, sf_dir), threshold=0.4, n_planes=4, dim=64
+def _sql_bucket_expr(n_planes: int, vec: str = "v") -> str:
+    """Sign-LSH bucket as a SQL int expression over the SAME hyperplanes
+    the Spark queries embed as literals (pure-Python RNG, seed 42) —
+    repr() round-trips doubles exactly in both engines."""
+    planes = similarity._hyperplanes(64, n_planes, 42)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, {lit}) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def sim_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN with 1-bit multiprobe; the hyperplanes
+    are deterministic literals, so the full probe + exact-rescoring
+    pipeline has a DuckDB oracle."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    out = similarity.lsh_ann_topk(embs, queries, k=5, n_planes=4, dim=64)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id", "sim"
     )
+
+
+def _sql_sim_ann_lsh() -> str:
+    probes = ", ".join(["qb"] + [f"xor(qb, {1 << i})" for i in range(4)])
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_sql_bucket_expr(4)} AS bucket FROM c),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM sig WHERE vec_id < 8),
+probes AS (SELECT query_id, qv, unnest([{probes}]) AS pb FROM q),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qv, s.vec_id AS neighbor_id, s.v
+  FROM probes p
+  JOIN sig s ON s.bucket = p.pb AND s.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, v) AS sim
+  FROM cand
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS sim
+FROM r WHERE rnk <= 5
+"""
+
+
+def sim_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs with LSH blocking; 8
+    planes → 256 buckets (bounded in-bucket pair expansion), literal
+    hyperplanes → full DuckDB oracle."""
+    return similarity.embedding_neardup_pairs(
+        _embs(spark, sf_dir), threshold=0.4, n_planes=8, dim=64
+    )
+
+
+def _sql_sim_embedding_neardup() -> str:
+    return f"""
+WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT id, v, {_sql_bucket_expr(8)} AS bucket FROM c)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM sig a
+JOIN sig b ON b.bucket = a.bucket AND a.id < b.id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
 
 
 # --- multimodal -------------------------------------------------------
@@ -283,7 +442,9 @@ QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_md5": dedup_simhash_md5,
     "text_profile": text_profile,
     "text_language": text_language,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
@@ -297,6 +458,10 @@ QUERIES = {
 ORACLES = {
     "dedup_exact_groups": SQL_EXACT_GROUPS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_minhash_lsh_md5": SQL_MINHASH_LSH_MD5,
+    "dedup_simhash_md5": SQL_SIMHASH_MD5,
+    "sim_ann_lsh": _sql_sim_ann_lsh(),
+    "sim_embedding_neardup": _sql_sim_embedding_neardup(),
     "text_profile": SQL_TEXT_PROFILE,
     "text_language": _sql_text_language(),
     "doc_rolling_fingerprint": SQL_ROLLING_FP,
