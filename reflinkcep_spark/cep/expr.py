@@ -159,7 +159,6 @@ _BIN_SQL = {
     _pyast.Sub: "-",
     _pyast.Mult: "*",
     _pyast.Div: "/",
-    _pyast.Mod: "%",
 }
 
 
@@ -188,6 +187,15 @@ def to_sql(expr: str, column_map: Mapping[str, str] | None = None) -> str:
         if isinstance(node, _pyast.BinOp):
             if isinstance(node.op, _pyast.FloorDiv):
                 return f"CAST(FLOOR({emit(node.left)} / {emit(node.right)}) AS BIGINT)"
+            if isinstance(node.op, _pyast.Mod):
+                # Python % is floored (sign of divisor); SQL % is
+                # truncated (sign of dividend).  They agree only when
+                # both operands are non-negative, so emit the floored
+                # form — the same predicate text must evaluate
+                # identically via Python eval in the NFA kernel and via
+                # SQL in the Catalyst fast paths / DuckDB oracles.
+                a, b = emit(node.left), emit(node.right)
+                return f"((({a} % {b}) + {b}) % {b})"
             op = _BIN_SQL[type(node.op)]
             return f"({emit(node.left)} {op} {emit(node.right)})"
         if isinstance(node, _pyast.Compare):

@@ -48,6 +48,18 @@ def asof_join(
     right_cols = list(right_cols)
     out_right = [c + suffix for c in right_cols]
 
+    # A carried column whose output name already exists on the left
+    # would silently emit a duplicate column (suffix='' collision) or
+    # be merged by unionByName — fail loudly instead.
+    clash = [o for o in out_right if o in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join output column(s) {clash} already exist in the left "
+            f"frame; pass a non-empty suffix or rename the right columns"
+        )
+    if len(set(out_right)) != len(out_right):
+        raise ValueError(f"duplicate right_cols after suffix: {out_right}")
+
     lhs = left.withColumn("__side", F.lit(1))
     rhs = right.select(*keys, on, *right_cols).withColumn("__side", F.lit(0))
     for c in lhs.columns:

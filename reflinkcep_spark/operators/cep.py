@@ -64,6 +64,7 @@ def match_pattern(
     attr_cols: Sequence[str] | None = None,
     allow_fastpath: bool = True,
     max_active_runs: int = 100_000,
+    on_limit: str = "raise",
 ) -> DataFrame:
     """Run a CEP pattern query over a DataFrame of events.
 
@@ -83,7 +84,18 @@ def match_pattern(
     attr_cols:
         Attribute columns visible to conditions; defaults to every
         column except the partition key(s).
+    on_limit:
+        What to do when a key's live run-set exceeds
+        ``max_active_runs``.  ``"raise"`` (default) aborts the job with
+        :class:`MatchLimitExceeded`.  ``"truncate"`` degrades instead
+        of dying: the key's remaining events are skipped, matches
+        found so far are kept, and ONE sentinel row with
+        ``match_seq = -1`` (null bounds/captures) flags the key as
+        truncated — at 100 TB one pathological hot key should mark
+        itself, not abort the other billion keys' work.
     """
+    if on_limit not in ("raise", "truncate"):
+        raise ValueError(f"on_limit must be 'raise' or 'truncate', got {on_limit!r}")
     keys = (
         [partition_by]
         if isinstance(partition_by, str)
@@ -166,11 +178,21 @@ def match_pattern(
                 rows.append(row)
                 match_seq += 1
             if len(engine.runs) > max_active_runs:
-                raise MatchLimitExceeded(
-                    f"live run-set exceeded {max_active_runs} for key "
-                    f"{key_values!r}; pattern is likely nd-relaxed over a "
-                    f"hot key — add a stricter condition or raise the limit"
-                )
+                if on_limit == "raise":
+                    raise MatchLimitExceeded(
+                        f"live run-set exceeded {max_active_runs} for key "
+                        f"{key_values!r}; pattern is likely nd-relaxed over a "
+                        f"hot key — add a stricter condition or raise the limit"
+                    )
+                # Degrade: keep what matched, flag the key, move on.
+                sentinel = dict(key_values)
+                sentinel["match_seq"] = -1
+                sentinel["start_ord"] = None
+                sentinel["end_ord"] = None
+                for name in names:
+                    sentinel[name] = None
+                rows.append(sentinel)
+                break
         return pd.DataFrame(rows, columns=out_columns)
 
     # Pin the kernel's parallelism: AQE's size-based partition

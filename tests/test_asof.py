@@ -49,3 +49,17 @@ def test_asof_join_suffix_keeps_overlapping_name(spark):
     )
     row = out.collect()[0]
     assert (row.value, row.value_r) == (99.0, 1.5)
+
+
+def test_asof_join_rejects_colliding_output_names(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, "L")], "k long, ts long, rlbl string")
+    right = spark.createDataFrame([(1, 5, "R")], "k long, ts long, rlbl string")
+    # suffix='' would emit a duplicate `rlbl` column — must fail loudly
+    with pytest.raises(ValueError, match="rlbl"):
+        asof_join(left, right, on="ts", by="k", right_cols=["rlbl"])
+    # a suffix that dodges the clash is fine
+    out = asof_join(left, right, on="ts", by="k", right_cols=["rlbl"], suffix="_r")
+    assert out.columns == ["k", "ts", "rlbl", "rlbl_r"]
+    assert out.collect()[0]["rlbl_r"] == "R"

@@ -56,3 +56,21 @@ def test_to_sql_translation():
 def test_to_sql_column_map():
     sql = to_sql("name == 1", {"name": "__l1_name"})
     assert "__l1_name" in sql
+
+
+def test_to_sql_mod_matches_python_on_negatives():
+    """Python % is floored, SQL % truncated; to_sql must emit the
+    floored form so kernel (eval) and fast path / oracle (SQL) agree."""
+    import duckdb
+
+    p = compile_predicate("name % price == 2")
+    sql = to_sql("name % price")
+    con = duckdb.connect()
+    for a in (-7, -3, -1, 0, 1, 3, 7):
+        for b in (-3, -2, 2, 3):
+            want = a % b
+            got = con.execute(
+                "SELECT " + sql.replace("name", str(a)).replace("price", f"({b})")
+            ).fetchone()[0]
+            assert got == want, (a, b, got, want)
+            assert bool(p({"name": a, "price": b}, {})) == (want == 2)

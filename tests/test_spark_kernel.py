@@ -176,3 +176,51 @@ context:
     )
     rows = out.collect()
     assert [[e["id"] for e in r["run"]] for r in rows] == [[1, 2]]
+
+
+def test_hot_key_truncates_instead_of_dying(spark):
+    """A pathological key under nd-relaxed blowup must not abort the
+    job when on_limit='truncate': its partial matches survive, ONE
+    sentinel row (match_seq=-1) flags it, and healthy keys are
+    untouched (VERDICT r1 #9: degrade, don't die)."""
+    from reflinkcep_spark.operators.cep import MatchLimitExceeded
+
+    q = Query.from_dict(
+        {
+            "patseq": {
+                "type": "lpat-inf",
+                "name": "a",
+                "event": "e",
+                "cndt": {"expr": "True"},
+                "loop": {"contiguity": "nd-relaxed", "from": 1},
+            },
+            "context": {"schema": {"e": ["id", "name", "price"]}, "strategy": "NoSkip"},
+        }
+    )
+    hot = [(1, i + 1, "e", 1, 1) for i in range(40)]   # run-set ~doubles per event
+    cold = [(2, i + 1, "e", 1, 1) for i in range(3)]
+    df = spark.createDataFrame(
+        hot + cold, "user_id int, id long, type string, name long, price long"
+    )
+    kwargs = dict(
+        order_by="id",
+        partition_by="user_id",
+        type_col="type",
+        allow_fastpath=False,
+        max_active_runs=50,
+    )
+
+    with pytest.raises(Exception):  # default still raises (wrapped by Spark)
+        match_pattern(df, q, **kwargs).collect()
+
+    rows = match_pattern(df, q, on_limit="truncate", **kwargs).collect()
+    hot_rows = [r for r in rows if r["user_id"] == 1]
+    cold_rows = [r for r in rows if r["user_id"] == 2]
+    sentinels = [r for r in hot_rows if r["match_seq"] == -1]
+    assert len(sentinels) == 1
+    assert sentinels[0]["a"] is None and sentinels[0]["start_ord"] is None
+    assert len(hot_rows) > 1  # partial matches kept
+    # cold key: full expected match set, no sentinel
+    expected_cold = run_pattern(q, [("e", {"id": i + 1, "name": 1, "price": 1}) for i in range(3)])
+    assert len(cold_rows) == len(expected_cold)
+    assert all(r["match_seq"] >= 0 for r in cold_rows)
