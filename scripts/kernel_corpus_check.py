@@ -7,7 +7,11 @@ pushes every enumerated query through the real applyInPandas kernel
 (shuffle → per-key sort → NFA → Arrow round trip) on a 2-key frame.
 Matches are compared per key as ordered capture-id sequences.
 
-Usage: python3 scripts/kernel_corpus_check.py [--limit N]
+Also stride-samples the reference-scale four-division enumeration
+(tests/corpus.py, ~13.5k query×strategy combos) so the systematic
+corpus exercises the kernel too, not just the pure runtime.
+
+Usage: python3 scripts/kernel_corpus_check.py [--limit N] [--stride N]
 """
 
 from __future__ import annotations
@@ -25,8 +29,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument(
+        "--stride",
+        type=int,
+        default=149,
+        help="take every Nth case of the four-division systematic corpus "
+        "(tests/corpus.py); 0 disables, 1 runs all ~13.5k",
+    )
     args = ap.parse_args()
 
+    from tests.corpus import DIVISIONS, STRATEGIES, iter_division
     from tests.test_differential import CASES, STREAM, _ref_matches
 
     from reflinkcep_spark import Query
@@ -54,7 +66,17 @@ def main() -> int:
             for m in matches
         )
 
-    cases = CASES[: args.limit] if args.limit else CASES
+    cases = list(CASES)
+    if args.stride:
+        div_combos = [
+            (f"{div}:{cid}/{strat}", pat, strat)
+            for div in DIVISIONS
+            for cid, pat in iter_division(div)
+            for strat in STRATEGIES
+        ]
+        cases += div_combos[:: args.stride]
+    if args.limit:
+        cases = cases[: args.limit]
     t0 = time.time()
     failures = []
     for idx, (cid, pat, strategy) in enumerate(cases):

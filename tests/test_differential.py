@@ -309,19 +309,19 @@ CASES = [
 ]
 
 
-def _ref_matches(pat, strategy):
-    ctx = {"schema": SCHEMA, "strategy": strategy}
+def _ref_matches(pat, strategy, stream=STREAM, schema=SCHEMA):
+    ctx = {"schema": schema, "strategy": strategy}
     q = RefQuery.from_dict({"patseq": pat, "context": ctx})
     op = CEPOperator.from_query(q)
-    out = op << [RefEvent(t, dict(a)) for t, a in STREAM]
+    out = op << [RefEvent(t, dict(a)) for t, a in stream]
     return [
         {name: [e["id"] for e in evs] for name, evs in m.items()} for m in out
     ]
 
 
-def _our_matches(pat, strategy):
-    q = Query.from_dict({"patseq": pat, "context": {"schema": SCHEMA, "strategy": strategy}})
-    out = run_pattern(q, [(t, dict(a)) for t, a in STREAM])
+def _our_matches(pat, strategy, stream=STREAM, schema=SCHEMA):
+    q = Query.from_dict({"patseq": pat, "context": {"schema": schema, "strategy": strategy}})
+    out = run_pattern(q, [(t, dict(a)) for t, a in stream])
     return [
         {name: [e["id"] for e in evs] for name, evs in m.items()} for m in out
     ]
@@ -332,5 +332,55 @@ def test_engines_agree(cid, pat, strategy):
     assert _our_matches(pat, strategy) == _ref_matches(pat, strategy)
 
 
+# --- Reference-scale systematic enumeration (tests/corpus.py) --------------
+#
+# The reference proved itself against Flink with a ~13k-case four-division
+# enumeration (exp/gencsv.py:11); tests/corpus.py regenerates it and runs
+# every case on TWO streams (the reference's canonical one plus a richer
+# stream that actually fires the until/type-mix branches) — ~27k
+# engine-pair comparisons.  Chunked per (division × strategy × stream) so
+# pytest stays at 24 parametrized tests; a failed chunk reports its first
+# diffs and the total disagreement count.
+
+from tests.corpus import (  # noqa: E402
+    DIVISIONS as _DIVS,
+    SCHEMA as _DIV_SCHEMA,
+    STREAMS as _DIV_STREAMS,
+    iter_division,
+)
+
+_DIV_CHUNKS = [
+    (div, strat, sname)
+    for div in _DIVS
+    for strat in STRATEGIES
+    for sname in _DIV_STREAMS
+]
+
+
+@pytest.mark.parametrize(
+    "div,strategy,sname",
+    _DIV_CHUNKS,
+    ids=[f"{d}/{s}/{n}" for d, s, n in _DIV_CHUNKS],
+)
+def test_division_corpus_agrees(div, strategy, sname):
+    stream = _DIV_STREAMS[sname]
+    diffs = []
+    n = 0
+    for cid, pat in iter_division(div):
+        n += 1
+        ref = _ref_matches(pat, strategy, stream=stream, schema=_DIV_SCHEMA)
+        ours = _our_matches(pat, strategy, stream=stream, schema=_DIV_SCHEMA)
+        if ours != ref:
+            diffs.append((cid, ours, ref))
+    assert not diffs, (
+        f"{len(diffs)}/{n} cases disagree in {div}/{strategy}/{sname}; "
+        f"first 3: {diffs[:3]}"
+    )
+
+
 def test_corpus_is_substantial():
     assert len(CASES) >= 200
+    total = sum(1 for div in _DIVS for _ in iter_division(div))
+    # 42 lpats drive 126 + 420 + 1260 + 3780 patterns; × 3 strategies
+    # × 2 streams ≈ 33.5k engine-pair comparisons incl. CASES.
+    assert total * len(STRATEGIES) * len(_DIV_STREAMS) >= 26000
