@@ -86,34 +86,13 @@ def _hash64(col, hash_fn: str = "xxhash64"):
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
-def _cap_hot_features(ex: DataFrame, feat_col: str, max_df: float | None) -> DataFrame:
-    """Drop features present in more than ``max_df`` of documents.
-
-    Posting-list length is the quadratic knob of every inverted-index
-    similarity join: one ubiquitous feature makes Σ|posting|² explode,
-    so ubiquity capping is mandatory at scale.  The document total is
-    computed IN-PLAN (count-distinct aggregate + broadcast cross join),
-    not via a driver-side ``df.count()`` action, so the whole query
-    stays one lazy plan."""
-    if max_df is None:
-        return ex
-    n_docs = ex.agg(F.count_distinct("doc_id").alias("__n_docs"))
-    hot = (
-        ex.groupBy(feat_col)
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") > F.col("__n_docs") * F.lit(max_df))
-        .select(feat_col)
-    )
-    # Anti-join out ubiquitous features; 'hot' is tiny → broadcast.
-    return ex.join(F.broadcast(hot), feat_col, "left_anti")
-
-
-def _token_stats(df: DataFrame, text_col: str, id_col: str, max_df: float | None):
-    toks = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(distinct_tokens(F.col(text_col))).alias("tok"))
-    )
-    return _cap_hot_features(toks, "tok", max_df)
+def _n_docs(df: DataFrame) -> DataFrame:
+    """Single-row ``__n_docs`` frame: the ``max_df`` cap's denominator,
+    computed IN-PLAN (broadcast cross join of a count aggregate), never
+    via a driver-side ``df.count()`` action.  Defined as TOTAL input
+    documents — predictable for the caller, and a doc contributing zero
+    features can't pair with anything anyway."""
+    return df.agg(F.count(F.lit(1)).alias("__n_docs"))
 
 
 def token_jaccard_pairs(
@@ -128,8 +107,14 @@ def token_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.  Note: with
     ``max_df`` set, Jaccard is computed over the capped vocabulary.
     """
-    toks = _token_stats(df, text_col, id_col, max_df)
-    return _jaccard_from_features(toks, "tok", threshold)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(distinct_tokens(F.col(text_col))).alias("tok"),
+    )
+    return _jaccard_from_features(
+        toks, "tok", threshold, max_df=max_df,
+        n_docs=_n_docs(df) if max_df is not None else None,
+    )
 
 
 def ngram_jaccard_pairs(
@@ -161,23 +146,48 @@ def ngram_jaccard_pairs(
             F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
         ).alias("g"),
     )
-    return _jaccard_from_features(_cap_hot_features(sh, "g", max_df), "g", threshold)
+    return _jaccard_from_features(
+        sh, "g", threshold, max_df=max_df,
+        n_docs=_n_docs(df) if max_df is not None else None,
+    )
 
 
-def _jaccard_from_features(ex: DataFrame, feat_col: str, threshold: float) -> DataFrame:
+def _jaccard_from_features(
+    ex: DataFrame,
+    feat_col: str,
+    threshold: float,
+    *,
+    max_df: float | None = None,
+    n_docs: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard ≥ threshold from an exploded (doc_id, feature)
     frame.
 
-    Inverted-index shape WITHOUT a self-join: group by feature, expand
-    in-posting-list pairs JVM-side, count co-occurrences, then attach
-    set sizes via two joins on the (small) aggregated frames.  The
-    classic self-join on the feature column evaluates the upstream
-    feature pipeline twice and leaves build-side choice to AQE
-    (measured 2-11s flapping at sf0.1); this shape computes features
-    once and shuffles them once.  Posting-list length is the quadratic
-    knob — cap ubiquitous features upstream (``max_df``) exactly like
-    any inverted-index similarity join at scale.
+    Inverted-index shape WITHOUT a self-join: group by feature into
+    posting lists ONCE, expand in-posting-list pairs JVM-side, count
+    co-occurrences, then attach set sizes via two joins on the (small)
+    aggregated frames.  The classic self-join on the feature column
+    evaluates the upstream feature pipeline twice and leaves build-side
+    choice to AQE (measured 2-11s flapping at sf0.1).
+
+    Posting-list length is the quadratic knob of every inverted-index
+    similarity join — Σ|posting|² work — so the ``max_df`` ubiquity cap
+    is applied HERE, as a filter on the posting-list aggregate itself
+    (``size(ids) <= max_df·n_docs``).  Both consumers (pair expansion
+    and per-doc set sizes) branch off that one aggregation, so the
+    expensive feature pipeline and its shuffle run once and the second
+    branch reads the exchange via ReusedExchange — a separate
+    hot-feature pass + anti-join was measured ~2× slower end-to-end at
+    sf0.1 because it re-evaluated the feature subtree per branch.
+    Per-doc sizes count the CAPPED vocabulary, keeping numerator and
+    denominator consistent.
     """
+    posts = ex.groupBy(feat_col).agg(F.collect_list("doc_id").alias("ids"))
+    if max_df is not None:
+        posts = (
+            posts.crossJoin(F.broadcast(n_docs))
+            .filter(F.size("ids") <= F.col("__n_docs") * F.lit(max_df))
+        )
     ids = F.col("ids")
     pairs = F.filter(
         F.flatten(
@@ -191,14 +201,16 @@ def _jaccard_from_features(ex: DataFrame, feat_col: str, threshold: float) -> Da
         lambda p: p["doc_a"] < p["doc_b"],
     )
     common = (
-        ex.groupBy(feat_col)
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
+        posts.filter(F.size("ids") >= 2)
         .select(F.explode(pairs).alias("p"))
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = (
+        posts.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))

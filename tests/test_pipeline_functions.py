@@ -134,3 +134,25 @@ def test_entry_contract(spark):
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_max_df_cap_drops_ubiquitous_shingles(spark):
+    """A boilerplate sentence shared by most docs must not join the
+    corpus into near-quadratic pairs when the cap is on; distinctive
+    near-dups must still be found (the cap is the scale guard of the
+    inverted-index join)."""
+    boiler = "this document is provided under the standard license terms"
+    rows = [(i, f"{boiler} unique content number {i} alpha beta gamma") for i in range(20)]
+    rows += [(100, "the quick brown fox jumps over the lazy dog today"),
+             (101, "the quick brown fox jumps over the lazy dog tonight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = _pairs(dedup.ngram_jaccard_pairs(df, threshold=0.3, max_df=0.1))
+    assert (100, 101) in capped
+    # boilerplate docs share ~half their shingles pairwise; the cap
+    # removes those shingles so none of the 190 boiler pairs survive
+    assert not any(a < 100 and b < 100 for a, b in capped)
+
+    uncapped = _pairs(dedup.ngram_jaccard_pairs(df, threshold=0.3, max_df=None))
+    assert (100, 101) in uncapped
+    assert any(a < 100 and b < 100 for a, b in uncapped)
