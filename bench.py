@@ -81,11 +81,13 @@ def main() -> int:
         except Exception:
             pass
 
-    # Best-of-2 timed iterations: rejects transient scheduler/GC noise
+    # Best-of-3 timed iterations: rejects transient scheduler/GC noise
     # (observed: a uniformly 2-4x slow pass across ALL queries when the
-    # box is busy, unrelated to any plan property).
+    # box is busy, unrelated to any plan property; best-of-2 was still
+    # seen reporting a 2x outlier when both passes landed on a busy
+    # stretch, while isolated reruns of the same plan were steady).
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.perf_counter()
