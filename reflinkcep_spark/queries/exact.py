@@ -1,0 +1,68 @@
+"""Order-insensitive-exact aggregates for cross-engine oracles.
+
+``SUM(double)`` is order-sensitive: Spark and DuckDB fold partitions in
+different orders, so two bit-different doubles can land on opposite
+sides of a ``ROUND(x, 2)`` half-boundary and flake the driver's
+value-hash at some scale factor even though both answers are "right".
+The source columns here are all generated with exactly two decimal
+digits, so the fix is to aggregate exactly: cast to ``DECIMAL`` first
+(lossless for 2-digit doubles), sum decimals (exact, order-free), and
+only then round and cast back to ``DOUBLE``.  Both engines produce the
+nearest double of the *same* rational number — identical bits, stable
+hash at every SF.
+
+Averages are worse: even with an exact sum, ``ROUND(sum/count, 4)``
+on a double can land exactly on a representable half-boundary
+(observed: 227673.41875 → Spark .4188, DuckDB .4187 — their tie
+handling on binary doubles differs), and DuckDB's ``AVG(DECIMAL)``
+returns ``DOUBLE`` while Spark's returns ``DECIMAL`` so decimal
+end-to-end isn't portable either.  So the half-up rounding itself is
+done in BIGINT arithmetic, identical on both engines:
+
+    round4(s_cents / (100·n)) = floor((200·s + n) / (2·n)) / 10⁴
+
+with ``s`` the exact cent sum and ``n`` the row count (positive
+domain).  Every intermediate stays well under 2^53, so the final
+double division is the correctly-rounded image of the same rational
+on both engines.
+
+The matching DuckDB SQL spellings (kept next to each query string):
+
+    ROUND(SUM(CAST(c AS DECIMAL(18,2))), 2)::DOUBLE
+    ((200 * SUM(CAST(CAST(c AS DECIMAL(18,2)) * 100 AS BIGINT)) + COUNT(c))
+      // (2 * COUNT(c))) / 10000.0
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["dec2", "exact_sum2", "exact_avg4"]
+
+
+def dec2(col, prec: str = "decimal(18,2)") -> Column:
+    """Lossless decimal view of a 2-decimal-digit double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(prec)
+
+
+def exact_sum2(col) -> Column:
+    """``ROUND(SUM(col), 2)`` with an exact decimal accumulator."""
+    return F.round(F.sum(dec2(col)), 2).cast("double")
+
+
+def exact_avg4(col, prec: str = "decimal(18,2)") -> Column:
+    """``ROUND(AVG(col), 4)`` with the half-up round done in exact
+    BIGINT arithmetic (see module docstring).  Positive domain only:
+    the floor-division trick assumes non-negative cent sums."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.sum((dec2(c, prec) * 100).cast("long"))  # exact cent sum
+    n = F.count(c)
+    x = s * 200 + n
+    y = n * 2
+    # Exact floor-div via (x - x mod y) / y: both operands are exactly
+    # representable doubles (< 2^53) and divide without remainder, so
+    # the double division is exact — no off-by-one-ulp floor hazard.
+    q = ((x - F.pmod(x, y)) / y).cast("long")
+    return q / F.lit(10000.0)

@@ -7,8 +7,9 @@ aggregation, windows, rollup/cube, set ops, scalar functions), each
 with a DuckDB oracle.
 
 Cross-engine determinism rules used throughout:
-* money sums ROUND(...,2), averages ROUND(...,4/6) — double summation
-  order differs between engines;
+* money sums/averages aggregate EXACT decimals and only then round —
+  rounding a double sum is order-sensitive and can flake the value
+  hash at some SF (see queries/exact.py for the full argument);
 * every integer-typed output cast to BIGINT (Spark's year()/size()/
   row_number() return INT, DuckDB's return BIGINT);
 * LIMIT always paired with a total ORDER BY tie-broken on a key.
@@ -19,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from reflinkcep_spark.queries.exact import dec2, exact_avg4, exact_sum2
 from reflinkcep_spark.sources import load_table
 
 
@@ -35,17 +37,18 @@ def _t(spark, sf_dir, name):
 
 def q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # 2-decimal inputs aggregated as exact decimals (see queries/exact.py)
+    disc_price = dec2("l_extendedprice") * (1 - dec2("l_discount", "decimal(3,2)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-06-30").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_sum2("l_quantity").alias("sum_qty"),
+            exact_sum2("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            exact_avg4("l_quantity").alias("avg_qty"),
+            exact_avg4("l_extendedprice").alias("avg_price"),
+            exact_avg4("l_discount", "decimal(3,2)").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -53,12 +56,16 @@ def q1_pricing_summary(spark, sf_dir):
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_qty,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE AS sum_base_price,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE AS sum_disc_price,
+       ((200 * SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+         + COUNT(l_quantity)) // (2 * COUNT(l_quantity))) / 10000.0 AS avg_qty,
+       ((200 * SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         + COUNT(l_extendedprice)) // (2 * COUNT(l_extendedprice))) / 10000.0 AS avg_price,
+       ((200 * SUM(CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT))
+         + COUNT(l_discount)) // (2 * COUNT(l_discount))) / 10000.0 AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-06-30'
@@ -74,9 +81,11 @@ def q3_top_orders(spark, sf_dir):
         F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
     )
     li = _t(spark, sf_dir, "lineitem")
-    revenue = F.round(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-    ).alias("revenue")
+    revenue = (
+        F.round(F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount", "decimal(3,2)"))), 2)
+        .cast("double")
+        .alias("revenue")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         # customer (filtered) is small → broadcast, no shuffle of lineitem side
@@ -90,7 +99,8 @@ def q3_top_orders(spark, sf_dir):
 
 SQL_Q3 = """
 SELECT o_orderkey AS order_key,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -121,8 +131,11 @@ def q5_nation_revenue(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount", "decimal(3,2)"))),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -130,7 +143,8 @@ def q5_nation_revenue(spark, sf_dir):
 
 SQL_Q5 = """
 SELECT n_name AS nation,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -155,16 +169,17 @@ def q6_revenue_delta(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(F.sum(dec2("l_extendedprice") * dec2("l_discount", "decimal(3,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
 
 
 SQL_Q6 = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(3,2))), 2)::DOUBLE AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
@@ -209,7 +224,7 @@ def q_rollup_order_priority(spark, sf_dir):
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            exact_sum2("o_totalprice").alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -224,7 +239,7 @@ SQL_ROLLUP = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price
+       ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -360,14 +375,16 @@ def q_orders_by_month(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            exact_avg4("o_totalprice").alias("avg_price"),
         )
     )
 
 
 SQL_BY_MONTH = """
 SELECT YEAR(o_orderdate) AS order_year, MONTH(o_orderdate) AS order_month,
-       COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 4) AS avg_price
+       COUNT(*) AS n_orders,
+       ((200 * SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         + COUNT(o_totalprice)) // (2 * COUNT(o_totalprice))) / 10000.0 AS avg_price
 FROM orders GROUP BY 1, 2
 """
 

@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from reflinkcep_spark.operators.asof import asof_join
+from reflinkcep_spark.queries.exact import exact_sum2
 from reflinkcep_spark.sources import load_table
 
 
@@ -35,7 +36,7 @@ def q_events_tumbling(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum2("value").alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
@@ -50,9 +51,103 @@ SQL_EVENTS_TUMBLING = """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_s,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS total_value
 FROM events
 GROUP BY 1, 2
+"""
+
+
+# --- sliding-window aggregation ---------------------------------------
+
+def q_events_sliding(spark, sf_dir):
+    """1-hour windows sliding every 15 minutes: each event lands in 4
+    overlapping windows.  Spark expands window membership map-side
+    (no join, no explode in user code) and partial-aggregates before
+    the one shuffle on (window, type) — the same plan shape as
+    tumbling, just 4x the pre-combine rows."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum2("value").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# Each event contributes to the 4 slide-aligned window starts in
+# (ts - 1h, ts]: floor-to-15-min minus k*15min, k = 0..3 — integer
+# microsecond arithmetic, no fractional-epoch hazard.
+SQL_EVENTS_SLIDING = """
+SELECT (epoch_us(ts) // 900000000 * 900 - k.k * 900) AS window_start_s,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS total_value
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+GROUP BY 1, 2
+"""
+
+
+# --- native session windows -------------------------------------------
+
+def q_session_windows(spark, sf_dir):
+    """Per-user sessions via Spark's native ``F.session_window`` (the
+    operator Structured Streaming uses for streaming sessionization)
+    with a 10-minute gap — complements q_user_sessions' manual
+    gaps-and-islands build of the same semantics.  One shuffle on
+    (user_id, window); session merging happens inside the aggregation.
+
+    ``session_window.end`` is last-event-time + gap, so ``end_s``
+    subtracts the gap back out to report the last event's second —
+    keeping the output expressible by both builds."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum2("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("start_s"),
+            (F.unix_timestamp(F.col("w.end")) - 600).alias("end_s"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# Same islands construction as SQL_USER_SESSIONS but with >= on the
+# gap test: a session window is [start, last + gap), so an event at
+# exactly last + gap starts a NEW session (Spark's half-open boundary).
+SQL_SESSION_WINDOWS = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
+                OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+sess AS (
+  SELECT user_id, us, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       (MIN(us) // 1000000)::BIGINT AS start_s,
+       (MAX(us) // 1000000)::BIGINT AS end_s,
+       COUNT(*) AS n_events,
+       ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS session_value
+FROM sess
+GROUP BY user_id, session_seq
 """
 
 
@@ -83,7 +178,7 @@ def q_user_sessions(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         (F.min("us") / 1_000_000).cast("long").alias("start_s"),
         (F.max("us") / 1_000_000).cast("long").alias("end_s"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        exact_sum2("value").alias("session_value"),
     )
 
 
@@ -106,7 +201,7 @@ SELECT user_id, session_seq,
        COUNT(*) AS n_events,
        (MIN(us) // 1000000)::BIGINT AS start_s,
        (MAX(us) // 1000000)::BIGINT AS end_s,
-       ROUND(SUM(value), 2) AS session_value
+       ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS session_value
 FROM sess
 GROUP BY 1, 2
 """
@@ -158,9 +253,18 @@ def q_events_props_json(spark, sf_dir):
         .agg(
             F.count("k").alias("n_with_k"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            _avg4_of_longs(F.sum("k"), F.count("k")).alias("avg_k"),
         )
     )
+
+
+def _avg4_of_longs(s, n):
+    """``ROUND(s/n, 4)`` half-up in exact BIGINT arithmetic — rounding
+    the double quotient can tie on a representable half-boundary where
+    the engines disagree (see queries/exact.py).  Positive domain."""
+    x = s * 20000 + n
+    y = n * 2
+    return ((x - F.pmod(x, y)) / y).cast("long") / F.lit(10000.0)
 
 
 SQL_EVENTS_PROPS_JSON = """
@@ -169,7 +273,9 @@ SELECT event_type,
        -- ::BIGINT on the SUM: DuckDB's SUM(BIGINT) yields HUGEINT,
        -- which hash-mismatches Spark's BIGINT even for equal values.
        SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-       ROUND(AVG(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
+       (((20000 * SUM(json_extract(props, '$.k')::BIGINT)
+          + COUNT(json_extract(props, '$.k')))::BIGINT
+         // (2 * COUNT(json_extract(props, '$.k'))))) / 10000.0 AS avg_k
 FROM events
 GROUP BY event_type
 """
@@ -177,14 +283,18 @@ GROUP BY event_type
 
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
+    "q_events_sliding": q_events_sliding,
     "q_user_sessions": q_user_sessions,
+    "q_session_windows": q_session_windows,
     "q_asof_last_click": q_asof_last_click,
     "q_events_props_json": q_events_props_json,
 }
 
 ORACLES = {
     "q_events_tumbling": SQL_EVENTS_TUMBLING,
+    "q_events_sliding": SQL_EVENTS_SLIDING,
     "q_user_sessions": SQL_USER_SESSIONS,
+    "q_session_windows": SQL_SESSION_WINDOWS,
     "q_asof_last_click": SQL_ASOF_LAST_CLICK,
     "q_events_props_json": SQL_EVENTS_PROPS_JSON,
 }

@@ -45,7 +45,7 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
                 gc.astype(float), wc.astype(float), rtol=0, atol=1e-9, equal_nan=True
             )
             if bad.any():
-                i = int(bad.idxmax())
+                i = int(bad.argmax())
                 problems.append(
                     f"col {col}: {int(bad.sum())} mismatches, first at row {i}: "
                     f"{gc[i]!r} != {wc[i]!r}"
