@@ -104,15 +104,19 @@ def token_jaccard_pairs(
 ) -> DataFrame:
     """Exact distinct-token Jaccard ≥ threshold, via inverted-index join.
 
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.  Note: with
-    ``max_df`` set, Jaccard is computed over the capped vocabulary.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.  See
+    :func:`_jaccard_from_features` for the ``max_df`` cap semantics.
     """
-    toks = df.select(
+    ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(distinct_tokens(F.col(text_col))).alias("tok"),
     )
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(distinct_tokens(F.col(text_col))).alias("n"),
+    )
     return _jaccard_from_features(
-        toks, "tok", threshold, max_df=max_df,
+        ex, "tok", threshold, sizes=sizes, max_df=max_df,
         n_docs=_n_docs(df) if max_df is not None else None,
     )
 
@@ -129,25 +133,28 @@ def ngram_jaccard_pairs(
     inverted-index join over shingles — the discriminative variant of
     :func:`token_jaccard_pairs` for small-vocabulary corpora.
 
-    ``max_df`` (default 10%) drops shingles present in more docs than
+    ``max_df`` (default 10%) caps shingles present in more docs than
     that fraction — without it a single ubiquitous shingle (a boiler-
     plate sentence, a license header) makes the posting-list expansion
-    quadratic in corpus size.  Jaccard is then computed over the capped
-    shingle sets; pass ``max_df=None`` for the uncapped exact join.
+    quadratic in corpus size.  See :func:`_jaccard_from_features` for
+    the exact cap semantics; pass ``max_df=None`` for the uncapped
+    exact join.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     # Shuffle 8-byte shingle hashes, not ~20-char strings: same exact
     # Jaccard (collision odds ~ |vocab|²/2⁶⁴), smaller exchange, faster
     # group-hashing — the right trade at any corpus size.
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("g"),
-    )
+    hashed = F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+    # The explode is FUSED into the same select as the shingle
+    # pipeline: staging the array through its own projection and
+    # exploding the alias measured 3× slower for the identical work
+    # (the staged array is materialized as an UnsafeArrayData row
+    # before the Generate instead of feeding it directly).
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(hashed).alias("g"))
+    sizes = df.select(F.col(id_col).alias("doc_id"), F.size(hashed).alias("n"))
     return _jaccard_from_features(
-        sh, "g", threshold, max_df=max_df,
+        ex, "g", threshold, sizes=sizes, max_df=max_df,
         n_docs=_n_docs(df) if max_df is not None else None,
     )
 
@@ -157,30 +164,41 @@ def _jaccard_from_features(
     feat_col: str,
     threshold: float,
     *,
+    sizes: DataFrame,
     max_df: float | None = None,
     n_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard ≥ threshold from an exploded (doc_id, feature)
-    frame.
+    frame plus a row-wise (doc_id, n) set-size frame.
 
     Inverted-index shape WITHOUT a self-join: group by feature into
-    posting lists ONCE, expand in-posting-list pairs JVM-side, count
-    co-occurrences, then attach set sizes via two joins on the (small)
-    aggregated frames.  The classic self-join on the feature column
-    evaluates the upstream feature pipeline twice and leaves build-side
-    choice to AQE (measured 2-11s flapping at sf0.1).
+    posting lists of PLAIN doc_id longs, expand in-list pairs
+    JVM-side, count co-occurrences, then attach the set sizes —
+    computed row-wise from the feature arrays, no aggregation — via
+    two joins against the (tiny, post-aggregation) pair frame.
+
+    Two shapes that look reasonable and measured worse at sf0.1:
+    * deriving sizes from the posting aggregate itself (the "share the
+      exchange" instinct): Spark refuses exchange reuse under
+      ``collect_list`` (flagged order-nondeterministic → ``sameResult``
+      fails), so every extra consumer silently re-runs the whole
+      scan→feature→explode→shuffle pipeline — 3 full scans, ~2× slower;
+    * carrying ``(doc_id, n_doc)`` structs inside the posting lists to
+      skip the size joins: the quadratic pair expansion then builds
+      4-field structs instead of 2-long structs in its innermost loop —
+      2.6× slower end-to-end.  The expansion is the hot loop; keep it
+      primitive.
+    The classic feature-column self-join is worse than either (build
+    side left to AQE, measured 2-11s flapping at sf0.1).
 
     Posting-list length is the quadratic knob of every inverted-index
     similarity join — Σ|posting|² work — so the ``max_df`` ubiquity cap
-    is applied HERE, as a filter on the posting-list aggregate itself
-    (``size(ids) <= max_df·n_docs``).  Both consumers (pair expansion
-    and per-doc set sizes) branch off that one aggregation, so the
-    expensive feature pipeline and its shuffle run once and the second
-    branch reads the exchange via ReusedExchange — a separate
-    hot-feature pass + anti-join was measured ~2× slower end-to-end at
-    sf0.1 because it re-evaluated the feature subtree per branch.
-    Per-doc sizes count the CAPPED vocabulary, keeping numerator and
-    denominator consistent.
+    filters the posting-list aggregate itself
+    (``size(ids) <= max_df·n_docs``).  Cap semantics: a capped feature
+    no longer counts as evidence of similarity (it leaves the
+    intersection) but still counts toward each document's size, so the
+    reported score is a LOWER bound of true Jaccard that ignores
+    boilerplate — with no hot features it is exactly true Jaccard.
     """
     posts = ex.groupBy(feat_col).agg(F.collect_list("doc_id").alias("ids"))
     if max_df is not None:
@@ -205,11 +223,6 @@ def _jaccard_from_features(
         .select(F.explode(pairs).alias("p"))
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sizes = (
-        posts.select(F.explode("ids").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
