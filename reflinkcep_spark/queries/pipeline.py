@@ -9,6 +9,7 @@ engine-specific hashes → rows-only checks.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from reflinkcep_spark.functions import dedup, multimodal, similarity, text
@@ -70,6 +71,32 @@ FROM (
   SELECT doc_a, doc_b, nc * 1.0 / (s1.n + s2.n - nc) AS j
   FROM c JOIN sizes s1 ON s1.doc_id = doc_a JOIN sizes s2 ON s2.doc_id = doc_b
 ) WHERE j >= 0.5
+"""
+
+
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the
+    n-gram-Jaccard pair graph, every member labeled with its cluster's
+    minimum doc id.  Pointer-jumping min-label propagation — the
+    oracle recomputes the transitive closure with a recursive CTE."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3)
+    return dedup.duplicate_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, w) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.w
+)
+SELECT u AS doc_id, LEAST(u, MIN(w))::BIGINT AS cluster_id
+FROM reach GROUP BY u
 """
 
 
@@ -192,6 +219,76 @@ WHERE bit_count(xor(a.f, b.f)) <= 3
 
 
 # --- text analysis ----------------------------------------------------
+
+def doc_top_terms(spark, sf_dir):
+    """Top-3 terms per document, ranked tf-idf-style but with a fully
+    integral ordering (tf DESC, document-frequency ASC — rarer term
+    wins ties — then term ASC): a float idf would hinge on the two
+    engines' libm producing bit-identical ln(), which is not a
+    contract worth betting an oracle on.
+
+    Scale shape: tf aggregates on (doc_id, term), document frequency
+    on term, one join co-keyed on term, then the per-doc top-k
+    window — every stage keyed, nothing collected."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rnk")
+    )
+
+
+SQL_DOC_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, term, tf, df, rnk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df ASC, tf.term ASC) AS rnk
+  FROM tf JOIN dfreq USING (term)
+) WHERE rnk <= 3
+"""
+
+
+def doc_hash_sample(spark, sf_dir):
+    """Deterministic, engine-portable 10% document sample: bucket by
+    an md5-derived 60-bit integer of the doc id and keep buckets 0-9
+    of 100.  Reproducible sampling is a pipeline primitive — the same
+    subset falls out on every engine, every run, every partitioning —
+    unlike rand()/TABLESAMPLE, which are engine- and plan-dependent.
+    Pure per-row filter: no shuffle, prunes to two columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.filter(bucket < 10).select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+SQL_DOC_HASH_SAMPLE = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> ''))::BIGINT AS n_tokens
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+"""
+
 
 def text_profile(spark, sf_dir):
     prof = text.text_profile(_docs(spark, sf_dir))
@@ -441,6 +538,7 @@ FROM documents
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_simhash": dedup_simhash,
@@ -448,6 +546,8 @@ QUERIES = {
     "text_profile": text_profile,
     "text_language": text_language,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
+    "doc_top_terms": doc_top_terms,
+    "doc_hash_sample": doc_hash_sample,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -458,6 +558,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact_groups": SQL_EXACT_GROUPS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_minhash_lsh_md5": SQL_MINHASH_LSH_MD5,
     "dedup_simhash_md5": SQL_SIMHASH_MD5,
     "sim_ann_lsh": _sql_sim_ann_lsh(),
@@ -465,6 +566,8 @@ ORACLES = {
     "text_profile": SQL_TEXT_PROFILE,
     "text_language": _sql_text_language(),
     "doc_rolling_fingerprint": SQL_ROLLING_FP,
+    "doc_top_terms": SQL_DOC_TOP_TERMS,
+    "doc_hash_sample": SQL_DOC_HASH_SAMPLE,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }

@@ -156,3 +156,21 @@ def test_max_df_cap_drops_ubiquitous_shingles(spark):
     uncapped = _pairs(dedup.ngram_jaccard_pairs(df, threshold=0.3, max_df=None))
     assert (100, 101) in uncapped
     assert any(a < 100 and b < 100 for a, b in uncapped)
+
+
+def test_duplicate_clusters_chain_clique_pair(spark):
+    """Pointer-jumping CC must label a 10-node chain (diameter 9 —
+    beyond plain propagation at 6 rounds), a clique, and an isolated
+    pair with each component's minimum id."""
+    pairs = [(i, i + 1) for i in range(1, 10)] + [
+        (20, 21), (20, 22), (21, 22), (30, 31),
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out = dict(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters(df).collect()
+    )
+    assert len(out) == 15
+    assert all(out[d] == 1 for d in range(1, 11))
+    assert all(out[d] == 20 for d in (20, 21, 22))
+    assert all(out[d] == 30 for d in (30, 31))
