@@ -35,8 +35,11 @@ HEADLINE = [
     "dedup_exact_groups",      # hash-groupBy dedup
     "dedup_ngram_jaccard",     # inverted-index set-similarity join
     "dedup_minhash_lsh",       # MinHash + banded LSH + verify
+    "dedup_clusters",          # iterative connected components
     "sim_cosine_topk",         # brute-force vector search
     "text_profile",            # higher-order-function text analysis
+    "doc_top_terms",           # tf/df join + per-doc top-k window
+    "q_events_sliding",        # overlapping-window aggregation
 ]
 
 

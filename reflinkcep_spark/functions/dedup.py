@@ -510,7 +510,7 @@ def simhash_pairs(
 
 def duplicate_clusters(
     pairs: DataFrame,
-    rounds: int = 6,
+    rounds: int = 4,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
 ) -> DataFrame:
@@ -530,10 +530,11 @@ def duplicate_clusters(
     label OF its label (``lbl ← L[lbl]``, monotonically
     non-increasing).  The jump step makes convergence logarithmic:
     after r rounds labels have propagated ≥ 2^r hops, so the default
-    6 rounds covers any component of diameter ≤ 64 — far beyond any
-    real duplicate cluster (near-clique by construction;
-    MinHash/SimHash chains add a few hops at most).  Raise ``rounds``
-    for adversarial chain graphs, or re-run on the output until a
+    4 rounds covers any component of diameter ≤ 16 — beyond any real
+    duplicate cluster (near-clique by construction; MinHash/SimHash
+    chains add a few hops at most), and each extra round doubles the
+    reach for three more small shuffles.  Raise ``rounds`` for
+    adversarial chain graphs, or re-run on the output until a
     fixpoint if unbounded diameters matter more than plan laziness.
 
     Every iterative DataFrame algorithm needs lineage truncation: the
@@ -551,6 +552,10 @@ def duplicate_clusters(
     edges = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    # The edge list is re-read every round; without its own checkpoint
+    # each neighbor join would re-run the whole upstream pair pipeline
+    # (measured 6× the n-gram index cost at sf0.1).
+    edges = edges.localCheckpoint(eager=False)
     # Closed-neighborhood min: each node starts at min(self, neighbors).
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
     for _ in range(rounds):
