@@ -39,14 +39,15 @@ _EMPTY_ATTRS: dict = {}
 class _Cfg:
     """A live run configuration."""
 
-    __slots__ = ("state", "env", "caps", "last_take", "eps_seen")
+    __slots__ = ("state", "env", "caps", "last_take", "eps_seen", "first")
 
-    def __init__(self, state, env, caps, last_take, eps_seen):
+    def __init__(self, state, env, caps, last_take, eps_seen, first=None):
         self.state = state
         self.env = env  # data-variable environment (copy-on-write)
         self.caps = caps  # {capture_name: cons-list (prev, event_pos)}
         self.last_take = last_take
         self.eps_seen = eps_seen  # states entered by ε this consume-step
+        self.first = first  # stamp of this run's first TAKEN event
 
 
 class Match:
@@ -81,9 +82,23 @@ class MatchEngine:
     between micro-batches).
     """
 
-    def __init__(self, automaton: Automaton, strategy: str = "NoSkip"):
+    def __init__(
+        self,
+        automaton: Automaton,
+        strategy: str = "NoSkip",
+        within: Optional[float] = None,
+    ):
+        """``within`` bounds the span between a run's first and last
+        TAKEN event, measured in the units of the ``stamp`` passed to
+        :meth:`feed` (row offsets by default; an event-time column in
+        the Spark kernel).  Runs whose window has closed are pruned
+        BEFORE each event — the same move as Flink CEP's ``within()``:
+        it both restricts matches and, critically, bounds live state
+        on streams where relaxed patterns would otherwise keep every
+        run alive forever."""
         self.aut = automaton
         self.strategy = strategy
+        self.within = within
         self.reset()
 
     def reset(self) -> None:
@@ -91,14 +106,28 @@ class MatchEngine:
         self.pos = 0  # 0-based offset of the next event
 
     # -- core ---------------------------------------------------------
-    def feed(self, ev_type: Optional[str], attrs: Mapping) -> list[Match]:
+    def feed(
+        self, ev_type: Optional[str], attrs: Mapping, stamp=None
+    ) -> list[Match]:
         aut = self.aut
         edges = aut.edges
         outputs = aut.outputs
         pos = self.pos
         self.pos = pos + 1
+        if stamp is None:
+            stamp = pos
 
         worklist = self.runs
+        within = self.within
+        if within is not None and worklist:
+            # A run whose first take is further back than `within` can
+            # never complete in-window again (stamps are monotone), so
+            # it is dead state: drop it before it does any work.
+            worklist = [
+                (k, c)
+                for k, c in worklist
+                if c.first is None or stamp - c.first <= within
+            ]
         self.runs = next_runs = []
         worklist.append(
             (pos, _Cfg(aut.start, aut.init_env, {}, False, {aut.start}))
@@ -115,7 +144,10 @@ class MatchEngine:
                     dst = e.dst
                     if dst in cfg.eps_seen:
                         continue
-                    nc = _Cfg(dst, env, cfg.caps, cfg.last_take, cfg.eps_seen | {dst})
+                    nc = _Cfg(
+                        dst, env, cfg.caps, cfg.last_take,
+                        cfg.eps_seen | {dst}, cfg.first,
+                    )
                     worklist.insert(i, (k, nc))
                 else:
                     if not e.matches(ev_type, attrs, env):
@@ -124,13 +156,16 @@ class MatchEngine:
                         new_env = e.update(attrs, env) if e.update else env
                         caps = dict(cfg.caps)
                         caps[e.sink] = (caps.get(e.sink), pos)
-                        nc = _Cfg(e.dst, new_env, caps, True, {e.dst})
+                        first = cfg.first if cfg.first is not None else stamp
+                        nc = _Cfg(e.dst, new_env, caps, True, {e.dst}, first)
                         next_runs.append((k, nc))
                         dug = self._dig_accept(nc)
                         if dug is not None:
                             next_runs.append((k, dug))
                     else:  # IGNORE
-                        nc = _Cfg(e.dst, env, cfg.caps, False, {e.dst})
+                        nc = _Cfg(
+                            e.dst, env, cfg.caps, False, {e.dst}, cfg.first
+                        )
                         next_runs.append((k, nc))
 
         return self._emit(pos)
@@ -199,15 +234,18 @@ def run_pattern(
     query: Query,
     events: Iterable[tuple[Optional[str], Mapping]],
     automaton: Automaton | None = None,
+    within: Optional[float] = None,
 ) -> list[dict]:
     """Run a query over an in-memory stream of ``(type, attrs)`` pairs.
 
     Returns one dict per match: ``{name: [attrs, ...]}`` with capture
     names in pattern order — the reference's ``Match`` output model
     (executor.py:7, omitted-empty-name rule DST.py:302-311).
+    ``within`` bounds first-to-last match span in ROW OFFSETS here
+    (no event time exists on in-memory streams).
     """
     aut = automaton if automaton is not None else compile_query(query)
-    engine = MatchEngine(aut, query.strategy)
+    engine = MatchEngine(aut, query.strategy, within)
     events = list(events)
     results: list[dict] = []
     for ev_type, attrs in events:

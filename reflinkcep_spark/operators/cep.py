@@ -65,6 +65,7 @@ def match_pattern(
     allow_fastpath: bool = True,
     max_active_runs: int = 100_000,
     on_limit: str = "raise",
+    within=None,
 ) -> DataFrame:
     """Run a CEP pattern query over a DataFrame of events.
 
@@ -93,6 +94,19 @@ def match_pattern(
         ``match_seq = -1`` (null bounds/captures) flags the key as
         truncated — at 100 TB one pathological hot key should mark
         itself, not abort the other billion keys' work.
+    within:
+        Bound the span between a match's first and last event, in the
+        UNITS OF ``order_by`` (which must then be numeric — e.g.
+        microseconds for ``unix_micros(ts)``, positions for a
+        sequence number).  Flink CEP's ``within()``: besides
+        restricting matches, it prunes expired runs before every
+        event, bounding live state on keys where relaxed patterns
+        would otherwise accumulate runs without limit.  The fast-path
+        planner stays eligible under NoSkip — its emission set equals
+        the kernel's, so the bound is applied as an equivalent span
+        post-filter; under skip strategies the kernel runs, because
+        suppressing an over-long match can change WHICH match a skip
+        strategy emits, which no post-filter can reproduce.
     """
     if on_limit not in ("raise", "truncate"):
         raise ValueError(f"on_limit must be 'raise' or 'truncate', got {on_limit!r}")
@@ -109,7 +123,7 @@ def match_pattern(
     if type_col is not None and type_col not in attr_cols:
         attr_cols.append(type_col)
 
-    if allow_fastpath:
+    if allow_fastpath and (within is None or query.strategy == "NoSkip"):
         from reflinkcep_spark.operators.fastpath import try_fast_path
 
         fast = try_fast_path(
@@ -121,6 +135,13 @@ def match_pattern(
             attr_cols=attr_cols,
         )
         if fast is not None:
+            if within is not None:
+                # NoSkip emission == kernel emission (differentially
+                # pinned), and kernel-with-within == kernel filtered
+                # to span <= within, so the bound composes as a filter.
+                fast = fast.filter(
+                    (F.col("end_ord") - F.col("start_ord")) <= F.lit(within)
+                )
             return fast
 
     # Column pruning before the shuffle: ship only what the kernel reads.
@@ -159,11 +180,11 @@ def match_pattern(
         else:
             types = [sole_type] * len(records)
 
-        engine = MatchEngine(automaton, strategy)
+        engine = MatchEngine(automaton, strategy, within)
         rows = []
         match_seq = 0
         for ev_type, attrs in zip(types, records):
-            for m in engine.feed(ev_type, attrs):
+            for m in engine.feed(ev_type, attrs, attrs[order_by]):
                 row = dict(key_values)
                 row["match_seq"] = match_seq
                 captured = m.captures

@@ -671,6 +671,74 @@ WHERE s.event_type = 'signup' AND b.next_err IS NOT NULL
 """
 
 
+# --- within-bounded funnel: Flink CEP's within(), beyond the reference
+
+FUNNEL_YAML = """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left:
+    type: combine
+    contiguity: relaxed
+    left:
+      type: spat
+      name: reg
+      event: signup
+      cndt: {expr: "True"}
+    right:
+      type: spat
+      name: buy
+      event: purchase
+      cndt: {expr: value > 50}
+  right:
+    type: spat
+    name: err
+    event: error
+    cndt: {expr: "True"}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+"""
+
+
+def cep_funnel_within(spark, sf_dir):
+    """The 3-step funnel bounded to complete WITHIN 100 event ids of
+    its first event — Flink CEP's ``within()``, which the reference
+    lacks (it has no notion of time/span at all).  Besides restricting
+    matches, ``within`` is the state bound that keeps relaxed-pattern
+    run-sets from growing without limit on hot keys.  Under NoSkip the
+    fast-path plan stays eligible (span bound applied as an
+    emission-equivalent filter); the kernel enforces the same bound by
+    pruning expired runs, and the test suite pins both paths equal."""
+    out = _run(spark, sf_dir, FUNNEL_YAML, within=100)
+    return out.select(
+        "user_id",
+        _cap("reg")["event_id"].alias("signup_id"),
+        _cap("buy")["event_id"].alias("purchase_id"),
+        _cap("err")["event_id"].alias("error_id"),
+    )
+
+
+SQL_FUNNEL_WITHIN = """
+WITH nb AS (
+  SELECT user_id, event_id, event_type,
+         MIN(CASE WHEN event_type = 'purchase' AND value > 50 THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_buy,
+         MIN(CASE WHEN event_type = 'error' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err
+  FROM events
+)
+SELECT s.user_id, s.event_id AS signup_id, s.next_buy AS purchase_id,
+       b.next_err AS error_id
+FROM nb s
+JOIN nb b ON b.user_id = s.user_id AND b.event_id = s.next_buy
+WHERE s.event_type = 'signup' AND b.next_err IS NOT NULL
+  AND b.next_err - s.event_id <= 100
+"""
+
+
 # --- strict lpat-inf: all runs of consecutive errors -----------------
 
 def cep_error_runs(spark, sf_dir):
@@ -932,6 +1000,7 @@ FROM s WHERE event_type = 'error' AND next_type = 'purchase'
 QUERIES = {
     "cep_high_purchases": cep_high_purchases,
     "cep_funnel_3step": cep_funnel_3step,
+    "cep_funnel_within": cep_funnel_within,
     "cep_error_runs": cep_error_runs,
     "cep_purchase_then_error": cep_purchase_then_error,
     "cep_error_triples": cep_error_triples,
@@ -951,6 +1020,7 @@ QUERIES = {
 ORACLES = {
     "cep_high_purchases": SQL_HIGH_PURCHASES,
     "cep_funnel_3step": SQL_FUNNEL_3STEP,
+    "cep_funnel_within": SQL_FUNNEL_WITHIN,
     "cep_error_runs": SQL_ERROR_RUNS,
     "cep_purchase_then_error": SQL_PURCHASE_THEN_ERROR,
     "cep_error_triples": SQL_ERROR_TRIPLES,

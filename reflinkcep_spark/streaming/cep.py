@@ -68,7 +68,7 @@ def _save_engine(
     engine: MatchEngine, match_seq: int, buffer: dict, pending: list
 ) -> bytes:
     runs = [
-        (k, (c.state, c.env, c.caps, c.last_take, tuple(c.eps_seen)))
+        (k, (c.state, c.env, c.caps, c.last_take, tuple(c.eps_seen), c.first))
         for k, c in engine.runs
     ]
     return pickle.dumps((engine.pos, runs, match_seq, buffer, pending), protocol=5)
@@ -78,8 +78,8 @@ def _load_engine(blob: bytes, engine: MatchEngine) -> tuple[int, dict, list]:
     pos, runs, match_seq, buffer, pending = pickle.loads(blob)
     engine.pos = pos
     engine.runs = [
-        (k, _Cfg(state, env, caps, last_take, set(eps)))
-        for k, (state, env, caps, last_take, eps) in runs
+        (k, _Cfg(state, env, caps, last_take, set(eps), first))
+        for k, (state, env, caps, last_take, eps, first) in runs
     ]
     return match_seq, buffer, pending
 
@@ -95,6 +95,7 @@ def match_pattern_stream(
     max_active_runs: int = 100_000,
     idle_timeout_ms: int | None = None,
     event_time_col: str | None = None,
+    within=None,
 ) -> DataFrame:
     """Run a CEP pattern query over a *streaming* DataFrame.
 
@@ -110,6 +111,12 @@ def match_pattern_stream(
     ``event_time_col`` enables the watermark-gated reorder buffer (see
     module docstring): pass the timestamp column AND apply
     ``df.withWatermark(event_time_col, delay)`` before calling.
+
+    ``within`` bounds first-to-last match span in the units of the
+    (numeric) ``order_by`` column, exactly as in the batch operator —
+    on a stream it is ALSO the state bound that keeps a key's run-set
+    from growing with stream lifetime (complementing the processing-
+    time ``idle_timeout_ms``, which only reaps whole idle keys).
     """
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     if not keys:
@@ -154,7 +161,7 @@ def match_pattern_stream(
         rows: list[dict] = []
         for ev_type, rec in incoming:
             buffer[engine.pos] = rec
-            for m in engine.feed(ev_type, rec):
+            for m in engine.feed(ev_type, rec, rec[order_by]):
                 row = dict(key_values)
                 row["match_seq"] = match_seq
                 all_pos = [p for idxs in m.captures.values() for p in idxs]
@@ -185,7 +192,7 @@ def match_pattern_stream(
             # events (and their matches) would vanish with the state.
             rows: list[dict] = []
             if event_time_col is not None and state.exists:
-                engine = MatchEngine(automaton, strategy)
+                engine = MatchEngine(automaton, strategy, within)
                 match_seq, buffer, pending = _load_engine(state.get[0], engine)
                 wm = state.getCurrentWatermarkMs()
                 ready = sorted(
@@ -205,7 +212,7 @@ def match_pattern_stream(
                 yield pd.DataFrame(rows, columns=out_columns)
             return
 
-        engine = MatchEngine(automaton, strategy)
+        engine = MatchEngine(automaton, strategy, within)
         match_seq, buffer, pending = 0, {}, []
         if state.exists:
             match_seq, buffer, pending = _load_engine(state.get[0], engine)

@@ -224,3 +224,88 @@ def test_hot_key_truncates_instead_of_dying(spark):
     expected_cold = run_pattern(q, [("e", {"id": i + 1, "name": 1, "price": 1}) for i in range(3)])
     assert len(cold_rows) == len(expected_cold)
     assert all(r["match_seq"] >= 0 for r in cold_rows)
+
+
+# --- within: span-bounded matching (Flink CEP within(), beyond ref) ---
+
+FUNNEL_WITHIN_YAML = """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left:
+    type: spat
+    name: a
+    event: signup
+    cndt: {expr: "True"}
+  right:
+    type: spat
+    name: b
+    event: purchase
+    cndt: {expr: "True"}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+"""
+
+
+def test_within_bounds_matches_and_state():
+    """Row-offset within on the pure engine: matches whose span exceeds
+    the bound disappear, and expired runs are pruned from live state."""
+    from reflinkcep_spark.cep.compiler import compile_query
+    from reflinkcep_spark.cep.query import Query
+    from reflinkcep_spark.cep.runtime import MatchEngine, run_pattern
+
+    q = Query.from_yaml(FUNNEL_WITHIN_YAML)
+    stream = [("signup", {"id": 0})] + [
+        ("view", {"id": i}) for i in range(1, 10)
+    ] + [("purchase", {"id": 10})]
+
+    assert len(run_pattern(q, stream)) == 1  # unbounded: matches
+    assert len(run_pattern(q, stream, within=10)) == 1  # span == 10: kept
+    assert len(run_pattern(q, stream, within=9)) == 0  # span 10 > 9: gone
+
+    # State bound: with within=3 the signup-run dies after 3 events.
+    engine = MatchEngine(compile_query(q), q.strategy, within=3)
+    for ev in stream:
+        engine.feed(*ev)
+    # Only fresh/young runs survive; the long-expired signup run is gone.
+    assert all(
+        c.first is None or engine.pos - 1 - c.first <= 3
+        for _, c in engine.runs
+    )
+
+
+def test_within_fastpath_equals_kernel(spark):
+    """The NoSkip fast path with the span post-filter must emit exactly
+    the kernel's within-pruned match set on real data."""
+    from pyspark.sql import functions as F
+
+    from reflinkcep_spark.cep.query import Query
+    from reflinkcep_spark.operators import match_pattern
+    from reflinkcep_spark.sources import load_table
+
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    q = Query.from_yaml(FUNNEL_WITHIN_YAML)
+
+    def run(fast):
+        df = match_pattern(
+            ev, q, order_by="event_id", partition_by="user_id",
+            within=50, allow_fastpath=fast,
+        ).select(
+            "user_id",
+            F.element_at("a", 1)["event_id"].alias("a_id"),
+            F.element_at("b", 1)["event_id"].alias("b_id"),
+        )
+        return sorted(tuple(r) for r in df.collect())
+
+    fast, kernel = run(True), run(False)
+    assert fast == kernel
+    assert fast  # the bound leaves some matches at sf0.001
+    unbounded = match_pattern(
+        ev, q, order_by="event_id", partition_by="user_id"
+    ).count()
+    assert len(fast) < unbounded  # and removes others
