@@ -91,3 +91,57 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for ``spark.sql`` use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_events(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str = "parquet",
+    schema=None,
+    ts_col: str | None = None,
+    **options,
+) -> DataFrame:
+    """Format-agnostic event-stream reader: parquet (default), CSV,
+    JSON Lines, or ORC.
+
+    Text formats get the safety rails they need at scale:
+
+    * CSV/JSON demand an explicit ``schema`` (DDL string or
+      StructType) — schema inference reads the whole input once
+      before the job even starts, which is a silent extra pass over
+      100 TB;
+    * malformed rows land in a ``_corrupt_record`` column (PERMISSIVE
+      mode) instead of killing the job — filter or count them as a
+      data-quality step;
+    * CSV defaults to ``header=true``.
+
+    ``ts_col`` optionally names a BIGINT nanosecond column to convert
+    to a proper microsecond timestamp (exact integer division — see
+    ``load_table``).
+    """
+    fmt = format.lower()
+    if fmt not in ("parquet", "csv", "json", "orc"):
+        raise ValueError(f"unsupported event source format: {format!r}")
+    reader = spark.read
+    if fmt in ("csv", "json"):
+        if schema is None:
+            raise ValueError(
+                f"{fmt} sources require an explicit schema: inference "
+                "is a full extra pass over the input"
+            )
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+        if fmt == "csv":
+            reader = reader.option("header", options.pop("header", "true"))
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.format(fmt).load(path)
+    if ts_col is not None and dict(df.dtypes).get(ts_col) == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df
