@@ -31,23 +31,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in the parquet footer, which
-        # Spark rejects outright (PARQUET_TYPE_ILLEGAL) unless told to
-        # read nanos as BIGINT.  The conf is dynamic (SQLConf), so set
-        # it here too — the driver harness calls us with its OWN
-        # session, which won't have gone through get_spark().
+        # events.ts has shipped as TIMESTAMP(NANOS) in some testdata
+        # generations, which Spark rejects outright
+        # (PARQUET_TYPE_ILLEGAL) unless told to read nanos as BIGINT.
+        # The conf is dynamic (SQLConf), so set it here too — the
+        # driver harness calls us with its OWN session, which won't
+        # have gone through get_spark().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Restore a real timestamp from the nanosecond BIGINT so event-time
-    # semantics and oracle comparisons line up.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # Integer division: `ts / 1000` would promote the ~1.7e18 BIGINT
-        # to double (2^53 mantissa) and silently perturb ~1.6% of
-        # microsecond values by ±1, shifting event-time ordering and
-        # window/session boundaries vs engines that truncate exactly.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Restore a real timestamp from the nanosecond BIGINT so
+            # event-time semantics and oracle comparisons line up.
+            # Integer division: `ts / 1000` would promote the ~1.7e18
+            # BIGINT to double (2^53 mantissa) and silently perturb
+            # ~1.6% of microsecond values by ±1, shifting event-time
+            # ordering and window/session boundaries vs engines that
+            # truncate exactly.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) footers read as
+            # TIMESTAMP_NTZ, which unix_micros()/unix_timestamp()
+            # reject.  DuckDB treats the same naive value as UTC, so
+            # pin the session zone before the NTZ->TIMESTAMP cast:
+            # epoch extraction then agrees bit-for-bit across engines
+            # regardless of the host timezone the driver session has.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -140,8 +153,15 @@ def read_events(
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.format(fmt).load(path)
-    if ts_col is not None and dict(df.dtypes).get(ts_col) == "bigint":
+    if ts_col is not None:
         from pyspark.sql import functions as F
 
-        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+        ts_type = dict(df.dtypes).get(ts_col)
+        if ts_type == "bigint":
+            df = df.withColumn(
+                ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
