@@ -108,8 +108,10 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 def _signature(vec_col, planes: list[list[float]]):
     bits = None
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        # One Literal node per plane (not 1 per coordinate) — keeps the
+        # expression tree small so analysis/codegen stays cheap even at
+        # high n_planes × dim.
+        bit = F.when(_dot(vec_col, F.lit(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bits = bit if bits is None else bits.bitwiseOR(bit)
     return bits.cast("int")
 
@@ -165,6 +167,44 @@ def lsh_ann_topk(
     )
 
 
+def _fit_centroids(X, n_cells: int, seed: int, iters: int = 25):
+    """KMeans on a bounded in-memory sample: k-means++ seeding + Lloyd
+    iterations, fully vectorized numpy.  Deterministic given ``seed``.
+    Empty cells are reseeded to the point farthest from its centroid."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    k = min(n_cells, n)
+    # k-means++ seeding
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        idx = rng.choice(n, p=d2 / tot) if tot > 0 else rng.randint(n)
+        centers[j] = X[idx]
+        d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(axis=1))
+    # Lloyd
+    x2 = (X**2).sum(axis=1)[:, None]
+    for _ in range(iters):
+        d = x2 - 2.0 * (X @ centers.T) + (centers**2).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        moved = False
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                nc = members.mean(axis=0)
+            else:  # reseed an empty cell to the worst-served point
+                nc = X[d.min(axis=1).argmax()]
+            if not np.array_equal(nc, centers[j]):
+                centers[j] = nc
+                moved = True
+        if not moved:
+            break
+    return centers
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -173,7 +213,7 @@ def ivf_ann_topk(
     nprobe: int = 4,
     seed: int = 42,
     fit_sample: float | None = None,
-    max_fit_rows: int = 1_000_000,
+    max_fit_rows: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -182,28 +222,33 @@ def ivf_ann_topk(
     ``nprobe`` nearest centroids and is rescored exactly (cosine) inside
     the probed cells only — candidates ≈ corpus · nprobe / n_cells.
 
-    The quantizer fit is Spark ML KMeans, bounded to ``max_fit_rows``
-    (default 1M) — a coarse quantizer needs a sample, not the corpus;
-    an unbounded fit would run an iterative full-corpus ML job in front
-    of every query at 100 TB.  Cell ASSIGNMENT stays exact for the full
-    corpus regardless (a per-row nearest-centroid expression).  Pass
-    ``fit_sample`` (a fraction) for an unbiased sample on top of the
-    row cap.  The (tiny) centroid table rides into the query plan as
-    literals, so probing is JVM-side expression work, no extra join.
+    The quantizer trains on a BOUNDED sample (default 256 rows per
+    cell, the standard IVF training budget), collected once through
+    Arrow and fit with vectorized numpy Lloyd's on the driver — a
+    coarse quantizer needs a sample, not the corpus, and a distributed
+    iterative ML job (one Spark job per Lloyd iteration) in front of
+    every query is pure scheduling overhead at any scale.  Cell
+    ASSIGNMENT stays exact for the full corpus regardless (a per-row
+    nearest-centroid expression).  Pass ``fit_sample`` (a fraction) for
+    an unbiased sample instead of the first-rows default; the row cap
+    always applies.  The (tiny) centroid table rides into the query
+    plan as literals, so probing is JVM-side expression work, no extra
+    join.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     c = _as_double(corpus, vec_col)
+    if max_fit_rows is None:
+        max_fit_rows = 256 * n_cells
     fit_input = c.sample(fit_sample, seed=seed) if fit_sample else c
-    if max_fit_rows is not None:
-        fit_input = fit_input.limit(max_fit_rows)
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="__vec", predictionCol="cell"
-    ).fit(fit_input.select(array_to_vector(F.col(vec_col)).alias("__vec")))
-
-    centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in centers])
+    sample = fit_input.select(F.col(vec_col).alias("__v")).limit(max_fit_rows)
+    X = np.array(sample.toPandas()["__v"].tolist(), dtype=np.float64)
+    centers = [
+        [float(x) for x in ctr] for ctr in _fit_centroids(X, n_cells, seed)
+    ]
+    # Single nested-array Literal: n_cells × dim doubles as ONE plan
+    # node instead of thousands — plan analysis/codegen time collapses.
+    cent_arr = F.lit(centers)
 
     def _sq_dist(a, b):
         return F.aggregate(
