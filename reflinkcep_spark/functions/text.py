@@ -23,6 +23,9 @@ __all__ = [
     "rolling_fingerprint",
     "quality_score",
     "language_scores",
+    "ngrams",
+    "max_multiplicity",
+    "repetition_profile",
     "text_profile",
     "BPE_ISH_PATTERN",
     "STOPWORDS",
@@ -126,6 +129,90 @@ def language_id(col: Column, *, tokenized: bool = False) -> Column:
     )
     best = F.array_max(pairs)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Adjacent word n-grams (with multiplicity) from a token array."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in a string array — computed
+    per row as sort + longest-equal-run fold, so repetition statistics
+    need no explode/groupBy shuffle (the classic plan would shuffle one
+    row per n-gram: at 100 TB that's the whole corpus re-keyed just to
+    take a per-document max)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition filters, per document:
+
+    * ``ttr`` — type-token ratio (distinct/total tokens; low = loopy
+      degenerate text),
+    * ``top_token_frac`` — share of the single most frequent token,
+    * ``top_2gram_frac`` — share of the most frequent adjacent 2-gram
+      among all 2-gram slots,
+    * ``dup_2gram_frac`` — fraction of 2-gram slots that are repeats of
+      an earlier 2-gram,
+    * ``keep`` — the composite filter verdict.
+
+    All ratios are raw int/int double divisions (correctly-rounded IEEE
+    quotients of exact integers — bit-identical on any engine, no
+    ROUND() tie-break hazard).  Thresholds follow the published Gopher
+    rules in spirit, adapted to token (not character) shares.  The
+    whole thing is one shuffle-free projection: sort+fold per row
+    instead of explode+groupBy (see :func:`max_multiplicity`).
+    """
+    toks = tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        ngrams(toks, 2).alias("__g2"),
+    )
+    n_tok = F.size("__t")
+    n_g2 = F.size("__g2")
+    ttr = F.size(F.array_distinct("__t")) / n_tok
+    top_tok = max_multiplicity(F.col("__t")) / n_tok
+    top_g2 = F.when(n_g2 > 0, max_multiplicity(F.col("__g2")) / n_g2).otherwise(
+        F.lit(0.0)
+    )
+    dup_g2 = F.when(
+        n_g2 > 0, (n_g2 - F.size(F.array_distinct("__g2"))) / n_g2
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        ttr.alias("ttr"),
+        top_tok.alias("top_token_frac"),
+        top_g2.alias("top_2gram_frac"),
+        dup_g2.alias("dup_2gram_frac"),
+        (
+            (n_tok >= 10)
+            & (ttr >= 0.3)
+            & (top_tok <= 0.2)
+            & (dup_g2 <= 0.2)
+        ).alias("keep"),
+    )
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

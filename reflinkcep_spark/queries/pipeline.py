@@ -325,6 +325,64 @@ FROM base
 """
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (type-token ratio, top token /
+    top 2-gram share, duplicate-2-gram fraction, composite keep flag)
+    as one shuffle-free projection; the oracle recomputes every ratio
+    with unnest + GROUP BY."""
+    return text.repetition_profile(_docs(spark, sf_dir))
+
+
+# Ratios are raw int/int double divisions on both sides (no ROUND):
+# correctly-rounded IEEE quotients of exact integers are bit-identical
+# across engines, while ROUND()ing could tie-break differently on
+# representable half-boundaries (see queries/exact.py).
+SQL_TEXT_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              ELSE []::VARCHAR[] END AS g2
+  FROM base
+),
+tok_top AS (
+  SELECT doc_id, MAX(c) AS mx FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM g) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+g2_top AS (
+  SELECT doc_id, MAX(c) AS mx FROM (
+    SELECT doc_id, gr, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gr FROM g) GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT g.doc_id,
+       g.n::BIGINT AS n_tokens,
+       len(list_distinct(g.t)) / g.n AS ttr,
+       tt.mx / g.n AS top_token_frac,
+       CASE WHEN len(g.g2) > 0 THEN gt.mx / len(g.g2) ELSE 0.0 END
+         AS top_2gram_frac,
+       CASE WHEN len(g.g2) > 0
+            THEN (len(g.g2) - len(list_distinct(g.g2))) / len(g.g2)
+            ELSE 0.0 END AS dup_2gram_frac,
+       (g.n >= 10
+        AND len(list_distinct(g.t)) / g.n >= 0.3
+        AND tt.mx / g.n <= 0.2
+        AND (CASE WHEN len(g.g2) > 0
+                  THEN (len(g.g2) - len(list_distinct(g.g2))) / len(g.g2)
+                  ELSE 0.0 END) <= 0.2) AS keep
+FROM g
+LEFT JOIN tok_top tt USING (doc_id)
+LEFT JOIN g2_top gt USING (doc_id)
+"""
+
+
 def text_language(spark, sf_dir):
     """Heuristic stopword language ID: per-language hit ratio over the
     distinct token set, argmax with (score, lang) tie-break."""
@@ -544,6 +602,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_md5": dedup_simhash_md5,
     "text_profile": text_profile,
+    "text_repetition": text_repetition,
     "text_language": text_language,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "doc_top_terms": doc_top_terms,
@@ -564,6 +623,7 @@ ORACLES = {
     "sim_ann_lsh": _sql_sim_ann_lsh(),
     "sim_embedding_neardup": _sql_sim_embedding_neardup(),
     "text_profile": SQL_TEXT_PROFILE,
+    "text_repetition": SQL_TEXT_REPETITION,
     "text_language": _sql_text_language(),
     "doc_rolling_fingerprint": SQL_ROLLING_FP,
     "doc_top_terms": SQL_DOC_TOP_TERMS,

@@ -174,3 +174,34 @@ def test_duplicate_clusters_chain_clique_pair(spark):
     assert all(out[d] == 1 for d in range(1, 11))
     assert all(out[d] == 20 for d in (20, 21, 22))
     assert all(out[d] == 30 for d in (30, 31))
+
+
+def test_ngrams_and_max_multiplicity(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b a b a",), ("x",), ("",)], "text string")
+    out = df.select(
+        text.ngrams(text.tokens(F.col("text")), 2).alias("g2"),
+        text.max_multiplicity(text.tokens(F.col("text"))).alias("mx"),
+    ).collect()
+    assert out[0]["g2"] == ["a b", "b a", "a b", "b a"]  # multiplicity kept
+    assert out[0]["mx"] == 3  # 'a' occurs 3 times
+    assert out[1]["g2"] == [] and out[1]["mx"] == 1
+    assert out[2]["g2"] == [] and out[2]["mx"] == 0  # empty token array
+
+
+def test_repetition_profile_flags_degenerate_docs(spark):
+    rows = [
+        (1, "spam " * 50),                     # one token repeated: ttr→0
+        (2, " ".join(f"w{i}" for i in range(50))),  # all distinct: keep
+        (3, "a b " * 25),                      # two tokens alternating
+        (4, "tiny doc"),                       # n_tokens < 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_profile(df).collect()}
+    assert not out[1]["keep"] and out[1]["ttr"] == 1 / 50
+    assert out[1]["top_token_frac"] == 1.0 and out[1]["dup_2gram_frac"] == 48 / 49
+    assert out[2]["keep"] and out[2]["ttr"] == 1.0
+    assert out[2]["top_2gram_frac"] == 1 / 49 and out[2]["dup_2gram_frac"] == 0.0
+    assert not out[3]["keep"] and out[3]["top_token_frac"] == 0.5
+    assert not out[4]["keep"] and out[4]["n_tokens"] == 2
