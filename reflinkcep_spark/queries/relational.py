@@ -406,6 +406,99 @@ FROM lineitem
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over):
+    per (flag, status), per flag, and grand total in ONE pass — Spark
+    expands the sets map-side and partial-aggregates before the single
+    shuffle, exactly like rollup/cube."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum2("l_quantity").alias("sum_qty"),
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_quantity_percentiles(spark, sf_dir):
+    """Exact discrete percentiles per group: ``percentile_disc`` picks a
+    real element of the distribution (first value with cumulative
+    distribution ≥ p), so the result is engine-portable — unlike
+    interpolating percentiles, whose float arithmetic isn't a
+    cross-engine contract.  One shuffle on the group key; the per-group
+    sort happens inside the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    pd_ = lambda p: F.expr(  # noqa: E731
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_quantity)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        pd_(0.5).alias("p50"),
+        pd_(0.9).alias("p90"),
+        pd_(0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.5) AS p50,
+       quantile_disc(l_quantity, 0.9) AS p90,
+       quantile_disc(l_quantity, 0.99) AS p99,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_above_nation_avg(spark, sf_dir):
+    """Correlated scalar subqueries through the SQL front end: customers
+    whose balance exceeds their nation's average, counted per nation.
+    Catalyst decorrelates both subqueries into aggregate+join — the
+    plan contains no per-row subquery execution (explain shows one
+    aggregation of customer joined back to customer).
+
+    The comparison is ``balance · n > Σ balance`` in exact DECIMAL
+    arithmetic on both engines — an average-of-doubles cutoff would be
+    summation-order-sensitive exactly at the boundary (see
+    queries/exact.py)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__rs_customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS n_above
+        FROM __rs_customer c
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM __rs_customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                 FROM __rs_customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey
+        """
+    )
+
+
+SQL_ABOVE_NATION_AVG = """
+SELECT c_nationkey, COUNT(*) AS n_above
+FROM customer c
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+      * (SELECT COUNT(*) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+         FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -421,6 +514,9 @@ QUERIES = {
     "q_scalar_functions": q_scalar_functions,
     "q_orders_by_month": q_orders_by_month,
     "q_distinct_counts": q_distinct_counts,
+    "q_grouping_sets": q_grouping_sets,
+    "q_quantity_percentiles": q_quantity_percentiles,
+    "q_above_nation_avg": q_above_nation_avg,
 }
 
 ORACLES = {
@@ -438,4 +534,7 @@ ORACLES = {
     "q_scalar_functions": SQL_SCALAR,
     "q_orders_by_month": SQL_BY_MONTH,
     "q_distinct_counts": SQL_DISTINCT,
+    "q_grouping_sets": SQL_GROUPING_SETS,
+    "q_quantity_percentiles": SQL_PERCENTILES,
+    "q_above_nation_avg": SQL_ABOVE_NATION_AVG,
 }

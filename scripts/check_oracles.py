@@ -39,27 +39,20 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     for col in g.columns:
         gc, wc = g[col], w[col]
         if gc.dtype.kind == "f" or wc.dtype.kind == "f":
-            import numpy as np
-
-            bad = ~np.isclose(
-                gc.astype(float), wc.astype(float), rtol=0, atol=1e-9, equal_nan=True
-            )
-            if bad.any():
-                i = int(bad.argmax())
-                problems.append(
-                    f"col {col}: {int(bad.sum())} mismatches, first at row {i}: "
-                    f"{gc[i]!r} != {wc[i]!r}"
-                )
+            # EXACT float equality (NaN==NaN): the driver hashes raw
+            # values, so a tolerance here would hide real gate failures.
+            gf, wf = gc.astype(float), wc.astype(float)
+            neq = ~((gf == wf) | (gf.isna() & wf.isna()))
         else:
-            neq = gc.astype(object).where(gc.notna(), None) != wc.astype(object).where(
-                wc.notna(), None
+            # Elementwise != treats two nulls as different; mask
+            # both-null positions explicitly.
+            neq = (gc != wc) & ~(gc.isna() & wc.isna())
+        if neq.any():
+            i = int(neq.to_numpy().argmax())
+            problems.append(
+                f"col {col}: {int(neq.sum())} mismatches, first at row {i}: "
+                f"{gc[i]!r} != {wc[i]!r}"
             )
-            if neq.any():
-                i = int(neq.idxmax())
-                problems.append(
-                    f"col {col}: {int(neq.sum())} mismatches, first at row {i}: "
-                    f"{gc[i]!r} != {wc[i]!r}"
-                )
     return problems
 
 
