@@ -38,7 +38,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dec2", "exact_sum2", "exact_avg4"]
+__all__ = [
+    "dec2",
+    "cents",
+    "exact_sum2",
+    "exact_avg4",
+    "unit4_revenue",
+    "unit4_product",
+    "exact_sum2_from_unit4",
+]
 
 
 def dec2(col, prec: str = "decimal(18,2)") -> Column:
@@ -47,9 +55,45 @@ def dec2(col, prec: str = "decimal(18,2)") -> Column:
     return c.cast(prec)
 
 
+def cents(col) -> Column:
+    """Exact integer cents of a 2-decimal-digit double column."""
+    return (dec2(col) * 100).cast("long")
+
+
 def exact_sum2(col) -> Column:
-    """``ROUND(SUM(col), 2)`` with an exact decimal accumulator."""
-    return F.round(F.sum(dec2(col)), 2).cast("double")
+    """``ROUND(SUM(col), 2)`` with an exact integer-cent accumulator.
+
+    Equivalent bits to the decimal spelling (the sum is the same exact
+    rational; BigDecimal→double and long/100.0 are both its correctly-
+    rounded image) but ~2× faster: the aggregation loop does LONG adds
+    inside codegen instead of checked decimal adds (measured 1.0 s →
+    0.55 s on the sf0.1 pricing summary).  The DuckDB oracle spelling
+    stays ``ROUND(SUM(CAST(c AS DECIMAL(18,2))), 2)::DOUBLE``.
+    """
+    return F.sum(cents(col)) / F.lit(100.0)
+
+
+def unit4_revenue(price_col, disc_col) -> Column:
+    """``price · (1 - disc)`` per row in exact 10⁻⁴ units (long):
+    cents(price) × (100 − percent(disc))."""
+    d = (dec2(disc_col, "decimal(3,2)") * 100).cast("long")
+    return cents(price_col) * (100 - d)
+
+
+def unit4_product(price_col, disc_col) -> Column:
+    """``price · disc`` per row in exact 10⁻⁴ units (long)."""
+    d = (dec2(disc_col, "decimal(3,2)") * 100).cast("long")
+    return cents(price_col) * d
+
+
+def exact_sum2_from_unit4(col4) -> Column:
+    """``ROUND(SUM(x), 2)`` where ``col4`` carries x in exact 10⁻⁴
+    units: integer half-up to cents, then one exact division.  Positive
+    domain (the floor-division trick), matching DuckDB's
+    ``ROUND(SUM(DECIMAL), 2)`` half-up."""
+    x = F.sum(col4) + 50
+    c = ((x - F.pmod(x, 100)) / 100).cast("long")
+    return c / F.lit(100.0)
 
 
 def exact_avg4(col, prec: str = "decimal(18,2)") -> Column:

@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from reflinkcep_spark.queries.exact import dec2, exact_avg4, exact_sum2
+from reflinkcep_spark.queries.exact import (
+    dec2,
+    exact_avg4,
+    exact_sum2,
+    exact_sum2_from_unit4,
+    unit4_product,
+    unit4_revenue,
+)
 from reflinkcep_spark.sources import load_table
 
 
@@ -37,15 +44,17 @@ def _t(spark, sf_dir, name):
 
 def q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    # 2-decimal inputs aggregated as exact decimals (see queries/exact.py)
-    disc_price = dec2("l_extendedprice") * (1 - dec2("l_discount", "decimal(3,2)"))
+    # 2-decimal inputs aggregated as exact integer cents/10⁻⁴ units
+    # (long adds in codegen; see queries/exact.py)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-06-30").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             exact_sum2("l_quantity").alias("sum_qty"),
             exact_sum2("l_extendedprice").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            exact_sum2_from_unit4(
+                unit4_revenue("l_extendedprice", "l_discount")
+            ).alias("sum_disc_price"),
             exact_avg4("l_quantity").alias("avg_qty"),
             exact_avg4("l_extendedprice").alias("avg_price"),
             exact_avg4("l_discount", "decimal(3,2)").alias("avg_disc"),
@@ -81,11 +90,9 @@ def q3_top_orders(spark, sf_dir):
         F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
     )
     li = _t(spark, sf_dir, "lineitem")
-    revenue = (
-        F.round(F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount", "decimal(3,2)"))), 2)
-        .cast("double")
-        .alias("revenue")
-    )
+    revenue = exact_sum2_from_unit4(
+        unit4_revenue("l_extendedprice", "l_discount")
+    ).alias("revenue")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         # customer (filtered) is small → broadcast, no shuffle of lineitem side
@@ -130,12 +137,9 @@ def q5_nation_revenue(spark, sf_dir):
         .join(dims, cust.c_nationkey == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount", "decimal(3,2)"))),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
+            exact_sum2_from_unit4(
+                unit4_revenue("l_extendedprice", "l_discount")
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -169,9 +173,9 @@ def q6_revenue_delta(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(dec2("l_extendedprice") * dec2("l_discount", "decimal(3,2)")), 2)
-            .cast("double")
-            .alias("revenue"),
+            exact_sum2_from_unit4(
+                unit4_product("l_extendedprice", "l_discount")
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )

@@ -27,3 +27,37 @@ def test_exact_avg4_rounds_half_up_at_the_boundary(spark):
     df2 = spark.createDataFrame([(1.0,), (2.0,)], "v double")
     [row2] = df2.agg(exact_avg4("v").alias("a")).collect()
     assert row2["a"] == 1.5
+
+
+def test_exact_sum2_matches_decimal_spelling_bitwise(spark):
+    """The long-cent accumulator must be the same correctly-rounded
+    double as ROUND(SUM(DECIMAL),2)::DOUBLE for any 2-digit inputs."""
+    from reflinkcep_spark.queries.exact import dec2
+
+    rows = [(round(x * 0.01, 2),) for x in range(-500, 500, 7)] + [(9e12,)]
+    df = spark.createDataFrame(rows, "v double")
+    [row] = df.agg(
+        exact_sum2("v").alias("fast"),
+        F.round(F.sum(dec2("v")), 2).cast("double").alias("ref"),
+    ).collect()
+    assert row["fast"] == row["ref"]
+
+
+def test_unit4_revenue_half_up_rounding(spark):
+    """price·(1−disc) with a 10⁻⁴-unit result exactly on a half-cent:
+    12.25·(1−0.03) = 11.8825 → 11.88 half-up... pick 0.50·(1−0.15)
+    = 0.425 → 0.43 (half-up) — pinned against the decimal spelling."""
+    from reflinkcep_spark.queries.exact import (
+        dec2,
+        exact_sum2_from_unit4,
+        unit4_revenue,
+    )
+
+    df = spark.createDataFrame([(0.50, 0.15)], "p double, d double")
+    [row] = df.agg(
+        exact_sum2_from_unit4(unit4_revenue("p", "d")).alias("fast"),
+        F.round(F.sum(dec2("p") * (1 - dec2("d", "decimal(3,2)"))), 2)
+        .cast("double")
+        .alias("ref"),
+    ).collect()
+    assert row["fast"] == 0.43 == row["ref"]
