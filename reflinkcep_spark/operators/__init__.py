@@ -1,6 +1,8 @@
 """Spark-facing operators: the CEP match kernel and plan fast paths."""
 
+from reflinkcep_spark.operators.absence import not_followed_by
+from reflinkcep_spark.operators.asof import asof_join
 from reflinkcep_spark.operators.cep import match_pattern
 from reflinkcep_spark.operators.fastpath import try_fast_path
 
-__all__ = ["match_pattern", "try_fast_path"]
+__all__ = ["match_pattern", "try_fast_path", "asof_join", "not_followed_by"]

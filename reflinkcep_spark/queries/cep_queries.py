@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from reflinkcep_spark.cep.query import Query
-from reflinkcep_spark.operators import match_pattern
+from reflinkcep_spark.operators import match_pattern, not_followed_by
 from reflinkcep_spark.sources import load_table
 
 EVENT_SCHEMA = {"signup": [], "purchase": [], "error": [], "click": [], "view": []}
@@ -997,6 +997,40 @@ FROM s WHERE event_type = 'error' AND next_type = 'purchase'
 """
 
 
+def cep_signup_abandoned(spark, sf_dir):
+    """Absence pattern — Flink CEP's ``notFollowedBy``, which the
+    reference grammar lacks entirely: signups with NO purchase by the
+    same user within 30 minutes after the signup.  One union + one
+    ordered window pass per user (operators/absence.py); the oracle is
+    the NOT EXISTS anti-join formulation DuckDB can afford at sf0.01."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    signups = base.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), "us"
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us"
+    )
+    out = not_followed_by(
+        signups, purchases, on="us", by="user_id", within=30 * 60 * 1_000_000
+    )
+    return out.select("user_id", "signup_id")
+
+
+SQL_SIGNUP_ABANDONED = """
+SELECT s.user_id, s.event_id AS signup_id
+FROM events s
+WHERE s.event_type = 'signup'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+      AND epoch_us(p.ts) > epoch_us(s.ts)
+      AND epoch_us(p.ts) <= epoch_us(s.ts) + 1800000000)
+"""
+
+
 QUERIES = {
     "cep_high_purchases": cep_high_purchases,
     "cep_funnel_3step": cep_funnel_3step,
@@ -1015,6 +1049,7 @@ QUERIES = {
     "cep_high_purchase_chains": cep_high_purchase_chains,
     "cep_error_then_purchase_grouped": cep_error_then_purchase_grouped,
     "cep_signup_any_purchase": cep_signup_any_purchase,
+    "cep_signup_abandoned": cep_signup_abandoned,
 }
 
 ORACLES = {
@@ -1035,4 +1070,5 @@ ORACLES = {
     "cep_high_purchase_chains": SQL_HIGH_PURCHASE_CHAINS,
     "cep_error_then_purchase_grouped": SQL_ERROR_THEN_PURCHASE_GROUPED,
     "cep_signup_any_purchase": SQL_SIGNUP_ANY_PURCHASE,
+    "cep_signup_abandoned": SQL_SIGNUP_ABANDONED,
 }

@@ -1,0 +1,51 @@
+"""operators/absence.py: not_followed_by semantics.
+
+Pins the strictly-after contract (a same-instant right row is NOT a
+follower), the inclusive span boundary, the unbounded (within=None)
+form, and per-key isolation.
+"""
+
+from reflinkcep_spark.operators import not_followed_by
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_not_followed_by_span_and_boundaries(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, 100),   # followed at 150 (within 100) -> dropped
+            (1, 11, 300),   # followed at 401 (outside 100) -> kept
+            (1, 12, 500),   # right at exactly 500 (same instant) -> kept
+            (1, 13, 900),   # no right after at all -> kept
+            (2, 20, 100),   # key 2 has no rights -> kept
+        ],
+        "k long, id long, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, 150), (1, 401), (1, 500)], "k long, t long"
+    )
+    out = not_followed_by(left, right, on="t", by="k", within=100)
+    assert _ids(out) == [11, 12, 13, 20]
+
+    # boundary is inclusive: a right at exactly t+within IS a follower
+    out2 = not_followed_by(left, right, on="t", by="k", within=101)
+    assert _ids(out2) == [12, 13, 20]
+
+
+def test_not_followed_by_unbounded(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 600)], "k long, id long, t long"
+    )
+    right = spark.createDataFrame([(1, 500)], "k long, t long")
+    out = not_followed_by(left, right, on="t", by="k", within=None)
+    assert _ids(out) == [11]  # 10 is followed (eventually); 11 never
+
+
+def test_not_followed_by_keeps_left_columns_and_next(spark):
+    left = spark.createDataFrame([(1, 10, 100, "x")], "k long, id long, t long, tag string")
+    right = spark.createDataFrame([(1, 950)], "k long, t long")
+    [row] = not_followed_by(left, right, on="t", by="k", within=100).collect()
+    assert (row["k"], row["id"], row["tag"]) == (1, 10, "x")
+    assert row["next_right_on"] == 950  # audit column: first later right
