@@ -37,6 +37,7 @@ __all__ = [
     "simhash_pairs",
     "shingles",
     "duplicate_clusters",
+    "contaminated_docs",
 ]
 
 
@@ -505,6 +506,56 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥ 1 word
+    n-gram with any benchmark/eval document, with the count of distinct
+    contaminated n-grams per doc — the standard train/eval overlap
+    filter for training-data pipelines.
+
+    Plan shape for 100 TB: the benchmark n-gram set is small by
+    construction (eval suites are thousands of docs, not billions), so
+    it is built once, deduplicated, and BROADCAST; the corpus side
+    streams through scan → n-gram explode → broadcast semi-ish join →
+    per-doc count, with the one shuffle on doc_id for the final count.
+    Set ``broadcast_benchmark=False`` for unusually large benchmark
+    sets and let AQE pick the join strategy.
+
+    ``hashed=True`` joins on ``xxhash64(gram)`` instead of the gram
+    string — 8-byte keys instead of ~50-char strings in the exchange
+    (collision odds ~ |grams|²/2⁶⁴ make a false contamination flag
+    astronomically unlikely, and there are no false negatives).  Keep
+    strings when an external oracle must reproduce the join.
+    """
+    from reflinkcep_spark.functions.text import ngrams, tokens
+
+    def grams(df: DataFrame) -> DataFrame:
+        g = F.explode(
+            F.array_distinct(ngrams(tokens(F.col(text_col)), n))
+        ).alias("g")
+        out = df.select(F.col(id_col).alias("doc_id"), g)
+        if hashed:
+            out = out.select("doc_id", F.xxhash64("g").alias("g"))
+        return out
+
+    bench = grams(benchmark).select("g").distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    return (
+        grams(corpus)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
 
 

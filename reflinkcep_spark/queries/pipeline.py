@@ -218,6 +218,40 @@ WHERE bit_count(xor(a.f, b.f)) <= 3
 """
 
 
+def doc_decontam(spark, sf_dir):
+    """Benchmark decontamination: docs 0-24 stand in as the eval set;
+    every other doc sharing a word 4-gram with them is flagged with its
+    contaminated-gram count.  Benchmark grams broadcast; corpus
+    streams.  String grams here so DuckDB reproduces the join —
+    production uses ``hashed=True`` (same semantics, 8-byte keys)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    return dedup.contaminated_docs(corpus, bench, n=4)
+
+
+SQL_DOC_DECONTAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4
+              THEN list_distinct(list_transform(range(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+3], ' ')))
+              ELSE []::VARCHAR[] END AS gs
+  FROM toks
+),
+bg AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id < 25)
+SELECT c.doc_id, COUNT(*) AS n_contaminated_grams
+FROM (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id >= 25) c
+JOIN bg USING (gr)
+GROUP BY c.doc_id
+"""
+
+
 # --- text analysis ----------------------------------------------------
 
 def doc_top_terms(spark, sf_dir):
@@ -607,6 +641,7 @@ QUERIES = {
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "doc_top_terms": doc_top_terms,
     "doc_hash_sample": doc_hash_sample,
+    "doc_decontam": doc_decontam,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -628,6 +663,7 @@ ORACLES = {
     "doc_rolling_fingerprint": SQL_ROLLING_FP,
     "doc_top_terms": SQL_DOC_TOP_TERMS,
     "doc_hash_sample": SQL_DOC_HASH_SAMPLE,
+    "doc_decontam": SQL_DOC_DECONTAM,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }

@@ -205,3 +205,29 @@ def test_repetition_profile_flags_degenerate_docs(spark):
     assert out[2]["top_2gram_frac"] == 1 / 49 and out[2]["dup_2gram_frac"] == 0.0
     assert not out[3]["keep"] and out[3]["top_token_frac"] == 0.5
     assert not out[4]["keep"] and out[4]["n_tokens"] == 2
+
+
+def test_contaminated_docs_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "x alpha beta gamma y"),        # shares 3-gram "alpha beta gamma"
+            (11, "beta gamma delta epsilon z"),  # shares two 3-grams
+            (12, "gamma beta alpha unrelated"),  # reversed: no shared 3-gram
+            (13, "alpha beta"),                  # too short for a 3-gram hit
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in dedup.contaminated_docs(corpus, bench, n=3).collect()
+    }
+    assert out == {10: 1, 11: 2}
+
+    hashed = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in dedup.contaminated_docs(corpus, bench, n=3, hashed=True).collect()
+    }
+    assert hashed == out  # hash join is semantics-preserving
