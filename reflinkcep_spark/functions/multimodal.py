@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -36,7 +37,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["binary_metadata", "extract_features", "FEATURE_SCHEMA"]
+__all__ = [
+    "binary_metadata",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
+    "FEATURE_SCHEMA",
+    "RESIZE_SCHEMA",
+    "FRAME_SCHEMA",
+]
 
 # Magic-byte sniffing for common containers (pure SQL, no UDF).
 _MAGIC = [
@@ -114,3 +123,121 @@ def extract_features(
             )
 
     return src.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    decoder: str = "strict",
+) -> DataFrame:
+    """Resize image payloads to ``width``×``height`` via ``mapInPandas``.
+
+    One output row per input row: ``(item_id, width, height, payload)``.
+    ``decoder="strict"`` raises NotImplementedError (plug PIL here);
+    ``decoder="fake"`` emits a deterministic digest-derived payload of
+    ``width·height`` bytes so schema/batching/row-alignment are
+    testable without codecs.  The stage is stateless per row — it
+    pipelines with the scan, no shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "strict":
+                raise NotImplementedError(
+                    "image resize requires codec libraries not present in "
+                    "this environment; use decoder='fake' for plumbing tests "
+                    "or plug PIL/opencv here"
+                )
+            n = width * height
+            payloads = [
+                bytes(
+                    (hashlib.sha256(p or b"").digest() * (n // 32 + 1))[:n]
+                )
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col] if id_col in pdf else pdf["item_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": payloads,
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("item_id"), F.col(payload_col))
+    return src.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 16,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    decoder: str = "strict",
+) -> DataFrame:
+    """Sample frames from video payloads: one OUTPUT ROW PER FRAME
+    (``mapInPandas`` yields more rows than it receives — the UDTF-style
+    expansion shape).  ``(item_id, frame_idx, ts_ms, frame)``.
+
+    ``decoder="strict"`` raises NotImplementedError (plug ffmpeg/pyav
+    here).  ``decoder="fake"`` treats payload length as duration in ms
+    and emits digest-derived 64-byte frames at ``every_ms`` intervals,
+    capped at ``max_frames`` — deterministic row counts for tests.
+
+    ``max_frames`` is the memory rail: frame expansion multiplies rows,
+    and an unbounded explode of a long video inside one Arrow batch is
+    how executors die at scale.  Real decoders should also stream
+    frames out incrementally per input row, as this stub does.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "strict":
+                raise NotImplementedError(
+                    "frame sampling requires codec libraries not present in "
+                    "this environment; use decoder='fake' for plumbing tests "
+                    "or plug ffmpeg/pyav here"
+                )
+            ids, idxs, stamps, frames = [], [], [], []
+            for item_id, p in zip(pdf[id_col], pdf[payload_col]):
+                p = p or b""
+                duration_ms = len(p)
+                n = min(max_frames, max(1, duration_ms // every_ms + 1))
+                digest = hashlib.sha256(p).digest()
+                for i in range(n):
+                    ids.append(item_id)
+                    idxs.append(i)
+                    stamps.append(i * every_ms)
+                    frames.append(
+                        bytes((digest * 2)[:64]) + i.to_bytes(4, "big")
+                    )
+            yield pd.DataFrame(
+                {"item_id": ids, "frame_idx": idxs, "ts_ms": stamps, "frame": frames}
+            )
+
+    src = df.select(F.col(id_col).alias("item_id"), F.col(payload_col))
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -231,3 +231,36 @@ def test_contaminated_docs_flags_overlap(spark):
         for r in dedup.contaminated_docs(corpus, bench, n=3, hashed=True).collect()
     }
     assert hashed == out  # hash join is semantics-preserving
+
+
+def test_multimodal_resize_and_frame_sample_plumbing(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    rows = [(1, b"\x00" * 2500), (2, b"abc"), (3, None)]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+
+    resized = multimodal.resize_images(df, 8, 4, decoder="fake").collect()
+    assert len(resized) == 3
+    by_id = {r["item_id"]: r for r in resized}
+    assert all(len(r["payload"]) == 32 for r in resized)
+    assert (by_id[1]["width"], by_id[1]["height"]) == (8, 4)
+    # determinism: same payload -> same fake pixels
+    again = {r["item_id"]: r for r in multimodal.resize_images(df, 8, 4, decoder="fake").collect()}
+    assert again[2]["payload"] == by_id[2]["payload"]
+
+    frames = multimodal.sample_frames(df, every_ms=1000, max_frames=4, decoder="fake").collect()
+    per_item = {}
+    for r in frames:
+        per_item.setdefault(r["item_id"], []).append(r)
+    # 2500-byte "video" = 2500ms -> frames at 0/1000/2000 (3), capped at 4
+    assert len(per_item[1]) == 3
+    assert sorted(r["ts_ms"] for r in per_item[1]) == [0, 1000, 2000]
+    assert len(per_item[2]) == 1 and len(per_item[3]) == 1  # min one frame
+    assert all(len(r["frame"]) == 68 for r in frames)
+    # frames differ per index, stable per (payload, idx)
+    f0, f1 = sorted(per_item[1], key=lambda r: r["frame_idx"])[:2]
+    assert f0["frame"] != f1["frame"]
+
+    with _pytest.raises((NotImplementedError, Py4JJavaError, Exception)):
+        multimodal.resize_images(df, 8, 4, decoder="strict").collect()
