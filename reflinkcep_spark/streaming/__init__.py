@@ -1,7 +1,8 @@
 """Structured Streaming execution: CEP pattern queries + windowed
 aggregations."""
 
+from reflinkcep_spark.streaming.absence import not_followed_by_stream
 from reflinkcep_spark.streaming.aggregations import tumbling_agg
 from reflinkcep_spark.streaming.cep import match_pattern_stream
 
-__all__ = ["match_pattern_stream", "tumbling_agg"]
+__all__ = ["match_pattern_stream", "not_followed_by_stream", "tumbling_agg"]

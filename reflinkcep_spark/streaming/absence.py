@@ -1,0 +1,142 @@
+"""Streaming absence patterns: ``not_followed_by`` on an unbounded
+stream.
+
+Absence is inherently a completeness question — "no purchase within 30
+minutes" can only be decided once no earlier-timestamped purchase can
+still arrive — so the streaming form is watermark-driven: a left event
+is emitted as *absent* exactly when the watermark passes
+``left.on + within`` with no matching right event seen in
+``(left.on, left.on + within]``.
+
+Physical strategy: ``groupBy(keys).applyInPandasWithState`` with
+event-time timeouts.  Per key the state holds (a) pending left events
+whose span is still open and (b) the right-event timestamps that could
+still kill a pending or late-arriving left.  Both buffers are pruned by
+the watermark every step, so state is bounded by ``within`` × event
+rate per key, not stream lifetime.  Event-time timeouts re-arm at the
+earliest pending deadline, so quiet keys still flush on watermark
+advance without waiting for their next event.
+
+Batch equivalence: emissions equal the batch
+:func:`reflinkcep_spark.operators.absence.not_followed_by` restricted
+to left rows whose span the final watermark closed (pinned by the
+replay test).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+__all__ = ["not_followed_by_stream"]
+
+
+def not_followed_by_stream(
+    df: DataFrame,
+    *,
+    left_filter,
+    right_filter,
+    on: str,
+    by: str | Sequence[str],
+    within: int,
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Emit rows matching ``left_filter`` that are NOT followed within
+    ``within`` (units of the numeric ``on`` column, strictly-after /
+    inclusive-boundary — same contract as the batch operator) by any
+    row matching ``right_filter`` with the same key.
+
+    ``df`` must be a streaming DataFrame with
+    ``withWatermark(event_time_col, delay)`` already applied, and
+    ``on`` must be a numeric column consistent with ``event_time_col``
+    in MICROSECONDS (e.g. ``unix_micros(ts)``) — the watermark (ms) is
+    compared against it directly.  Output: all columns of the matching
+    left rows, append mode, emitted when the watermark closes their
+    span.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    left_c = F.expr(left_filter) if isinstance(left_filter, str) else left_filter
+    right_c = (
+        F.expr(right_filter) if isinstance(right_filter, str) else right_filter
+    )
+
+    attr_cols = [c for c in df.columns if c not in keys]
+    projected = df.filter(left_c | right_c).select(
+        *keys, F.when(left_c, F.lit(1)).otherwise(F.lit(0)).alias("__is_left"), *attr_cols
+    )
+
+    field_by_name = {f.name: f for f in projected.schema.fields}
+    out_schema = StructType(
+        [field_by_name[k] for k in keys] + [field_by_name[c] for c in attr_cols]
+    )
+    state_schema = StructType([StructField("blob", BinaryType(), True)])
+    out_columns = [f.name for f in out_schema.fields]
+    n_keys = len(keys)
+
+    def _flush(lefts, rights, wm_us, key_values):
+        """Emit pending lefts whose span the watermark closed and no
+        right killed; drop killed lefts; prune spent rights."""
+        out_rows, keep = [], []
+        for us, rec in lefts:
+            killed = any(us < r <= us + within for r in rights)
+            if killed:
+                continue
+            if us + within < wm_us:
+                row = dict(key_values)
+                row.update(rec)
+                out_rows.append((us, row))
+            else:
+                keep.append((us, rec))
+        # A right can still matter to a not-yet-admitted late left only
+        # while wm - within <= r; older rights are spent.  (Pending
+        # lefts were already tested against every right above.)
+        rights = [r for r in rights if r > wm_us - within]
+        out_rows.sort(key=lambda p: p[0])
+        return [r for _, r in out_rows], keep, rights
+
+    def step(key: tuple, pdf_iter: Iterable[pd.DataFrame], state):
+        key_values = dict(zip((f.name for f in out_schema.fields[:n_keys]), key))
+        if state.exists:
+            lefts, rights = pickle.loads(state.get[0])
+        else:
+            lefts, rights = [], []
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                for rec in pdf.to_dict("records"):
+                    is_left = rec.pop("__is_left")
+                    for k in keys:
+                        rec.pop(k, None)
+                    if is_left:
+                        lefts.append((rec[on], rec))
+                    else:
+                        rights.append(rec[on])
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out_rows, lefts, rights = _flush(lefts, rights, wm_us, key_values)
+
+        if lefts or rights:
+            state.update((pickle.dumps((lefts, rights), protocol=5),))
+            if lefts:
+                # Wake on watermark passing the earliest open deadline.
+                deadline_ms = min(us for us, _ in lefts) // 1000 + within // 1000 + 1
+                state.setTimeoutTimestamp(max(deadline_ms, wm_us // 1000 + 1))
+        else:
+            state.remove()
+
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_columns)
+
+    return projected.groupBy(*keys).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
