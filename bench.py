@@ -40,6 +40,11 @@ HEADLINE = [
     "text_profile",            # higher-order-function text analysis
     "doc_top_terms",           # tf/df join + per-doc top-k window
     "q_events_sliding",        # overlapping-window aggregation
+    "text_repetition",         # shuffle-free repetition filters
+    "doc_decontam",            # broadcast n-gram decontamination join
+    "cep_signup_abandoned",    # absence pattern (union + window)
+    "q_grouping_sets",         # one-pass grouping-sets aggregation
+    "sim_ann_ivf",             # IVF ANN (bounded quantizer fit + probe)
 ]
 
 

@@ -30,6 +30,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session zone for EVERY table load: date/timestamp literal
+    # casts, NTZ<->TIMESTAMP coercions and window bucketing all follow
+    # the session zone, and the driver harness calls us with its OWN
+    # session whose zone we don't control.  UTC makes every temporal
+    # expression agree with DuckDB's naive-as-UTC reading regardless of
+    # the host timezone.  (Dynamic SQLConf — safe to set per call.)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts has shipped as TIMESTAMP(NANOS) in some testdata
         # generations, which Spark rejects outright
