@@ -241,7 +241,16 @@ def ivf_ann_topk(
     if max_fit_rows is None:
         max_fit_rows = 256 * n_cells
     fit_input = c.sample(fit_sample, seed=seed) if fit_sample else c
-    sample = fit_input.select(F.col(vec_col).alias("__v")).limit(max_fit_rows)
+    # Order-canonical sample: the id-ordered prefix is deterministic
+    # under ANY partitioning (repartitioned input, AQE, retries) — a
+    # bare limit() is not — so the fitted centroids are reproducible,
+    # including by an external oracle.  TakeOrdered = scan + per-
+    # partition heap of max_fit_rows: one cheap pass at any scale.
+    sample = (
+        fit_input.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__id")
+        .limit(max_fit_rows)
+    )
     X = np.array(sample.toPandas()["__v"].tolist(), dtype=np.float64)
     centers = [
         [float(x) for x in ctr] for ctr in _fit_centroids(X, n_cells, seed)

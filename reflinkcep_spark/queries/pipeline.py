@@ -519,14 +519,84 @@ FROM r WHERE rnk <= 5
 
 
 def sim_ann_ivf(spark, sf_dir):
-    """IVF ANN: KMeans coarse quantizer + nprobe cell search (rows-only;
-    recall vs exact top-k asserted in tests)."""
+    """IVF ANN: KMeans coarse quantizer + nprobe cell search.  The fit
+    is deterministic (seeded numpy KMeans on the id-ordered sample), so
+    the whole pipeline — fit, cell assignment, probing, exact rescoring
+    — carries a DuckDB oracle with the recomputed centroids embedded as
+    literals (see _sql_sim_ann_ivf); recall vs exact top-k is
+    additionally asserted in tests."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 8)
     out = similarity.ivf_ann_topk(embs, queries, k=5, n_cells=16, nprobe=4)
     return out.select(
         "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id", "sim"
     )
+
+
+def _sql_sim_ann_ivf() -> str:
+    """DuckDB oracle for the full IVF pipeline.  The quantizer fit is
+    deterministic (numpy k-means++/Lloyd, seed 42, id-ordered sample),
+    so this generator recomputes the IDENTICAL centroids offline from
+    the sf0.01 parquet (the driver's correctness gate runs at sf0.01 by
+    contract) and embeds them as literals; cell assignment, probing and
+    rescoring are then re-expressed in SQL.  Distances fold
+    left-to-right via list_reduce to match Spark's sequential
+    ``aggregate`` fold bit-for-bit."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    order = np.argsort(np.array(tbl.column("vec_id").to_pylist()), kind="stable")
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)[order][:4096]
+    centers = similarity._fit_centroids(X, 16, 42)
+    cc = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in ctr) + "]" for ctr in centers
+        )
+        + "]"
+    )
+    dim = X.shape[1]
+    # squared distance of v to centroid i (1-based CC index), exact
+    # left-to-right fold
+    d_expr = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"j -> (v[j] - CC[i + 1][j]) * (v[j] - CC[i + 1][j]))), (a, b) -> a + b)"
+    )
+    ranked = (
+        f"list_transform(list_sort(list_transform(range(0, 16), "
+        f"i -> {{'d': {d_expr}, 'cell': i}})), s -> s.cell)"
+    )
+    return f"""
+WITH cc AS (SELECT {cc} AS CC),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, ({ranked})[1] AS cell FROM c, cc
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, ({ranked})[1:4] AS cells
+  FROM c, cc WHERE vec_id < 8
+),
+probes AS (SELECT query_id, qv, unnest(cells) AS pcell FROM q),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v
+  FROM probes p
+  JOIN assigned a ON a.cell = p.pcell AND a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, v) AS sim FROM cand
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS sim
+FROM r WHERE rnk <= 5
+"""
 
 
 def _sql_bucket_expr(n_planes: int, vec: str = "v") -> str:
@@ -656,6 +726,7 @@ ORACLES = {
     "dedup_minhash_lsh_md5": SQL_MINHASH_LSH_MD5,
     "dedup_simhash_md5": SQL_SIMHASH_MD5,
     "sim_ann_lsh": _sql_sim_ann_lsh(),
+    "sim_ann_ivf": _sql_sim_ann_ivf(),
     "sim_embedding_neardup": _sql_sim_embedding_neardup(),
     "text_profile": SQL_TEXT_PROFILE,
     "text_repetition": SQL_TEXT_REPETITION,
