@@ -503,6 +503,79 @@ GROUP BY c_nationkey
 """
 
 
+def q_pivot_status_priority(spark, sf_dir):
+    """PIVOT: order counts per priority, one column per order status.
+    Spark's groupBy().pivot(col, values) with explicit values — naming
+    the pivot values up front avoids the extra distinct-scan job AND
+    keeps the output schema static, which is what you want in a
+    production pipeline at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+SQL_PIVOT = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_unpivot_balances(spark, sf_dir):
+    """UNPIVOT/melt: per-nation customer and supplier balance totals as
+    (nation, kind, total) long-form rows — DataFrame ``unpivot`` over a
+    two-metric aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        exact_sum2("c_acctbal").alias("customer_bal")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        exact_sum2("s_acctbal").alias("supplier_bal")
+    )
+    wide = c.join(s, "nationkey", "full").select(
+        "nationkey",
+        F.coalesce("customer_bal", F.lit(0.0)).alias("customer_bal"),
+        F.coalesce("supplier_bal", F.lit(0.0)).alias("supplier_bal"),
+    )
+    return wide.unpivot(
+        "nationkey", ["customer_bal", "supplier_bal"], "kind", "total"
+    )
+
+
+SQL_UNPIVOT = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey,
+         ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE AS customer_bal
+  FROM customer GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nationkey,
+         ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2)::DOUBLE AS supplier_bal
+  FROM supplier GROUP BY 1
+),
+wide AS (
+  SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+         COALESCE(customer_bal, 0.0) AS customer_bal,
+         COALESCE(supplier_bal, 0.0) AS supplier_bal
+  FROM c FULL JOIN s USING (nationkey)
+)
+SELECT nationkey, kind, total
+FROM wide UNPIVOT (total FOR kind IN (customer_bal, supplier_bal))
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -521,6 +594,8 @@ QUERIES = {
     "q_grouping_sets": q_grouping_sets,
     "q_quantity_percentiles": q_quantity_percentiles,
     "q_above_nation_avg": q_above_nation_avg,
+    "q_pivot_status_priority": q_pivot_status_priority,
+    "q_unpivot_balances": q_unpivot_balances,
 }
 
 ORACLES = {
@@ -541,4 +616,6 @@ ORACLES = {
     "q_grouping_sets": SQL_GROUPING_SETS,
     "q_quantity_percentiles": SQL_PERCENTILES,
     "q_above_nation_avg": SQL_ABOVE_NATION_AVG,
+    "q_pivot_status_priority": SQL_PIVOT,
+    "q_unpivot_balances": SQL_UNPIVOT,
 }
