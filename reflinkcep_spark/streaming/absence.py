@@ -81,10 +81,18 @@ def not_followed_by_stream(
 
     def _flush(lefts, rights, wm_us, key_values):
         """Emit pending lefts whose span the watermark closed and no
-        right killed; drop killed lefts; prune spent rights."""
+        right killed; drop killed lefts; prune spent rights.
+
+        Rights are kept SORTED and each left's kill test is one bisect
+        (is there a right in ``(us, us + within]``?) — O((L+R)·log R)
+        per step, not the O(L·R) scan that melts on a hot key."""
+        from bisect import bisect_right
+
+        rights.sort()
         out_rows, keep = [], []
         for us, rec in lefts:
-            killed = any(us < r <= us + within for r in rights)
+            i = bisect_right(rights, us)
+            killed = i < len(rights) and rights[i] <= us + within
             if killed:
                 continue
             if us + within < wm_us:
@@ -96,7 +104,7 @@ def not_followed_by_stream(
         # A right can still matter to a not-yet-admitted late left only
         # while wm - within <= r; older rights are spent.  (Pending
         # lefts were already tested against every right above.)
-        rights = [r for r in rights if r > wm_us - within]
+        rights = rights[bisect_right(rights, wm_us - within):]
         out_rows.sort(key=lambda p: p[0])
         return [r for _, r in out_rows], keep, rights
 
