@@ -600,6 +600,12 @@ def duplicate_clusters(
     graph (edges ≪ corpus after capping/LSH), independent of corpus
     size — the corpus itself is never shuffled.
     """
+    # The symmetric edge list references `pairs` twice (forward +
+    # swapped); checkpoint the pair pipeline FIRST so it executes once
+    # for certain — without this, both union branches carry the full
+    # upstream plan and only exchange-reuse heuristics save the second
+    # run (measured ~10% of total; a guarantee beats a heuristic).
+    pairs = pairs.localCheckpoint(eager=False)
     edges = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
