@@ -36,6 +36,14 @@ def main() -> int:
         help="take every Nth case of the four-division systematic corpus "
         "(tests/corpus.py); 0 disables, 1 runs all ~13.5k",
     )
+    ap.add_argument(
+        "--random-streams",
+        type=int,
+        default=0,
+        help="additionally run N seeded random streams through a "
+        "representative pattern set (fuzzes the stream axis through the "
+        "real kernel + fast paths, not just the fixed 9-event input)",
+    )
     args = ap.parse_args()
 
     from tests.corpus import DIVISIONS, STRATEGIES, iter_division
@@ -66,24 +74,57 @@ def main() -> int:
             for m in matches
         )
 
-    cases = list(CASES)
+    cases = [(cid, pat, strat, None) for cid, pat, strat in CASES]
     if args.stride:
         div_combos = [
-            (f"{div}:{cid}/{strat}", pat, strat)
+            (f"{div}:{cid}/{strat}", pat, strat, None)
             for div in DIVISIONS
             for cid, pat in iter_division(div)
             for strat in STRATEGIES
         ]
         cases += div_combos[:: args.stride]
+    if args.random_streams:
+        import random
+
+        from tests.test_differential_random import PATTERNS, _mk_stream
+
+        rng = random.Random(20260813)
+        for s in range(args.random_streams):
+            raw = [
+                (
+                    rng.choice(["e", "f"]),
+                    rng.randint(0, 3),
+                    rng.randint(0, 6),
+                )
+                for _ in range(rng.randint(0, 12))
+            ]
+            stream = _mk_stream(raw)
+            for pname, pat in PATTERNS:
+                for strat in STRATEGIES:
+                    cases.append((f"rand{s}:{pname}/{strat}", pat, strat, stream))
     if args.limit:
         cases = cases[: args.limit]
     t0 = time.time()
     failures = []
-    for idx, (cid, pat, strategy) in enumerate(cases):
+    df_cache = {id(None): df}
+    for idx, (cid, pat, strategy, stream) in enumerate(cases):
         want = canon(
             {n: list(ids) for n, ids in m.items()}
-            for m in _ref_matches(pat, strategy)
+            for m in _ref_matches(
+                pat, strategy, stream=stream if stream is not None else STREAM
+            )
         )
+        case_df = df_cache.get(id(stream))
+        if case_df is None:
+            srows = [
+                (k, i + 1, t, a["name"], a["price"])
+                for k in range(2)
+                for i, (t, a) in enumerate(stream)
+            ]
+            case_df = spark.createDataFrame(
+                srows, "user_id int, id long, etype string, name long, price long"
+            ).cache()
+            df_cache[id(stream)] = case_df
         q = Query.from_dict(
             {
                 "patseq": pat,
@@ -97,7 +138,7 @@ def main() -> int:
             }
         )
         out = match_pattern(
-            df, q, order_by="id", partition_by="user_id", type_col="etype",
+            case_df, q, order_by="id", partition_by="user_id", type_col="etype",
             allow_fastpath=True,
         ).collect()
         for key in (0, 1):
