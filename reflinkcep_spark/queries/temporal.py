@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from reflinkcep_spark.operators.asof import asof_join
+from reflinkcep_spark.operators.sessions import sessionize
 from reflinkcep_spark.queries.exact import exact_sum2
 from reflinkcep_spark.sources import load_table
 
@@ -157,23 +158,15 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, in microseconds
 
 
 def q_user_sessions(spark, sf_dir):
-    """Sessionize each user's stream with a 30-minute inactivity gap:
-    lag → new-session flag → running sum = session id, then per-session
-    rollup.  One shuffle on user_id; both window passes and the final
-    aggregation reuse that partitioning."""
+    """Sessionize each user's stream with a 30-minute inactivity gap
+    (operators/sessions.py: lag → new-session flag → running sum =
+    session id), then per-session rollup.  One shuffle on user_id;
+    both window passes and the final aggregation reuse that
+    partitioning."""
     ev = _events(spark, sf_dir).select(
         "user_id", F.unix_micros("ts").alias("us"), "value"
     )
-    w = Window.partitionBy("user_id").orderBy("us")
-    new_session = (
-        F.coalesce(
-            (F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US, F.lit(True)
-        )
-    ).cast("long")
-    sess = ev.withColumn(
-        "session_seq",
-        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = sessionize(ev, gap=SESSION_GAP_US, by="user_id", on="us")
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.min("us") / 1_000_000).cast("long").alias("start_s"),

@@ -90,13 +90,20 @@ def spread(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
-    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
     try:
+        # The conf may be spelled "134217728b", "128m", etc. in a
+        # foreign session — any parse failure must degrade to the
+        # default split size, never break the query.
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        raw = raw.strip().lower().removesuffix("b")
+        mult = units.get(raw[-1:], 1)
+        max_split = int(raw.rstrip("kmg")) * mult if raw else 128 << 20
         files = [f.removeprefix("file:") for f in df.inputFiles()]
         splits = sum(
             max(1, os.path.getsize(f) // max_split) for f in files if os.path.exists(f)
         )
-    except Exception:  # non-local or non-file-backed plan: leave it alone
+    except Exception:  # non-local/non-file plan or odd conf: leave it alone
         return df
     if 0 < splits < p:
         df = df.repartition(p)

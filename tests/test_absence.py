@@ -49,3 +49,17 @@ def test_not_followed_by_keeps_left_columns_and_next(spark):
     [row] = not_followed_by(left, right, on="t", by="k", within=100).collect()
     assert (row["k"], row["id"], row["tag"]) == (1, 10, "x")
     assert row["next_right_on"] == 950  # audit column: first later right
+
+
+def test_sessionize_gap_semantics(spark):
+    from reflinkcep_spark.operators import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 200), (1, 301), (2, 0)], "k long, t long"
+    )
+    out = {(r["k"], r["t"]): r["session_seq"]
+           for r in sessionize(df, gap=100, by="k", on="t").collect()}
+    # delta == gap continues the session; delta > gap starts a new one
+    assert out[(1, 0)] == 1 and out[(1, 100)] == 1 and out[(1, 200)] == 1
+    assert out[(1, 301)] == 2      # gap of 101 > 100
+    assert out[(2, 0)] == 1        # keys are independent
