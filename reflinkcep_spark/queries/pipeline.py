@@ -324,6 +324,87 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
 """
 
 
+def doc_mixture_sample(spark, sf_dir):
+    """Data-mixture construction: per-source stratified deterministic
+    sampling — sources src0-src4 keep 40% of docs, everything else
+    10%.  The same md5-bucket trick as doc_hash_sample, so the subset
+    is reproducible on any engine/partitioning; the per-source rate is
+    a broadcast-free CASE on the source column.  Pure per-row filter:
+    no shuffle, prunes to three columns at the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), F.lit(40)
+    ).otherwise(F.lit(10))
+    return docs.filter(bucket < rate).select(
+        "doc_id", "source",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+SQL_DOC_MIXTURE_SAMPLE = r"""
+SELECT doc_id, source,
+       len(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> ''))::BIGINT AS n_tokens
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+      < CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             THEN 40 ELSE 10 END
+"""
+
+
+def doc_source_stats(spark, sf_dir):
+    """Mixture diagnostics: per-source doc count, token volume and
+    mean quality — the dashboard numbers a data-mixture pipeline
+    watches.  Token counts are exact longs; the quality mean uses the
+    integer half-up rounding of queries/exact.py (quality has 6
+    decimal digits → scale-6 exact arithmetic)."""
+    docs = _docs(spark, sf_dir)
+    staged = docs.select(
+        "source",
+        text.token_count(F.col("text")).cast("long").alias("n_tok"),
+        # explicit ROUND before the cast: Spark's long cast truncates
+        # while DuckDB's rounds, and quality*1e6 sits a float-ulp off
+        # its integer value
+        F.round(text.quality_score(F.col("text")) * 1_000_000, 0)
+        .cast("long")
+        .alias("q6"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("q6")
+    x = s * 2 + n * 100
+    y = n * 200
+    mean_q = (((x - F.pmod(x, y)) / y).cast("long") / F.lit(10000.0))
+    return staged.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        mean_q.alias("mean_quality4"),
+    )
+
+
+SQL_DOC_SOURCE_STATS = r"""
+WITH q AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tok,
+         CAST(ROUND(ROUND(LEAST(1.0, len(list_filter(string_split_regex(trim(text), '\s+'),
+                                               x -> x <> '')) / 100.0) *
+              (1 - CASE WHEN length(text) > 0
+                        THEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                             / length(text)
+                        ELSE 0 END), 6) * 1000000) AS BIGINT) AS q6
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS total_tokens,
+       ((2 * SUM(q6) + COUNT(*) * 100)
+         // (200 * COUNT(*))) / 10000.0 AS mean_quality4
+FROM q GROUP BY source
+"""
+
+
 def text_profile(spark, sf_dir):
     prof = text.text_profile(_docs(spark, sf_dir))
     return prof.select(
@@ -711,6 +792,8 @@ QUERIES = {
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "doc_top_terms": doc_top_terms,
     "doc_hash_sample": doc_hash_sample,
+    "doc_mixture_sample": doc_mixture_sample,
+    "doc_source_stats": doc_source_stats,
     "doc_decontam": doc_decontam,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
@@ -734,6 +817,8 @@ ORACLES = {
     "doc_rolling_fingerprint": SQL_ROLLING_FP,
     "doc_top_terms": SQL_DOC_TOP_TERMS,
     "doc_hash_sample": SQL_DOC_HASH_SAMPLE,
+    "doc_mixture_sample": SQL_DOC_MIXTURE_SAMPLE,
+    "doc_source_stats": SQL_DOC_SOURCE_STATS,
     "doc_decontam": SQL_DOC_DECONTAM,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
