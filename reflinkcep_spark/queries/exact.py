@@ -98,15 +98,20 @@ def exact_sum2_from_unit4(col4) -> Column:
 
 def exact_avg4(col, prec: str = "decimal(18,2)") -> Column:
     """``ROUND(AVG(col), 4)`` with the half-up round done in exact
-    BIGINT arithmetic (see module docstring).  Positive domain only:
-    the floor-division trick assumes non-negative cent sums."""
+    integer arithmetic (see module docstring).  Positive domain only:
+    the floor-division trick assumes non-negative cent sums.
+
+    The per-row hot path stays LONG (cent casts + long adds in
+    codegen); only the once-per-group rounding runs in DECIMAL(38,0),
+    because ``s·200`` overflows a long once Σcents exceeds ~4.6e16 —
+    a few billion high-valued rows, i.e. exactly the 100 TB regime.
+    DuckDB's matching spelling is safe natively (SUM(BIGINT) is
+    HUGEINT there).  The decimal quotient is integral by construction
+    (x − x mod y divides y), so the division is exact at any scale."""
     c = F.col(col) if isinstance(col, str) else col
-    s = F.sum((dec2(c, prec) * 100).cast("long"))  # exact cent sum
-    n = F.count(c)
+    s = F.sum((dec2(c, prec) * 100).cast("long")).cast("decimal(38,0)")
+    n = F.count(c).cast("decimal(38,0)")
     x = s * 200 + n
     y = n * 2
-    # Exact floor-div via (x - x mod y) / y: both operands are exactly
-    # representable doubles (< 2^53) and divide without remainder, so
-    # the double division is exact — no off-by-one-ulp floor hazard.
     q = ((x - F.pmod(x, y)) / y).cast("long")
     return q / F.lit(10000.0)

@@ -375,8 +375,10 @@ def doc_source_stats(spark, sf_dir):
     )
     n = F.count(F.lit(1))
     s = F.sum("q6")
-    x = s * 2 + n * 100
-    y = n * 200
+    # final rounding in DECIMAL(38,0) — overflow-proof at any corpus
+    # size (see queries/exact.py exact_avg4)
+    x = s.cast("decimal(38,0)") * 2 + n.cast("decimal(38,0)") * 100
+    y = n.cast("decimal(38,0)") * 200
     mean_q = (((x - F.pmod(x, y)) / y).cast("long") / F.lit(10000.0))
     return staged.groupBy("source").agg(
         n.alias("n_docs"),

@@ -440,7 +440,13 @@ def q_quantity_percentiles(spark, sf_dir):
     distribution ≥ p), so the result is engine-portable — unlike
     interpolating percentiles, whose float arithmetic isn't a
     cross-engine contract.  One shuffle on the group key; the per-group
-    sort happens inside the aggregate."""
+    sort happens inside the aggregate.
+
+    Scale note: the exact aggregate buffers each group's values, so it
+    wants high-cardinality group keys; for billion-row groups the
+    deployment path is ``approx_percentile(col, p, accuracy)``
+    (t-digest-style bounded memory, same plan shape) — exact is used
+    here because the correctness gate hashes values."""
     li = _t(spark, sf_dir, "lineitem")
     pd_ = lambda p: F.expr(  # noqa: E731
         f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_quantity)"

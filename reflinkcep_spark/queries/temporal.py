@@ -252,11 +252,13 @@ def q_events_props_json(spark, sf_dir):
 
 
 def _avg4_of_longs(s, n):
-    """``ROUND(s/n, 4)`` half-up in exact BIGINT arithmetic — rounding
+    """``ROUND(s/n, 4)`` half-up in exact integer arithmetic — rounding
     the double quotient can tie on a representable half-boundary where
-    the engines disagree (see queries/exact.py).  Positive domain."""
-    x = s * 20000 + n
-    y = n * 2
+    the engines disagree (see queries/exact.py).  Positive domain.
+    Final arithmetic in DECIMAL(38,0): ``s·20000`` would overflow a
+    long at 100 TB aggregate sizes (oracle side is HUGEINT natively)."""
+    x = s.cast("decimal(38,0)") * 20000 + n.cast("decimal(38,0)")
+    y = n.cast("decimal(38,0)") * 2
     return ((x - F.pmod(x, y)) / y).cast("long") / F.lit(10000.0)
 
 

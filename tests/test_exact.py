@@ -61,3 +61,13 @@ def test_unit4_revenue_half_up_rounding(spark):
         .alias("ref"),
     ).collect()
     assert row["fast"] == 0.43 == row["ref"]
+
+
+def test_exact_avg4_survives_sums_beyond_long_range(spark):
+    """s*200 would overflow BIGINT once the cent sum passes ~4.6e16 —
+    the final rounding runs in DECIMAL(38,0) so huge aggregates stay
+    exact (DuckDB's side is HUGEINT natively)."""
+    rows = [(9e12,)] * 60  # cent sum 5.4e16 -> s*200 = 1.08e19 > 2^63
+    df = spark.createDataFrame(rows, "v double")
+    [row] = df.agg(exact_avg4("v").alias("a")).collect()
+    assert row["a"] == 9e12
