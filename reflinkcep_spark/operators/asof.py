@@ -36,14 +36,21 @@ def asof_join(
     by: str | Sequence[str],
     right_cols: Sequence[str],
     suffix: str = "",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join ``left`` with ``right`` on ``on`` per ``by`` key.
 
-    Every ``left`` row gains ``right_cols`` (plus ``suffix``) from the
-    right row with the greatest ``on`` value <= the left row's; ties on
-    ``on`` prefer the right row (inclusive).  Output = all left rows
-    and columns, in arbitrary order.
+    ``direction="backward"`` (default): every ``left`` row gains
+    ``right_cols`` (plus ``suffix``) from the right row with the
+    greatest ``on`` value <= the left row's.  ``direction="forward"``:
+    from the right row with the SMALLEST ``on`` value >= the left
+    row's (pandas ``merge_asof`` directions; both inclusive — ties on
+    ``on`` match).  Left rows with no qualifying right row get NULLs.
+    Output = all left rows and columns, in arbitrary order.  Same
+    single-shuffle union+window plan either way.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     keys = [by] if isinstance(by, str) else list(by)
     right_cols = list(right_cols)
     out_right = [c + suffix for c in right_cols]
@@ -67,15 +74,29 @@ def asof_join(
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    # Right rows sort before left rows at equal `on` (__side 0 < 1), so
-    # `last` sees them — that's the inclusive (>=) as-of semantics.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # Right rows sort before left rows at equal `on` (__side 0 < 1),
+        # so `last` sees them — that's the inclusive (>=) as-of
+        # semantics.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    else:
+        # Forward: left rows sort before right rows at equal `on`
+        # (__side desc: 1 then 0), so the [current, following] frame
+        # includes same-instant rights — inclusive (<=) — and `first`
+        # takes the earliest qualifying right.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
     carried = [
-        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+        pick(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
         .over(w)
         .alias(o)
         for c, o in zip(right_cols, out_right)

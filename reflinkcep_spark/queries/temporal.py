@@ -232,6 +232,33 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_asof_next_error(spark, sf_dir):
+    """Forward as-of join: every purchase annotated with the user's
+    NEXT error at or after it (NULLs when none) — the same
+    union+window single-shuffle plan as the backward direction,
+    matched against DuckDB's ASOF with the inequality flipped."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    out = asof_join(
+        purchases, errors, on="ts", by="user_id",
+        right_cols=["error_id"], direction="forward",
+    )
+    return out.select("user_id", "purchase_id", "error_id")
+
+
+SQL_ASOF_NEXT_ERROR = """
+SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND p.ts <= e.ts
+"""
+
+
 # --- JSON property extraction ----------------------------------------
 
 def q_events_props_json(spark, sf_dir):
@@ -282,6 +309,7 @@ QUERIES = {
     "q_user_sessions": q_user_sessions,
     "q_session_windows": q_session_windows,
     "q_asof_last_click": q_asof_last_click,
+    "q_asof_next_error": q_asof_next_error,
     "q_events_props_json": q_events_props_json,
 }
 
@@ -291,5 +319,6 @@ ORACLES = {
     "q_user_sessions": SQL_USER_SESSIONS,
     "q_session_windows": SQL_SESSION_WINDOWS,
     "q_asof_last_click": SQL_ASOF_LAST_CLICK,
+    "q_asof_next_error": SQL_ASOF_NEXT_ERROR,
     "q_events_props_json": SQL_EVENTS_PROPS_JSON,
 }

@@ -63,3 +63,30 @@ def test_asof_join_rejects_colliding_output_names(spark):
     out = asof_join(left, right, on="ts", by="k", right_cols=["rlbl"], suffix="_r")
     assert out.columns == ["k", "ts", "rlbl", "rlbl_r"]
     assert out.collect()[0]["rlbl_r"] == "R"
+
+
+def test_asof_forward_direction(spark):
+    from reflinkcep_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 500), (1, 12, 900), (2, 20, 100)],
+        "k long, id long, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "tie"), (1, 600, "later")], "k long, t long, tag string"
+    )
+    out = {
+        r["id"]: r["tag"]
+        for r in asof_join(
+            left, right, on="t", by="k", right_cols=["tag"],
+            direction="forward",
+        ).collect()
+    }
+    assert out[10] == "tie"     # inclusive: right at the same instant
+    assert out[11] == "later"   # earliest right at-or-after 500
+    assert out[12] is None      # nothing after 900
+    assert out[20] is None      # key isolation
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="t", by="k", right_cols=["tag"], direction="nearest")
