@@ -146,28 +146,50 @@ def resize_images(
     """Resize image payloads to ``width``×``height`` via ``mapInPandas``.
 
     One output row per input row: ``(item_id, width, height, payload)``.
-    ``decoder="strict"`` raises NotImplementedError (plug PIL here);
+    ``decoder="strict"`` raises NotImplementedError (plug a codec here);
     ``decoder="fake"`` emits a deterministic digest-derived payload of
     ``width·height`` bytes so schema/batching/row-alignment are
-    testable without codecs.  The stage is stateless per row — it
-    pipelines with the scan, no shuffle.
+    testable without codecs; ``decoder="pil"`` uses Pillow when it is
+    installed (decode → LANCZOS resize → grayscale raw bytes, one byte
+    per pixel; undecodable/NULL payloads yield a zero payload rather
+    than failing the batch).  The import happens inside the worker
+    function, so the plan builds fine on driver hosts without Pillow.
+    The stage is stateless per row — it pipelines with the scan, no
+    shuffle.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "pil":
+            from io import BytesIO
+
+            from PIL import Image  # raises on workers without Pillow
+
+            def decode(p: bytes | None) -> bytes:
+                try:
+                    img = Image.open(BytesIO(p or b""))
+                    return img.convert("L").resize(
+                        (width, height), Image.LANCZOS
+                    ).tobytes()
+                except Exception:
+                    return bytes(width * height)
+
         for pdf in batches:
             if decoder == "strict":
                 raise NotImplementedError(
                     "image resize requires codec libraries not present in "
                     "this environment; use decoder='fake' for plumbing tests "
-                    "or plug PIL/opencv here"
+                    "or decoder='pil' when Pillow is installed"
                 )
             n = width * height
-            payloads = [
-                bytes(
-                    (hashlib.sha256(p or b"").digest() * (n // 32 + 1))[:n]
-                )
-                for p in pdf[payload_col]
-            ]
+            if decoder == "pil":
+                payloads = [decode(p) for p in pdf[payload_col]]
+            else:
+                payloads = [
+                    bytes(
+                        (hashlib.sha256(p or b"").digest() * (n // 32 + 1))[:n]
+                    )
+                    for p in pdf[payload_col]
+                ]
             yield pd.DataFrame(
                 {
                     "item_id": pdf[id_col] if id_col in pdf else pdf["item_id"],

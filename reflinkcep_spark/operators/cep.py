@@ -228,5 +228,18 @@ def match_pattern(
         )
         grouped = projected.repartition(n_parts, *keys).groupBy(*keys)
     else:
+        # Total-order CEP over an unkeyed stream is inherently ONE
+        # group = one task = one core, regardless of cluster size.
+        # Loud at plan time so nobody ships it against 100 TB silently.
+        import warnings
+
+        warnings.warn(
+            "match_pattern called without partition_by: the whole input "
+            "collapses into a single task (total-order CEP cannot "
+            "parallelize). Key the stream (e.g. partition_by='user_id') "
+            "for any non-trivial input.",
+            UserWarning,
+            stacklevel=2,
+        )
         grouped = projected.groupBy()
     return grouped.applyInPandas(run_group, schema=out_schema)

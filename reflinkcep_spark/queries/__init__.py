@@ -3,22 +3,70 @@
 Each sub-module defines ``QUERIES`` (name → fn(spark, sf_dir) → DF) and
 ``ORACLES`` (name → equivalent ANSI SQL for DuckDB).  Names without an
 oracle are non-SQL-expressible operators checked rows-only.
+
+Ordering matters: the driver's correctness gate checks the FIRST 50
+entries of ``queries()`` per round (65 declared).  ``_PRIORITY`` pins
+the queries that most need a fresh driver row to the front — the
+pipeline/similarity/text family whose rows rotated out of (or never
+entered) earlier rounds' windows, plus ``q_user_sessions`` whose oracle
+was just fixed — and the long-green relational stalwarts absorb the
+overflow at the tail.
 """
 
 from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
-_MODULES = (relational, temporal, cep_queries, pipeline)
+_MODULES = (pipeline, temporal, cep_queries, relational)
+
+# Front of the driver's 50-entry check window.  First the four queries
+# never driver-checked in any round, then the family whose last green
+# rows are stale (r1/r2), then the freshly-fixed session oracle.
+_PRIORITY = (
+    "text_repetition",
+    "doc_decontam",
+    "doc_mixture_sample",
+    "doc_source_stats",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_embedding_neardup",
+    "multimodal_bytes",
+    "dedup_simhash_md5",
+    "doc_rolling_fingerprint",
+    "doc_top_terms",
+    "doc_hash_sample",
+    "sim_cosine_topk",
+    "text_profile",
+    "text_language",
+    "q_user_sessions",
+)
+
+
+def _ordered(merged):
+    out = {name: merged[name] for name in _PRIORITY if name in merged}
+    out.update((k, v) for k, v in merged.items() if k not in out)
+    return out
 
 
 def all_queries():
-    out = {}
+    merged = {}
     for mod in _MODULES:
-        out.update(mod.QUERIES)
-    return out
+        merged.update(mod.QUERIES)
+    return _ordered(merged)
+
+
+# Lazily-built oracle SQL, cached by query name: an ORACLES value may
+# be a zero-arg callable (e.g. pipeline's IVF oracle, which reads the
+# oracle-scale parquet and fits a quantizer) that is only invoked — and
+# its cost only paid — when the driver actually asks for oracle_sql().
+_ORACLE_CACHE: dict[str, str] = {}
 
 
 def all_oracles():
-    out = {}
+    merged = {}
     for mod in _MODULES:
-        out.update(mod.ORACLES)
-    return out
+        for name, sql in mod.ORACLES.items():
+            if callable(sql):
+                if name not in _ORACLE_CACHE:
+                    _ORACLE_CACHE[name] = sql()
+                sql = _ORACLE_CACHE[name]
+            merged[name] = sql
+    return _ordered(merged)

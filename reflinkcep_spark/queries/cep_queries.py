@@ -3,11 +3,12 @@ operator surface exercised on the driver testdata (per-user substreams
 ordered by ``event_id``; FIXTURES.md §2 maps the reference's
 ``(type, name, price)`` events onto ``(event_type, value)``).
 
-Where a pattern is expressible in plain SQL (single events, strict
-chains, first-after sequencing) the query carries a DuckDB oracle and
-the match output is flattened to scalar columns (capture arrays don't
-hash stably across engines).  Iterative-condition and skip-strategy
-patterns are non-SQL-expressible → rows-only checks.
+Every query here carries a DuckDB oracle — including the
+iterative-condition and skip-strategy patterns, whose semantics were
+re-derived as window/recursive SQL (segment prefix-scans for the
+running-sum burst, greedy pairing for SkipPastLastEvent, combinatorial
+expansion for nd-relaxed).  Match output is flattened to scalar columns
+(capture arrays don't hash stably across engines).
 """
 
 from __future__ import annotations
@@ -252,11 +253,14 @@ FROM s WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'view' AND t3 = 'clic
 """
 
 
-# --- iterative condition + until: spending bursts (rows-only) --------
+# --- iterative condition + until: spending bursts --------------------
 
 def cep_spending_burst(spark, sf_dir):
     """Runs of ≥2 consecutive purchases whose cumulative value stays
-    under 300 (iterative data variable + until — no SQL equivalent)."""
+    under 300 (iterative data variable + until).  Oracle: the strict
+    contiguity makes the running sum a prefix-scan per segment, so a
+    recursive-free window SQL spelling exists (SQL_SPENDING_BURST,
+    hash-green since r2)."""
     out = _run(
         spark,
         sf_dir,

@@ -64,13 +64,19 @@ def exact_sum2(col) -> Column:
     """``ROUND(SUM(col), 2)`` with an exact integer-cent accumulator.
 
     Equivalent bits to the decimal spelling (the sum is the same exact
-    rational; BigDecimal→double and long/100.0 are both its correctly-
-    rounded image) but ~2× faster: the aggregation loop does LONG adds
-    inside codegen instead of checked decimal adds (measured 1.0 s →
-    0.55 s on the sf0.1 pricing summary).  The DuckDB oracle spelling
-    stays ``ROUND(SUM(CAST(c AS DECIMAL(18,2))), 2)::DOUBLE``.
+    rational, and its decimal image casts to the same correctly-rounded
+    double) but ~2× faster: the aggregation loop does LONG adds inside
+    codegen instead of checked decimal adds (measured 1.0 s → 0.55 s on
+    the sf0.1 pricing summary).  The once-per-group ``/100`` runs in
+    DECIMAL(38,0) — a long→double divide would double-round once Σcents
+    exceeds 2^53 (~9×10¹³ dollars, reachable at 100 TB).  Remaining
+    limit: the long accumulator itself wraps at 2^63 ≈ 9.2×10¹⁸ cents
+    (~9.2×10¹⁶ dollars) — beyond any real corpus for these columns; use
+    a decimal accumulator if a column can exceed it.  The DuckDB oracle
+    spelling stays ``ROUND(SUM(CAST(c AS DECIMAL(18,2))), 2)::DOUBLE``.
     """
-    return F.sum(cents(col)) / F.lit(100.0)
+    s = F.sum(cents(col)).cast("decimal(38,0)")
+    return (s / 100).cast("double")
 
 
 def unit4_revenue(price_col, disc_col) -> Column:
@@ -90,10 +96,18 @@ def exact_sum2_from_unit4(col4) -> Column:
     """``ROUND(SUM(x), 2)`` where ``col4`` carries x in exact 10⁻⁴
     units: integer half-up to cents, then one exact division.  Positive
     domain (the floor-division trick), matching DuckDB's
-    ``ROUND(SUM(DECIMAL), 2)`` half-up."""
-    x = F.sum(col4) + 50
-    c = ((x - F.pmod(x, 100)) / 100).cast("long")
-    return c / F.lit(100.0)
+    ``ROUND(SUM(DECIMAL), 2)`` half-up.
+
+    The rounding and final divide run in DECIMAL(38,0): in LONG, the
+    ``+50``/divide path would double-round once Σunit4 passes 2^53 and
+    wrap at 2^63 — exactly the aggregate scale exact_avg4 is hardened
+    for.  Per-row accumulation stays LONG (codegen adds); only the
+    once-per-group arithmetic pays decimal cost.  The long accumulator
+    wraps at Σ|unit4| ≥ 2^63 (~9.2×10¹⁴ dollars in 10⁻⁴ units) —
+    documented limit, same as exact_sum2."""
+    x = F.sum(col4).cast("decimal(38,0)") + 50
+    c = (x - F.pmod(x, 100)) / 100
+    return (c / 100).cast("double")
 
 
 def exact_avg4(col, prec: str = "decimal(18,2)") -> Column:

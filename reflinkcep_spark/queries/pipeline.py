@@ -616,20 +616,30 @@ def sim_ann_ivf(spark, sf_dir):
     )
 
 
-def _sql_sim_ann_ivf() -> str:
+def _sql_sim_ann_ivf(sf_dir: str | None = None) -> str:
     """DuckDB oracle for the full IVF pipeline.  The quantizer fit is
     deterministic (numpy k-means++/Lloyd, seed 42, id-ordered sample),
     so this generator recomputes the IDENTICAL centroids offline from
-    the sf0.01 parquet (the driver's correctness gate runs at sf0.01 by
-    contract) and embeds them as literals; cell assignment, probing and
-    rescoring are then re-expressed in SQL.  Distances fold
-    left-to-right via list_reduce to match Spark's sequential
-    ``aggregate`` fold bit-for-bit."""
+    the oracle-scale parquet (the driver's correctness gate runs at
+    sf0.01 by contract; override via ``sf_dir`` or the
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` env var) and embeds them as literals;
+    cell assignment, probing and rescoring are then re-expressed in
+    SQL.  Distances fold left-to-right via list_reduce to match Spark's
+    sequential ``aggregate`` fold bit-for-bit.
+
+    Deliberately NOT run at module import: it reads parquet and pays a
+    KMeans fit, so it is registered as a lazy callable in ``ORACLES``
+    and only resolved (then cached) when ``oracle_sql()`` is built.
+    """
+    import os
+
     import numpy as np
     import pyarrow.parquet as pq
 
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     tbl = pq.read_table(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     order = np.argsort(np.array(tbl.column("vec_id").to_pylist()), kind="stable")
     X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)[order][:4096]
@@ -811,7 +821,10 @@ ORACLES = {
     "dedup_minhash_lsh_md5": SQL_MINHASH_LSH_MD5,
     "dedup_simhash_md5": SQL_SIMHASH_MD5,
     "sim_ann_lsh": _sql_sim_ann_lsh(),
-    "sim_ann_ivf": _sql_sim_ann_ivf(),
+    # lazy: resolved by all_oracles() on first use — building this one
+    # reads the oracle-scale parquet and runs a KMeans fit, which must
+    # not happen (or fail on hosts without testdata) at import time.
+    "sim_ann_ivf": _sql_sim_ann_ivf,
     "sim_embedding_neardup": _sql_sim_embedding_neardup(),
     "text_profile": SQL_TEXT_PROFILE,
     "text_repetition": SQL_TEXT_REPETITION,

@@ -190,7 +190,11 @@ sess AS (
                           ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq,
+SELECT user_id,
+       -- ::BIGINT: the windowed SUM(new_s) is DuckDB HUGEINT, which
+       -- hash-mismatches Spark's BIGINT even for equal values (the
+       -- same trap documented at SQL_EVENTS_PROPS_JSON).
+       session_seq::BIGINT AS session_seq,
        COUNT(*) AS n_events,
        (MIN(us) // 1000000)::BIGINT AS start_s,
        (MAX(us) // 1000000)::BIGINT AS end_s,

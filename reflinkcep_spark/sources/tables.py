@@ -5,6 +5,14 @@ TESTDATA.md).  Kept thin on purpose: ``spark.read.parquet`` already
 gives predicate pushdown, column pruning and partition-parallel scans;
 anything smarter (bucketing, sorting) belongs to the writer side of a
 real deployment.
+
+**Session-wide side effect**: ``load_table``/``load_tables``/
+``register_views``/``read_events`` pin ``spark.sql.session.timeZone``
+to UTC on the CALLER'S session (details in ``load_table``).  Every
+temporal expression this engine evaluates — and anything else the host
+session runs afterwards — sees UTC semantics from the first load on.
+Callers embedding these readers in a session with its own timezone
+expectations must save/restore the conf around the call.
 """
 
 from __future__ import annotations
@@ -30,6 +38,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read ``{sf_dir}/{name}.parquet``.
+
+    SIDE EFFECT: pins ``spark.sql.session.timeZone = UTC`` on the given
+    session (and ``spark.sql.legacy.parquet.nanosAsLong`` for
+    ``events``) — deliberate and session-wide; see the module docstring.
+    """
     # Pin the session zone for EVERY table load: date/timestamp literal
     # casts, NTZ<->TIMESTAMP coercions and window bucketing all follow
     # the session zone, and the driver harness calls us with its OWN

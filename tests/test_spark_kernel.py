@@ -170,10 +170,13 @@ context:
 """
     )
     df = _events_df(spark, [(1, 0), (1, 1), (2, 0), (1, 2)], n_keys=1).drop("user_id")
-    out = match_pattern(
-        df, q, order_by="id", partition_by=None, type_col="type",
-        allow_fastpath=False,
-    )
+    # Unkeyed = one total-order group = one task; the planner must say
+    # so loudly at plan time (VERDICT r3 #5).
+    with pytest.warns(UserWarning, match="single task"):
+        out = match_pattern(
+            df, q, order_by="id", partition_by=None, type_col="type",
+            allow_fastpath=False,
+        )
     rows = out.collect()
     assert [[e["id"] for e in r["run"]] for r in rows] == [[1, 2]]
 
