@@ -5,6 +5,7 @@ from reflinkcep_spark.sources.tables import (
     load_table,
     load_tables,
     read_events,
+    read_events_stream,
     register_views,
     spread,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_events",
+    "read_events_stream",
     "register_views",
     "spread",
     "load_testcase",

@@ -161,10 +161,59 @@ def read_events(
     to a proper microsecond timestamp (exact integer division — see
     ``load_table``).
     """
+    return _read_events_impl(
+        spark, path, format=format, schema=schema, ts_col=ts_col,
+        streaming=False, **options,
+    )
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str = "parquet",
+    schema=None,
+    ts_col: str | None = None,
+    max_files_per_trigger: int | None = None,
+    **options,
+) -> DataFrame:
+    """Streaming twin of :func:`read_events`: a Structured Streaming
+    file source over the same formats, for feeding
+    ``match_pattern_stream`` / the windowed streaming aggregations.
+
+    A ``schema`` is MANDATORY for every format here (streaming file
+    sources cannot infer), and ``max_files_per_trigger`` caps ingest
+    per micro-batch — the standard backfill throttle so a catch-up over
+    a large directory doesn't build one giant first batch.  The
+    per-key arrival-order contract of the CEP kernel is the caller's to
+    uphold: file modification-time order must follow event order
+    (or pass ``event_time_col`` to the kernel for watermark repair).
+    """
+    if schema is None:
+        raise ValueError("streaming sources require an explicit schema")
+    extra = dict(options)
+    if max_files_per_trigger is not None:
+        extra["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    return _read_events_impl(
+        spark, path, format=format, schema=schema, ts_col=ts_col,
+        streaming=True, **extra,
+    )
+
+
+def _read_events_impl(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str,
+    schema,
+    ts_col: str | None,
+    streaming: bool,
+    **options,
+) -> DataFrame:
     fmt = format.lower()
     if fmt not in ("parquet", "csv", "json", "orc"):
         raise ValueError(f"unsupported event source format: {format!r}")
-    reader = spark.read
+    reader = spark.readStream if streaming else spark.read
     if fmt in ("csv", "json"):
         if schema is None:
             raise ValueError(

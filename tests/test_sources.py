@@ -2,7 +2,7 @@
 
 import pytest
 
-from reflinkcep_spark.sources import load_table, read_events
+from reflinkcep_spark.sources import load_table, read_events, read_events_stream
 
 from tests.conftest import SF_DIR
 
@@ -47,6 +47,34 @@ def test_text_formats_require_schema(spark, tmp_path):
         read_events(spark, str(tmp_path), format="json")
     with pytest.raises(ValueError, match="format"):
         read_events(spark, str(tmp_path), format="avro")
+
+
+def test_read_events_stream_round_trip(spark, tmp_path, sample):
+    """The streaming twin delivers the same rows as the batch reader
+    (file source, one file per micro-batch) and enforces its schema
+    requirement for every format."""
+    import os
+
+    want = _rows(sample)
+    sample.coalesce(2).write.parquet(str(tmp_path / "pq"))
+
+    stream = read_events_stream(
+        spark, str(tmp_path / "pq"), schema=SCHEMA, max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    sink = f"rev_stream_{os.getpid()}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(spark.table(sink)) == want
+
+    with pytest.raises(ValueError, match="schema"):
+        read_events_stream(spark, str(tmp_path / "pq"))
 
 
 def test_corrupt_json_rows_are_quarantined(spark, tmp_path):
