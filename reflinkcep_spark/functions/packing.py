@@ -1,0 +1,93 @@
+"""Sequence packing for LLM training pipelines: assign documents to
+fixed-token-budget training sequences.
+
+Models the standard concat-and-chunk packing used to build training
+batches: documents are concatenated in a deterministic order and sliced
+into ``capacity``-token sequences; a document belongs to the sequence
+its first token lands in.  The deterministic order is an md5-derived
+key of the document id — reproducible on any engine, any partitioning,
+any run (same rationale as the md5-bucket sampling in
+queries/pipeline.py).
+
+Scale design: a prefix-sum per stratum is inherently sequential, so
+parallelism comes from sharding — each ``(source, shard)`` packs
+independently (shard = hash-bucket of the doc id), giving
+``n_sources × n_shards`` independent window partitions instead of one
+giant per-source scan.  One shuffle total (the window partitioning);
+the cumulative sum, sequence assignment, and rollup all reuse it.  At
+100 TB raise ``n_shards`` until each shard's token volume fits a task
+comfortably; packing quality is unaffected because sequences never
+cross shards anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reflinkcep_spark.functions import text
+
+__all__ = ["pack_sequences", "pack_stats"]
+
+
+def _order_key(id_col: str):
+    """Deterministic 60-bit order key (md5 of the id, as in
+    doc_hash_sample) — engine-portable, uniform, reproducible."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    *,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document sequence assignment:
+    ``(source, shard, seq_id, doc_id, n_tok)``.
+
+    ``seq_id = tokens_before_this_doc div capacity`` within the
+    document's ``(source, shard)`` stratum under the deterministic
+    order — i.e. the index of the capacity-sized slice the document
+    starts in.  The integer division stays in exact LONG arithmetic
+    (``div``), not a double divide, so assignments are stable at any
+    cumulative token count.
+    """
+    ok = _order_key(id_col)
+    staged = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        text.token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        ok.alias("__ok"),
+        F.pmod(ok, F.lit(n_shards)).cast("long").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("__ok", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = staged.withColumn(
+        "__cum_before", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return staged.select(
+        "source",
+        "shard",
+        F.expr(f"__cum_before div {int(capacity)}").alias("seq_id"),
+        F.col(id_col),
+        "n_tok",
+    )
+
+
+def pack_stats(assignments: DataFrame) -> DataFrame:
+    """Rollup per training sequence: how many documents and tokens each
+    sequence holds.  Reuses the window partitioning — the groupBy keys
+    are a superset prefix of the window keys, so no extra shuffle."""
+    return assignments.groupBy("source", "shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )

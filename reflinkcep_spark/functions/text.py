@@ -27,7 +27,10 @@ __all__ = [
     "max_multiplicity",
     "repetition_profile",
     "text_profile",
+    "pii_counts",
+    "scrub_pii",
     "BPE_ISH_PATTERN",
+    "PII_PATTERNS",
     "STOPWORDS",
 ]
 
@@ -213,6 +216,40 @@ def repetition_profile(
             & (dup_g2 <= 0.2)
         ).alias("keep"),
     )
+
+
+# PII detection patterns, most-specific first (emails before phones so
+# digits inside an address aren't double-counted after replacement).
+# RE2-safe: plain character classes and counted repeats only — no
+# backreferences or lookaround — so the same pattern runs in Spark,
+# DuckDB, and Python re for oracles and tests.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("PHONE", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"),
+    ("IPV4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def pii_counts(col: Column) -> list[tuple[str, Column]]:
+    """Per-kind PII match counts for a text column — the audit numbers
+    a pre-training scrub reports.  Pure regexp expressions inside
+    whole-stage codegen; counting runs on the ORIGINAL text, so counts
+    are independent of scrub order."""
+    return [
+        (kind, F.size(F.regexp_extract_all(col, F.lit(pat), 0)))
+        for kind, pat in PII_PATTERNS
+    ]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact PII in place: each match becomes ``[KIND]``.  Patterns
+    apply in declaration order (most-specific first) — chained
+    ``regexp_replace`` stays one codegen projection, no UDF."""
+    out = col
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{kind}]")
+    return out
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

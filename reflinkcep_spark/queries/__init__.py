@@ -21,6 +21,8 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 # never driver-checked in any round, then the family whose last green
 # rows are stale (r1/r2), then the freshly-fixed session oracle.
 _PRIORITY = (
+    "doc_pack_sequences",
+    "doc_length_outliers",
     "text_repetition",
     "doc_decontam",
     "doc_mixture_sample",

@@ -767,6 +767,94 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """
 
 
+# --- sequence packing -------------------------------------------------
+
+def doc_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (capacity 256 tokens, 4 shards
+    per source): per training sequence, how many docs and tokens landed
+    in it.  One semantic shuffle — the (source, shard) window
+    partitioning — reused by the cumulative sum, the seq assignment,
+    and the rollup (the extra round-robin exchange in the local plan is
+    spread()'s small-file guard, a no-op at scale); parallelism scales
+    with n_sources × n_shards (see functions/packing.py for the 100 TB
+    sharding rationale)."""
+    from reflinkcep_spark.functions.packing import pack_sequences, pack_stats
+
+    return pack_stats(pack_sequences(_docs(spark, sf_dir), capacity=256))
+
+
+SQL_DOC_PACK_SEQUENCES = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tok,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS ok
+  FROM documents
+),
+a AS (
+  SELECT source, ok % 4 AS shard, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source, ok % 4 ORDER BY ok, doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+  FROM d
+)
+SELECT source, shard::BIGINT AS shard,
+       -- the windowed SUM is HUGEINT; // keeps it HUGEINT -> cast
+       (cum_before // 256)::BIGINT AS seq_id,
+       COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens
+FROM a GROUP BY 1, 2, 3
+"""
+
+
+# --- per-source length outliers ---------------------------------------
+
+def doc_length_outliers(spark, sf_dir):
+    """Per-source length-distribution trim: exact discrete P10/P90 of
+    the token count per source, then every doc outside [p10, p90]
+    tagged short/long.  Two-pass shape: the 20-row stats frame is
+    BROADCAST back onto the corpus, so the second pass is a map-side
+    join — the corpus is never shuffled.  (At extreme scale swap the
+    exact percentile for approx_percentile — same plan, bounded
+    memory; exact here because the gate hashes values.)"""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        text.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    pd_ = lambda p: F.expr(  # noqa: E731
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY n_tok)"
+    )
+    stats = docs.groupBy("source").agg(
+        pd_(0.1).alias("p10"), pd_(0.9).alias("p90")
+    )
+    out = docs.join(F.broadcast(stats), "source").filter(
+        (F.col("n_tok") < F.col("p10")) | (F.col("n_tok") > F.col("p90"))
+    )
+    return out.select(
+        "doc_id", "source", "n_tok", "p10", "p90",
+        F.when(F.col("n_tok") < F.col("p10"), F.lit("short"))
+        .otherwise(F.lit("long"))
+        .alias("side"),
+    )
+
+
+SQL_DOC_LENGTH_OUTLIERS = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT source, quantile_disc(n_tok, 0.1) AS p10,
+         quantile_disc(n_tok, 0.9) AS p90
+  FROM d GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_tok, s.p10::BIGINT AS p10, s.p90::BIGINT AS p90,
+       CASE WHEN d.n_tok < s.p10 THEN 'short' ELSE 'long' END AS side
+FROM d JOIN s USING (source)
+WHERE d.n_tok < s.p10 OR d.n_tok > s.p90
+"""
+
+
 # --- multimodal -------------------------------------------------------
 
 def multimodal_bytes(spark, sf_dir):
@@ -807,6 +895,8 @@ QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "doc_source_stats": doc_source_stats,
     "doc_decontam": doc_decontam,
+    "doc_pack_sequences": doc_pack_sequences,
+    "doc_length_outliers": doc_length_outliers,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -835,6 +925,8 @@ ORACLES = {
     "doc_mixture_sample": SQL_DOC_MIXTURE_SAMPLE,
     "doc_source_stats": SQL_DOC_SOURCE_STATS,
     "doc_decontam": SQL_DOC_DECONTAM,
+    "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
+    "doc_length_outliers": SQL_DOC_LENGTH_OUTLIERS,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }

@@ -268,6 +268,59 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
         multimodal.resize_images(df, 8, 4, decoder="strict").collect()
 
 
+def test_pack_sequences_invariants(spark, docs):
+    from reflinkcep_spark.functions.packing import pack_sequences, pack_stats
+
+    assign = pack_sequences(docs, capacity=256).cache()
+    rows = assign.collect()
+    # every document assigned exactly once
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    # within a stratum, seq ids are contiguous from 0 — the cumulative
+    # offset can't skip a 256-token slice
+    by_stratum = {}
+    for r in rows:
+        by_stratum.setdefault((r["source"], r["shard"]), set()).add(r["seq_id"])
+    for seqs in by_stratum.values():
+        assert seqs == set(range(max(seqs) + 1))
+    # a sequence overflows capacity only via its LAST doc (concat-and-
+    # chunk: a doc belongs to the slice its first token lands in)
+    stats = {(r["source"], r["shard"], r["seq_id"]): r
+             for r in pack_stats(assign).collect()}
+    for (src, sh, seq), st in stats.items():
+        if (src, sh, seq + 1) in stats:  # not the stratum's tail seq
+            assert st["n_tokens"] >= 256 - 255  # non-degenerate
+    # deterministic: same input -> identical assignment
+    again = {r["doc_id"]: (r["source"], r["shard"], r["seq_id"])
+             for r in pack_sequences(docs, capacity=256).collect()}
+    assert again == {r["doc_id"]: (r["source"], r["shard"], r["seq_id"])
+                     for r in rows}
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@example.co.uk or call 415-555-1234"),
+        (2, "server 10.0.0.1 leaked ssn 123-45-6789 twice: 123-45-6789"),
+        (3, "clean text with no identifiers at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counted = df.select(
+        "doc_id",
+        *[c.alias(k.lower()) for k, c in text.pii_counts(F.col("text"))],
+        text.scrub_pii(F.col("text")).alias("scrubbed"),
+    )
+    got = {r["doc_id"]: r for r in counted.collect()}
+    assert (got[1]["email"], got[1]["phone"]) == (1, 1)
+    assert (got[2]["ipv4"], got[2]["ssn"]) == (1, 2)
+    assert got[3]["email"] == got[3]["phone"] == got[3]["ipv4"] == got[3]["ssn"] == 0
+    assert "[EMAIL]" in got[1]["scrubbed"] and "[PHONE]" in got[1]["scrubbed"]
+    assert "alice" not in got[1]["scrubbed"]
+    assert got[2]["scrubbed"].count("[SSN]") == 2 and "[IPV4]" in got[2]["scrubbed"]
+    assert got[3]["scrubbed"] == rows[2][1]
+    assert got[4]["scrubbed"] is None
+
+
 @pytest.mark.skipif(
     __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
     reason="Pillow not installed in this environment",
