@@ -28,7 +28,15 @@ import yaml
 
 from reflinkcep_spark.cep.expr import validate
 
-__all__ = ["Query", "Pattern", "QueryError", "CONTIGUITIES", "STRATEGIES"]
+__all__ = [
+    "Query",
+    "Pattern",
+    "QueryError",
+    "ast_repr",
+    "describe",
+    "CONTIGUITIES",
+    "STRATEGIES",
+]
 
 CONTIGUITIES = ("strict", "relaxed", "nd-relaxed")
 STRATEGIES = ("NoSkip", "SkipToNext", "SkipPastLastEvent")
@@ -186,6 +194,51 @@ class Query:
 
 
 _CONTIG_SYMBOL = {"strict": ".", "relaxed": "~", "nd-relaxed": "#"}
+
+# The reference's diagnostic notation (reference ast.py:13): strict /
+# relaxed / nd-relaxed render as ⋅ / ∘ / ⊙.
+_REF_CONTIG_SYMBOL = {"strict": "⋅", "relaxed": "∘", "nd-relaxed": "⊙"}
+
+
+def ast_repr(node: Mapping) -> str:
+    """Render a pattern AST in the REFERENCE's exact diagnostic notation
+    (reference ast.py:16-58): ``name:event:[expr]`` leaves, loop bounds
+    as ``_⋅{n,m}`` with the contiguity symbol, ``U(expr)`` until
+    suffixes, parenthesized groups.  String-identical to the reference's
+    own formatter (pinned differentially by tests/test_ast_repr.py over
+    the full corpus enumeration), so logs and plan dumps can be diffed
+    against reference tooling; ``describe`` stays the ASCII variant."""
+    t = node["type"]
+    if t == "spat":
+        return f"{node['name']}:{node['event']}:[{node['cndt']['expr']}]"
+    if t == "lpat":
+        lp = node["loop"]
+        return (
+            f"{node['name']}:{node['event']}:[{node['cndt']['expr']}]"
+            f"_{_REF_CONTIG_SYMBOL[lp['contiguity']]}{{{lp['from']},{lp['to']}}}"
+        )
+    if t == "lpat-inf":
+        lp = node["loop"]
+        u = f"U({node['until']['expr']})" if "until" in node else ""
+        return (
+            f"{node['name']}:{node['event']}:[{node['cndt']['expr']}]"
+            f"_{_REF_CONTIG_SYMBOL[lp['contiguity']]}{{{lp['from']},inf}}{u}"
+        )
+    if t == "combine":
+        return (
+            ast_repr(node["left"])
+            + _REF_CONTIG_SYMBOL[node["contiguity"]]
+            + ast_repr(node["right"])
+        )
+    if t == "gpat":
+        return f"({ast_repr(node['child'])})"
+    if t == "gpat-times":
+        lp = node["loop"]
+        return f"({ast_repr(node['child'])}){{{lp['from']},{lp['to']}}}"
+    if t == "gpat-inf":
+        u = f"U({node['until']['expr']})" if "until" in node else ""
+        return f"({ast_repr(node['child'])}){{{node['loop']['from']},inf}}{u}"
+    raise QueryError(f"unknown node type {t!r}")
 
 
 def describe(node: Mapping) -> str:

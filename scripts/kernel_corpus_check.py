@@ -159,6 +159,17 @@ def main() -> int:
 
     print(f"{len(cases)} cases x 2 keys in {time.time() - t0:.0f}s; "
           f"{len(failures)} failures")
+    # Per-division agreement rollup — the analog of the reference's
+    # per-division SAME/DIFF collection (reference exp/gencsv.py:37-46).
+    by_div: dict[str, list[int]] = {}
+    failed_ids = {cid for cid, *_ in failures}
+    for cid, *_ in cases:
+        div = cid.split(":", 1)[0] if ":" in cid else "handwritten"
+        tot = by_div.setdefault(div, [0, 0])
+        tot[0] += 1
+        tot[1] += cid in failed_ids
+    for div, (n, bad) in sorted(by_div.items()):
+        print(f"  {div}: {n - bad}/{n} agree")
     for cid, key, got, want in failures[:5]:
         print("FAIL", cid, "key", key)
         print("  got ", got)
