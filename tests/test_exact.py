@@ -63,6 +63,33 @@ def test_unit4_revenue_half_up_rounding(spark):
     assert row["fast"] == 0.43 == row["ref"]
 
 
+def test_exact_sum2_survives_sums_beyond_double_precision(spark):
+    """Past 2^53 cents a long→double divide would double-round; the
+    final /100 runs in DECIMAL(38,0), so the result stays the correctly
+    rounded double of the exact rational at any aggregate size."""
+    from decimal import Decimal
+
+    from reflinkcep_spark.queries.exact import exact_sum2_from_unit4, unit4_revenue
+
+    # cent sum = 2*4.6e15 + 7 = 9.2e15 + 7 > 2^53 ≈ 9.007e15, and odd —
+    # float64 cannot represent it, so naive long/100.0 double-rounds.
+    rows = [(4.6e13,), (4.6e13,), (0.07,)]
+    df = spark.createDataFrame(rows, "v double")
+    [row] = df.agg(exact_sum2("v").alias("s")).collect()
+    want = float(Decimal(9_200_000_000_000_007) / 100)  # exact-rational image
+    assert row["s"] == want
+
+    # same regime for the 10^-4-unit accumulator (price*(1-disc) units)
+    df2 = spark.createDataFrame(
+        [(4.6e13, 0.0), (4.6e13, 0.0), (0.07, 0.5)], "p double, d double"
+    )
+    [row2] = df2.agg(
+        exact_sum2_from_unit4(unit4_revenue("p", "d")).alias("s")
+    ).collect()
+    # unit4 sum = 9.2e17 + 350 -> half-up to cents 9.2e15 + 4, /100
+    assert row2["s"] == float(Decimal(9_200_000_000_000_004) / 100)
+
+
 def test_exact_avg4_survives_sums_beyond_long_range(spark):
     """s*200 would overflow BIGINT once the cent sum passes ~4.6e16 —
     the final rounding runs in DECIMAL(38,0) so huge aggregates stay
