@@ -15,7 +15,12 @@ from __future__ import annotations
 
 from typing import Iterable, Mapping, Optional, Sequence
 
-__all__ = ["render_match", "render_matches", "write_matches"]
+__all__ = [
+    "render_match",
+    "render_matches",
+    "write_matches",
+    "write_training_shards",
+]
 
 
 def render_match(match: Mapping[str, list], type_of=None) -> str:
@@ -55,3 +60,40 @@ def write_matches(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_training_shards(
+    df,
+    path: str,
+    *,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    order_col: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a dataset as deterministic training shards:
+    ``{path}/shard=K/`` parquet directories, K = md5-bucket(id) mod
+    ``n_shards``.
+
+    The row→shard mapping depends only on the id (the same md5-bucket
+    trick as the sampling queries), NOT on input partitioning, task
+    scheduling, or cluster size — so an incremental rebuild rewrites a
+    shard byte-stably, downstream loaders can address shards by key,
+    and a resharded read never sees a row move between runs.  One
+    shuffle (the repartition on shard) aligns tasks with shards, so
+    each shard directory holds one file; ``order_col`` additionally
+    sorts rows within the shard (deterministic row order for training
+    replay).  Size ``n_shards`` so a shard fits a loader worker —
+    at 100 TB that means thousands of shards, which is exactly what
+    the hash spreads uniformly."""
+    from pyspark.sql import functions as F
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    out = df.withColumn("shard", F.pmod(bucket, F.lit(n_shards)).cast("int"))
+    out = out.repartition(n_shards, F.col("shard"))
+    if order_col is not None:
+        out = out.sortWithinPartitions("shard", order_col)
+    out.write.mode(mode).partitionBy("shard").parquet(path)
