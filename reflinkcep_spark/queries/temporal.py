@@ -138,6 +138,9 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, us, value,
+         -- session_seq is HUGEINT (windowed SUM of BIGINT); safe ONLY
+         -- because it never reaches the output — cast ::BIGINT if you
+         -- ever select it (see SQL_USER_SESSIONS).
          SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
                           ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
