@@ -23,6 +23,7 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 _PRIORITY = (
     "doc_pack_sequences",
     "doc_length_outliers",
+    "doc_pii_scrub",
     "text_repetition",
     "doc_decontam",
     "doc_mixture_sample",

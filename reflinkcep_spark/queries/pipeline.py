@@ -878,6 +878,86 @@ FROM documents
 """
 
 
+def doc_pii_scrub(spark, sf_dir):
+    """PII audit + redaction (functions/text.py pii_counts/scrub_pii).
+
+    The synthetic corpus contains no PII, so the query PLANTS
+    deterministic doc_id-derived identifiers (an email and an IPv4 per
+    doc, a phone for doc_id%3==0, an SSN for doc_id%5==0) with the same
+    expression the oracle uses — the scrub is then exercised on text
+    with known-nonzero match counts.  Counts run on the planted text,
+    redaction is the chained regexp_replace of scrub_pii; everything is
+    one whole-stage-codegen projection — no shuffle, no UDF, and at
+    100 TB the scan parallelism is the only knob that matters."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    planted = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), did, F.lit("@example.com")),
+        F.concat(
+            F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("call 555-123-4567")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("ssn 123-45-6789")),
+    )
+    base = docs.select("doc_id", planted.alias("ptext"))
+    scrubbed = text.scrub_pii(F.col("ptext"))
+    return base.select(
+        "doc_id",
+        *[
+            c.cast("long").alias(f"n_{kind.lower()}")
+            for kind, c in text.pii_counts(F.col("ptext"))
+        ],
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+# The oracle plants the identical identifiers, then counts with
+# regexp_extract_all and redacts with the same four patterns in the
+# same order (DuckDB regexp_replace needs the 'g' flag — without it
+# only the FIRST match per document is redacted, unlike Spark).
+SQL_DOC_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+                   'user' || doc_id::VARCHAR || '@example.com',
+                   '10.0.' || (doc_id % 256)::VARCHAR || '.7',
+                   CASE WHEN doc_id % 3 = 0 THEN 'call 555-123-4567' END,
+                   CASE WHEN doc_id % 5 = 0 THEN 'ssn 123-45-6789' END
+         ) AS ptext
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, ptext,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(ptext,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+           '[IPV4]', 'g') AS stext
+  FROM planted
+)
+SELECT doc_id,
+       len(regexp_extract_all(ptext,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(ptext,
+         '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::BIGINT AS n_ssn,
+       len(regexp_extract_all(ptext,
+         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))::BIGINT AS n_phone,
+       len(regexp_extract_all(ptext,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ipv4,
+       md5(stext) AS scrubbed_md5,
+       length(stext)::BIGINT AS scrubbed_len
+FROM scrubbed
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -897,6 +977,7 @@ QUERIES = {
     "doc_decontam": doc_decontam,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_length_outliers": doc_length_outliers,
+    "doc_pii_scrub": doc_pii_scrub,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -927,6 +1008,7 @@ ORACLES = {
     "doc_decontam": SQL_DOC_DECONTAM,
     "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
     "doc_length_outliers": SQL_DOC_LENGTH_OUTLIERS,
+    "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }

@@ -37,6 +37,14 @@ def main() -> int:
         "(tests/corpus.py); 0 disables, 1 runs all ~13.5k",
     )
     ap.add_argument(
+        "--threads",
+        type=int,
+        default=8,
+        help="concurrent Spark job submissions (local[*] schedules them "
+        "across cores; the driver-side compile/reference-oracle work is "
+        "GIL-bound, so returns diminish past ~8)",
+    )
+    ap.add_argument(
         "--random-streams",
         type=int,
         default=0,
@@ -106,25 +114,30 @@ def main() -> int:
         cases = cases[: args.limit]
     t0 = time.time()
     failures = []
+    # Pre-build + cache every distinct stream DF single-threaded so the
+    # worker threads only submit read-only jobs against cached frames.
     df_cache = {id(None): df}
-    for idx, (cid, pat, strategy, stream) in enumerate(cases):
+    for _, _, _, stream in cases:
+        if stream is not None and id(stream) not in df_cache:
+            srows = [
+                (k, i + 1, t, a["name"], a["price"])
+                for k in range(2)
+                for i, (t, a) in enumerate(stream)
+            ]
+            sdf = spark.createDataFrame(
+                srows, "user_id int, id long, etype string, name long, price long"
+            ).cache()
+            sdf.count()
+            df_cache[id(stream)] = sdf
+
+    def check_case(case):
+        cid, pat, strategy, stream = case
         want = canon(
             {n: list(ids) for n, ids in m.items()}
             for m in _ref_matches(
                 pat, strategy, stream=stream if stream is not None else STREAM
             )
         )
-        case_df = df_cache.get(id(stream))
-        if case_df is None:
-            srows = [
-                (k, i + 1, t, a["name"], a["price"])
-                for k in range(2)
-                for i, (t, a) in enumerate(stream)
-            ]
-            case_df = spark.createDataFrame(
-                srows, "user_id int, id long, etype string, name long, price long"
-            ).cache()
-            df_cache[id(stream)] = case_df
         q = Query.from_dict(
             {
                 "patseq": pat,
@@ -138,9 +151,10 @@ def main() -> int:
             }
         )
         out = match_pattern(
-            case_df, q, order_by="id", partition_by="user_id", type_col="etype",
-            allow_fastpath=True,
+            df_cache[id(stream)], q, order_by="id", partition_by="user_id",
+            type_col="etype", allow_fastpath=True,
         ).collect()
+        case_failures = []
         for key in (0, 1):
             got_caps = canon(
                 {
@@ -152,10 +166,21 @@ def main() -> int:
                 if r["user_id"] == key
             )
             if got_caps != want:
-                failures.append((cid, key, got_caps, want))
-        if (idx + 1) % 25 == 0:
-            print(f"  {idx + 1}/{len(cases)} checked, {len(failures)} failures,"
-                  f" {time.time() - t0:.0f}s", flush=True)
+                case_failures.append((cid, key, got_caps, want))
+        return case_failures
+
+    # Concurrent submission: each case is an independent read-only job
+    # against a cached DF; Spark's FIFO scheduler interleaves them and
+    # the Py4J socket I/O releases the GIL, so wall-clock drops ~4x.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, args.threads)) as pool:
+        for idx, case_failures in enumerate(pool.map(check_case, cases)):
+            failures.extend(case_failures)
+            if (idx + 1) % 250 == 0:
+                print(
+                    f"  {idx + 1}/{len(cases)} checked, {len(failures)} "
+                    f"failures, {time.time() - t0:.0f}s", flush=True)
 
     print(f"{len(cases)} cases x 2 keys in {time.time() - t0:.0f}s; "
           f"{len(failures)} failures")

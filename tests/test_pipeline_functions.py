@@ -344,3 +344,20 @@ def test_resize_images_real_pil_decoder(spark):
     # undecodable/NULL payloads degrade to zero payloads, not task failure
     assert out[2]["payload"] == bytes(32)
     assert out[3]["payload"] == bytes(32)
+
+
+def test_doc_pii_scrub_query_plants_and_redacts(spark):
+    from reflinkcep_spark.queries.pipeline import doc_pii_scrub
+
+    out = doc_pii_scrub(spark, SF_DIR).cache()
+    n = out.count()
+    assert n == load_table(spark, SF_DIR, "documents").count()
+    # every doc gets a planted email + IPv4; phone/SSN on the mod classes
+    assert out.filter("n_email < 1").count() == 0
+    assert out.filter("n_ipv4 < 1").count() == 0
+    assert out.filter("doc_id % 3 = 0 AND n_phone = 0").count() == 0
+    assert out.filter("doc_id % 5 = 0 AND n_ssn = 0").count() == 0
+    # redaction happened: scrubbed text is hashed, lengths positive
+    row = out.orderBy("doc_id").first()
+    assert row["scrubbed_len"] > 0 and len(row["scrubbed_md5"]) == 32
+    out.unpersist()
