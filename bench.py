@@ -45,6 +45,8 @@ HEADLINE = [
     "cep_signup_abandoned",    # absence pattern (union + window)
     "q_grouping_sets",         # one-pass grouping-sets aggregation
     "sim_ann_ivf",             # IVF ANN (bounded quantizer fit + probe)
+    "doc_pack_sequences",      # concat-and-chunk packing (sharded prefix sum)
+    "doc_pii_scrub",           # regex audit + redaction (codegen projection)
 ]
 
 

@@ -24,6 +24,7 @@ _PRIORITY = (
     "doc_pack_sequences",
     "doc_length_outliers",
     "doc_pii_scrub",
+    "doc_mixture_upsample",
     "text_repetition",
     "doc_decontam",
     "doc_mixture_sample",

@@ -356,6 +356,70 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
 """
 
 
+def doc_mixture_upsample(spark, sf_dir):
+    """The upsampling half of mixture construction: per-source EPOCH
+    weights > 1 replicate documents (LLaMA-style multi-epoch mixing),
+    fractional parts fall on a deterministic md5-bucket subset, and
+    weights < 1 downsample — one unified operator.  src0-4 run 2.6
+    epochs (every doc twice, the bucket<60 subset a third time),
+    src5-9 exactly once, the rest 0.3.
+
+    ``n_copies = pct div 100 + (bucket < pct mod 100)`` in exact
+    integer arithmetic, then ``explode(sequence(1, n_copies))`` — a
+    narrow (shuffle-free) row expansion whose output volume is just
+    the mean epoch weight times the corpus, which is the right 100 TB
+    shape: no shuffle, no skew point, scan-pruned to three columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    pct = (
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+            F.lit(260),
+        )
+        .when(
+            F.col("source").isin("src5", "src6", "src7", "src8", "src9"),
+            F.lit(100),
+        )
+        .otherwise(F.lit(30))
+    )
+    n_copies = (
+        (pct - F.pmod(pct, 100)) / 100 + (bucket < F.pmod(pct, 100)).cast("int")
+    ).cast("int")
+    staged = docs.select("doc_id", "source", n_copies.alias("n_copies"))
+    return (
+        staged.filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id", "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+        .withColumn("copy_idx", F.col("copy_idx").cast("long"))
+    )
+
+
+SQL_DOC_MIXTURE_UPSAMPLE = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 260
+              WHEN source IN ('src5','src6','src7','src8','src9') THEN 100
+              ELSE 30 END AS pct
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         pct // 100 + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT doc_id, source,
+       unnest(generate_series(1, n_copies))::BIGINT AS copy_idx
+FROM c
+WHERE n_copies > 0
+"""
+
+
 def doc_source_stats(spark, sf_dir):
     """Mixture diagnostics: per-source doc count, token volume and
     mean quality — the dashboard numbers a data-mixture pipeline
@@ -973,6 +1037,7 @@ QUERIES = {
     "doc_top_terms": doc_top_terms,
     "doc_hash_sample": doc_hash_sample,
     "doc_mixture_sample": doc_mixture_sample,
+    "doc_mixture_upsample": doc_mixture_upsample,
     "doc_source_stats": doc_source_stats,
     "doc_decontam": doc_decontam,
     "doc_pack_sequences": doc_pack_sequences,
@@ -1004,6 +1069,7 @@ ORACLES = {
     "doc_top_terms": SQL_DOC_TOP_TERMS,
     "doc_hash_sample": SQL_DOC_HASH_SAMPLE,
     "doc_mixture_sample": SQL_DOC_MIXTURE_SAMPLE,
+    "doc_mixture_upsample": SQL_DOC_MIXTURE_UPSAMPLE,
     "doc_source_stats": SQL_DOC_SOURCE_STATS,
     "doc_decontam": SQL_DOC_DECONTAM,
     "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,

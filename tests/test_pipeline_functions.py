@@ -361,3 +361,28 @@ def test_doc_pii_scrub_query_plants_and_redacts(spark):
     row = out.orderBy("doc_id").first()
     assert row["scrubbed_len"] > 0 and len(row["scrubbed_md5"]) == 32
     out.unpersist()
+
+
+def test_doc_mixture_upsample_epoch_weights(spark):
+    from reflinkcep_spark.queries.pipeline import doc_mixture_upsample
+
+    out = doc_mixture_upsample(spark, SF_DIR).cache()
+    per_doc = {
+        (r["doc_id"], r["source"]): r["n"]
+        for r in out.groupBy("doc_id", "source")
+        .agg(F.max("copy_idx").alias("n"))
+        .collect()
+    }
+    hi = [n for (_, s), n in per_doc.items() if s in {f"src{i}" for i in range(5)}]
+    one = [n for (_, s), n in per_doc.items()
+           if s in {f"src{i}" for i in range(5, 10)}]
+    low = [n for (_, s), n in per_doc.items()
+           if s not in {f"src{i}" for i in range(10)}]
+    # 2.6 epochs: every doc 2 or 3 copies; 1.0: exactly one; 0.3: survivors one
+    assert hi and set(hi) <= {2, 3} and 3 in set(hi)
+    assert one and set(one) == {1}
+    assert low and set(low) == {1}
+    # copy_idx is dense 1..n per doc
+    n_rows = out.count()
+    assert n_rows == sum(per_doc.values())
+    out.unpersist()
