@@ -25,6 +25,7 @@ _PRIORITY = (
     "doc_length_outliers",
     "doc_pii_scrub",
     "doc_mixture_upsample",
+    "q_range_join_clicks",
     "text_repetition",
     "doc_decontam",
     "doc_mixture_sample",

@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from reflinkcep_spark.operators.asof import asof_join
+from reflinkcep_spark.operators.rangejoin import interval_join
 from reflinkcep_spark.operators.sessions import sessionize
 from reflinkcep_spark.queries.exact import exact_sum2
 from reflinkcep_spark.sources import load_table
@@ -130,7 +131,7 @@ def q_session_windows(spark, sf_dir):
 SQL_SESSION_WINDOWS = """
 WITH flagged AS (
   SELECT user_id, epoch_us(ts) AS us, value,
-         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 7200000000
                 OR lag(epoch_us(ts)) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_s
   FROM events
@@ -310,7 +311,58 @@ GROUP BY event_type
 """
 
 
+# --- range (interval) join -------------------------------------------
+
+def q_range_join_clicks(spark, sf_dir):
+    """Bucketed range join (operators/rangejoin.py): every purchase
+    defines a ±2-hour interval per user; clicks inside it are
+    matched via the one-bucket-per-point / exploded-interval equi-join
+    (bucket_width = the 2-hour radius, so ≤3 buckets per interval),
+    then rolled up per purchase.  The oracle is DuckDB's native
+    BETWEEN range join — same inclusive-bounds semantics."""
+    ev = _events(spark, sf_dir)
+    radius = 7_200_000_000  # 2 hours in micros
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.unix_micros("ts") - radius).alias("w_start"),
+        (F.unix_micros("ts") + radius).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    joined = interval_join(
+        clicks, purchases, on="us", start="w_start", end="w_end",
+        by="user_id", bucket_width=radius,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        exact_sum2("value").alias("click_value"),
+    )
+
+
+SQL_RANGE_JOIN_CLICKS = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id,
+         epoch_us(ts) - 7200000000 AS w_start,
+         epoch_us(ts) + 7200000000 AS w_end
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS us, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id,
+       COUNT(*) AS n_clicks,
+       ROUND(SUM(CAST(c.value AS DECIMAL(18,2))), 2)::DOUBLE AS click_value
+FROM c JOIN p
+  ON c.user_id = p.user_id AND c.us BETWEEN p.w_start AND p.w_end
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q_range_join_clicks": q_range_join_clicks,
     "q_events_tumbling": q_events_tumbling,
     "q_events_sliding": q_events_sliding,
     "q_user_sessions": q_user_sessions,
@@ -321,6 +373,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_range_join_clicks": SQL_RANGE_JOIN_CLICKS,
     "q_events_tumbling": SQL_EVENTS_TUMBLING,
     "q_events_sliding": SQL_EVENTS_SLIDING,
     "q_user_sessions": SQL_USER_SESSIONS,
