@@ -47,6 +47,8 @@ HEADLINE = [
     "sim_ann_ivf",             # IVF ANN (bounded quantizer fit + probe)
     "doc_pack_sequences",      # concat-and-chunk packing (sharded prefix sum)
     "doc_pii_scrub",           # regex audit + redaction (codegen projection)
+    "doc_mixture_upsample",    # epoch upsampling (narrow explode expansion)
+    "q_range_join_clicks",     # bucketed range join (no nested loop)
 ]
 
 

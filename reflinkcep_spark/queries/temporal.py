@@ -131,7 +131,7 @@ def q_session_windows(spark, sf_dir):
 SQL_SESSION_WINDOWS = """
 WITH flagged AS (
   SELECT user_id, epoch_us(ts) AS us, value,
-         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 7200000000
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
                 OR lag(epoch_us(ts)) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_s
   FROM events

@@ -77,10 +77,19 @@ def run_testcase(path_or_stream, spark=None) -> list[dict]:
 
     df = testcase_events_df(spark, events)
     attr_cols = [c for c in df.columns if c not in ("type",)]
-    out = match_pattern(
-        df, query, order_by="seq", partition_by=None, type_col="type",
-        allow_fastpath=False,
-    ).collect()
+    # Reference testcases are single total-order streams of a few
+    # events by construction — the unkeyed-kernel single-task warning
+    # is intended for production callers, not this replay path.
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message="match_pattern called without partition_by"
+        )
+        out = match_pattern(
+            df, query, order_by="seq", partition_by=None, type_col="type",
+            allow_fastpath=False,
+        ).collect()
     results = []
     for row in sorted(out, key=lambda r: r["match_seq"]):
         m: dict = {}
