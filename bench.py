@@ -49,6 +49,7 @@ HEADLINE = [
     "doc_pii_scrub",           # regex audit + redaction (codegen projection)
     "doc_mixture_upsample",    # epoch upsampling (narrow explode expansion)
     "q_range_join_clicks",     # bucketed range join (no nested loop)
+    "doc_curation_funnel",     # 6-stage curation attrition report
 ]
 
 

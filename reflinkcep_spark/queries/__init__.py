@@ -26,6 +26,7 @@ _PRIORITY = (
     "doc_pii_scrub",
     "doc_mixture_upsample",
     "q_range_join_clicks",
+    "doc_curation_funnel",
     "text_repetition",
     "doc_decontam",
     "doc_mixture_sample",

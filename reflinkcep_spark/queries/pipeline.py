@@ -942,6 +942,175 @@ FROM documents
 """
 
 
+def doc_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel: the attrition report a training-data
+    pipeline publishes.  Six cumulative stages — total → token-length
+    gate (10..5000) → quality ≥ 0.3 → Gopher repetition keep → exact
+    dedup (min-id keeper among stage-3 SURVIVORS, not the raw corpus)
+    → benchmark decontamination (bench docs 0-24 and any doc sharing a
+    word 4-gram with them drop out).  Output: one row per stage with
+    surviving doc count and token volume.
+
+    Scale shape: ALL flags — including the repetition keep verdict —
+    are computed inline over a staged token array (two chained
+    projections, zero joins; the sort+fold multiplicity trick of
+    functions/text.py keeps even the repetition stats shuffle-free);
+    the keeper step is one digest-keyed aggregate over survivors
+    joined back (broadcastable — it only holds duplicate digests);
+    the contamination step reuses the broadcast bench-gram join of
+    doc_decontam.  The final rollup is a 6-value aggregate — nothing
+    driver-side, no stage recomputes the scan."""
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    s1 = docs.select(
+        "doc_id",
+        text.tokens(c).alias("__t"),
+        text.quality_score(c).alias("q"),
+        F.md5(c).alias("__digest"),
+    )
+    t = F.col("__t")
+    g2 = text.ngrams(t, 2)
+    n_tok = F.size(t)
+    n_g2 = F.size(g2)
+    ttr = F.size(F.array_distinct(t)) / n_tok
+    top_tok = text.max_multiplicity(t) / n_tok
+    dup_g2 = F.when(
+        n_g2 > 0, (n_g2 - F.size(F.array_distinct(g2))) / n_g2
+    ).otherwise(F.lit(0.0))
+    keep = (n_tok >= 10) & (ttr >= 0.3) & (top_tok <= 0.2) & (dup_g2 <= 0.2)
+
+    f1 = n_tok.between(10, 5000)
+    f2 = f1 & (F.col("q") >= 0.3)
+    f3 = f2 & keep
+    base = s1.select("doc_id", n_tok.cast("long").alias("n_tok"), "__digest",
+                     f1.alias("f1"), f2.alias("f2"), f3.alias("f3"))
+
+    keepers = (
+        base.filter("f3")
+        .groupBy("__digest")
+        .agg(F.min("doc_id").alias("__keeper"))
+    )
+    base = base.join(keepers, "__digest", "left").withColumn(
+        "f4", F.col("f3") & (F.col("doc_id") == F.col("__keeper"))
+    )
+
+    contaminated = dedup.contaminated_docs(
+        docs.filter(F.col("doc_id") >= 25), docs.filter(F.col("doc_id") < 25), n=4
+    ).select("doc_id", F.lit(True).alias("__contam"))
+    base = base.join(contaminated, "doc_id", "left").withColumn(
+        "f5",
+        F.col("f4") & (F.col("doc_id") >= 25) & F.col("__contam").isNull(),
+    )
+
+    wide = base.agg(
+        *[
+            x
+            for i, flag in enumerate(
+                [F.lit(True), F.col("f1"), F.col("f2"), F.col("f3"),
+                 F.col("f4"), F.col("f5")]
+            )
+            for x in (
+                F.sum(flag.cast("long")).alias(f"d{i}"),
+                F.sum(F.when(flag, F.col("n_tok"))).alias(f"t{i}"),
+            )
+        ]
+    )
+    stages = ["0_total", "1_length", "2_quality", "3_repetition",
+              "4_exact_dedup", "5_decontam"]
+    return wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("stage"),
+                    F.col(f"d{i}").alias("n_docs"),
+                    F.col(f"t{i}").alias("n_tokens"),
+                )
+                for i, s in enumerate(stages)
+            ])
+        ).alias("r")
+    ).select("r.stage", "r.n_docs", "r.n_tokens")
+
+
+SQL_DOC_CURATION_FUNNEL = r"""
+WITH base AS (
+  SELECT doc_id, text, md5(text) AS digest,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, digest, t, len(t)::BIGINT AS n_tok,
+         ROUND(LEAST(1.0, len(t) / 100.0) *
+               (1 - CASE WHEN n_chars > 0
+                         THEN n_punct * 1.0 / n_chars ELSE 0 END), 6) AS q,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              ELSE []::VARCHAR[] END AS g2
+  FROM base
+),
+tok_top AS (
+  SELECT doc_id, MAX(c) AS mx FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM flags) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+w3 AS (
+  SELECT f.doc_id, f.digest, f.t, f.n_tok,
+         (f.n_tok BETWEEN 10 AND 5000) AS f1,
+         (f.n_tok BETWEEN 10 AND 5000) AND f.q >= 0.3 AS f2,
+         (f.n_tok BETWEEN 10 AND 5000) AND f.q >= 0.3
+           AND (f.n_tok >= 10
+                AND len(list_distinct(f.t)) / f.n_tok >= 0.3
+                AND tt.mx / f.n_tok <= 0.2
+                AND (CASE WHEN len(f.g2) > 0
+                          THEN (len(f.g2) - len(list_distinct(f.g2)))
+                               / len(f.g2)
+                          ELSE 0.0 END) <= 0.2) AS f3
+  FROM flags f
+  LEFT JOIN tok_top tt USING (doc_id)
+),
+keepers AS (
+  SELECT digest, MIN(doc_id) AS keeper FROM w3 WHERE f3 GROUP BY 1
+),
+w4 AS (
+  SELECT w3.*, (f3 AND doc_id = keeper) AS f4
+  FROM w3 LEFT JOIN keepers USING (digest)
+),
+g4 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4
+              THEN list_distinct(list_transform(range(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+3], ' ')))
+              ELSE []::VARCHAR[] END AS gs
+  FROM flags
+),
+bg AS (SELECT DISTINCT unnest(gs) AS gr FROM g4 WHERE doc_id < 25),
+contam AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(gs) AS gr FROM g4 WHERE doc_id >= 25) c
+  JOIN bg USING (gr)
+),
+w5 AS (
+  SELECT w4.*,
+         (f4 AND w4.doc_id >= 25 AND contam.doc_id IS NULL) AS f5
+  FROM w4 LEFT JOIN contam ON w4.doc_id = contam.doc_id
+)
+SELECT '0_total' AS stage, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tok)::BIGINT AS n_tokens FROM w5
+UNION ALL SELECT '1_length', COUNT(*) FILTER (WHERE f1)::BIGINT,
+       SUM(n_tok) FILTER (WHERE f1)::BIGINT FROM w5
+UNION ALL SELECT '2_quality', COUNT(*) FILTER (WHERE f2)::BIGINT,
+       SUM(n_tok) FILTER (WHERE f2)::BIGINT FROM w5
+UNION ALL SELECT '3_repetition', COUNT(*) FILTER (WHERE f3)::BIGINT,
+       SUM(n_tok) FILTER (WHERE f3)::BIGINT FROM w5
+UNION ALL SELECT '4_exact_dedup', COUNT(*) FILTER (WHERE f4)::BIGINT,
+       SUM(n_tok) FILTER (WHERE f4)::BIGINT FROM w5
+UNION ALL SELECT '5_decontam', COUNT(*) FILTER (WHERE f5)::BIGINT,
+       SUM(n_tok) FILTER (WHERE f5)::BIGINT FROM w5
+"""
+
+
 def doc_pii_scrub(spark, sf_dir):
     """PII audit + redaction (functions/text.py pii_counts/scrub_pii).
 
@@ -1043,6 +1212,7 @@ QUERIES = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_length_outliers": doc_length_outliers,
     "doc_pii_scrub": doc_pii_scrub,
+    "doc_curation_funnel": doc_curation_funnel,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1075,6 +1245,7 @@ ORACLES = {
     "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
     "doc_length_outliers": SQL_DOC_LENGTH_OUTLIERS,
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
+    "doc_curation_funnel": SQL_DOC_CURATION_FUNNEL,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }
