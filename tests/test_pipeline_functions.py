@@ -134,6 +134,12 @@ def test_entry_contract(spark):
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
+    # every _PRIORITY name must resolve (a typo would silently drop the
+    # prioritization) and land inside the driver's 50-entry check window
+    from reflinkcep_spark.queries import _PRIORITY
+
+    assert set(_PRIORITY) <= set(qs)
+    assert all(name in list(qs)[:50] for name in _PRIORITY)
 
 
 def test_max_df_cap_drops_ubiquitous_shingles(spark):
