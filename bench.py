@@ -50,6 +50,7 @@ HEADLINE = [
     "doc_mixture_upsample",    # epoch upsampling (narrow explode expansion)
     "q_range_join_clicks",     # bucketed range join (no nested loop)
     "doc_curation_funnel",     # 6-stage curation attrition report
+    "doc_chunk_overlap",       # overlapping token-window chunking
 ]
 
 

@@ -27,6 +27,7 @@ _PRIORITY = (
     "doc_mixture_upsample",
     "q_range_join_clicks",
     "doc_curation_funnel",
+    "doc_chunk_overlap",
     "text_repetition",
     "doc_decontam",
     "doc_mixture_sample",

@@ -942,6 +942,57 @@ FROM documents
 """
 
 
+def doc_chunk_overlap(spark, sf_dir):
+    """Overlapping token-window chunking — the step an embedding/RAG
+    pipeline runs before vectorizing: each document becomes windows of
+    64 tokens with stride 48 (16-token overlap), identified by
+    (doc_id, chunk_id) with an md5 content fingerprint instead of the
+    chunk text (no point hauling the corpus twice through the oracle).
+
+    Pure narrow plan: tokenize → generate start offsets
+    (``sequence(1, n-overlap, stride)``) → explode → slice.  Output
+    volume is ``n/stride`` rows per doc, no shuffle, scan pruned to
+    two columns — the same shape at any corpus size."""
+    size, stride, overlap = 64, 48, 16
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", text.tokens(F.col("text")).alias("__t")
+    )
+    n = F.size("__t")
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride)
+    )
+    chunks = staged.select(
+        "doc_id", "__t", F.explode(starts).alias("__start")
+    )
+    piece = F.slice(F.col("__t"), F.col("__start"), size)
+    return chunks.select(
+        "doc_id",
+        F.expr(f"(__start - 1) div {stride}").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+SQL_DOC_CHUNK_OVERLAP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+st AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 16, 1), 48)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       ((s - 1) // 48)::BIGINT AS chunk_id,
+       len(t[s:s+63])::BIGINT AS n_chunk_tokens,
+       md5(array_to_string(t[s:s+63], ' ')) AS chunk_md5
+FROM st
+"""
+
+
 def doc_curation_funnel(spark, sf_dir):
     """End-to-end curation funnel: the attrition report a training-data
     pipeline publishes.  Six cumulative stages — total → token-length
@@ -984,6 +1035,14 @@ def doc_curation_funnel(spark, sf_dir):
     f3 = f2 & keep
     base = s1.select("doc_id", n_tok.cast("long").alias("n_tok"), "__digest",
                      f1.alias("f1"), f2.alias("f2"), f3.alias("f3"))
+    # Pin the flag frame (lazy localCheckpoint, as dedup_clusters does):
+    # it feeds three consumers (keeper aggregate, keeper join, final
+    # rollup), and without materialization Catalyst pushes the survivor
+    # filter through the projection and re-evaluates the whole token
+    # analytics per consumer (measured 12.5 s vs 3 s at sf0.1).  The
+    # frame is a narrow ~50 B/row skeleton — id, digest, a long and
+    # three booleans — so pinning it is the standard move at any scale.
+    base = base.localCheckpoint(eager=False)
 
     keepers = (
         base.filter("f3")
@@ -1213,6 +1272,7 @@ QUERIES = {
     "doc_length_outliers": doc_length_outliers,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_curation_funnel": doc_curation_funnel,
+    "doc_chunk_overlap": doc_chunk_overlap,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1246,6 +1306,7 @@ ORACLES = {
     "doc_length_outliers": SQL_DOC_LENGTH_OUTLIERS,
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "doc_curation_funnel": SQL_DOC_CURATION_FUNNEL,
+    "doc_chunk_overlap": SQL_DOC_CHUNK_OVERLAP,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }
