@@ -60,3 +60,46 @@ def test_empty_intervals_dropped_and_validation(spark):
         interval_join(
             points, bad, on="t", start="s", end="e", by="k", bucket_width=5
         )
+
+
+# --- randomized differential vs a brute-force reference ---------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_pts = st.lists(
+    st.tuples(st.sampled_from("ab"), st.integers(0, 120)),
+    min_size=0, max_size=12,
+)
+_ivs = st.lists(
+    st.tuples(
+        st.sampled_from("ab"), st.integers(0, 120), st.integers(-5, 40)
+    ),
+    min_size=0, max_size=8,
+)
+
+
+@settings(
+    max_examples=20, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(raw_pts=_pts, raw_ivs=_ivs, width=st.sampled_from([1, 3, 7, 50]))
+def test_interval_join_matches_bruteforce(spark, raw_pts, raw_ivs, width):
+    pts = [(k, i, t) for i, (k, t) in enumerate(raw_pts)]
+    ivs = [(k, 100 + j, s, s + d) for j, (k, s, d) in enumerate(raw_ivs)]
+    want = sorted(
+        (pid, iid)
+        for (pk, pid, t) in pts
+        for (ik, iid, s, e) in ivs
+        if pk == ik and s <= t <= e
+    )
+    pdf = spark.createDataFrame(
+        pts or [("z", -1, 0)], "k string, pid long, t long"
+    )
+    idf = spark.createDataFrame(
+        ivs or [("z", -1, 1, 0)], "k string, iid long, s long, e long"
+    )
+    got = interval_join(
+        pdf, idf, on="t", start="s", end="e", by="k", bucket_width=width
+    )
+    assert _rows(got) == (want if pts and ivs else [])
