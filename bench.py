@@ -51,6 +51,7 @@ HEADLINE = [
     "q_range_join_clicks",     # bucketed range join (no nested loop)
     "doc_curation_funnel",     # 6-stage curation attrition report
     "doc_chunk_overlap",       # overlapping token-window chunking
+    "doc_vocab_coverage",      # top-k vocab via distributed sort-limit
 ]
 
 

@@ -28,6 +28,7 @@ _PRIORITY = (
     "q_range_join_clicks",
     "doc_curation_funnel",
     "doc_chunk_overlap",
+    "doc_vocab_coverage",
     "text_repetition",
     "doc_decontam",
     "doc_mixture_sample",

@@ -942,6 +942,57 @@ FROM documents
 """
 
 
+def doc_vocab_coverage(spark, sf_dir):
+    """Tokenizer-design diagnostic: the top-100 corpus vocabulary with
+    each term's cumulative share of total token volume (how much of
+    the corpus the first k vocab entries cover).
+
+    Scale shape: term counts are one keyed aggregate; the top-100 is a
+    distributed sort-limit (TakeOrdered — per-partition heaps, no
+    global sort); only the BOUNDED 100-row result flows through the
+    single-task cumulative window, and the corpus total rides in as a
+    broadcast scalar.  Ordering (count DESC, term ASC) and the
+    int/int division are deterministic across engines."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(text.tokens(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(100)
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "n",
+            "rank",
+            (F.col("cum_n") / F.col("__total")).alias("cum_frac"),
+        )
+    )
+
+
+SQL_DOC_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+total AS (SELECT SUM(n) AS t FROM counts),
+top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 100)
+SELECT term, n,
+       ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank,
+       (SUM(n) OVER (ORDER BY n DESC, term
+                     ROWS UNBOUNDED PRECEDING) * 1.0 / total.t) AS cum_frac
+FROM top, total
+"""
+
+
 def doc_chunk_overlap(spark, sf_dir):
     """Overlapping token-window chunking — the step an embedding/RAG
     pipeline runs before vectorizing: each document becomes windows of
@@ -1273,6 +1324,7 @@ QUERIES = {
     "doc_pii_scrub": doc_pii_scrub,
     "doc_curation_funnel": doc_curation_funnel,
     "doc_chunk_overlap": doc_chunk_overlap,
+    "doc_vocab_coverage": doc_vocab_coverage,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1307,6 +1359,7 @@ ORACLES = {
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "doc_curation_funnel": SQL_DOC_CURATION_FUNNEL,
     "doc_chunk_overlap": SQL_DOC_CHUNK_OVERLAP,
+    "doc_vocab_coverage": SQL_DOC_VOCAB_COVERAGE,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }
