@@ -45,6 +45,14 @@ def main() -> int:
         "GIL-bound, so returns diminish past ~8)",
     )
     ap.add_argument(
+        "--no-fastpath",
+        action="store_true",
+        help="force every case through the applyInPandas NFA kernel "
+        "(by default the planner may dispatch to Catalyst fast paths, "
+        "which is what production does but leaves the kernel itself "
+        "unexercised for those combos)",
+    )
+    ap.add_argument(
         "--random-streams",
         type=int,
         default=0,
@@ -152,7 +160,7 @@ def main() -> int:
         )
         out = match_pattern(
             df_cache[id(stream)], q, order_by="id", partition_by="user_id",
-            type_col="etype", allow_fastpath=True,
+            type_col="etype", allow_fastpath=not args.no_fastpath,
         ).collect()
         case_failures = []
         for key in (0, 1):

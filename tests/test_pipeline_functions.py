@@ -392,3 +392,42 @@ def test_doc_mixture_upsample_epoch_weights(spark):
     n_rows = out.count()
     assert n_rows == sum(per_doc.values())
     out.unpersist()
+
+
+def test_chunk_overlap_edges(spark, tmp_path):
+    """Chunking on constructed docs: empty/whitespace docs yield one
+    empty chunk (chunk_id 0), short docs one full chunk, long docs
+    overlapping windows with the tail truncated."""
+    import shutil
+
+    rows = [
+        (1, "", "s"),
+        (2, "   ", "s"),
+        (3, "a b c", "s"),
+        (4, " ".join(f"t{i}" for i in range(150)), "s"),
+    ]
+    d = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string, source string") \
+        .write.parquet(str(d / "documents.parquet"))
+    from reflinkcep_spark.queries.pipeline import doc_chunk_overlap
+
+    out = {(r["doc_id"], r["chunk_id"]): r["n_chunk_tokens"]
+           for r in doc_chunk_overlap(spark, str(d)).collect()}
+    assert out[(1, 0)] == 0 and out[(2, 0)] == 0
+    assert out[(3, 0)] == 3
+    # 150 tokens, size 64 stride 48: starts 1, 49, 97 -> 64, 64, 54
+    assert out[(4, 0)] == 64 and out[(4, 1)] == 64 and out[(4, 2)] == 54
+    assert (4, 3) not in out
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_vocab_coverage_monotone(spark):
+    from reflinkcep_spark.queries.pipeline import doc_vocab_coverage
+
+    rows = doc_vocab_coverage(spark, SF_DIR).orderBy("rank").collect()
+    assert rows, "non-empty vocab"
+    fracs = [r["cum_frac"] for r in rows]
+    assert all(b >= a for a, b in zip(fracs, fracs[1:]))
+    assert 0 < fracs[0] <= fracs[-1] <= 1.0
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
