@@ -52,6 +52,8 @@ HEADLINE = [
     "doc_curation_funnel",     # 6-stage curation attrition report
     "doc_chunk_overlap",       # overlapping token-window chunking
     "doc_vocab_coverage",      # top-k vocab via distributed sort-limit
+    "doc_global_shuffle",      # deterministic sharded shuffle (per-shard windows)
+    "doc_split_assign",        # frozen split assignment + release audit
 ]
 
 

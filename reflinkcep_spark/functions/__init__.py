@@ -7,6 +7,12 @@ in which case it's an Arrow-batched pandas UDF — never row-at-a-time
 Python.
 """
 
-from reflinkcep_spark.functions import dedup, multimodal, similarity, text
+from reflinkcep_spark.functions import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "sampling", "similarity", "text"]

@@ -63,11 +63,14 @@ def token_count(col: Column) -> Column:
 
 
 def bpe_ish_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+    # regexp_count, not size(regexp_extract_all(...)): same
+    # non-overlapping match count, but no per-row match-array
+    # allocation — measurably faster on long documents.
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
 
 
 def punct_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_PATTERN), 0))
+    return F.regexp_count(col, F.lit(PUNCT_PATTERN))
 
 
 def fingerprint_md5(col: Column) -> Column:
@@ -237,8 +240,7 @@ def pii_counts(col: Column) -> list[tuple[str, Column]]:
     whole-stage codegen; counting runs on the ORIGINAL text, so counts
     are independent of scrub order."""
     return [
-        (kind, F.size(F.regexp_extract_all(col, F.lit(pat), 0)))
-        for kind, pat in PII_PATTERNS
+        (kind, F.regexp_count(col, F.lit(pat))) for kind, pat in PII_PATTERNS
     ]
 
 

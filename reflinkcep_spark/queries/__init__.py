@@ -5,12 +5,12 @@ Each sub-module defines ``QUERIES`` (name → fn(spark, sf_dir) → DF) and
 oracle are non-SQL-expressible operators checked rows-only.
 
 Ordering matters: the driver's correctness gate checks the FIRST 50
-entries of ``queries()`` per round (65 declared).  ``_PRIORITY`` pins
-the queries that most need a fresh driver row to the front — the
-pipeline/similarity/text family whose rows rotated out of (or never
-entered) earlier rounds' windows, plus ``q_user_sessions`` whose oracle
-was just fixed — and the long-green relational stalwarts absorb the
-overflow at the tail.
+entries of ``queries()`` per round (76 declared).  ``_PRIORITY`` pins
+the queries that most need a fresh driver row to the front — newly
+added queries first, then the pipeline/similarity/text family whose
+rows rotated out of (or never entered) earlier rounds' windows — and
+the long-green relational/CEP stalwarts (all with green r3 rows)
+absorb the overflow at the tail.
 """
 
 from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
@@ -21,6 +21,9 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 # never driver-checked in any round, then the family whose last green
 # rows are stale (r1/r2), then the freshly-fixed session oracle.
 _PRIORITY = (
+    "doc_split_assign",
+    "doc_global_shuffle",
+    "text_token_histogram",
     "doc_pack_sequences",
     "doc_length_outliers",
     "doc_pii_scrub",

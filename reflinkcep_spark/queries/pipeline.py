@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from reflinkcep_spark.functions import dedup, multimodal, similarity, text
+from reflinkcep_spark.functions import dedup, multimodal, sampling, similarity, text
 from reflinkcep_spark.sources import load_table
 from reflinkcep_spark.sources.tables import spread
 
@@ -306,10 +306,7 @@ def doc_hash_sample(spark, sf_dir):
     unlike rand()/TABLESAMPLE, which are engine- and plan-dependent.
     Pure per-row filter: no shuffle, prunes to two columns."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = sampling.md5_bucket(F.col("doc_id"))
     return docs.filter(bucket < 10).select(
         "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
@@ -332,10 +329,7 @@ def doc_mixture_sample(spark, sf_dir):
     a broadcast-free CASE on the source column.  Pure per-row filter:
     no shuffle, prunes to three columns at the scan."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = sampling.md5_bucket(F.col("doc_id"))
     rate = F.when(
         F.col("source").isin("src0", "src1", "src2", "src3", "src4"), F.lit(40)
     ).otherwise(F.lit(10))
@@ -370,10 +364,7 @@ def doc_mixture_upsample(spark, sf_dir):
     the mean epoch weight times the corpus, which is the right 100 TB
     shape: no shuffle, no skew point, scan-pruned to three columns."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = sampling.md5_bucket(F.col("doc_id"))
     pct = (
         F.when(
             F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
@@ -1301,6 +1292,134 @@ FROM scrubbed
 """
 
 
+# --- split assignment / global shuffle / token distribution ----------
+
+SPLITS = {"train": 96, "valid": 2, "test": 2}
+
+
+def doc_split_assign(spark, sf_dir):
+    """Frozen train/valid/test split (96/2/2) with the release audit a
+    dataset ships with: per (source, split) document count and token
+    volume.  Membership is a pure function of doc_id
+    (functions/sampling.py assign_split), so a document's split never
+    changes as the corpus grows — the property that keeps eval sets
+    uncontaminated across dataset versions.  Pure projection at the
+    scan (three columns pruned), then one shuffle on the tiny
+    (source, split) key space with map-side partial aggregation."""
+    docs = _docs(spark, sf_dir)
+    staged = docs.select(
+        "source",
+        sampling.assign_split(F.col("doc_id"), SPLITS).alias("split"),
+        text.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return staged.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
+SQL_DOC_SPLIT_ASSIGN = r"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN b < 96 THEN 'train'
+              WHEN b < 98 THEN 'valid'
+              ELSE 'test' END AS split,
+         n_tok
+  FROM (
+    SELECT source,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> ''))::BIGINT AS n_tok
+    FROM documents)
+)
+SELECT source, split, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS total_tokens
+FROM s
+GROUP BY 1, 2
+"""
+
+
+N_SHUFFLE_SHARDS = 64
+
+
+def doc_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle for training-order assignment:
+    shard = md5-bucket of doc_id, position = rank of the 60-bit hash
+    within the shard.  Reading shards in index order replays the same
+    pseudo-random document order on any engine, any run, any
+    partitioning — unlike ``ORDER BY rand()``, which is neither
+    reproducible nor scalable.
+
+    The row_number window partitions BY SHARD — the scalable shape: no
+    global total-order exchange (a single ORDER BY h would range-sort
+    the full corpus), each shard sorts independently after one hash
+    shuffle, and raising 64 to thousands of shards at 100 TB keeps
+    every per-shard sort in memory."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", sampling.md5_hash60(F.col("doc_id")).alias("h")
+    )
+    shard = F.col("h") % N_SHUFFLE_SHARDS
+    w = Window.partitionBy(shard).orderBy("h", "doc_id")
+    return docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+SQL_DOC_GLOBAL_SHUFFLE = r"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id,
+       h % 64 AS shard,
+       ROW_NUMBER() OVER (PARTITION BY h % 64 ORDER BY h, doc_id)::BIGINT AS pos
+FROM h
+"""
+
+
+def text_token_histogram(spark, sf_dir):
+    """Per-source power-of-two token-length histogram — the length
+    distribution a curation pipeline watches for truncation cliffs and
+    boilerplate spikes.  Bucket = floor(log2(n_tok)) + 1 computed as
+    ``length(bin(n_tok))`` — pure integer arithmetic on both engines
+    (a float log2 can land on either side of a bucket boundary
+    depending on the engine's libm).  One shuffle on the tiny
+    (source, bucket) key space with map-side partial aggregation."""
+    docs = _docs(spark, sf_dir)
+    n_tok = text.token_count(F.col("text")).cast("long")
+    bucket = (
+        F.when(n_tok <= 0, F.lit(0)).otherwise(F.length(F.bin(n_tok)))
+    ).cast("long")
+    staged = docs.select(
+        "source", n_tok.alias("n_tok"), bucket.alias("tok_bucket")
+    )
+    return staged.groupBy("source", "tok_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+SQL_TEXT_TOKEN_HISTOGRAM = r"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tok
+  FROM documents
+)
+SELECT source,
+       (CASE WHEN n_tok <= 0 THEN 0 ELSE length(bin(n_tok)) END)::BIGINT
+         AS tok_bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_tok)::BIGINT AS min_tokens,
+       MAX(n_tok)::BIGINT AS max_tokens
+FROM t
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1325,6 +1444,9 @@ QUERIES = {
     "doc_curation_funnel": doc_curation_funnel,
     "doc_chunk_overlap": doc_chunk_overlap,
     "doc_vocab_coverage": doc_vocab_coverage,
+    "doc_split_assign": doc_split_assign,
+    "doc_global_shuffle": doc_global_shuffle,
+    "text_token_histogram": text_token_histogram,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1360,6 +1482,9 @@ ORACLES = {
     "doc_curation_funnel": SQL_DOC_CURATION_FUNNEL,
     "doc_chunk_overlap": SQL_DOC_CHUNK_OVERLAP,
     "doc_vocab_coverage": SQL_DOC_VOCAB_COVERAGE,
+    "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
+    "doc_global_shuffle": SQL_DOC_GLOBAL_SHUFFLE,
+    "text_token_histogram": SQL_TEXT_TOKEN_HISTOGRAM,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }

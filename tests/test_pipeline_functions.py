@@ -431,3 +431,64 @@ def test_vocab_coverage_monotone(spark):
     assert 0 < fracs[0] <= fracs[-1] <= 1.0
     counts = [r["n"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_assign_split_frozen_partition(spark, docs):
+    from reflinkcep_spark.functions import sampling
+    from reflinkcep_spark.queries.pipeline import SPLITS
+
+    assigned = docs.select(
+        "doc_id", sampling.assign_split(F.col("doc_id"), SPLITS).alias("split")
+    )
+    by_id = {r["doc_id"]: r["split"] for r in assigned.collect()}
+    # total partition: every doc gets exactly one of the three labels
+    assert set(by_id.values()) <= {"train", "valid", "test"}
+    n = len(by_id)
+    n_train = sum(1 for s in by_id.values() if s == "train")
+    assert 0.90 <= n_train / n <= 0.99  # ~96% within sampling noise
+    # frozen: assignment is a pure function of doc_id — computing the
+    # split on a half-corpus subset must agree with the full corpus
+    half = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", sampling.assign_split(F.col("doc_id"), SPLITS).alias("split")
+    )
+    for r in half.collect():
+        assert by_id[r["doc_id"]] == r["split"]
+    with pytest.raises(ValueError, match="sum to 100"):
+        sampling.assign_split(F.col("doc_id"), {"train": 90, "test": 5})
+
+
+def test_global_shuffle_invariants(spark, docs):
+    from reflinkcep_spark.queries.pipeline import N_SHUFFLE_SHARDS, doc_global_shuffle
+
+    from tests.conftest import SF_DIR as _sf
+
+    rows = doc_global_shuffle(spark, _sf).collect()
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    per_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < N_SHUFFLE_SHARDS
+        per_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are dense 1..n within every shard (a training loader
+    # can read shard files in pos order with no gaps)
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic: a second run replays the identical order
+    again = {(r["doc_id"], r["shard"], r["pos"])
+             for r in doc_global_shuffle(spark, _sf).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_token_histogram_buckets(spark, docs):
+    from reflinkcep_spark.queries.pipeline import text_token_histogram
+
+    rows = text_token_histogram(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        b = r["tok_bucket"]
+        if b == 0:
+            assert r["max_tokens"] <= 0
+        else:
+            # bucket b holds exactly the counts in [2^(b-1), 2^b)
+            assert r["min_tokens"] >= 2 ** (b - 1)
+            assert r["max_tokens"] < 2 ** b
