@@ -1,0 +1,238 @@
+#!/usr/bin/env python3
+"""Empirical scaling probe: replicate the sf0.1 tables 1x/2x/4x/8x with
+perturbed keys and measure how the headline operators' wall time grows.
+
+The point is to back the per-query "linear at 100 TB" design claims
+with data: an operator whose plan hides a quadratic pair expansion, an
+unbounded collect, or a single-task serialization shows super-linear
+growth immediately, while a correctly bucketed/keyed plan tracks the
+input multiple (modulo fixed per-query overhead, which DOMINATES small
+runs — hence the ratio is reported against the x2 run too).
+
+Replication keeps the workload shape honest at every multiple:
+
+* documents: doc_id offset per copy, and EVERY token prefixed with a
+  per-copy marker — copies are disjoint in shingle/signature space, so
+  the duplicate/near-dup structure of the base corpus repeats per copy
+  instead of every doc gaining N-1 cross-copy near-duplicates.  (A
+  first attempt prefixed only the document: all other shingles stayed
+  shared across copies, so pair output grew N-squared by construction
+  — semantically correct near-dup output for that input, but useless
+  for detecting plan defects.)
+* events: event_id/user_id offset per copy — each copy is a fresh user
+  population, so sessions/patterns scale linearly and per-key stream
+  lengths stay constant (the kernel's cost driver is stream length,
+  not user count).
+* embeddings: vec_id offset; vectors unchanged.  Probed queries use a
+  FIXED query set against the N-times corpus (top-k / ANN), so output
+  stays constant while scanned volume scales.
+
+Usage: python3 scripts/scale_probe.py [--scales 1,2,4,8] [--out SCALING.md]
+Writes replicated tables under /tmp/reflinkcep_scale/x{N}/ (scratch;
+removed and rebuilt per run unless --keep).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = "/tmp/reflinkcep_scale"
+
+# (query name, table it scales with)
+PROBES = [
+    ("text_profile", "documents"),
+    ("doc_top_terms", "documents"),
+    ("dedup_exact_groups", "documents"),
+    ("dedup_ngram_jaccard", "documents"),
+    ("dedup_minhash_lsh", "documents"),
+    ("dedup_clusters", "documents"),
+    ("doc_curation_funnel", "documents"),
+    ("doc_global_shuffle", "documents"),
+    ("q_user_sessions", "events"),
+    ("q_events_sliding", "events"),
+    ("q_asof_last_click", "events"),
+    ("cep_funnel_3step", "events"),
+    ("cep_spending_burst", "events"),
+    ("sim_cosine_topk", "embeddings"),
+    ("sim_ann_ivf", "embeddings"),
+]
+
+TABLES = ("documents", "events", "embeddings")
+
+
+def replicate(spark, n: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from reflinkcep_spark.sources import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = load_table(spark, BASE, name)
+        if name == "documents":
+            step = df.agg(F.max("doc_id")).first()[0] + 1
+
+            def _renamed(k):
+                toks = F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+                return F.array_join(
+                    F.transform(toks, lambda t: F.concat(F.lit(f"c{k}"), t)),
+                    " ",
+                )
+
+            parts = [
+                df.select(
+                    (F.col("doc_id") + k * step).alias("doc_id"),
+                    _renamed(k).alias("text"),
+                    "lang",
+                    "source",
+                )
+                .withColumn("n_chars", F.length("text"))
+                for k in range(n)
+            ]
+        elif name == "events":
+            e_step = df.agg(F.max("event_id")).first()[0] + 1
+            u_step = df.agg(F.max("user_id")).first()[0] + 1
+            parts = [
+                df.select(
+                    (F.col("event_id") + k * e_step).alias("event_id"),
+                    "ts",
+                    (F.col("user_id") + k * u_step).alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+                for k in range(n)
+            ]
+        else:
+            v_step = df.agg(F.max("vec_id")).first()[0] + 1
+            parts = [
+                df.select(
+                    (F.col("vec_id") + k * v_step).alias("vec_id"),
+                    "embedding",
+                    "label",
+                )
+                for k in range(n)
+            ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dst)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,2,4,8")
+    ap.add_argument("--out", default=None, help="write a SCALING.md report")
+    ap.add_argument("--keep", action="store_true", help="keep scratch tables")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    from reflinkcep_spark.queries import all_queries
+    from reflinkcep_spark.session import get_spark
+
+    spark = get_spark(app_name="reflinkcep-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warm JVM + Python worker pool (see bench.py)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _warm(it):
+        yield from it
+
+    spark.range(0, 64, 1, 32).mapInPandas(_warm, "id long").collect()
+
+    dirs = {}
+    for n in scales:
+        d = os.path.join(SCRATCH, f"x{n}")
+        print(f"building x{n} tables ...", flush=True)
+        replicate(spark, n, d)
+        dirs[n] = d
+
+    def build(qname: str, n: int):
+        if qname == "dedup_ngram_jaccard":
+            # The query's max_df cap is a FRACTION of the corpus.  In a
+            # real growing corpus, per-shingle document frequency grows
+            # with the corpus, so the fraction admits the same shingle
+            # set at any size.  In this synthetic replication df stays
+            # constant-absolute (copies are shingle-disjoint), so a
+            # fixed fraction admits ever-hotter shingles as N grows —
+            # super-linear pair expansion by construction, not by plan
+            # defect.  Holding the ABSOLUTE cap constant (0.1/N) is the
+            # like-for-like measurement.
+            from reflinkcep_spark.functions import dedup as _dedup
+            from reflinkcep_spark.queries.pipeline import _docs as _d
+
+            return _dedup.ngram_jaccard_pairs(
+                _d(spark, dirs[n]), threshold=0.5, n=3, max_df=0.1 / n
+            )
+        if qname == "dedup_clusters":
+            # Built on the same relative-capped pair generator — same
+            # absolute-cap correction as dedup_ngram_jaccard above.
+            from reflinkcep_spark.functions import dedup as _dedup
+            from reflinkcep_spark.queries.pipeline import _docs as _d
+
+            pairs = _dedup.ngram_jaccard_pairs(
+                _d(spark, dirs[n]), threshold=0.5, n=3, max_df=0.1 / n
+            )
+            return _dedup.duplicate_clusters(pairs)
+        return queries[qname](spark, dirs[n])
+
+    results: dict[str, dict[int, float]] = {}
+    for qname, table in PROBES:
+        results[qname] = {}
+        for n in scales:
+            t0 = time.time()
+            build(qname, n).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            results[qname][n] = dt
+            print(f"{qname:28s} x{n}: {dt:7.3f}s", flush=True)
+
+    lines = [
+        "# SCALING — measured wall time vs input multiple",
+        "",
+        f"Base: {BASE} replicated x{{{','.join(map(str, scales))}}} with",
+        "perturbed keys (see scripts/scale_probe.py for why replication",
+        f"preserves workload shape).  local[*] with "
+        f"{spark.sparkContext.defaultParallelism} cores,",
+        "noop sink (full computation, no collect).  `r8/2` = time(x8) /",
+        "time(x2): ideal linear scaling = 4.0, and the x2 denominator",
+        "absorbs the fixed per-query overhead that dominates the x1 runs.",
+        "",
+        "| query | " + " | ".join(f"x{n} (s)" for n in scales) + " | r8/2 |",
+        "|---|" + "---|" * (len(scales) + 1),
+    ]
+    for qname, _ in PROBES:
+        r = results[qname]
+        ratio = (
+            f"{r[8] / r[2]:.2f}" if 8 in r and 2 in r and r[2] > 0 else "n/a"
+        )
+        lines.append(
+            f"| {qname} | "
+            + " | ".join(f"{r[n]:.2f}" for n in scales)
+            + f" | {ratio} |"
+        )
+    report = "\n".join(lines) + "\n"
+    print(report)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report)
+        print(f"wrote {args.out}")
+    if not args.keep:
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
