@@ -582,6 +582,74 @@ FROM wide UNPIVOT (total FOR kind IN (customer_bal, supplier_bal))
 """
 
 
+# --- running window aggregates / ntile bucketing ---------------------
+
+def q_running_order_totals(spark, sf_dir):
+    """Cumulative spend per customer over order time — the running
+    window aggregate (ROWS UNBOUNDED PRECEDING) every ledger/billing
+    pipeline needs.  The window partitions by customer, so work stays
+    one-shuffle, fully parallel (no global total-order exchange).  The
+    running sum accumulates EXACT decimals and rounds only at output —
+    a running double sum would be order-sensitive per prefix."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_key"),
+        F.round(F.sum(dec2("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+SQL_RUNNING_TOTALS = """
+SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+       ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING), 2)::DOUBLE AS running_spend
+FROM orders
+"""
+
+
+def q_balance_quartiles(spark, sf_dir):
+    """NTILE bucketing: per-nation account-balance quartiles with
+    count and bounds.  The ntile window partitions by nation — the
+    scalable shape (a GLOBAL ntile would collapse into one task); ties
+    are broken on the key so both engines assign identical buckets."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    t = cust.select(
+        F.col("c_nationkey").alias("nation_key"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+    return t.groupBy("nation_key", "quartile").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.min("bal").alias("lo_bal"),
+        F.max("bal").alias("hi_bal"),
+    )
+
+
+SQL_BALANCE_QUARTILES = """
+WITH t AS (
+  SELECT c_nationkey AS nation_key,
+         ROUND(c_acctbal, 2) AS bal,
+         NTILE(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT nation_key, quartile, COUNT(*) AS n_custs,
+       MIN(bal) AS lo_bal, MAX(bal) AS hi_bal
+FROM t
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -602,6 +670,8 @@ QUERIES = {
     "q_above_nation_avg": q_above_nation_avg,
     "q_pivot_status_priority": q_pivot_status_priority,
     "q_unpivot_balances": q_unpivot_balances,
+    "q_running_order_totals": q_running_order_totals,
+    "q_balance_quartiles": q_balance_quartiles,
 }
 
 ORACLES = {
@@ -624,4 +694,6 @@ ORACLES = {
     "q_above_nation_avg": SQL_ABOVE_NATION_AVG,
     "q_pivot_status_priority": SQL_PIVOT,
     "q_unpivot_balances": SQL_UNPIVOT,
+    "q_running_order_totals": SQL_RUNNING_TOTALS,
+    "q_balance_quartiles": SQL_BALANCE_QUARTILES,
 }
