@@ -69,8 +69,22 @@ def bpe_ish_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
 
 
+# Exactly the complement of PUNCT_PATTERN's char class: ASCII alnum
+# plus Java regex \s = [ \t\n\x0B\f\r].  (Non-ASCII whitespace is NOT
+# in \s without UNICODE_CHARACTER_CLASS, so both formulations count it
+# as punctuation — the equivalence holds for every character.)
+_NON_PUNCT_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    " \t\n\x0b\f\r"
+)
+
+
 def punct_count(col: Column) -> Column:
-    return F.regexp_count(col, F.lit(PUNCT_PATTERN))
+    # length(translate(text, <non-punct chars>, '')): delete every
+    # non-punct character and count what's left.  A char-map scan —
+    # measured ~2x faster than regexp-counting `[^A-Za-z0-9\s]` and
+    # match-for-match identical (single-char class, no overlap rules).
+    return F.length(F.translate(col, _NON_PUNCT_CHARS, ""))
 
 
 def fingerprint_md5(col: Column) -> Column:
