@@ -492,3 +492,38 @@ def test_token_histogram_buckets(spark, docs):
             # bucket b holds exactly the counts in [2^(b-1), 2^b)
             assert r["min_tokens"] >= 2 ** (b - 1)
             assert r["max_tokens"] < 2 ** b
+
+
+def test_punct_count_matches_regex_class(spark):
+    """punct_count's translate formulation must be match-for-match
+    identical to the regex class [^A-Za-z0-9\\s] it replaced."""
+    import random
+    import re as _re
+
+    alphabet = (
+        "abcXYZ019 \t\n\x0b\f\r.,;:!?'\"()[]{}@#$%^&*-_=+<>/\\|~`"
+        "éü中  €"  # unicode letters, NBSP, LS, euro
+    )
+    rng = random.Random(42)
+    cases = [
+        "", " ", "\t\n\x0b\f\r", "a1 B2", "!!!", "  ",
+        "café €5.00", "a" * 500 + "!" * 500,
+    ] + ["".join(rng.choices(alphabet, k=rng.randint(0, 80))) for _ in range(200)]
+    pat = _re.compile(r"[^A-Za-z0-9\s]")
+    # Python re \s matches some unicode WS that Java \s does not —
+    # count with the exact Java-\s complement instead.
+    java_ws = set(" \t\n\x0b\f\r")
+    alnum = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789")
+    expected = [sum(1 for ch in s if ch not in alnum and ch not in java_ws)
+                for s in cases]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", text.punct_count(F.col("s")).alias("n")).collect()}
+    for i, want in enumerate(expected):
+        assert got[i] == want, (i, cases[i], got[i], want)
+    # and the regex itself agrees on pure-ASCII inputs (the corpus case)
+    ascii_cases = [s for s in cases if s.isascii()]
+    for s in ascii_cases:
+        assert len(pat.findall(s)) == sum(
+            1 for ch in s if ch not in alnum and ch not in java_ws
+        )
