@@ -1420,6 +1420,52 @@ GROUP BY 1, 2
 """
 
 
+def doc_split_leakage(spark, sf_dir):
+    """Train→test leakage audit: every TRAIN-split document sharing a
+    word 4-gram with any TEST-split document, with its leaked-gram
+    count — the eval-contamination check a dataset release runs before
+    shipping (a frozen split stops eval drift, but only this audit
+    catches near-copies of eval docs sitting in train).  Composes
+    functions/sampling.py assign_split with the broadcast n-gram join
+    of doc_decontam: the test split is 2% by construction, so its gram
+    set broadcasts; the train side streams."""
+    docs = _docs(spark, sf_dir)
+    split = sampling.assign_split(F.col("doc_id"), SPLITS)
+    train = docs.filter(split == F.lit("train"))
+    test = docs.filter(split == F.lit("test"))
+    return (
+        dedup.contaminated_docs(train, test, n=4)
+        .withColumnRenamed("n_contaminated_grams", "n_leaked_grams")
+    )
+
+
+SQL_DOC_SPLIT_LEAKAGE = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, b,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM s
+),
+g AS (
+  SELECT doc_id, b,
+         CASE WHEN len(t) >= 4
+              THEN list_distinct(list_transform(range(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+3], ' ')))
+              ELSE []::VARCHAR[] END AS gs
+  FROM toks
+),
+bg AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE b >= 98)
+SELECT c.doc_id, COUNT(*) AS n_leaked_grams
+FROM (SELECT doc_id, unnest(gs) AS gr FROM g WHERE b < 96) c
+JOIN bg USING (gr)
+GROUP BY c.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1446,6 +1492,7 @@ QUERIES = {
     "doc_vocab_coverage": doc_vocab_coverage,
     "doc_split_assign": doc_split_assign,
     "doc_global_shuffle": doc_global_shuffle,
+    "doc_split_leakage": doc_split_leakage,
     "text_token_histogram": text_token_histogram,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
@@ -1484,6 +1531,7 @@ ORACLES = {
     "doc_vocab_coverage": SQL_DOC_VOCAB_COVERAGE,
     "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
     "doc_global_shuffle": SQL_DOC_GLOBAL_SHUFFLE,
+    "doc_split_leakage": SQL_DOC_SPLIT_LEAKAGE,
     "text_token_histogram": SQL_TEXT_TOKEN_HISTOGRAM,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,

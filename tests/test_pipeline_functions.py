@@ -527,3 +527,32 @@ def test_punct_count_matches_regex_class(spark):
         assert len(pat.findall(s)) == sum(
             1 for ch in s if ch not in alnum and ch not in java_ws
         )
+
+
+def test_split_leakage_semantics(spark, docs):
+    from reflinkcep_spark.functions import sampling
+    from reflinkcep_spark.queries.pipeline import SPLITS, doc_split_leakage
+
+    from tests.conftest import SF_DIR as _sf
+
+    leaked = {r["doc_id"]: r["n_leaked_grams"]
+              for r in doc_split_leakage(spark, _sf).collect()}
+    splits = {r["doc_id"]: r["split"] for r in docs.select(
+        "doc_id", sampling.assign_split(F.col("doc_id"), SPLITS).alias("split")
+    ).collect()}
+    # only train docs can leak, and every flagged doc has >= 1 gram
+    for d, n in leaked.items():
+        assert splits[d] == "train"
+        assert n >= 1
+    # ground truth by brute force: train docs sharing a 4-gram with test
+    def grams(s):
+        t = [x for x in s.split() if x]
+        return {" ".join(t[i:i + 4]) for i in range(len(t) - 3)}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    test_grams = set().union(*(grams(texts[d]) for d, s in splits.items()
+                               if s == "test")) if any(
+        s == "test" for s in splits.values()) else set()
+    expect = {d: len(grams(texts[d]) & test_grams)
+              for d, s in splits.items()
+              if s == "train" and grams(texts[d]) & test_grams}
+    assert leaked == expect
