@@ -8,7 +8,8 @@ The query surface is the reference's exact YAML/dict AST dialect
 
 plus a ``context`` carrying the event-type schema (used to enumerate
 "other type" skip edges for relaxed contiguity) and the after-match skip
-``strategy`` (NoSkip | SkipToNext | SkipPastLastEvent).
+``strategy`` (NoSkip | SkipToNext | SkipPastLastEvent |
+SkipToFirst:<name> | SkipToLast:<name>).
 
 Additionally we provide a Flink-style fluent builder (``Pattern``)
 producing the same dict AST, so queries can be written in Python:
@@ -36,10 +37,33 @@ __all__ = [
     "describe",
     "CONTIGUITIES",
     "STRATEGIES",
+    "PARAMETERIZED_STRATEGIES",
+    "parse_strategy",
 ]
 
 CONTIGUITIES = ("strict", "relaxed", "nd-relaxed")
 STRATEGIES = ("NoSkip", "SkipToNext", "SkipPastLastEvent")
+
+# Flink's two parameterized after-match strategies (beyond the
+# reference's three): spelled "SkipToFirst:<name>" / "SkipToLast:<name>"
+# — after a match is emitted, every partial run that started before the
+# first (resp. last) event captured under <name> in that match is
+# discarded.  Semantics follow the public Flink CEP AfterMatchSkip
+# documentation table (e.g. pattern b+ c on b1 b2 b3 c with
+# SkipToLast:b keeps b1b2b3c and b3c, dropping b2b3c).
+PARAMETERIZED_STRATEGIES = ("SkipToFirst", "SkipToLast")
+
+
+def parse_strategy(strategy: str) -> tuple[str, str | None]:
+    """Split a strategy spelling into (base, target).  Raises
+    QueryError on unknown spellings; target validity against the
+    pattern's capture names is checked by Query.__init__."""
+    if strategy in STRATEGIES:
+        return strategy, None
+    base, sep, target = strategy.partition(":")
+    if sep and base in PARAMETERIZED_STRATEGIES and target:
+        return base, target
+    raise QueryError(f"unknown after-match strategy {strategy!r}")
 
 LEAF_TYPES = ("spat", "lpat", "lpat-inf")
 GROUP_TYPES = ("gpat", "gpat-times", "gpat-inf")
@@ -149,8 +173,12 @@ class Query:
     def __init__(self, patseq: Mapping[str, Any], context: Mapping[str, Any]):
         _validate_node(patseq)
         strategy = context.get("strategy", "NoSkip")
-        if strategy not in STRATEGIES:
-            raise QueryError(f"unknown after-match strategy {strategy!r}")
+        base, target = parse_strategy(strategy)
+        if target is not None and target not in capture_names(patseq):
+            raise QueryError(
+                f"strategy {strategy!r} targets unknown pattern name "
+                f"{target!r} (have {capture_names(patseq)})"
+            )
         if "schema" not in context:
             raise QueryError("context.schema is required (event-type map)")
         self.patseq = patseq

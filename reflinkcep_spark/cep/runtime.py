@@ -16,11 +16,23 @@ Event-at-a-time semantics equivalent to the reference executor
   copy-on-write dicts — no deep copies anywhere (the reference's main
   hot spot, DST.py:141-166).
 
-After-match skip strategies (reference executor.py:70-91):
-    NoSkip            emit every accepted run
-    SkipToNext        per completing event, kill all runs that share a
-                      start offset with an emitted match
-    SkipPastLastEvent emit the first accepted run, then kill every run
+After-match skip strategies (reference executor.py:70-91, plus Flink's
+two parameterized strategies the reference lacks):
+    NoSkip             emit every accepted run
+    SkipToNext         per completing event, kill all runs that share a
+                       start offset with an emitted match
+    SkipPastLastEvent  emit the first accepted run, then kill every run
+    SkipToFirst:<p>    on each emitted match, kill every run that
+                       started before the FIRST event captured under
+                       <p> in that match (Flink SKIP_TO_FIRST)
+    SkipToLast:<p>     same, but before the LAST event captured under
+                       <p> (Flink SKIP_TO_LAST)
+Pruning applies immediately inside the emit loop (runs are visited
+oldest-first), which reproduces the public Flink documentation table —
+e.g. pattern ``b+ c`` on ``b1 b2 b3 c`` with SkipToLast:b emits
+b1b2b3c and b3c but not b2b3c.  A match in which <p> captured nothing
+(optional sub-pattern) prunes nothing — the lenient variant of Flink's
+throw-on-miss default.
 """
 
 from __future__ import annotations
@@ -98,6 +110,14 @@ class MatchEngine:
         run alive forever."""
         self.aut = automaton
         self.strategy = strategy
+        # "SkipToFirst:name" / "SkipToLast:name" → positional pruning
+        base, _, target = strategy.partition(":")
+        if target and base in ("SkipToFirst", "SkipToLast"):
+            self.skip_pick = 0 if base == "SkipToFirst" else -1
+            self.skip_target = target
+        else:
+            self.skip_pick = None
+            self.skip_target = None
         self.within = within
         self.reset()
 
@@ -200,20 +220,34 @@ class MatchEngine:
         outputs = self.aut.outputs
         out: list[Match] = []
         killed: set = set()
+        threshold: Optional[int] = None  # SkipToFirst/SkipToLast ratchet
         strategy = self.strategy
+        pick = self.skip_pick
         runs = self.runs
         for k, cfg in runs:
-            if k in killed:
+            if k in killed or (threshold is not None and k < threshold):
                 continue
             if cfg.last_take and outputs[cfg.state] is not None:
-                out.append(self._materialize(k, pos, cfg))
+                m = self._materialize(k, pos, cfg)
+                out.append(m)
                 if strategy == "SkipToNext":
                     killed.add(k)
                 elif strategy == "SkipPastLastEvent":
                     runs.clear()
                     break
-        if killed:
-            self.runs = [(k, c) for k, c in runs if k not in killed]
+                elif pick is not None:
+                    caps = m.captures.get(self.skip_target)
+                    if caps:  # unmatched optional target prunes nothing
+                        t = caps[pick]
+                        if threshold is None or t > threshold:
+                            threshold = t
+        if killed or threshold is not None:
+            self.runs = [
+                (k, c)
+                for k, c in runs
+                if k not in killed
+                and (threshold is None or k >= threshold)
+            ]
         return out
 
     def _materialize(self, k: int, pos: int, cfg: _Cfg) -> Match:

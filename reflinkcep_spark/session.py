@@ -86,8 +86,8 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # The default 100-entry generated-class cache thrashes in
-        # sessions that cycle through many distinct plans (the 73-query
-        # oracle gate, the 30-query bench): evicted classes re-JIT on
+        # sessions that cycle through many distinct plans (the ~80-query
+        # oracle gate, the ~30-query bench): evicted classes re-JIT on
         # the next encounter.  Classes are small; 1000 entries removes
         # the churn.
         .config("spark.sql.codegen.cache.maxEntries", "1000")
