@@ -258,3 +258,78 @@ def test_stream_matches_batch(spark, tmp_path, idle_timeout_ms):
     q.awaitTermination(120)
     got = _canon(spark.table(sink).collect())
     assert got == want
+
+
+Q_SKIP_TO_LAST = """
+type: query
+patseq:
+  type: combine
+  contiguity: strict
+  left:
+    type: lpat-inf
+    name: b
+    event: e
+    cndt: {expr: name == 2}
+    loop: {contiguity: strict, from: 1}
+  right:
+    type: spat
+    name: c
+    event: e
+    cndt: {expr: name == 3}
+context:
+  schema: {e: [id, name, price]}
+  strategy: "SkipToLast:b"
+"""
+
+
+def test_stream_parameterized_skip_state(spark, tmp_path):
+    """SkipToLast's positional pruning must round-trip: the emitted
+    match's threshold kills runs living in the persisted state, so a
+    stale run-set would re-emit the pruned b2b3c suffix."""
+    query = Query.from_yaml(Q_SKIP_TO_LAST)
+    pairs = [(2, 0), (2, 1), (2, 2), (3, 0), (2, 3), (2, 4), (3, 1)]
+    rows = [
+        (k, i + 1, "e", n, p)
+        for k in range(2)
+        for i, (n, p) in enumerate(pairs)
+    ]
+    want = _canon_caps(
+        match_pattern(
+            spark.createDataFrame(rows, SCHEMA), query, order_by="id",
+            partition_by="user_id", type_col="type", allow_fastpath=False,
+        ).collect(),
+        ["b", "c"],
+    )
+    assert want
+
+    src = tmp_path / "src"
+    src.mkdir()
+    by_order = sorted(rows, key=lambda r: r[1])
+    for i in range(0, len(by_order), 4):
+        spark.createDataFrame(by_order[i : i + 4], SCHEMA).coalesce(1).write.parquet(
+            str(src / f"part{i}")
+        )
+        t = time.time() + i
+        for root, _dirs, files in os.walk(src / f"part{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    out = match_pattern_stream(
+        stream, query, order_by="id", partition_by="user_id", type_col="type"
+    )
+    sink = f"stream_skipto_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _canon_caps(spark.table(sink).collect(), ["b", "c"]) == want
