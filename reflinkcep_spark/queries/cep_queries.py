@@ -1035,6 +1035,82 @@ WHERE s.event_type = 'signup'
 """
 
 
+# --- parameterized skip: SkipToLast keeps island + last-error suffix --
+
+def cep_error_runs_skiptolast(spark, sf_dir):
+    """Error runs closed by the next purchase under Flink-style
+    ``SkipToLast:errs`` (beyond the reference's three strategies,
+    cep/runtime.py): emitting the greedy island match prunes every
+    run starting before its LAST error, so each error island yields
+    exactly the whole-island match plus the single-last-error suffix
+    (one match when the island has one error) — semantics traced in
+    tests/test_skip_to.py and reduced to a gaps-and-islands oracle."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left:
+    type: lpat-inf
+    name: errs
+    event: error
+    cndt: {expr: "True"}
+    loop: {contiguity: strict, from: 1}
+  right:
+    type: spat
+    name: ok
+    event: purchase
+    cndt: {expr: "True"}
+context:
+  strategy: "SkipToLast:errs"
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+        allow_fastpath=False,
+    )
+    return out.select(
+        "user_id",
+        F.col("start_ord").alias("first_err_id"),
+        F.size("errs").cast("long").alias("n_errors"),
+        _cap("ok")["event_id"].alias("buy_id"),
+    )
+
+
+SQL_ERROR_RUNS_SKIPTOLAST = """
+WITH nb AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         MIN(CASE WHEN event_type = 'purchase' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_buy
+  FROM events
+),
+e AS (
+  SELECT user_id, event_id, next_buy,
+         rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+  FROM nb WHERE event_type = 'error'
+),
+isl AS (
+  -- next_buy is identical across an island (no events between its
+  -- errors), so MIN = the first purchase after the island's end.
+  SELECT user_id, grp, COUNT(*) AS m,
+         MIN(event_id) AS first_id, MAX(event_id) AS last_id,
+         MIN(next_buy) AS buy
+  FROM e GROUP BY 1, 2
+)
+-- SkipToLast:errs (engine trace, tests/test_skip_to.py): the greedy
+-- whole-island match emits first and prunes every run starting before
+-- the island's last error, leaving only the last-error suffix run.
+SELECT user_id, first_id AS first_err_id, m::BIGINT AS n_errors, buy AS buy_id
+FROM isl WHERE buy IS NOT NULL
+UNION ALL
+SELECT user_id, last_id AS first_err_id, 1::BIGINT AS n_errors, buy AS buy_id
+FROM isl WHERE buy IS NOT NULL AND m > 1
+"""
+
+
 QUERIES = {
     "cep_high_purchases": cep_high_purchases,
     "cep_funnel_3step": cep_funnel_3step,
@@ -1046,6 +1122,7 @@ QUERIES = {
     "cep_view_click_cycles": cep_view_click_cycles,
     "cep_spending_burst": cep_spending_burst,
     "cep_error_streaks_skip": cep_error_streaks_skip,
+    "cep_error_runs_skiptolast": cep_error_runs_skiptolast,
     "cep_view_combos_ndrelaxed": cep_view_combos_ndrelaxed,
     "cep_optional_click_prefix": cep_optional_click_prefix,
     "cep_view_click_runs": cep_view_click_runs,
@@ -1057,6 +1134,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cep_error_runs_skiptolast": SQL_ERROR_RUNS_SKIPTOLAST,
     "cep_high_purchases": SQL_HIGH_PURCHASES,
     "cep_funnel_3step": SQL_FUNNEL_3STEP,
     "cep_funnel_within": SQL_FUNNEL_WITHIN,
