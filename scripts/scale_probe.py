@@ -26,6 +26,9 @@ Replication keeps the workload shape honest at every multiple:
 * embeddings: vec_id offset; vectors unchanged.  Probed queries use a
   FIXED query set against the N-times corpus (top-k / ANN), so output
   stays constant while scanned volume scales.
+* orders: o_orderkey/o_custkey offset per copy — fresh customer
+  populations, so per-customer running windows scale linearly with
+  constant per-key history.
 
 Usage: python3 scripts/scale_probe.py [--scales 1,2,4,8] [--out SCALING.md]
 Writes replicated tables under /tmp/reflinkcep_scale/x{N}/ (scratch;
@@ -62,9 +65,12 @@ PROBES = [
     ("cep_spending_burst", "events"),
     ("sim_cosine_topk", "embeddings"),
     ("sim_ann_ivf", "embeddings"),
+    ("q_running_order_totals", "orders"),
+    ("doc_split_leakage", "documents"),
+    ("cep_error_runs_skiptolast", "events"),
 ]
 
-TABLES = ("documents", "events", "embeddings")
+TABLES = ("documents", "events", "embeddings", "orders")
 
 
 def replicate(spark, n: int, out_dir: str) -> None:
@@ -111,6 +117,18 @@ def replicate(spark, n: int, out_dir: str) -> None:
                     "event_type",
                     "value",
                     "props",
+                )
+                for k in range(n)
+            ]
+        elif name == "orders":
+            o_step = df.agg(F.max("o_orderkey")).first()[0] + 1
+            c_step = df.agg(F.max("o_custkey")).first()[0] + 1
+            others = [c for c in df.columns if c not in ("o_orderkey", "o_custkey")]
+            parts = [
+                df.select(
+                    (F.col("o_orderkey") + k * o_step).alias("o_orderkey"),
+                    (F.col("o_custkey") + k * c_step).alias("o_custkey"),
+                    *others,
                 )
                 for k in range(n)
             ]
