@@ -650,6 +650,49 @@ GROUP BY 1, 2
 """
 
 
+# --- skew-safe join (operators/skew.py) ------------------------------
+
+def q_skew_salted_events(spark, sf_dir):
+    """Every error event annotated with its user's purchase count via
+    the salted skew join (operators/skew.py): hot users concentrate a
+    shuffled join's left side onto single reducers, so the left frame
+    is salted over 8 sub-keys and the small per-user dimension is
+    replicated 8x.  Salting is a plan-level rewrite — row-level results
+    are identical to the plain join, which is exactly what the oracle
+    checks (DuckDB runs the unsalted join)."""
+    from reflinkcep_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    out = salted_join(
+        ev.filter(F.col("event_type") == "error"), dim,
+        on="user_id", how="left", salt=8,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+    )
+
+
+SQL_SKEW_SALTED_EVENTS = """
+WITH dim AS (
+  SELECT user_id, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT e.user_id, e.event_id AS error_id,
+       COALESCE(dim.n_purchases, 0)::BIGINT AS n_purchases
+FROM events e LEFT JOIN dim USING (user_id)
+WHERE e.event_type = 'error'
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -672,6 +715,7 @@ QUERIES = {
     "q_unpivot_balances": q_unpivot_balances,
     "q_running_order_totals": q_running_order_totals,
     "q_balance_quartiles": q_balance_quartiles,
+    "q_skew_salted_events": q_skew_salted_events,
 }
 
 ORACLES = {
@@ -696,4 +740,5 @@ ORACLES = {
     "q_unpivot_balances": SQL_UNPIVOT,
     "q_running_order_totals": SQL_RUNNING_TOTALS,
     "q_balance_quartiles": SQL_BALANCE_QUARTILES,
+    "q_skew_salted_events": SQL_SKEW_SALTED_EVENTS,
 }
