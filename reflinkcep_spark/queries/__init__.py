@@ -5,7 +5,7 @@ Each sub-module defines ``QUERIES`` (name → fn(spark, sf_dir) → DF) and
 oracle are non-SQL-expressible operators checked rows-only.
 
 Ordering matters: the driver's correctness gate checks the FIRST 50
-entries of ``queries()`` per round (81 declared).  ``_PRIORITY`` pins
+entries of ``queries()`` per round (82 declared).  ``_PRIORITY`` pins
 the queries that most need a fresh driver row to the front — newly
 added queries first, then the pipeline/similarity/text family whose
 rows rotated out of (or never entered) earlier rounds' windows — and
@@ -28,6 +28,7 @@ _PRIORITY = (
     "q_running_order_totals",
     "q_balance_quartiles",
     "cep_error_runs_skiptolast",
+    "cep_signup_purchase_skipfirst",
     "q_skew_salted_events",
     "doc_pack_sequences",
     "doc_length_outliers",

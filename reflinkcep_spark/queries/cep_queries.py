@@ -1111,6 +1111,68 @@ FROM isl WHERE buy IS NOT NULL AND m > 1
 """
 
 
+# --- parameterized skip: SkipToFirst keeps one pair per gap ----------
+
+def cep_signup_purchase_skipfirst(spark, sf_dir):
+    """Signup followed (relaxed) by a purchase under Flink-style
+    ``SkipToFirst:buy``: emitting the oldest pending signup's match
+    prunes every run that started before the purchase itself, so each
+    purchase pairs with the EARLIEST signup since the immediately
+    previous purchase (or nothing).  Engine-traced in
+    tests/test_skip_to.py; the oracle states the reduced rule
+    directly as a lag-window join."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left:
+    type: spat
+    name: reg
+    event: signup
+    cndt: {expr: "True"}
+  right:
+    type: spat
+    name: buy
+    event: purchase
+    cndt: {expr: "True"}
+context:
+  strategy: "SkipToFirst:buy"
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+        allow_fastpath=False,
+    )
+    return out.select(
+        "user_id",
+        _cap("reg")["event_id"].alias("signup_id"),
+        _cap("buy")["event_id"].alias("purchase_id"),
+    )
+
+
+SQL_SIGNUP_PURCHASE_SKIPFIRST = """
+WITH p AS (
+  SELECT user_id, event_id,
+         LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_p
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, event_id AS sid FROM events WHERE event_type = 'signup'
+)
+-- SkipToFirst:buy reduction (engine trace, tests/test_skip_to.py):
+-- every purchase pairs with the earliest signup since the previous
+-- purchase; purchases with no such signup emit nothing.
+SELECT p.user_id, MIN(s.sid) AS signup_id, p.event_id AS purchase_id
+FROM p JOIN s
+  ON s.user_id = p.user_id AND s.sid < p.event_id
+ AND (p.prev_p IS NULL OR s.sid > p.prev_p)
+GROUP BY p.user_id, p.event_id
+"""
+
+
+
 QUERIES = {
     "cep_high_purchases": cep_high_purchases,
     "cep_funnel_3step": cep_funnel_3step,
@@ -1123,6 +1185,7 @@ QUERIES = {
     "cep_spending_burst": cep_spending_burst,
     "cep_error_streaks_skip": cep_error_streaks_skip,
     "cep_error_runs_skiptolast": cep_error_runs_skiptolast,
+    "cep_signup_purchase_skipfirst": cep_signup_purchase_skipfirst,
     "cep_view_combos_ndrelaxed": cep_view_combos_ndrelaxed,
     "cep_optional_click_prefix": cep_optional_click_prefix,
     "cep_view_click_runs": cep_view_click_runs,
@@ -1135,6 +1198,7 @@ QUERIES = {
 
 ORACLES = {
     "cep_error_runs_skiptolast": SQL_ERROR_RUNS_SKIPTOLAST,
+    "cep_signup_purchase_skipfirst": SQL_SIGNUP_PURCHASE_SKIPFIRST,
     "cep_high_purchases": SQL_HIGH_PURCHASES,
     "cep_funnel_3step": SQL_FUNNEL_3STEP,
     "cep_funnel_within": SQL_FUNNEL_WITHIN,

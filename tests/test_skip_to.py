@@ -140,3 +140,24 @@ def test_spark_kernel_runs_parameterized_strategy(spark):
             {n: [e["id"] for e in r[n]] for n in ("b", "c") if r[n] is not None}
             for r in got
         ] == want
+
+
+def test_skip_to_first_pairs_with_earliest_pending():
+    """The reduction behind cep_signup_purchase_skipfirst's oracle:
+    each purchase pairs with the EARLIEST signup since the previous
+    purchase; purchases with no new signup emit nothing."""
+    q = (
+        Pattern.begin("reg", event="e", where="name == 1")
+        .followed_by("buy", event="e", where="name == 2")
+        .query(schema=SCHEMA, strategy="SkipToFirst:buy")
+    )
+    # s s p s s p p s p  (signups name==1, purchases name==2)
+    stream = [("e", {"id": i, "name": n}) for i, n in
+              [(1, 1), (2, 1), (3, 2), (4, 1), (5, 1), (6, 2), (7, 2),
+               (8, 1), (9, 2)]]
+    out = [_ids(m) for m in run_pattern(q, stream)]
+    assert out == [
+        {"reg": [1], "buy": [3]},   # earliest of s1,s2
+        {"reg": [4], "buy": [6]},   # earliest since p3
+        {"reg": [8], "buy": [9]},   # p7 emitted nothing (no new signup)
+    ]
