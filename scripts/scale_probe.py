@@ -68,6 +68,8 @@ PROBES = [
     ("q_running_order_totals", "orders"),
     ("doc_split_leakage", "documents"),
     ("cep_error_runs_skiptolast", "events"),
+    ("cep_signup_purchase_skipfirst", "events"),
+    ("q_skew_salted_events", "events"),
 ]
 
 TABLES = ("documents", "events", "embeddings", "orders")
