@@ -110,9 +110,15 @@ class MatchEngine:
         run alive forever."""
         self.aut = automaton
         self.strategy = strategy
-        # "SkipToFirst:name" / "SkipToLast:name" → positional pruning
-        base, _, target = strategy.partition(":")
-        if target and base in ("SkipToFirst", "SkipToLast"):
+        # Single source of truth for strategy spellings: an unknown
+        # string raises QueryError here instead of silently degrading
+        # to NoSkip when the engine is constructed directly (bypassing
+        # Query validation).
+        from reflinkcep_spark.cep.query import parse_strategy
+
+        base, target = parse_strategy(strategy)
+        if target is not None:
+            # "SkipToFirst:name" / "SkipToLast:name" → positional pruning
             self.skip_pick = 0 if base == "SkipToFirst" else -1
             self.skip_target = target
         else:

@@ -564,6 +564,7 @@ def duplicate_clusters(
     rounds: int = 4,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    check_convergence: bool = False,
 ) -> DataFrame:
     """Resolve duplicate PAIRS into duplicate CLUSTERS: connected
     components of the pair graph, labeling every member with the
@@ -587,6 +588,14 @@ def duplicate_clusters(
     reach for three more small shuffles.  Raise ``rounds`` for
     adversarial chain graphs, or re-run on the output until a
     fixpoint if unbounded diameters matter more than plan laziness.
+
+    ``check_convergence=True`` adds a guard against exactly that
+    silent-under-merge: after the rounds it runs ONE eager fixpoint
+    probe (a count of nodes whose label a further neighbor step would
+    still lower) and ``warnings.warn``s when non-zero.  This is the
+    only eager path in the function — the probe is an action — so it
+    is opt-in; at 100 TB the probe costs one extra edge-join over the
+    pair graph, cheap relative to the rounds themselves.
 
     Every iterative DataFrame algorithm needs lineage truncation: the
     label frame is referenced three times per round, so the naive
@@ -637,6 +646,29 @@ def duplicate_clusters(
         labels = labels.join(jump, "lbl", "left").select(
             "u", F.least("lbl", F.coalesce("jump_lbl", "lbl")).alias("lbl")
         )
+    if check_convergence:
+        import warnings
+
+        labels = labels.localCheckpoint(eager=False)
+        nbr = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        unconverged = (
+            labels.join(nbr, "u")
+            .filter(F.col("nbr_lbl") < F.col("lbl"))
+            .count()
+        )
+        if unconverged:
+            warnings.warn(
+                f"duplicate_clusters: {unconverged} node(s) would still "
+                f"lower their label after {rounds} pointer-jumping "
+                f"round(s) — a component's diameter exceeds 2^{rounds}; "
+                f"raise `rounds` or the output under-merges",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return labels.select(
         F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -43,7 +43,16 @@ def assign_split(col: Column, splits: Mapping[str, int]) -> Column:
     ranges, e.g. ``{"train": 96, "valid": 2, "test": 2}`` (must sum to
     100).  A document's split NEVER changes as the corpus grows —
     membership depends only on the key — which is the property that
-    keeps eval sets uncontaminated across dataset versions."""
+    keeps eval sets uncontaminated across dataset versions.
+
+    ORDER-SENSITIVE: bucket ranges are carved out in the mapping's
+    iteration order, so ``{"train": 96, "valid": 2, "test": 2}`` puts
+    buckets [0,96) in train, [96,98) in valid, [98,100) in test, while
+    the same percentages in a different order yield a different (still
+    valid and still frozen) assignment.  Pass an ``OrderedDict`` /
+    3.7+ dict in the order you mean and keep that order forever — the
+    driver oracles for ``doc_split_assign`` hard-code
+    train→valid→test."""
     total = sum(splits.values())
     if total != 100:
         raise ValueError(f"split percentages must sum to 100, got {total}")

@@ -884,7 +884,12 @@ def doc_length_outliers(spark, sf_dir):
         (F.col("n_tok") < F.col("p10")) | (F.col("n_tok") > F.col("p90"))
     )
     return out.select(
-        "doc_id", "source", "n_tok", "p10", "p90",
+        "doc_id", "source", "n_tok",
+        # percentile_disc picks an actual element but returns DOUBLE;
+        # token counts are integral, so the cast is lossless — and the
+        # driver's value-hash is type-sensitive (oracle emits BIGINT).
+        F.col("p10").cast("long").alias("p10"),
+        F.col("p90").cast("long").alias("p90"),
         F.when(F.col("n_tok") < F.col("p10"), F.lit("short"))
         .otherwise(F.lit("long"))
         .alias("side"),

@@ -27,6 +27,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the kind the driver's hash is
+    sensitive to: int vs uint vs float vs bool vs object.  DuckDB
+    HUGEINT and a nullable Spark BIGINT both come back as 'O'/'f'
+    oddities sometimes; treat all-null object columns as wildcards."""
+    k = s.dtype.kind
+    if k == "O" and s.isna().all():
+        return "*"
+    return {"i": "i", "u": "i", "f": "f", "b": "b"}.get(k, "O")
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(got.columns) != sorted(want.columns):
@@ -38,6 +49,18 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     g, w = normalize(got), normalize(want)
     for col in g.columns:
         gc, wc = g[col], w[col]
+        # The driver's value-hash is TYPE-sensitive: int64 13 and
+        # float64 13.0 hash differently.  Every red driver row across
+        # rounds 1-4 was exactly this class (oracle HUGEINT, Spark
+        # percentile_disc DOUBLE), invisible to a values-only compare —
+        # so fail loudly on any dtype-kind disagreement before (and in
+        # addition to) the value check.
+        gk, wk = _dtype_kind(gc), _dtype_kind(wc)
+        if gk != wk and "*" not in (gk, wk):
+            problems.append(
+                f"col {col}: dtype kind mismatch spark={gc.dtype} "
+                f"oracle={wc.dtype} (driver hash is type-sensitive)"
+            )
         if gc.dtype.kind == "f" or wc.dtype.kind == "f":
             # EXACT float equality (NaN==NaN): the driver hashes raw
             # values, so a tolerance here would hide real gate failures.

@@ -1,0 +1,58 @@
+"""The local oracle replay must be a faithful proxy for the driver's
+TYPE-sensitive value hash: int64 13 vs float64 13.0 is a driver
+failure, so the checker has to flag it even though the values match.
+(Every red driver row across rounds 1-4 was exactly this class —
+oracle-side HUGEINT in r1-r3, Spark-side percentile_disc DOUBLE in r4 —
+and the pre-r5 checker coerced it away.)"""
+
+import importlib.util
+import os
+
+import pandas as pd
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracles",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "check_oracles.py",
+    ),
+)
+check_oracles = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check_oracles)
+compare = check_oracles.compare
+
+
+def test_int_vs_float_same_values_fails():
+    got = pd.DataFrame({"p10": pd.array([13.0, 7.0], dtype="float64")})
+    want = pd.DataFrame({"p10": pd.array([13, 7], dtype="int64")})
+    problems = compare("x", got, want)
+    assert problems and "dtype kind" in problems[0]
+
+
+def test_matching_dtypes_and_values_pass():
+    got = pd.DataFrame({"a": [1, 2], "b": [1.5, float("nan")]})
+    want = pd.DataFrame({"a": [2, 1], "b": [float("nan"), 1.5]})
+    assert compare("x", got, want) == []
+
+
+def test_value_mismatch_still_detected():
+    got = pd.DataFrame({"a": [1, 2]})
+    want = pd.DataFrame({"a": [1, 3]})
+    problems = compare("x", got, want)
+    assert problems and "mismatches" in problems[0]
+
+
+def test_all_null_object_column_is_wildcard():
+    # DuckDB returns all-NULL columns as object; Spark may type them.
+    got = pd.DataFrame({"a": pd.array([None, None], dtype="float64")})
+    want = pd.DataFrame({"a": pd.Series([None, None], dtype="object")})
+    assert compare("x", got, want) == []
+
+
+def test_int32_vs_int64_is_same_kind():
+    # Width differences survive the driver's hash (values equal after
+    # arrow normalization); only KIND changes flip the hash.
+    got = pd.DataFrame({"a": pd.array([1, 2], dtype="int32")})
+    want = pd.DataFrame({"a": pd.array([1, 2], dtype="int64")})
+    assert compare("x", got, want) == []

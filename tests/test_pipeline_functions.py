@@ -556,3 +556,24 @@ def test_split_leakage_semantics(spark, docs):
               for d, s in splits.items()
               if s == "train" and grams(texts[d]) & test_grams}
     assert leaked == expect
+
+
+def test_duplicate_clusters_convergence_guard(spark):
+    """A diameter-20 chain exceeds the default 4 rounds' 2^4-hop reach:
+    the opt-in convergence probe must warn (silent under-merge is the
+    100 TB failure mode), and enough rounds must merge it warning-free."""
+    import warnings as _warnings
+
+    pairs = [(i, i + 1) for i in range(1, 21)]  # 21-node path, diameter 20
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    with pytest.warns(RuntimeWarning, match="under-merges"):
+        dedup.duplicate_clusters(df, rounds=1, check_convergence=True).collect()
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        out = dict(
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup.duplicate_clusters(
+                df, rounds=6, check_convergence=True
+            ).collect()
+        )
+    assert all(out[d] == 1 for d in range(1, 22))

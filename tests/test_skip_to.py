@@ -161,3 +161,20 @@ def test_skip_to_first_pairs_with_earliest_pending():
         {"reg": [4], "buy": [6]},   # earliest since p3
         {"reg": [8], "buy": [9]},   # p7 emitted nothing (no new signup)
     ]
+
+
+def test_match_engine_rejects_unknown_strategy_directly():
+    """MatchEngine constructed directly (bypassing Query validation)
+    must raise on unknown spellings instead of silently degrading to
+    NoSkip — strategy parsing has one source of truth
+    (query.parse_strategy)."""
+    from reflinkcep_spark.cep.compiler import compile_query
+    from reflinkcep_spark.cep.runtime import MatchEngine
+
+    aut = compile_query(_bc_query("NoSkip"))
+    with pytest.raises(QueryError, match="unknown after-match strategy"):
+        MatchEngine(aut, "SkipToNowhere:b")
+    with pytest.raises(QueryError, match="unknown after-match strategy"):
+        MatchEngine(aut, "SkipToFirst:")  # missing target
+    # Known spellings still construct fine.
+    MatchEngine(aut, "SkipToLast:b")
