@@ -21,6 +21,7 @@ __all__ = [
     "punct_count",
     "fingerprint_md5",
     "rolling_fingerprint",
+    "winnow_fingerprints",
     "quality_score",
     "language_scores",
     "ngrams",
@@ -266,6 +267,71 @@ def scrub_pii(col: Column) -> Column:
     for kind, pat in PII_PATTERNS:
         out = F.regexp_replace(out, pat, f"[{kind}]")
     return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a window
+    of ``w`` consecutive hashes, and select each window's minimum
+    (rightmost position on ties).  Guarantees every ≥(w+k−1)-token
+    match between documents shares a selected fingerprint, at a
+    selection density of ~2/(w+1) — the standard local fingerprinting
+    scheme for plagiarism/near-dup detection at corpus scale.
+
+    Returns ``(id_col, pos, fp)`` — the 0-based k-gram position and
+    the portable 32-bit md5-prefix hash (cross-engine, like
+    :func:`rolling_fingerprint`) of each selected fingerprint.
+
+    Shape: instead of materializing w-row windows (a w× blowup or a
+    bounded self-join), selection is decided per position from run
+    lengths: position p is some window's rightmost minimum iff
+    ``a + b ≥ w−1`` intersected with the document's valid window
+    range, where ``a`` = consecutive predecessors with hash ≥ h(p)
+    and ``b`` = consecutive successors with hash > h(p) (the strict /
+    non-strict asymmetry is exactly the rightmost-tie rule).  Both
+    runs are capped at w−1, so 2(w−1) lag/lead columns over a
+    per-document window compute the whole selection — one shuffle on
+    the document key, everything else codegen; per-document state in
+    the window operator is O(w)."""
+    toks = tokens(F.col(text_col))
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(ngrams(toks, k)).alias("pos", "gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    from pyspark.sql import Window as W
+
+    wspec = W.partitionBy(id_col).orderBy("pos")
+    proj = g.select(F.col(id_col), "pos", h.alias("h"))
+    for i in range(1, w):
+        proj = proj.withColumn(f"_lag{i}", F.lag("h", i).over(wspec))
+        proj = proj.withColumn(f"_lead{i}", F.lead("h", i).over(wspec))
+    proj = proj.withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy(id_col))
+    )
+    # First violating offset determines the run length; NULL (document
+    # edge) never violates — the boundary clamp below handles edges.
+    a = F.lit(w - 1)
+    b = F.lit(w - 1)
+    for i in range(w - 1, 0, -1):
+        a = F.when(F.col(f"_lag{i}") < F.col("h"), F.lit(i - 1)).otherwise(a)
+        b = F.when(F.col(f"_lead{i}") <= F.col("h"), F.lit(i - 1)).otherwise(b)
+    lo = F.greatest(F.lit(0), F.col("pos") - a)
+    hi = F.least(F.col("pos") + b - (w - 1), F.col("_n") - w)
+    return (
+        proj.filter((F.col("_n") >= w) & (lo <= hi))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            F.col("h").alias("fp"),
+        )
+    )
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -17,43 +17,60 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
-# Front of the driver's 50-entry check window.  First the four queries
-# never driver-checked in any round, then the family whose last green
-# rows are stale (r1/r2), then the freshly-fixed session oracle.
+# Front of the driver's 50-entry check window (round 5 rotation).
+# First the six queries added this round (never driver-checked), then
+# doc_length_outliers (r4's one red row — dtype fix needs its green
+# driver confirmation), then the two by-design rows-only xxhash64
+# sketches, then the 32 queries whose latest green rows are r3-vintage
+# (they sat outside the r4 window); the freshly r4-confirmed
+# pipeline/similarity family absorbs the overflow at the tail.
 _PRIORITY = (
-    "doc_split_assign",
-    "doc_global_shuffle",
-    "doc_split_leakage",
-    "text_token_histogram",
-    "q_running_order_totals",
-    "q_balance_quartiles",
-    "cep_error_runs_skiptolast",
-    "cep_signup_purchase_skipfirst",
-    "q_skew_salted_events",
-    "doc_pack_sequences",
+    # new in round 5
+    "doc_winnow_fingerprints",
+    "q_late_ship_priority",
+    "q_order_count_distribution",
+    "q_promo_revenue_share",
+    "q_large_quantity_orders",
+    "q_segment_opportunity",
+    # r4 red, fixed this round
     "doc_length_outliers",
-    "doc_pii_scrub",
-    "doc_mixture_upsample",
-    "q_range_join_clicks",
-    "doc_curation_funnel",
-    "doc_chunk_overlap",
-    "doc_vocab_coverage",
-    "text_repetition",
-    "doc_decontam",
-    "doc_mixture_sample",
-    "doc_source_stats",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_embedding_neardup",
-    "multimodal_bytes",
-    "dedup_simhash_md5",
-    "doc_rolling_fingerprint",
-    "doc_top_terms",
-    "doc_hash_sample",
-    "sim_cosine_topk",
-    "text_profile",
-    "text_language",
-    "q_user_sessions",
+    # rows-only sketches (md5 twins are hash-checked)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # r3-stale: CEP family
+    "cep_error_triples",
+    "cep_signup_to_purchase",
+    "cep_view_click_cycles",
+    "cep_spending_burst",
+    "cep_error_streaks_skip",
+    "cep_view_combos_ndrelaxed",
+    "cep_optional_click_prefix",
+    "cep_view_click_runs",
+    "cep_error_pairs_skippast",
+    "cep_high_purchase_chains",
+    "cep_error_then_purchase_grouped",
+    "cep_signup_any_purchase",
+    "cep_signup_abandoned",
+    # r3-stale: relational family
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q6_revenue_delta",
+    "q_top_customers_per_nation",
+    "q_rollup_order_priority",
+    "q_cube_lineitem_flags",
+    "q_big_building_buyers",
+    "q_customers_without_orders",
+    "q_orders_without_items",
+    "q_parts_with_cheap_suppliers",
+    "q_scalar_functions",
+    "q_orders_by_month",
+    "q_distinct_counts",
+    "q_grouping_sets",
+    "q_quantity_percentiles",
+    "q_above_nation_avg",
+    "q_pivot_status_priority",
+    "q_unpivot_balances",
 )
 
 

@@ -623,6 +623,64 @@ FROM documents
 """
 
 
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection: every k-gram hashed,
+    each w-window's rightmost-minimum hash selected — the standard
+    guarantee-bearing local fingerprint for plagiarism / near-dup
+    detection (any ≥(w+k−1)-token overlap shares a fingerprint).  See
+    functions/text.py:winnow_fingerprints for the run-length selection
+    that avoids a w× window blowup."""
+    docs = _docs(spark, sf_dir)
+    return text.winnow_fingerprints(docs, k=3, w=4)
+
+
+# Same selection in SQL: position p is selected iff a + b >= w-1
+# clamped to the document's valid window range, with a/b the capped
+# runs of non-violating neighbors (strict left / non-strict right =
+# rightmost tie rule).  w=4, k=3.
+SQL_WINNOW_FP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::BIGINT
+         ) AS hs
+  FROM toks
+),
+e AS (
+  SELECT doc_id, unnest(range(len(hs))) AS pos, hs, len(hs) AS n
+  FROM g
+),
+x AS (
+  SELECT doc_id, pos, hs[pos + 1] AS h, n,
+         lag(hs[pos + 1], 1) OVER win AS lag1,
+         lag(hs[pos + 1], 2) OVER win AS lag2,
+         lag(hs[pos + 1], 3) OVER win AS lag3,
+         lead(hs[pos + 1], 1) OVER win AS lead1,
+         lead(hs[pos + 1], 2) OVER win AS lead2,
+         lead(hs[pos + 1], 3) OVER win AS lead3
+  FROM e
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+s AS (
+  SELECT doc_id, pos, h, n,
+         CASE WHEN lag1 < h THEN 0 WHEN lag2 < h THEN 1
+              WHEN lag3 < h THEN 2 ELSE 3 END AS a,
+         CASE WHEN lead1 <= h THEN 0 WHEN lead2 <= h THEN 1
+              WHEN lead3 <= h THEN 2 ELSE 3 END AS b
+  FROM x
+)
+SELECT doc_id, pos::BIGINT AS pos, h AS fp
+FROM s
+WHERE n >= 4 AND greatest(0, pos - a) <= least(pos + b - 3, n - 4)
+"""
+
+
 # --- similarity search ------------------------------------------------
 
 def sim_cosine_topk(spark, sf_dir):
@@ -1483,6 +1541,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_language": text_language,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "doc_top_terms": doc_top_terms,
     "doc_hash_sample": doc_hash_sample,
     "doc_mixture_sample": doc_mixture_sample,
@@ -1522,6 +1581,7 @@ ORACLES = {
     "text_repetition": SQL_TEXT_REPETITION,
     "text_language": _sql_text_language(),
     "doc_rolling_fingerprint": SQL_ROLLING_FP,
+    "doc_winnow_fingerprints": SQL_WINNOW_FP,
     "doc_top_terms": SQL_DOC_TOP_TERMS,
     "doc_hash_sample": SQL_DOC_HASH_SAMPLE,
     "doc_mixture_sample": SQL_DOC_MIXTURE_SAMPLE,

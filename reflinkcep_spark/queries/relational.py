@@ -21,6 +21,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from reflinkcep_spark.queries.exact import (
+    cents,
     dec2,
     exact_avg4,
     exact_sum2,
@@ -693,6 +694,214 @@ WHERE e.event_type = 'error'
 """
 
 
+# --- TPC-H Q4 shape: EXISTS semi join with a non-equi residual -------
+
+def q_late_ship_priority(spark, sf_dir):
+    """Orders with at least one lineitem shipped >60 days after the
+    order date, counted per priority (TPC-H Q4 adapted to this schema:
+    no commit/receipt dates, so 'late' = shipdate − orderdate > 60 d).
+    The semi join keeps the plan set-shaped — orders are never
+    duplicated per matching lineitem, so no post-join distinct; the
+    equi key carries the shuffle and the date residual is evaluated
+    inside the join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+SQL_LATE_SHIP_PRIORITY = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --- TPC-H Q13 shape: outer-join distribution ------------------------
+
+def q_order_count_distribution(spark, sf_dir):
+    """How many customers placed exactly N orders (including N=0 via
+    the left join) — TPC-H Q13.  Two aggregations: the first shuffles
+    on customer key (map-side combine keeps it one exchange), the
+    second groups the per-customer counts — a frame already one row
+    per customer, so the second shuffle is tiny at any scale."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_custs")
+    )
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_custs
+FROM per_cust GROUP BY n_orders
+"""
+
+
+# --- TPC-H Q14 shape: conditional-aggregate ratio --------------------
+
+def q_promo_revenue_share(spark, sf_dir):
+    """Monthly share of revenue from PROMO-type parts (TPC-H Q14 per
+    month).  Revenue accumulates in exact 10⁻⁴-unit longs (see
+    queries/exact.py); the share is emitted as the plain ratio of the
+    two exact integers — one IEEE divide of identical operands on both
+    engines, so the double is bit-stable without any rounding dance.
+    part joins broadcast (dimension ≪ fact at every SF)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev4 = unit4_revenue("l_extendedprice", "l_discount")
+    promo4 = F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            (F.sum(promo4).cast("double") / F.sum(rev4).cast("double"))
+            .alias("promo_share"),
+            exact_sum2_from_unit4(promo4).alias("promo_revenue"),
+            exact_sum2_from_unit4(rev4).alias("total_revenue"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH j AS (
+  SELECT MONTH(l_shipdate)::BIGINT AS ship_month,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(3,2))) AS rev,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * (100 - CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT))
+           AS rev4,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+)
+SELECT ship_month,
+       SUM(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END)::BIGINT::DOUBLE
+         / SUM(rev4)::BIGINT::DOUBLE AS promo_share,
+       ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 2)::DOUBLE
+         AS promo_revenue,
+       ROUND(SUM(rev), 2)::DOUBLE AS total_revenue
+FROM j GROUP BY ship_month
+"""
+
+
+# --- TPC-H Q18 shape: agg-filter then join back ----------------------
+
+def q_large_quantity_orders(spark, sf_dir):
+    """Orders whose total quantity exceeds 250 (~top 1.5%), with the
+    buyer attached — TPC-H Q18.  The aggregate-then-filter output is a
+    small fraction of orders, so it is BROADCAST back onto orders and
+    customer: the two big tables are never shuffled for the join, only
+    lineitem shuffles once for its groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum2("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name",
+            F.col("o_orderkey").alias("order_key"),
+            "o_orderdate", "total_qty",
+        )
+    )
+
+
+SQL_LARGE_QUANTITY_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) > 250
+)
+SELECT c_custkey, c_name, o_orderkey AS order_key, o_orderdate, total_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- TPC-H Q22 shape: scalar-subquery threshold + anti join ----------
+
+def q_segment_opportunity(spark, sf_dir):
+    """Well-funded customers gone quiet: account balance above the
+    average positive balance, but no order since 2000-01-01, rolled up
+    per market segment (TPC-H Q22 adapted: segments instead of phone
+    country codes, 'recently inactive' instead of 'never ordered' —
+    every synthetic customer has old orders).  The above-average test
+    runs in exact integer cents as ``bal·n > Σbal`` — comparing
+    against a double average would let the two engines disagree on
+    boundary customers.  The 1-row stats frame rides in via broadcast
+    crossJoin; the recent-buyer set anti-joins on the customer key."""
+    cust = _t(spark, sf_dir, "customer")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents("c_acctbal")).alias("pos_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(stats))
+        .filter(cents("c_acctbal") * F.col("n_pos") > F.col("pos_cents"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            exact_sum2("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+SQL_SEGMENT_OPPORTUNITY = """
+WITH stats AS (
+  SELECT SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT
+           AS pos_cents,
+         COUNT(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment AS segment, COUNT(*) AS n_custs,
+       ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE AS total_bal
+FROM customer, stats
+WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n_pos > pos_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -716,6 +925,11 @@ QUERIES = {
     "q_running_order_totals": q_running_order_totals,
     "q_balance_quartiles": q_balance_quartiles,
     "q_skew_salted_events": q_skew_salted_events,
+    "q_late_ship_priority": q_late_ship_priority,
+    "q_order_count_distribution": q_order_count_distribution,
+    "q_promo_revenue_share": q_promo_revenue_share,
+    "q_large_quantity_orders": q_large_quantity_orders,
+    "q_segment_opportunity": q_segment_opportunity,
 }
 
 ORACLES = {
@@ -741,4 +955,9 @@ ORACLES = {
     "q_running_order_totals": SQL_RUNNING_TOTALS,
     "q_balance_quartiles": SQL_BALANCE_QUARTILES,
     "q_skew_salted_events": SQL_SKEW_SALTED_EVENTS,
+    "q_late_ship_priority": SQL_LATE_SHIP_PRIORITY,
+    "q_order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
+    "q_promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    "q_large_quantity_orders": SQL_LARGE_QUANTITY_ORDERS,
+    "q_segment_opportunity": SQL_SEGMENT_OPPORTUNITY,
 }

@@ -577,3 +577,47 @@ def test_duplicate_clusters_convergence_guard(spark):
             ).collect()
         )
     assert all(out[d] == 1 for d in range(1, 22))
+
+
+def test_winnow_fingerprints_matches_bruteforce(spark):
+    """The run-length selection (a + b >= w-1, clamped) must equal the
+    definitional sliding-window rightmost-min selection — including on
+    all-tie documents (repeated grams), documents shorter than k, and
+    documents with exactly one window."""
+    import hashlib
+    import re as _re
+
+    K, W = 3, 4
+
+    def brute(s):
+        t = [x for x in _re.split(r"\s+", s.strip()) if x]
+        grams = (
+            [" ".join(t[i:i + K]) for i in range(len(t) - K + 1)]
+            if len(t) >= K else []
+        )
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        sel = set()
+        for j in range(len(hs) - W + 1):
+            win = hs[j:j + W]
+            m = min(win)
+            p = max(i for i in range(W) if win[i] == m) + j
+            sel.add((p, hs[p]))
+        return sel
+
+    cases = [
+        "a a a a a a a a a a",          # every gram identical: all ties
+        "a b a b a b a b a b",          # period-2 ties
+        "x y",                          # shorter than k: no grams
+        "p q r s t u",                  # exactly one window (4 grams)
+        "m n o p",                      # fewer grams (2) than w: none selected
+        "z z z q z z z q z z z",        # tie runs broken by distinct grams
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {}
+    for r in text.winnow_fingerprints(df, k=K, w=W).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, s in enumerate(cases):
+        assert got.get(i, set()) == brute(s), f"case {i}: {s!r}"
