@@ -54,6 +54,12 @@ HEADLINE = [
     "doc_vocab_coverage",      # top-k vocab via distributed sort-limit
     "doc_global_shuffle",      # deterministic sharded shuffle (per-shard windows)
     "doc_split_assign",        # frozen split assignment + release audit
+    "doc_winnow_fingerprints", # shuffle-free winnowing (array-domain selection)
+    "q_late_ship_priority",    # semi join with non-equi residual (Q4)
+    "q_order_count_distribution",  # outer-join count distribution (Q13)
+    "q_promo_revenue_share",   # broadcast dim join + conditional agg (Q14)
+    "q_large_quantity_orders", # agg-filter broadcast-back (Q18)
+    "q_segment_opportunity",   # exact-cents threshold + anti join (Q22)
 ]
 
 

@@ -288,49 +288,63 @@ def winnow_fingerprints(
     the portable 32-bit md5-prefix hash (cross-engine, like
     :func:`rolling_fingerprint`) of each selected fingerprint.
 
-    Shape: instead of materializing w-row windows (a w× blowup or a
-    bounded self-join), selection is decided per position from run
-    lengths: position p is some window's rightmost minimum iff
-    ``a + b ≥ w−1`` intersected with the document's valid window
-    range, where ``a`` = consecutive predecessors with hash ≥ h(p)
-    and ``b`` = consecutive successors with hash > h(p) (the strict /
-    non-strict asymmetry is exactly the rightmost-tie rule).  Both
-    runs are capped at w−1, so 2(w−1) lag/lead columns over a
-    per-document window compute the whole selection — one shuffle on
-    the document key, everything else codegen; per-document state in
-    the window operator is O(w)."""
+    Shape: winnowing is per-document local, so it needs NO shuffle at
+    all — the selection runs entirely inside array expressions on the
+    document row (codegen, embarrassingly parallel with the scan).
+    Instead of materializing w-row windows (a w× blowup), selection is
+    decided per position from run lengths: position p is some window's
+    rightmost minimum iff ``a + b ≥ w−1`` intersected with the
+    document's valid window range, where ``a`` = consecutive
+    predecessors with hash ≥ h(p) and ``b`` = consecutive successors
+    with hash > h(p) (the strict / non-strict asymmetry is exactly the
+    rightmost-tie rule).  Both runs are capped at w−1, so 2(w−1)
+    bounded ``get`` probes per position compute the whole selection —
+    O(n·w) per document, no window operator, no exchange; only the
+    (small) selected set is exploded at the end."""
     toks = tokens(F.col(text_col))
-    g = df.select(
-        F.col(id_col),
-        F.posexplode(ngrams(toks, k)).alias("pos", "gram"),
+    hs_expr = F.transform(
+        ngrams(toks, k),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
     )
-    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
-    from pyspark.sql import Window as W
+    # Materialize the hash array into the row ONCE before any lambda
+    # touches it: a Column expression referenced inside a higher-order
+    # function is re-evaluated on every reference (no common
+    # subexpression elimination across lambda boundaries), which would
+    # turn the 2(w−1) probes per position into O(n²·w) md5 work.
+    staged = df.select(F.col(id_col), hs_expr.alias("_hs"))
+    hs = F.col("_hs")
 
-    wspec = W.partitionBy(id_col).orderBy("pos")
-    proj = g.select(F.col(id_col), "pos", h.alias("h"))
-    for i in range(1, w):
-        proj = proj.withColumn(f"_lag{i}", F.lag("h", i).over(wspec))
-        proj = proj.withColumn(f"_lead{i}", F.lead("h", i).over(wspec))
-    proj = proj.withColumn(
-        "_n", F.count(F.lit(1)).over(W.partitionBy(id_col))
-    )
-    # First violating offset determines the run length; NULL (document
-    # edge) never violates — the boundary clamp below handles edges.
-    a = F.lit(w - 1)
-    b = F.lit(w - 1)
-    for i in range(w - 1, 0, -1):
-        a = F.when(F.col(f"_lag{i}") < F.col("h"), F.lit(i - 1)).otherwise(a)
-        b = F.when(F.col(f"_lead{i}") <= F.col("h"), F.lit(i - 1)).otherwise(b)
-    lo = F.greatest(F.lit(0), F.col("pos") - a)
-    hi = F.least(F.col("pos") + b - (w - 1), F.col("_n") - w)
-    return (
-        proj.filter((F.col("_n") >= w) & (lo <= hi))
-        .select(
-            F.col(id_col),
-            F.col("pos").cast("long").alias("pos"),
-            F.col("h").alias("fp"),
+    def selected(hs, n):
+        def keep(pos):
+            h = F.get(hs, pos)
+            # First violating offset determines the run length; NULL
+            # (document edge, out-of-bounds get) never violates — the
+            # boundary clamp below handles edges.
+            a = F.lit(w - 1)
+            b = F.lit(w - 1)
+            for i in range(w - 1, 0, -1):
+                a = F.when(F.get(hs, pos - i) < h, F.lit(i - 1)).otherwise(a)
+                b = F.when(F.get(hs, pos + i) <= h, F.lit(i - 1)).otherwise(b)
+            lo = F.greatest(F.lit(0), pos - a)
+            hi = F.least(pos + b - (w - 1), n - w)
+            return lo <= hi
+
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda pos: F.struct(
+                    pos.cast("long").alias("pos"), F.get(hs, pos).alias("fp")
+                ),
+            ),
+            lambda s: keep(s["pos"].cast("int")),
         )
+
+    n = F.size(hs)
+    sel = F.when(n >= w, selected(hs, n)).otherwise(
+        F.array().cast("array<struct<pos:bigint,fp:bigint>>")
+    )
+    return staged.select(F.col(id_col), F.explode(sel).alias("s")).select(
+        F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp")
     )
 
 
