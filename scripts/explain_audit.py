@@ -54,6 +54,12 @@ AUDITED = [
     ("doc_split_assign", "split assignment: pure projection, one tiny-key agg exchange"),
     ("doc_global_shuffle", "global shuffle: per-shard windows, no total-order exchange"),
     ("text_token_histogram", "token histogram: integer bucketing, one tiny-key agg exchange"),
+    ("doc_winnow_fingerprints", "winnowing: array-domain selection, no exchange, no window operator"),
+    ("q_late_ship_priority", "Q4 semi join: set-shaped, date residual inside the join"),
+    ("q_order_count_distribution", "Q13: outer join + two aggs, second over 1-row-per-customer frame"),
+    ("q_promo_revenue_share", "Q14: part dim broadcast, conditional agg, exact integer operands"),
+    ("q_large_quantity_orders", "Q18: agg-filter result broadcast back, big tables never shuffle"),
+    ("q_segment_opportunity", "Q22: 1-row stats broadcast crossJoin + anti join, exact-cents threshold"),
 ]
 
 

@@ -70,9 +70,18 @@ PROBES = [
     ("cep_error_runs_skiptolast", "events"),
     ("cep_signup_purchase_skipfirst", "events"),
     ("q_skew_salted_events", "events"),
+    ("doc_winnow_fingerprints", "documents"),
+    ("q_late_ship_priority", "lineitem"),
+    ("q_order_count_distribution", "orders"),
+    ("q_promo_revenue_share", "lineitem"),
+    ("q_large_quantity_orders", "lineitem"),
+    ("q_segment_opportunity", "orders"),
 ]
 
-TABLES = ("documents", "events", "embeddings", "orders")
+# Replication order matters: orders/lineitem/customer/part share key
+# offsets (each copy is a closed referential world — copy k's lineitem
+# rows point at copy k's orders/parts, so join output scales linearly).
+TABLES = ("documents", "events", "embeddings", "orders", "lineitem", "customer", "part")
 
 
 def replicate(spark, n: int, out_dir: str) -> None:
@@ -123,13 +132,56 @@ def replicate(spark, n: int, out_dir: str) -> None:
                 for k in range(n)
             ]
         elif name == "orders":
+            # Key steps come from the OWNING tables (orders for order
+            # keys, customer for customer keys, part for part keys) so
+            # orders/lineitem/customer/part copies agree — each copy is
+            # a closed referential world and join output scales
+            # linearly instead of gaining cross-copy matches.
             o_step = df.agg(F.max("o_orderkey")).first()[0] + 1
-            c_step = df.agg(F.max("o_custkey")).first()[0] + 1
+            c_step = load_table(spark, BASE, "customer").agg(
+                F.max("c_custkey")
+            ).first()[0] + 1
             others = [c for c in df.columns if c not in ("o_orderkey", "o_custkey")]
             parts = [
                 df.select(
                     (F.col("o_orderkey") + k * o_step).alias("o_orderkey"),
                     (F.col("o_custkey") + k * c_step).alias("o_custkey"),
+                    *others,
+                )
+                for k in range(n)
+            ]
+        elif name == "lineitem":
+            o_step = load_table(spark, BASE, "orders").agg(
+                F.max("o_orderkey")
+            ).first()[0] + 1
+            p_step = load_table(spark, BASE, "part").agg(
+                F.max("p_partkey")
+            ).first()[0] + 1
+            others = [c for c in df.columns if c not in ("l_orderkey", "l_partkey")]
+            parts = [
+                df.select(
+                    (F.col("l_orderkey") + k * o_step).alias("l_orderkey"),
+                    (F.col("l_partkey") + k * p_step).alias("l_partkey"),
+                    *others,
+                )
+                for k in range(n)
+            ]
+        elif name == "customer":
+            c_step = df.agg(F.max("c_custkey")).first()[0] + 1
+            others = [c for c in df.columns if c != "c_custkey"]
+            parts = [
+                df.select(
+                    (F.col("c_custkey") + k * c_step).alias("c_custkey"),
+                    *others,
+                )
+                for k in range(n)
+            ]
+        elif name == "part":
+            p_step = df.agg(F.max("p_partkey")).first()[0] + 1
+            others = [c for c in df.columns if c != "p_partkey"]
+            parts = [
+                df.select(
+                    (F.col("p_partkey") + k * p_step).alias("p_partkey"),
                     *others,
                 )
                 for k in range(n)
