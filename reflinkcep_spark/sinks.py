@@ -20,6 +20,7 @@ __all__ = [
     "render_matches",
     "write_matches",
     "write_training_shards",
+    "write_bucketed",
 ]
 
 
@@ -97,3 +98,43 @@ def write_training_shards(
     if order_col is not None:
         out = out.sortWithinPartitions("shard", order_col)
     out.write.mode(mode).partitionBy("shard").parquet(path)
+
+
+def write_bucketed(
+    df,
+    table: str,
+    key: str | Sequence[str],
+    *,
+    buckets: int = 256,
+    path: Optional[str] = None,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a BUCKETED parquet table on its join /
+    aggregation key, so every future equi-join or groupBy on that key
+    reads back exchange-free.
+
+    Bucketing is the standing answer to the repeated-shuffle problem
+    at 100 TB: a fact table that joins on the same key in every
+    pipeline run pays its hash exchange ONCE at write time; afterwards
+    two tables bucketed on the same key with the same bucket count
+    sort-merge-join with ZERO Exchange on either side (Spark trusts
+    the on-disk hash distribution), and a groupBy on the key is
+    map-side only.  ``sort=True`` additionally sorts each bucket file
+    by the key so the merge phase needs no sort either.
+
+    Implementation notes: bucketed output must go through the catalog
+    (``saveAsTable`` — Spark's bucket metadata lives there, plain
+    ``.parquet(path)`` silently drops it); pass ``path`` to keep the
+    data external at a location of your choosing.  Read back with
+    ``spark.table(table)``, NOT ``spark.read.parquet`` (a path read
+    sees plain files and re-shuffles).  Size ``buckets`` so one bucket
+    of the LARGER table fits an executor's scan partition (~128-256 MB
+    compressed at 100 TB scale → thousands of buckets)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
