@@ -38,6 +38,7 @@ __all__ = [
     "shingles",
     "duplicate_clusters",
     "contaminated_docs",
+    "winnow_pairs",
 ]
 
 
@@ -672,3 +673,81 @@ def duplicate_clusters(
     return labels.select(
         F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 64,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs via WINNOWING fingerprints (see
+    functions/text.py:winnow_fingerprints): documents sharing a large
+    fraction of their selected fingerprints.  ``sim`` is containment
+    over the smaller selected set — ``|A∩B| / min(|A|,|B|)`` — so a
+    short document wholly embedded in a longer one still scores 1.0
+    (the property winnowing's window guarantee is built for; plain
+    Jaccard dilutes it).
+
+    Scale shape is the same inverted index as
+    :func:`ngram_jaccard_pairs`, but over the ~2/(w+1)-density
+    SELECTED fingerprints instead of every shingle — the posting
+    exchange is ~(w+1)/2 times smaller for the same guarantee
+    (matches of length ≥ w+k−1 always share a fingerprint).
+    ``max_df`` caps a fingerprint's posting list ABSOLUTELY (boiler-
+    plate that winnowing happens to select would otherwise expand
+    quadratically); it is an absolute count, not a fraction, because
+    a fingerprint shared by >64 documents is boilerplate at every
+    corpus size.  ``min_shared`` (default 2) floors the evidence: one
+    shared fingerprint is one shared k-gram — for a short document
+    with a tiny selected set that already clears a containment
+    threshold, so a pair must share at least two fingerprints before
+    the ratio is trusted.
+
+    Returns (doc_a, doc_b, n_shared, sim) with doc_a < doc_b.
+    """
+    from reflinkcep_spark.functions.text import winnow_fingerprints
+
+    fps = (
+        winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, w=w)
+        .select(F.col(id_col).alias("doc_id"), "fp")
+        .distinct()
+    )
+    fps = fps.localCheckpoint(eager=False)  # used 3×: postings + both sizes
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    idx = fps.join(rare, "fp")
+    pairs = (
+        idx.select("fp", F.col("doc_id").alias("doc_a"))
+        .join(idx.select("fp", F.col("doc_id").alias("doc_b")), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    out = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "sim",
+            F.col("n_shared").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_shared", "sim")

@@ -27,6 +27,8 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 _PRIORITY = (
     # new in round 5
     "doc_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "q_disjunctive_revenue",
     "q_late_ship_priority",
     "q_order_count_distribution",
     "q_promo_revenue_share",

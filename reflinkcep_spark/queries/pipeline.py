@@ -681,6 +681,38 @@ WHERE n >= 4 AND greatest(0, pos - a) <= least(pos + b - 3, n - 4)
 """
 
 
+def dedup_winnow_pairs(spark, sf_dir):
+    """Near-dup pairs from shared winnowing fingerprints (containment
+    over the smaller selected set ≥ 0.5) — the guarantee-bearing
+    cheap tier between exact dedup and MinHash: any ≥(w+k−1)-token
+    overlap is visible to it, and the posting index is ~2/(w+1) the
+    size of the full shingle index.  functions/dedup.py:winnow_pairs."""
+    docs = _docs(spark, sf_dir)
+    return dedup.winnow_pairs(docs, threshold=0.5, k=3, w=4, max_df=64, min_shared=2)
+
+
+SQL_DEDUP_WINNOW = f"""
+WITH sel AS ({SQL_WINNOW_FP}),
+fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64),
+idx AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM idx a JOIN idx b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1)
+SELECT doc_a, doc_b, n_shared,
+       n_shared::DOUBLE / least(na.n_fp, nb.n_fp)::DOUBLE AS sim
+FROM pairs
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE n_shared::DOUBLE / least(na.n_fp, nb.n_fp)::DOUBLE >= 0.5
+"""
+
+
 # --- similarity search ------------------------------------------------
 
 def sim_cosine_topk(spark, sf_dir):
@@ -1542,6 +1574,7 @@ QUERIES = {
     "text_language": text_language,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "dedup_winnow_pairs": dedup_winnow_pairs,
     "doc_top_terms": doc_top_terms,
     "doc_hash_sample": doc_hash_sample,
     "doc_mixture_sample": doc_mixture_sample,
@@ -1582,6 +1615,7 @@ ORACLES = {
     "text_language": _sql_text_language(),
     "doc_rolling_fingerprint": SQL_ROLLING_FP,
     "doc_winnow_fingerprints": SQL_WINNOW_FP,
+    "dedup_winnow_pairs": SQL_DEDUP_WINNOW,
     "doc_top_terms": SQL_DOC_TOP_TERMS,
     "doc_hash_sample": SQL_DOC_HASH_SAMPLE,
     "doc_mixture_sample": SQL_DOC_MIXTURE_SAMPLE,

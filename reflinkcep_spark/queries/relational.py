@@ -902,6 +902,53 @@ GROUP BY c_mktsegment
 """
 
 
+# --- TPC-H Q19 shape: disjunctive pushdown ---------------------------
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """Revenue from three OR-ed (brand, size-range, quantity-range)
+    blocks — TPC-H Q19's shape.  The point at scale is PREDICATE
+    STRUCTURE: the per-side conjuncts that appear in every OR block
+    (quantity ≤ 30 on lineitem, size ≥ 1 on part) are factored out by
+    Catalyst and PUSHED INTO BOTH SCANS, so the join sees pre-filtered
+    inputs and only the mixed-table residual runs post-join; part
+    rides in broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    block = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        j.filter(
+            block("Brand#12", 5, 1, 11)
+            | block("Brand#23", 10, 10, 20)
+            | block("Brand#24", 15, 20, 30)
+        )
+        .agg(
+            exact_sum2_from_unit4(
+                unit4_revenue("l_extendedprice", "l_discount")
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -930,6 +977,7 @@ QUERIES = {
     "q_promo_revenue_share": q_promo_revenue_share,
     "q_large_quantity_orders": q_large_quantity_orders,
     "q_segment_opportunity": q_segment_opportunity,
+    "q_disjunctive_revenue": q_disjunctive_revenue,
 }
 
 ORACLES = {
@@ -960,4 +1008,5 @@ ORACLES = {
     "q_promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     "q_large_quantity_orders": SQL_LARGE_QUANTITY_ORDERS,
     "q_segment_opportunity": SQL_SEGMENT_OPPORTUNITY,
+    "q_disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
 }

@@ -60,6 +60,8 @@ AUDITED = [
     ("q_promo_revenue_share", "Q14: part dim broadcast, conditional agg, exact integer operands"),
     ("q_large_quantity_orders", "Q18: agg-filter result broadcast back, big tables never shuffle"),
     ("q_segment_opportunity", "Q22: 1-row stats broadcast crossJoin + anti join, exact-cents threshold"),
+    ("q_disjunctive_revenue", "Q19: per-side OR residuals pushed into both parquet scans"),
+    ("dedup_winnow_pairs", "winnow dedup: selected-fingerprint postings, absolute max_df cap"),
 ]
 
 

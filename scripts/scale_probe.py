@@ -76,6 +76,8 @@ PROBES = [
     ("q_promo_revenue_share", "lineitem"),
     ("q_large_quantity_orders", "lineitem"),
     ("q_segment_opportunity", "orders"),
+    ("q_disjunctive_revenue", "lineitem"),
+    ("dedup_winnow_pairs", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key
