@@ -29,6 +29,7 @@ _PRIORITY = (
     "doc_winnow_fingerprints",
     "dedup_winnow_pairs",
     "q_disjunctive_revenue",
+    "q_binational_volume",
     "q_late_ship_priority",
     "q_order_count_distribution",
     "q_promo_revenue_share",

@@ -949,6 +949,66 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 """
 
 
+# --- TPC-H Q7 shape: one dimension joined in two roles ---------------
+
+def q_binational_volume(spark, sf_dir):
+    """Shipping volume between two nations by direction and ship year —
+    TPC-H Q7.  The nation dimension joins TWICE in different roles
+    (customer's nation via orders, supplier's nation via lineitem);
+    both roles broadcast pre-filtered to the two nations of interest,
+    so the two big-side joins are semi-selective map joins and
+    lineitem is never shuffled before the final small groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            exact_sum2_from_unit4(
+                unit4_revenue("l_extendedprice", "l_discount")
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_BINATIONAL_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       YEAR(l_shipdate)::BIGINT AS ship_year,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE AS volume,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+    OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -978,6 +1038,7 @@ QUERIES = {
     "q_large_quantity_orders": q_large_quantity_orders,
     "q_segment_opportunity": q_segment_opportunity,
     "q_disjunctive_revenue": q_disjunctive_revenue,
+    "q_binational_volume": q_binational_volume,
 }
 
 ORACLES = {
@@ -1009,4 +1070,5 @@ ORACLES = {
     "q_large_quantity_orders": SQL_LARGE_QUANTITY_ORDERS,
     "q_segment_opportunity": SQL_SEGMENT_OPPORTUNITY,
     "q_disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+    "q_binational_volume": SQL_BINATIONAL_VOLUME,
 }

@@ -62,6 +62,7 @@ AUDITED = [
     ("q_segment_opportunity", "Q22: 1-row stats broadcast crossJoin + anti join, exact-cents threshold"),
     ("q_disjunctive_revenue", "Q19: per-side OR residuals pushed into both parquet scans"),
     ("dedup_winnow_pairs", "winnow dedup: selected-fingerprint postings, absolute max_df cap"),
+    ("q_binational_volume", "Q7: nation dimension broadcast twice in distinct roles, lineitem unshuffled pre-agg"),
 ]
 
 

@@ -78,6 +78,7 @@ PROBES = [
     ("q_segment_opportunity", "orders"),
     ("q_disjunctive_revenue", "lineitem"),
     ("dedup_winnow_pairs", "documents"),
+    ("q_binational_volume", "lineitem"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key
