@@ -66,6 +66,7 @@ def match_pattern(
     max_active_runs: int = 100_000,
     on_limit: str = "raise",
     within=None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Run a CEP pattern query over a DataFrame of events.
 
@@ -107,6 +108,22 @@ def match_pattern(
         post-filter; under skip strategies the kernel runs, because
         suppressing an over-long match can change WHICH match a skip
         strategy emits, which no post-filter can reproduce.
+    pre_partitioned:
+        The caller asserts the input is ALREADY hash-distributed on
+        the partition key(s) — e.g. a table written with
+        ``sinks.write_bucketed(events, ..., key=partition_by)`` and
+        read back via ``spark.table`` — so the kernel skips its
+        explicit repartition and the whole plan runs WITHOUT ANY
+        shuffle: Scan → Sort (within buckets) → FlatMapGroupsInPandas
+        (verified in tests/test_bucketed_sink.py).  This is the
+        standing-event-log shape at 100 TB: bucket the log once on
+        the CEP key at ingest, then every pattern query over it is
+        shuffle-free.  Parallelism equals the bucket count, so size
+        buckets accordingly; AQE's partition coalescing (the reason
+        the default path pins an explicit repartition) does not apply
+        because there is no exchange to coalesce.  Misuse warning: if
+        the input is NOT key-clustered, a key's rows span several
+        partitions and each emits its own (wrong) match set.
     """
     if on_limit not in ("raise", "truncate"):
         raise ValueError(f"on_limit must be 'raise' or 'truncate', got {on_limit!r}")
@@ -222,7 +239,12 @@ def match_pattern(
     # cores (measured 32→2 tasks at sf0.1).  An explicit repartition
     # with a fixed count is exempt from coalescing, and groupBy reuses
     # its hash partitioning, so there is still exactly ONE shuffle.
-    if keys:
+    if keys and pre_partitioned:
+        # Caller-asserted key-clustered input (bucketed table): groupBy
+        # alone satisfies FlatMapGroupsInPandas' required distribution
+        # from the scan's bucket partitioning — zero exchanges.
+        grouped = projected.groupBy(*keys)
+    elif keys:
         n_parts = int(
             projected.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )

@@ -90,3 +90,38 @@ def test_unbucketed_baseline_does_exchange(spark, tmp_path, no_broadcast):
         spark.read.parquet(str(tmp_path / "pr")), "k"
     )
     assert _n_shuffles(_formatted_plan(joined)) >= 2
+
+
+def test_bucketed_cep_kernel_runs_shuffle_free(spark, tmp_path):
+    """The standing-event-log shape: events bucketed on the CEP key run
+    match_pattern(pre_partitioned=True) with ZERO exchanges — Scan →
+    Sort → FlatMapGroupsInPandas — and emit exactly the matches of the
+    default (repartitioning) path."""
+    from reflinkcep_spark.cep.query import Pattern
+    from reflinkcep_spark.operators import match_pattern
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    write_bucketed(ev, "t_ev_cep", "user_id", buckets=8, path=str(tmp_path / "ev"))
+    q = (
+        Pattern.begin("a", event="error", where="value > 5")
+        .one_or_more()
+        .followed_by("b", event="purchase")
+        .query(
+            schema={"error": ["event_id", "value"], "purchase": ["event_id", "value"]},
+            strategy="SkipToNext",
+        )
+    )
+    kw = dict(order_by="event_id", partition_by="user_id", type_col="event_type")
+    try:
+        fast = match_pattern(spark.table("t_ev_cep"), q, pre_partitioned=True, **kw)
+        plan = _formatted_plan(fast)
+        assert _n_shuffles(plan) == 0, plan
+        assert "FlatMapGroupsInPandas" in plan
+
+        base = match_pattern(ev, q, **kw)
+        key = ["user_id", "match_seq", "start_ord", "end_ord"]
+        got = sorted(tuple(r[c] for c in key) for r in fast.collect())
+        want = sorted(tuple(r[c] for c in key) for r in base.collect())
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ev_cep")
