@@ -125,3 +125,34 @@ def test_bucketed_cep_kernel_runs_shuffle_free(spark, tmp_path):
         assert got == want and got
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ev_cep")
+
+
+def test_bucketed_sessionize_runs_shuffle_free(spark, tmp_path):
+    """Window-based per-key operators need no opt-in at all: a window
+    partitioned by the bucket key is satisfied by the bucketed scan's
+    distribution, so sessionization over a bucketed event log is
+    exchange-free out of the box."""
+    from reflinkcep_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    write_bucketed(ev, "t_ev_sess", "user_id", buckets=8, path=str(tmp_path / "s"))
+    try:
+        out = sessionize(
+            spark.table("t_ev_sess"), gap=30 * 60 * 1_000_000,
+            by="user_id", on="ts_us",
+        )
+        plan = _formatted_plan(out)
+        assert _n_shuffles(plan) == 0, plan
+        base = sessionize(ev, gap=30 * 60 * 1_000_000, by="user_id", on="ts_us")
+        got = sorted(
+            (r["user_id"], r["event_id"], r["session_seq"]) for r in out.collect()
+        )
+        want = sorted(
+            (r["user_id"], r["event_id"], r["session_seq"]) for r in base.collect()
+        )
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ev_sess")
