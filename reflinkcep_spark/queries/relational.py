@@ -730,18 +730,25 @@ GROUP BY o_orderpriority
 # --- TPC-H Q13 shape: outer-join distribution ------------------------
 
 def q_order_count_distribution(spark, sf_dir):
-    """How many customers placed exactly N orders (including N=0 via
-    the left join) — TPC-H Q13.  Two aggregations: the first shuffles
-    on customer key (map-side combine keeps it one exchange), the
-    second groups the per-customer counts — a frame already one row
-    per customer, so the second shuffle is tiny at any scale."""
+    """How many customers placed exactly N orders (including N=0) —
+    TPC-H Q13, aggregate-BEFORE-join shape: orders collapse to one
+    count row per customer first (map-side combine shrinks the
+    exchange to distinct keys per task), and only then outer-join to
+    customers.  Joining first and counting after — the literal SQL
+    shape — would shuffle full orders-sized rows; aggregating first
+    shuffles pre-combined counts, an orders/customers-ratio smaller
+    exchange at any scale (Catalyst does not push aggregates below
+    joins on its own).  The final distribution groupBy is over one
+    row per customer — tiny."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    per_cust = cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left"
+    ).select(F.coalesce("cnt", F.lit(0)).alias("n_orders"))
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_custs")
     )
