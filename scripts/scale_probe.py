@@ -86,6 +86,11 @@ PROBES = [
 # rows point at copy k's orders/parts, so join output scales linearly).
 TABLES = ("documents", "events", "embeddings", "orders", "lineitem", "customer", "part")
 
+# Static dimensions copied through unreplicated: lineitem copies keep
+# l_suppkey, so every copy points at the same suppliers — per-supplier
+# join fan-out stays constant and volume still scales linearly.
+PASSTHROUGH = ("supplier", "nation", "region")
+
 
 def replicate(spark, n: int, out_dir: str) -> None:
     from pyspark.sql import functions as F
@@ -93,6 +98,10 @@ def replicate(spark, n: int, out_dir: str) -> None:
     from reflinkcep_spark.sources import load_table
 
     os.makedirs(out_dir, exist_ok=True)
+    for name in PASSTHROUGH:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            load_table(spark, BASE, name).write.mode("overwrite").parquet(dst)
     for name in TABLES:
         dst = os.path.join(out_dir, f"{name}.parquet")
         if os.path.exists(dst):
