@@ -60,6 +60,9 @@ HEADLINE = [
     "q_promo_revenue_share",   # broadcast dim join + conditional agg (Q14)
     "q_large_quantity_orders", # agg-filter broadcast-back (Q18)
     "q_segment_opportunity",   # exact-cents threshold + anti join (Q22)
+    "q_disjunctive_revenue",   # OR-of-ANDs pushed into both scans (Q19)
+    "dedup_winnow_pairs",      # winnow-fingerprint inverted index
+    "q_binational_volume",     # dual-role dimension join (Q7)
 ]
 
 
