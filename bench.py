@@ -63,6 +63,7 @@ HEADLINE = [
     "q_disjunctive_revenue",   # OR-of-ANDs pushed into both scans (Q19)
     "dedup_winnow_pairs",      # winnow-fingerprint inverted index
     "q_binational_volume",     # dual-role dimension join (Q7)
+    "cep_conversion_rate",     # CEP matches consumed relationally
 ]
 
 

@@ -30,6 +30,7 @@ _PRIORITY = (
     "dedup_winnow_pairs",
     "q_disjunctive_revenue",
     "q_binational_volume",
+    "cep_conversion_rate",
     "q_late_ship_priority",
     "q_order_count_distribution",
     "q_promo_revenue_share",

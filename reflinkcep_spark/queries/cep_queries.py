@@ -1173,6 +1173,61 @@ GROUP BY p.user_id, p.event_id
 
 
 
+# --- CEP output consumed relationally --------------------------------
+
+def cep_conversion_rate(spark, sf_dir):
+    """Cross-family composite: the signup→purchase CEP matches feed a
+    RELATIONAL rollup — per user cohort (user_id mod 10), how many
+    signups there were, how many converted (emitted a match), and the
+    conversion rate as one exact-integer IEEE divide.  This is the
+    production shape for pattern analytics at scale: match frames are
+    ordinary DataFrames, so funnels/cohorts/rates compose onto them
+    with plain Catalyst operators — no special post-processing path.
+    The left join is on (user_id, signup event id): at most one match
+    per signup (the pattern takes the first qualifying purchase), so
+    counting matched rows counts converted signups."""
+    matches = cep_signup_to_purchase(spark, sf_dir)
+    signups = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("event_id").alias("signup_id"))
+    )
+    return (
+        signups.join(matches, ["user_id", "signup_id"], "left")
+        .groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("purchase_id").alias("n_converted"),
+        )
+        .select(
+            "cohort", "n_signups", "n_converted",
+            (F.col("n_converted").cast("double")
+             / F.col("n_signups").cast("double")).alias("conv_rate"),
+        )
+    )
+
+
+SQL_CONVERSION_RATE = """
+WITH s AS (
+  SELECT user_id, event_id AS signup_id FROM events
+  WHERE event_type = 'signup'
+),
+conv AS (
+  SELECT s.user_id, s.signup_id,
+         EXISTS (SELECT 1 FROM events p
+                 WHERE p.user_id = s.user_id AND p.event_id > s.signup_id
+                   AND p.event_type = 'purchase' AND p.value > 50) AS hit
+  FROM s
+)
+SELECT user_id % 10 AS cohort,
+       COUNT(*) AS n_signups,
+       SUM(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+       SUM(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         / COUNT(*)::DOUBLE AS conv_rate
+FROM conv GROUP BY 1
+"""
+
+
 QUERIES = {
     "cep_high_purchases": cep_high_purchases,
     "cep_funnel_3step": cep_funnel_3step,
@@ -1181,6 +1236,7 @@ QUERIES = {
     "cep_purchase_then_error": cep_purchase_then_error,
     "cep_error_triples": cep_error_triples,
     "cep_signup_to_purchase": cep_signup_to_purchase,
+    "cep_conversion_rate": cep_conversion_rate,
     "cep_view_click_cycles": cep_view_click_cycles,
     "cep_spending_burst": cep_spending_burst,
     "cep_error_streaks_skip": cep_error_streaks_skip,
@@ -1206,6 +1262,7 @@ ORACLES = {
     "cep_purchase_then_error": SQL_PURCHASE_THEN_ERROR,
     "cep_error_triples": SQL_ERROR_TRIPLES,
     "cep_signup_to_purchase": SQL_SIGNUP_TO_PURCHASE,
+    "cep_conversion_rate": SQL_CONVERSION_RATE,
     "cep_view_click_cycles": SQL_VIEW_CLICK_CYCLES,
     "cep_optional_click_prefix": SQL_OPTIONAL_CLICK_PREFIX,
     "cep_spending_burst": SQL_SPENDING_BURST,

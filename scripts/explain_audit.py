@@ -63,6 +63,7 @@ AUDITED = [
     ("q_disjunctive_revenue", "Q19: per-side OR residuals pushed into both parquet scans"),
     ("dedup_winnow_pairs", "winnow dedup: selected-fingerprint postings, absolute max_df cap"),
     ("q_binational_volume", "Q7: nation dimension broadcast twice in distinct roles, lineitem unshuffled pre-agg"),
+    ("cep_conversion_rate", "CEP matches as a DataFrame: cohort rollup composes onto the fast-path plan"),
 ]
 
 

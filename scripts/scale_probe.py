@@ -79,6 +79,7 @@ PROBES = [
     ("q_disjunctive_revenue", "lineitem"),
     ("dedup_winnow_pairs", "documents"),
     ("q_binational_volume", "lineitem"),
+    ("cep_conversion_rate", "events"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key
