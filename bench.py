@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_winnow_pairs",      # winnow-fingerprint inverted index
     "q_binational_volume",     # dual-role dimension join (Q7)
     "cep_conversion_rate",     # CEP matches consumed relationally
+    "q_top_supplier",          # max-of-aggregate selection (Q15)
+    "q_small_quantity_revenue",  # fact joined to own aggregate (Q17)
 ]
 
 

@@ -31,6 +31,8 @@ _PRIORITY = (
     "q_disjunctive_revenue",
     "q_binational_volume",
     "cep_conversion_rate",
+    "q_top_supplier",
+    "q_small_quantity_revenue",
     "q_late_ship_priority",
     "q_order_count_distribution",
     "q_promo_revenue_share",

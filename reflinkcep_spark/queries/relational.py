@@ -1016,6 +1016,106 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- TPC-H Q15 shape: max-of-aggregate selection ---------------------
+
+def q_top_supplier(spark, sf_dir):
+    """Supplier(s) with the maximum quarterly revenue — TPC-H Q15.
+    The revenue-equals-max selection runs on EXACT integer 10⁻⁴-unit
+    sums (a double-vs-double equality would be summation-order
+    roulette); the 1-row max rides back via broadcast crossJoin, so
+    the per-supplier aggregate is computed once and scanned once.
+    Ties all surface, as in the spec."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(unit4_revenue("l_extendedprice", "l_discount")).alias("rev4"),
+        exact_sum2_from_unit4(
+            unit4_revenue("l_extendedprice", "l_discount")
+        ).alias("total_revenue"),
+    )
+    top = rev.agg(F.max("rev4").alias("max4"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev4") == F.col("max4"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             * (100 - CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT)))::BIGINT
+           AS rev4,
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    AND l_shipdate < TIMESTAMP '2000-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev4 = (SELECT MAX(rev4) FROM r)
+"""
+
+
+# --- TPC-H Q17 shape: fact joined to its own per-group aggregate -----
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """Revenue from brand lineitems whose quantity is below half the
+    part's average quantity — TPC-H Q17.  The correlated AVG becomes a
+    join against the fact table's own per-part aggregate; the brand
+    filter is applied FIRST (broadcast part dim), so both the
+    aggregate and the probe side cover only the brand's parts — at
+    100 TB the self-aggregate never materializes for the other 96% of
+    parts.  The threshold compares in exact integer cents:
+    ``2·qty·n < Σqty`` instead of ``qty < 0.5·avg`` (a double divide
+    on each side could disagree between engines on boundary rows)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp_key")).agg(
+        F.sum(cents("l_quantity")).alias("sum_qc"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    return (
+        li.join(F.broadcast(stats), F.col("l_partkey") == F.col("sp_key"))
+        .filter(2 * cents("l_quantity") * F.col("n_li") < F.col("sum_qc"))
+        .agg(
+            exact_sum2("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12'
+),
+stats AS (
+  SELECT l_partkey AS sp_key,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT
+           AS sum_qc,
+         COUNT(*) AS n_li
+  FROM li GROUP BY 1
+)
+SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue,
+       COUNT(*) AS n_items
+FROM li JOIN stats ON l_partkey = sp_key
+WHERE 2 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * n_li < sum_qc
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1046,6 +1146,8 @@ QUERIES = {
     "q_segment_opportunity": q_segment_opportunity,
     "q_disjunctive_revenue": q_disjunctive_revenue,
     "q_binational_volume": q_binational_volume,
+    "q_top_supplier": q_top_supplier,
+    "q_small_quantity_revenue": q_small_quantity_revenue,
 }
 
 ORACLES = {
@@ -1078,4 +1180,6 @@ ORACLES = {
     "q_segment_opportunity": SQL_SEGMENT_OPPORTUNITY,
     "q_disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "q_binational_volume": SQL_BINATIONAL_VOLUME,
+    "q_top_supplier": SQL_TOP_SUPPLIER,
+    "q_small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
 }

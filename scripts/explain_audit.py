@@ -64,6 +64,8 @@ AUDITED = [
     ("dedup_winnow_pairs", "winnow dedup: selected-fingerprint postings, absolute max_df cap"),
     ("q_binational_volume", "Q7: nation dimension broadcast twice in distinct roles, lineitem unshuffled pre-agg"),
     ("cep_conversion_rate", "CEP matches as a DataFrame: cohort rollup composes onto the fast-path plan"),
+    ("q_top_supplier", "Q15: exact-integer max-of-aggregate via 1-row broadcast, aggregate computed once"),
+    ("q_small_quantity_revenue", "Q17: brand-filtered self-aggregate broadcast, exact-cents threshold"),
 ]
 
 

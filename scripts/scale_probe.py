@@ -80,6 +80,8 @@ PROBES = [
     ("dedup_winnow_pairs", "documents"),
     ("q_binational_volume", "lineitem"),
     ("cep_conversion_rate", "events"),
+    ("q_top_supplier", "lineitem"),
+    ("q_small_quantity_revenue", "lineitem"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key
