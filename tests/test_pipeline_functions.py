@@ -646,3 +646,36 @@ def test_winnow_pairs_are_real_near_dups(spark, docs):
         assert containment >= 0.3, (r["doc_a"], r["doc_b"], containment)
         assert r["n_shared"] >= 2
         assert 0.5 <= r["sim"] <= 1.0
+
+
+def test_winnow_guarantee_long_overlaps_share_a_fingerprint(spark):
+    """Winnowing's defining property (Schleimer et al. §3): any shared
+    token run of length >= w + k - 1 (here 4 + 3 - 1 = 6) guarantees
+    the two documents share at least one SELECTED fingerprint — the
+    basis for dedup_winnow_pairs' recall claim.  Plant verbatim runs
+    of exactly the guarantee length inside otherwise-disjoint noise
+    and assert the shared-fp invariant for every planted pair."""
+    import random
+
+    rng = random.Random(7)
+    runs = [
+        " ".join(f"shared{p}_{i}" for i in range(6)) for p in range(8)
+    ]
+    docs, did = [], 0
+    pairs = []
+    for p, run in enumerate(runs):
+        ids = []
+        for side in range(2):
+            noise = lambda n: " ".join(  # noqa: E731
+                f"n{did}_{rng.randrange(10**6)}" for _ in range(n)
+            )
+            docs.append((did, f"{noise(15)} {run} {noise(15)}"))
+            ids.append(did)
+            did += 1
+        pairs.append(tuple(ids))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {}
+    for r in text.winnow_fingerprints(df, k=3, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    for a, b in pairs:
+        assert fps[a] & fps[b], f"planted pair ({a},{b}) shares no fingerprint"
