@@ -66,6 +66,7 @@ HEADLINE = [
     "cep_conversion_rate",     # CEP matches consumed relationally
     "q_top_supplier",          # max-of-aggregate selection (Q15)
     "q_small_quantity_revenue",  # fact joined to own aggregate (Q17)
+    "text_bigram_lift",        # collocation mining (exact-integer lift)
 ]
 
 

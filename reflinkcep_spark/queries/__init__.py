@@ -33,6 +33,7 @@ _PRIORITY = (
     "cep_conversion_rate",
     "q_top_supplier",
     "q_small_quantity_revenue",
+    "text_bigram_lift",
     "q_late_ship_priority",
     "q_order_count_distribution",
     "q_promo_revenue_share",

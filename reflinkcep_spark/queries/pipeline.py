@@ -1474,6 +1474,78 @@ FROM h
 """
 
 
+def text_bigram_lift(spark, sf_dir):
+    """Collocation mining: the 30 bigrams with the highest lift
+    ``P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)`` among bigrams seen
+    ≥5 times — the phrase-extraction primitive a pretraining pipeline
+    uses to promote multi-word units into the tokenizer vocabulary.
+    Scores stay cross-engine bit-stable WITHOUT logs (PMI's ``log``
+    is implementation-defined in the last bit): the numerator and
+    denominator are exact integer products widened to 38-digit
+    decimals (HUGEINT on the oracle side — a long product overflows
+    once N passes ~2^53 at corpus scale), each correctly rounded to
+    double once, then a single IEEE divide.  Plan shape: two
+    word-keyed aggregations + two joins of the (already aggregated,
+    count-≥5-pruned) bigram frame against unigram counts, the 1-row
+    total broadcast — everything downstream of the scans is
+    aggregate-sized."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(text.tokens(F.col("text")).alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.count(F.lit(1)).alias("N"))
+    big = toks.select(F.explode(text.ngrams(F.col("t"), 2)).alias("bg"))
+    bcnt = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 5)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "nab",
+        )
+    )
+    out = (
+        bcnt.join(ucnt.select(F.col("w").alias("w1"), F.col("n").alias("na")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("n").alias("nb")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "nab",
+            (
+                (F.col("nab").cast("decimal(38,0)") * F.col("N")).cast("double")
+                / (F.col("na").cast("decimal(38,0)") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "w1", "w2").limit(30)
+
+
+SQL_BIGRAM_LIFT = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (SELECT unnest(t) AS w FROM toks),
+ucnt AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM uni),
+big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t), 1))) AS i)
+),
+bcnt AS (
+  SELECT w1, w2, COUNT(*) AS nab FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT w1, w2, nab,
+       (nab::HUGEINT * n_total)::DOUBLE / (na.n::HUGEINT * nb.n)::DOUBLE AS lift
+FROM bcnt
+JOIN ucnt na ON na.w = w1
+JOIN ucnt nb ON nb.w = w2
+CROSS JOIN tot
+ORDER BY lift DESC, w1, w2
+LIMIT 30
+"""
+
+
 def text_token_histogram(spark, sf_dir):
     """Per-source power-of-two token-length histogram — the length
     distribution a curation pipeline watches for truncation cliffs and
@@ -1591,6 +1663,7 @@ QUERIES = {
     "doc_global_shuffle": doc_global_shuffle,
     "doc_split_leakage": doc_split_leakage,
     "text_token_histogram": text_token_histogram,
+    "text_bigram_lift": text_bigram_lift,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1632,6 +1705,7 @@ ORACLES = {
     "doc_global_shuffle": SQL_DOC_GLOBAL_SHUFFLE,
     "doc_split_leakage": SQL_DOC_SPLIT_LEAKAGE,
     "text_token_histogram": SQL_TEXT_TOKEN_HISTOGRAM,
+    "text_bigram_lift": SQL_BIGRAM_LIFT,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }

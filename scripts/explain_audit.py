@@ -66,6 +66,7 @@ AUDITED = [
     ("cep_conversion_rate", "CEP matches as a DataFrame: cohort rollup composes onto the fast-path plan"),
     ("q_top_supplier", "Q15: exact-integer max-of-aggregate via 1-row broadcast, aggregate computed once"),
     ("q_small_quantity_revenue", "Q17: brand-filtered self-aggregate broadcast, exact-cents threshold"),
+    ("text_bigram_lift", "collocation lift: word-keyed aggs, pruned bigram joins, log-free exact scores"),
 ]
 
 

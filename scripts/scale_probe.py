@@ -82,6 +82,7 @@ PROBES = [
     ("cep_conversion_rate", "events"),
     ("q_top_supplier", "lineitem"),
     ("q_small_quantity_revenue", "lineitem"),
+    ("text_bigram_lift", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key
