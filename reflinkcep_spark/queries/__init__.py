@@ -5,79 +5,80 @@ Each sub-module defines ``QUERIES`` (name → fn(spark, sf_dir) → DF) and
 oracle are non-SQL-expressible operators checked rows-only.
 
 Ordering matters: the driver's correctness gate checks the FIRST 50
-entries of ``queries()`` per round (82 declared).  ``_PRIORITY`` pins
-the queries that most need a fresh driver row to the front — newly
-added queries first, then the pipeline/similarity/text family whose
-rows rotated out of (or never entered) earlier rounds' windows — and
-the long-green relational/CEP stalwarts (all with green r3 rows)
-absorb the overflow at the tail.
+entries of ``queries()`` per round (the registry holds more — run
+``len(all_queries())`` for the live total; don't trust hard-coded
+counts).  ``_PRIORITY`` pins the queries that most need a fresh driver
+row to the front — newly added queries first, then the family whose
+latest green rows are one round stale — and the freshly-confirmed
+queries absorb the overflow at the tail.
 """
 
 from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
-# Front of the driver's 50-entry check window (round 5 rotation).
-# First the six queries added this round (never driver-checked), then
-# doc_length_outliers (r4's one red row — dtype fix needs its green
-# driver confirmation), then the two by-design rows-only xxhash64
-# sketches, then the 32 queries whose latest green rows are r3-vintage
-# (they sat outside the r4 window); the freshly r4-confirmed
-# pipeline/similarity family absorbs the overflow at the tail.
+# Front of the driver's 50-entry check window (round 6 rotation).
+# First the queries added this round (never driver-checked), then the
+# 45 queries whose latest green rows are r4-vintage (they sat outside
+# the r5 window); the 50 freshly r5-confirmed queries absorb the
+# overflow at the tail.  Before this rotation every promoted query was
+# verified green in CORRECTNESS_r04.json and every demoted query green
+# in CORRECTNESS_r05.json.
 _PRIORITY = (
-    # new in round 5
-    "doc_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "q_disjunctive_revenue",
-    "q_binational_volume",
-    "cep_conversion_rate",
-    "q_top_supplier",
-    "q_small_quantity_revenue",
-    "text_bigram_lift",
-    "q_late_ship_priority",
-    "q_order_count_distribution",
-    "q_promo_revenue_share",
-    "q_large_quantity_orders",
-    "q_segment_opportunity",
-    # r4 red, fixed this round
-    "doc_length_outliers",
-    # rows-only sketches (md5 twins are hash-checked)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # r3-stale: CEP family
-    "cep_error_triples",
-    "cep_signup_to_purchase",
-    "cep_view_click_cycles",
-    "cep_spending_burst",
-    "cep_error_streaks_skip",
-    "cep_view_combos_ndrelaxed",
-    "cep_optional_click_prefix",
-    "cep_view_click_runs",
-    "cep_error_pairs_skippast",
-    "cep_high_purchase_chains",
-    "cep_error_then_purchase_grouped",
-    "cep_signup_any_purchase",
-    "cep_signup_abandoned",
-    # r3-stale: relational family
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "q6_revenue_delta",
-    "q_top_customers_per_nation",
-    "q_rollup_order_priority",
-    "q_cube_lineitem_flags",
-    "q_big_building_buyers",
-    "q_customers_without_orders",
-    "q_orders_without_items",
-    "q_parts_with_cheap_suppliers",
-    "q_scalar_functions",
-    "q_orders_by_month",
-    "q_distinct_counts",
-    "q_grouping_sets",
-    "q_quantity_percentiles",
-    "q_above_nation_avg",
-    "q_pivot_status_priority",
-    "q_unpivot_balances",
+    # new in round 6 (never driver-checked)
+    "q_waiting_suppliers",
+    "q_excess_inventory_suppliers",
+    "doc_winnow_robust",
+    # r4-stale: pipeline/text/dedup family
+    "dedup_clusters",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "text_profile",
+    "text_repetition",
+    "text_language",
+    "doc_rolling_fingerprint",
+    "doc_top_terms",
+    "doc_hash_sample",
+    "doc_mixture_sample",
+    "doc_mixture_upsample",
+    "doc_source_stats",
+    "doc_decontam",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_curation_funnel",
+    "doc_chunk_overlap",
+    "doc_vocab_coverage",
+    "doc_split_assign",
+    "doc_global_shuffle",
+    "doc_split_leakage",
+    "text_token_histogram",
+    # r4-stale: similarity family
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_embedding_neardup",
+    "multimodal_bytes",
+    # r4-stale: temporal family
+    "q_range_join_clicks",
+    "q_events_tumbling",
+    "q_events_sliding",
+    "q_user_sessions",
+    "q_session_windows",
+    "q_asof_last_click",
+    "q_asof_next_error",
+    "q_events_props_json",
+    "q_running_order_totals",
+    # r4-stale: CEP family
+    "cep_high_purchases",
+    "cep_funnel_3step",
+    "cep_funnel_within",
+    "cep_error_runs",
+    "cep_purchase_then_error",
+    "cep_error_runs_skiptolast",
+    "cep_signup_purchase_skipfirst",
+    # r4-stale: relational family
+    "q_balance_quartiles",
+    "q_skew_salted_events",
 )
 
 

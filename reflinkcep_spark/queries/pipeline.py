@@ -78,9 +78,12 @@ def dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components over the
     n-gram-Jaccard pair graph, every member labeled with its cluster's
     minimum doc id.  Pointer-jumping min-label propagation — the
-    oracle recomputes the transitive closure with a recursive CTE."""
+    oracle recomputes the transitive closure with a recursive CTE.
+    The convergence probe is ON here (one extra pair-graph-sized
+    edge-join): a pathological >2^rounds-diameter chain warns instead
+    of silently under-merging in production."""
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3)
-    return dedup.duplicate_clusters(pairs)
+    return dedup.duplicate_clusters(pairs, check_convergence=True)
 
 
 SQL_DEDUP_CLUSTERS = f"""
