@@ -1123,6 +1123,164 @@ WHERE 2 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * n_li < sum_q
 """
 
 
+# --- TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact -----
+
+def q_waiting_suppliers(spark, sf_dir):
+    """Suppliers in one nation who were the SOLE late shipper on a
+    finished multi-supplier order — TPC-H Q21, the hardest
+    decorrelation shape: EXISTS (another supplier on the same order)
+    plus NOT EXISTS (another LATE supplier on the same order), both
+    against the same fact table.  The testdata schema has no
+    l_receiptdate/l_commitdate, so "late" is adapted to
+    ``l_shipdate > o_orderdate + 90 days``.
+
+    Decorrelated as one LEFT SEMI and one LEFT ANTI self-join keyed on
+    l_orderkey — no row-duplicating inner join, so match multiplicity
+    can't inflate the count.  Scale shape: the late frame is computed
+    once (lazy localCheckpoint — it feeds both the probe and the anti
+    build side), the probe side is reduced to the target nation's
+    suppliers BEFORE the self-joins (supplier⋈broadcast(nation) then a
+    shuffle join on suppkey — at the audited sf0.1 AQE converts it to
+    a broadcast; at 100 TB it's a genuine but 25×-reduced shuffle),
+    and the semi join's build side is a 2-column projection of
+    lineitem.  The anti build side (late, all nations) stays
+    unreduced on purpose — exoneration may come from any nation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    # Referenced twice (probe base + anti build): compute once.
+    late = late.localCheckpoint(eager=False)
+    supp_f = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = late.join(supp_f, late.l_suppkey == supp_f.s_suppkey)
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    waiting = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+            "leftsemi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == l3.o3) & (F.col("l_suppkey") != l3.s3),
+            "leftanti",
+        )
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+# --- TPC-H Q20 shape: nested semi-join chain, correlated threshold ---
+
+def q_excess_inventory_suppliers(spark, sf_dir):
+    """Suppliers in one nation who front-loaded a 'small%' part —
+    shipped MORE THAN HALF of their all-time quantity of that part in
+    1995 alone — TPC-H Q20's nested semi-join chain with a correlated
+    half-of-quantity threshold, adapted to the testdata schema (no
+    partsupp table, so ps_availqty's half-of-shipped comparison
+    becomes a one-year-vs-all-time half comparison on the same
+    supplier-part aggregate).
+
+    Semi joins all the way down — part filter into lineitem (LEFT
+    SEMI against the broadcast 'small%' part keys), qualifying
+    suppkeys into supplier (LEFT SEMI against the aggregate-sized
+    qualifying set) — so no step duplicates rows.  The threshold
+    compares in exact integer cents (``2·Σqty_1995 > Σqty_all``, the
+    q_small_quantity_revenue trick) so boundary rows can't disagree
+    between engines.  Scale shape: one shuffle on (suppkey, partkey)
+    over the part-filtered lineitem subset; everything downstream is
+    aggregate-sized."""
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"), "leftsemi"
+    )
+    qualifying = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") == 1995, cents("l_quantity")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("qty_1995"),
+            F.sum(cents("l_quantity")).alias("qty_all"),
+        )
+        .filter(2 * F.col("qty_1995") > F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "leftsemi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+SQL_EXCESS_INVENTORY_SUPPLIERS = """
+WITH sp AS (
+  SELECT l_suppkey,
+         SUM(CASE WHEN year(l_shipdate) = 1995
+                  THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END)::BIGINT AS qty_1995,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT
+           AS qty_all
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_5'
+WHERE s_suppkey IN (SELECT l_suppkey FROM sp WHERE 2 * qty_1995 > qty_all)
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1155,6 +1313,8 @@ QUERIES = {
     "q_binational_volume": q_binational_volume,
     "q_top_supplier": q_top_supplier,
     "q_small_quantity_revenue": q_small_quantity_revenue,
+    "q_waiting_suppliers": q_waiting_suppliers,
+    "q_excess_inventory_suppliers": q_excess_inventory_suppliers,
 }
 
 ORACLES = {
@@ -1189,4 +1349,6 @@ ORACLES = {
     "q_binational_volume": SQL_BINATIONAL_VOLUME,
     "q_top_supplier": SQL_TOP_SUPPLIER,
     "q_small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+    "q_waiting_suppliers": SQL_WAITING_SUPPLIERS,
+    "q_excess_inventory_suppliers": SQL_EXCESS_INVENTORY_SUPPLIERS,
 }
