@@ -275,6 +275,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 3,
     w: int = 4,
+    robust: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a window
@@ -300,7 +301,22 @@ def winnow_fingerprints(
     rightmost-tie rule).  Both runs are capped at w−1, so 2(w−1)
     bounded ``get`` probes per position compute the whole selection —
     O(n·w) per document, no window operator, no exchange; only the
-    (small) selected set is exploded at the end."""
+    (small) selected set is exploded at the end.
+
+    ``robust=True`` switches to ROBUST winnowing (SIGMOD'03 §5.2): a
+    window whose minimum equals the hash of the previous selection —
+    and whose window still contains that selection — re-selects it
+    instead of picking a new rightmost minimum, shrinking the selected
+    set on repetitive text (boilerplate-heavy web corpora) at the cost
+    of the per-window independence the a+b run-length trick exploits.
+    Because the choice depends on the previous selection, robust
+    selection is a left-to-right fold (``F.aggregate`` over window
+    starts, struct accumulator carrying the previous position) — still
+    O(n·w) per document and still shuffle-free, just not expressible
+    as an independent per-position predicate.  Note the SIGMOD'03
+    caveat: robust winnowing weakens the every-(w+k−1)-match guarantee
+    to whp (a selection just before the match region can coincide in
+    hash with the window minimum only via a 32-bit collision)."""
     toks = tokens(F.col(text_col))
     hs_expr = F.transform(
         ngrams(toks, k),
@@ -313,6 +329,44 @@ def winnow_fingerprints(
     # turn the 2(w−1) probes per position into O(n²·w) md5 work.
     staged = df.select(F.col(id_col), hs_expr.alias("_hs"))
     hs = F.col("_hs")
+
+    if robust:
+        def robust_selected(n):
+            def step(acc, t):
+                m = F.least(*[F.get(hs, t + i) for i in range(w)])
+                # Rightmost in-window position holding the minimum.
+                rp = t
+                for i in range(1, w):
+                    rp = F.when(F.get(hs, t + i) == m, t + i).otherwise(rp)
+                keep = (acc["prev"] >= t) & (F.get(hs, acc["prev"]) == m)
+                return F.struct(
+                    F.when(keep, acc["prev"]).otherwise(rp).alias("prev"),
+                    F.when(keep, acc["sel"])
+                    .otherwise(F.array_append(acc["sel"], rp))
+                    .alias("sel"),
+                )
+
+            return F.aggregate(
+                F.sequence(F.lit(0), n - w),
+                F.struct(
+                    F.lit(-1).alias("prev"),
+                    F.array().cast("array<int>").alias("sel"),
+                ),
+                step,
+                lambda acc: acc["sel"],
+            )
+
+        n = F.size(hs)
+        sel = F.when(n >= w, robust_selected(n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return staged.select(
+            F.col(id_col), hs.alias("_hs2"), F.explode(sel).alias("p")
+        ).select(
+            F.col(id_col),
+            F.col("p").cast("long").alias("pos"),
+            F.get(F.col("_hs2"), F.col("p")).alias("fp"),
+        )
 
     def selected(hs, n):
         def keep(pos):

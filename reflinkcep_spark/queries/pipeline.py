@@ -684,6 +684,61 @@ WHERE n >= 4 AND greatest(0, pos - a) <= least(pos + b - 3, n - 4)
 """
 
 
+def doc_winnow_robust(spark, sf_dir):
+    """ROBUST winnowing (SIGMOD'03 §5.2): a window whose minimum
+    equals the still-in-window previous selection re-selects it
+    instead of a new rightmost minimum — fewer fingerprints on
+    repetitive/boilerplate text.  Selection is history-dependent, so
+    the Spark side is a per-document left-to-right fold (F.aggregate,
+    still shuffle-free) and the oracle replays the same fold with a
+    recursive CTE stepping one window per iteration."""
+    docs = _docs(spark, sf_dir)
+    return text.winnow_fingerprints(docs, k=3, w=4, robust=True)
+
+
+# Robust selection needs the previous selection, so the oracle is a
+# recursive CTE over window starts t (one iteration per window),
+# carrying (prev, hs): keep prev while it stays the window minimum
+# and in-window, else emit the rightmost minimum.  DuckDB lateral
+# column aliases (m/sel referenced later in the same SELECT) keep the
+# min expression single-sourced.  w=4, k=3; lists are 1-based.
+SQL_WINNOW_ROBUST = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::BIGINT
+         ) AS hs
+  FROM toks
+),
+steps AS (
+  SELECT doc_id, hs, len(hs) AS n, 0 AS t,
+         least(hs[1], hs[2], hs[3], hs[4]) AS m,
+         CASE WHEN hs[4] = m THEN 3 WHEN hs[3] = m THEN 2
+              WHEN hs[2] = m THEN 1 ELSE 0 END AS sel,
+         sel AS prev
+  FROM g WHERE len(hs) >= 4
+  UNION ALL
+  SELECT doc_id, hs, n, t + 1 AS t2,
+         least(hs[t+2], hs[t+3], hs[t+4], hs[t+5]) AS m2,
+         CASE WHEN prev >= t + 1 AND hs[prev+1] = m2 THEN NULL
+              WHEN hs[t+5] = m2 THEN t + 4
+              WHEN hs[t+4] = m2 THEN t + 3
+              WHEN hs[t+3] = m2 THEN t + 2
+              ELSE t + 1 END AS sel2,
+         coalesce(sel2, prev) AS prev2
+  FROM steps WHERE t + 1 <= n - 4
+)
+SELECT doc_id, sel::BIGINT AS pos, hs[sel+1] AS fp
+FROM steps WHERE sel IS NOT NULL
+"""
+
+
 def dedup_winnow_pairs(spark, sf_dir):
     """Near-dup pairs from shared winnowing fingerprints (containment
     over the smaller selected set ≥ 0.5) — the guarantee-bearing
@@ -1649,6 +1704,7 @@ QUERIES = {
     "text_language": text_language,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "doc_winnow_robust": doc_winnow_robust,
     "dedup_winnow_pairs": dedup_winnow_pairs,
     "doc_top_terms": doc_top_terms,
     "doc_hash_sample": doc_hash_sample,
@@ -1691,6 +1747,7 @@ ORACLES = {
     "text_language": _sql_text_language(),
     "doc_rolling_fingerprint": SQL_ROLLING_FP,
     "doc_winnow_fingerprints": SQL_WINNOW_FP,
+    "doc_winnow_robust": SQL_WINNOW_ROBUST,
     "dedup_winnow_pairs": SQL_DEDUP_WINNOW,
     "doc_top_terms": SQL_DOC_TOP_TERMS,
     "doc_hash_sample": SQL_DOC_HASH_SAMPLE,

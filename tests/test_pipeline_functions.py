@@ -679,3 +679,70 @@ def test_winnow_guarantee_long_overlaps_share_a_fingerprint(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     for a, b in pairs:
         assert fps[a] & fps[b], f"planted pair ({a},{b}) shares no fingerprint"
+    # Robust winnowing (SIGMOD'03 §5.2) keeps the guarantee whp on
+    # collision-free hashes — the planted pairs must still be found.
+    rfps = {}
+    for r in text.winnow_fingerprints(df, k=3, w=4, robust=True).collect():
+        rfps.setdefault(r["doc_id"], set()).add(r["fp"])
+    for a, b in pairs:
+        assert rfps[a] & rfps[b], f"robust: planted pair ({a},{b}) shares no fp"
+
+
+def test_winnow_robust_matches_bruteforce_and_shrinks(spark):
+    """robust=True must equal the definitional robust selection (keep
+    the previous selection when its hash is the window minimum and it
+    is still in the window; else rightmost minimum) — including on
+    all-tie and periodic documents — and must select measurably fewer
+    fingerprints than standard winnowing on tie-heavy boilerplate."""
+    import hashlib
+    import random
+    import re as _re
+
+    K, W = 3, 4
+
+    def brute_robust(s):
+        t = [x for x in _re.split(r"\s+", s.strip()) if x]
+        grams = (
+            [" ".join(t[i:i + K]) for i in range(len(t) - K + 1)]
+            if len(t) >= K else []
+        )
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        sel, prev = set(), -1
+        for j in range(len(hs) - W + 1):
+            win = hs[j:j + W]
+            m = min(win)
+            if prev >= j and hs[prev] == m:
+                continue
+            p = max(i for i in range(W) if win[i] == m) + j
+            sel.add((p, hs[p]))
+            prev = p
+        return sel
+
+    rng = random.Random(3)
+    cases = [
+        "a a a a a a a a a a",          # all ties: robust keeps prev
+        "a b a b a b a b a b",
+        "x y",
+        "p q r s t u",
+        "m n o p",
+        "z z z q z z z q z z z",
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+    ] + [
+        " ".join(f"t{rng.randrange(8)}" for _ in range(rng.randrange(5, 60)))
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {}
+    for r in text.winnow_fingerprints(df, k=K, w=W, robust=True).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, s in enumerate(cases):
+        assert got.get(i, set()) == brute_robust(s), f"case {i}: {s!r}"
+
+    boiler = spark.createDataFrame(
+        [(0, " ".join(["click here"] * 60))], "doc_id long, text string"
+    )
+    std = text.winnow_fingerprints(boiler, k=K, w=W).count()
+    rob = text.winnow_fingerprints(boiler, k=K, w=W, robust=True).count()
+    assert rob < std, (rob, std)
