@@ -67,7 +67,56 @@ HEADLINE = [
     "q_top_supplier",          # max-of-aggregate selection (Q15)
     "q_small_quantity_revenue",  # fact joined to own aggregate (Q17)
     "text_bigram_lift",        # collocation mining (exact-integer lift)
+    "cep_spending_burst_bucketed",  # same NFA query over a bucketed log (0 exchanges)
+    "q_waiting_suppliers",     # semi+anti self-join decorrelation (Q21)
+    "q_excess_inventory_suppliers",  # nested semi-join chain (Q20)
+    "doc_winnow_robust",       # history-dependent winnowing (array fold)
 ]
+
+_BUCKETED_EV_TABLE = "bench_ev_bucketed"
+
+
+def _setup_bucketed_events(spark, sf_dir: str) -> None:
+    """One-time (per bench process) bucketed write of the event log on
+    its CEP key — the pay-the-shuffle-once-at-ingest shape.  Setup cost
+    is excluded from timings by design: at 100 TB the bucketed log is
+    written once and amortized over every subsequent pattern query."""
+    import shutil
+    import tempfile
+
+    from reflinkcep_spark.queries.cep_queries import _events
+    from reflinkcep_spark.sinks import write_bucketed
+
+    path = os.path.join(tempfile.gettempdir(), "bench_ev_bucketed")
+    shutil.rmtree(path, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {_BUCKETED_EV_TABLE}")
+    write_bucketed(
+        _events(spark, sf_dir), _BUCKETED_EV_TABLE, "user_id",
+        buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")), path=path,
+    )
+
+
+def _cep_spending_burst_bucketed(spark, sf_dir):
+    """cep_spending_burst's exact query + projection, reading the
+    pre-bucketed event log with pre_partitioned=True: Scan → Sort →
+    FlatMapGroupsInPandas, zero exchanges (tests/test_bucketed_sink.py
+    asserts the plan; this entry measures it)."""
+    from reflinkcep_spark.cep.query import Query
+    from reflinkcep_spark.operators import match_pattern
+    from reflinkcep_spark.queries.cep_queries import (
+        SPENDING_BURST_YAML,
+        spending_burst_project,
+    )
+
+    out = match_pattern(
+        spark.table(_BUCKETED_EV_TABLE),
+        Query.from_yaml(SPENDING_BURST_YAML),
+        order_by="event_id",
+        partition_by="user_id",
+        allow_fastpath=False,
+        pre_partitioned=True,
+    )
+    return spending_burst_project(out)
 
 
 def main() -> int:
@@ -93,7 +142,9 @@ def main() -> int:
 
     spark.range(0, 64, 1, 32).mapInPandas(_warm, "id long").collect()
 
-    qs = all_queries()
+    qs = dict(all_queries())
+    _setup_bucketed_events(spark, sf_dir)
+    qs["cep_spending_burst_bucketed"] = _cep_spending_burst_bucketed
 
     # Steady-state methodology: run every headline plan once untimed,
     # then time the second iteration.  The first execution of each

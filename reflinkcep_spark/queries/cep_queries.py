@@ -255,16 +255,10 @@ FROM s WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'view' AND t3 = 'clic
 
 # --- iterative condition + until: spending bursts --------------------
 
-def cep_spending_burst(spark, sf_dir):
-    """Runs of ≥2 consecutive purchases whose cumulative value stays
-    under 300 (iterative data variable + until).  Oracle: the strict
-    contiguity makes the running sum a prefix-scan per segment, so a
-    recursive-free window SQL spelling exists (SQL_SPENDING_BURST,
-    hash-green since r2)."""
-    out = _run(
-        spark,
-        sf_dir,
-        """
+# Shared by the driver query and bench.py's bucketed-events variant
+# (identical query + projection over a pre-bucketed event log, so the
+# zero-exchange path is a measured number, not just a plan property).
+SPENDING_BURST_YAML = """
 type: query
 patseq:
   type: lpat-inf
@@ -276,9 +270,10 @@ patseq:
   loop: {contiguity: strict, from: 2}
 context:
   schema: {signup: [], purchase: [], error: [], click: [], view: []}
-""",
-        allow_fastpath=False,
-    )
+"""
+
+
+def spending_burst_project(out):
     return out.select(
         "user_id",
         F.col("start_ord").alias("first_id"),
@@ -288,6 +283,16 @@ context:
             F.aggregate("run", F.lit(0.0), lambda a, e: a + e["value"]), 2
         ).alias("total_value"),
     )
+
+
+def cep_spending_burst(spark, sf_dir):
+    """Runs of ≥2 consecutive purchases whose cumulative value stays
+    under 300 (iterative data variable + until).  Oracle: the strict
+    contiguity makes the running sum a prefix-scan per segment, so a
+    recursive-free window SQL spelling exists (SQL_SPENDING_BURST,
+    hash-green since r2)."""
+    out = _run(spark, sf_dir, SPENDING_BURST_YAML, allow_fastpath=False)
+    return spending_burst_project(out)
 
 
 SQL_SPENDING_BURST = """
