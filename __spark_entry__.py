@@ -62,3 +62,69 @@ def oracle_sql() -> dict[str, str]:
     from reflinkcep_spark.queries import all_oracles
 
     return all_oracles()
+
+
+def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Streaming counterpart of ``queries()``, pre-wired for the day
+    the driver contract admits streaming entries (it does not today —
+    nothing calls this but tests/test_streaming_entry.py).  Each entry
+    takes (spark, sf_dir) and returns an UNSTARTED streaming DataFrame
+    reading ``sf_dir/events.parquet`` as a file stream through
+    ``match_pattern_stream``; the caller starts it with
+    ``.writeStream`` (e.g. memory sink + ``processAllAvailable``).
+    Batch-vs-stream equality for this query is asserted in the test."""
+
+    def cep_signup_to_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from reflinkcep_spark.cep.query import Query
+        from reflinkcep_spark.session import ensure_package_shipped
+        from reflinkcep_spark.streaming import match_pattern_stream
+
+        ensure_package_shipped(spark)
+        path = os.path.join(sf_dir, "events.parquet")
+        schema = spark.read.parquet(path).schema
+        # The file stream source requires a DIRECTORY; the testdata
+        # tables are single parquet files, so expose the file through
+        # a per-sf_dir temp directory symlink (stable path → the
+        # source's file-tracking log stays consistent across calls).
+        import hashlib
+        import tempfile
+
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "stream_events_" + hashlib.md5(path.encode()).hexdigest()[:12],
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(d)
+            .select("user_id", "event_id", "event_type", "value")
+        )
+        out = match_pattern_stream(
+            stream,
+            Query.from_yaml(
+                """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left:  {type: spat, name: reg, event: signup,   cndt: {expr: "True"}}
+  right: {type: spat, name: buy, event: purchase, cndt: {expr: value > 50}}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+"""
+            ),
+            order_by="event_id",
+            partition_by="user_id",
+        )
+        return out.select(
+            "user_id",
+            F.element_at(F.col("reg"), 1)["event_id"].alias("signup_id"),
+            F.element_at(F.col("buy"), 1)["event_id"].alias("purchase_id"),
+        )
+
+    return {"cep_signup_to_purchase_stream": cep_signup_to_purchase_stream}

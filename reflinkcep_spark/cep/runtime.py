@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from typing import Iterable, Mapping, Optional, Sequence
 
-from reflinkcep_spark.cep.automaton import EPS, TAKE, Automaton
+from reflinkcep_spark.cep.automaton import ANY_TYPE, EPS, TAKE, Automaton
 from reflinkcep_spark.cep.compiler import compile_query
 from reflinkcep_spark.cep.query import Query
 
@@ -125,6 +125,29 @@ class MatchEngine:
             self.skip_pick = None
             self.skip_target = None
         self.within = within
+        # Spawn prefilter: a fresh run at offset p either consumes
+        # event p via some TAKE/IGNORE edge in the start's ε-closure
+        # or contributes nothing (ε-moves preserve last_take=False, so
+        # it can neither survive nor emit).  Precompute the event
+        # types those edges accept; feed() skips the spawn + ε-expand
+        # entirely for events of any other type.  None = wildcard edge
+        # present (or typeless stream) → always spawn.
+        seen = {automaton.start}
+        stack = [automaton.start]
+        types: set = set()
+        wildcard = False
+        while stack:
+            s = stack.pop()
+            for e in automaton.edges[s]:
+                if e.kind == EPS:
+                    if e.dst not in seen:
+                        seen.add(e.dst)
+                        stack.append(e.dst)
+                elif e.ev_type is None or e.ev_type == ANY_TYPE:
+                    wildcard = True
+                else:
+                    types.add(e.ev_type)
+        self._spawn_types = None if wildcard else frozenset(types)
         self.reset()
 
     def reset(self) -> None:
@@ -155,10 +178,13 @@ class MatchEngine:
                 if c.first is None or stamp - c.first <= within
             ]
         self.runs = next_runs = []
-        worklist.append(
-            (pos, _Cfg(aut.start, aut.init_env, {}, False, {aut.start}))
-        )
+        spawn_types = self._spawn_types
+        if ev_type is None or spawn_types is None or ev_type in spawn_types:
+            worklist.append(
+                (pos, _Cfg(aut.start, aut.init_env, {}, False, {aut.start}))
+            )
 
+        accepted: list = []
         i = 0
         while i < len(worklist):
             k, cfg = worklist[i]
@@ -185,16 +211,19 @@ class MatchEngine:
                         first = cfg.first if cfg.first is not None else stamp
                         nc = _Cfg(e.dst, new_env, caps, True, {e.dst}, first)
                         next_runs.append((k, nc))
+                        if outputs[nc.state] is not None:
+                            accepted.append((k, nc))
                         dug = self._dig_accept(nc)
                         if dug is not None:
                             next_runs.append((k, dug))
+                            accepted.append((k, dug))
                     else:  # IGNORE
                         nc = _Cfg(
                             e.dst, env, cfg.caps, False, {e.dst}, cfg.first
                         )
                         next_runs.append((k, nc))
 
-        return self._emit(pos)
+        return self._emit(pos, accepted)
 
     def _dig_accept(self, cfg: _Cfg) -> Optional[_Cfg]:
         """Search the ε-closure of a just-consumed configuration for an
@@ -222,35 +251,40 @@ class MatchEngine:
 
         return rec(cfg)
 
-    def _emit(self, pos: int) -> list[Match]:
-        outputs = self.aut.outputs
+    def _emit(self, pos: int, accepted: list) -> list[Match]:
+        # ``accepted`` is collected during feed() in next_runs order
+        # (runs visited oldest-first), so emission order — which the
+        # skip strategies' pruning semantics depend on — is identical
+        # to scanning the whole run list; collecting makes the no-match
+        # event (the overwhelmingly common case) O(1) here instead of
+        # O(live runs).
+        if not accepted:
+            return []
         out: list[Match] = []
         killed: set = set()
         threshold: Optional[int] = None  # SkipToFirst/SkipToLast ratchet
         strategy = self.strategy
         pick = self.skip_pick
-        runs = self.runs
-        for k, cfg in runs:
+        for k, cfg in accepted:
             if k in killed or (threshold is not None and k < threshold):
                 continue
-            if cfg.last_take and outputs[cfg.state] is not None:
-                m = self._materialize(k, pos, cfg)
-                out.append(m)
-                if strategy == "SkipToNext":
-                    killed.add(k)
-                elif strategy == "SkipPastLastEvent":
-                    runs.clear()
-                    break
-                elif pick is not None:
-                    caps = m.captures.get(self.skip_target)
-                    if caps:  # unmatched optional target prunes nothing
-                        t = caps[pick]
-                        if threshold is None or t > threshold:
-                            threshold = t
+            m = self._materialize(k, pos, cfg)
+            out.append(m)
+            if strategy == "SkipToNext":
+                killed.add(k)
+            elif strategy == "SkipPastLastEvent":
+                self.runs = []
+                return out
+            elif pick is not None:
+                caps = m.captures.get(self.skip_target)
+                if caps:  # unmatched optional target prunes nothing
+                    t = caps[pick]
+                    if threshold is None or t > threshold:
+                        threshold = t
         if killed or threshold is not None:
             self.runs = [
                 (k, c)
-                for k, c in runs
+                for k, c in self.runs
                 if k not in killed
                 and (threshold is None or k >= threshold)
             ]

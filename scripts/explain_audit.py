@@ -54,7 +54,7 @@ AUDITED = [
     ("doc_split_assign", "split assignment: pure projection, one tiny-key agg exchange"),
     ("doc_global_shuffle", "global shuffle: per-shard windows, no total-order exchange"),
     ("text_token_histogram", "token histogram: integer bucketing, one tiny-key agg exchange"),
-    ("doc_winnow_fingerprints", "winnowing: array-domain selection, no exchange, no window operator"),
+    ("doc_winnow_fingerprints", "winnowing: array-domain selection, no window operator, no algorithmic exchange (the one RoundRobin exchange is the spread() parallelism pin on the small-file scan — a no-op at scale)"),
     ("q_late_ship_priority", "Q4 semi join: set-shaped, date residual inside the join"),
     ("q_order_count_distribution", "Q13: outer join + two aggs, second over 1-row-per-customer frame"),
     ("q_promo_revenue_share", "Q14: part dim broadcast, conditional agg, exact integer operands"),
@@ -62,11 +62,14 @@ AUDITED = [
     ("q_segment_opportunity", "Q22: 1-row stats broadcast crossJoin + anti join, exact-cents threshold"),
     ("q_disjunctive_revenue", "Q19: per-side OR residuals pushed into both parquet scans"),
     ("dedup_winnow_pairs", "winnow dedup: selected-fingerprint postings, absolute max_df cap"),
-    ("q_binational_volume", "Q7: nation dimension broadcast twice in distinct roles, lineitem unshuffled pre-agg"),
+    ("q_binational_volume", "Q7: nation broadcast twice in distinct roles, customer/supplier nation-reduced before the fact joins (shuffle joins at scale; AQE-broadcast at this SF)"),
     ("cep_conversion_rate", "CEP matches as a DataFrame: cohort rollup composes onto the fast-path plan"),
     ("q_top_supplier", "Q15: exact-integer max-of-aggregate via 1-row broadcast, aggregate computed once"),
     ("q_small_quantity_revenue", "Q17: brand-filtered self-aggregate broadcast, exact-cents threshold"),
     ("text_bigram_lift", "collocation lift: word-keyed aggs, pruned bigram joins, log-free exact scores"),
+    ("q_waiting_suppliers", "Q21: late frame computed once, LEFT SEMI + LEFT ANTI self-joins on orderkey, no row-duplicating inner join"),
+    ("q_excess_inventory_suppliers", "Q20: nested semi-join chain, one composite-key shuffle, exact-cents threshold"),
+    ("doc_winnow_robust", "robust winnowing: per-document array fold, no algorithmic exchange"),
 ]
 
 
