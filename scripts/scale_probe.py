@@ -83,6 +83,9 @@ PROBES = [
     ("q_top_supplier", "lineitem"),
     ("q_small_quantity_revenue", "lineitem"),
     ("text_bigram_lift", "documents"),
+    ("q_waiting_suppliers", "lineitem"),
+    ("q_excess_inventory_suppliers", "lineitem"),
+    ("doc_winnow_robust", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key
