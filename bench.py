@@ -71,6 +71,8 @@ HEADLINE = [
     "q_waiting_suppliers",     # semi+anti self-join decorrelation (Q21)
     "q_excess_inventory_suppliers",  # nested semi-join chain (Q20)
     "doc_winnow_robust",       # history-dependent winnowing (array fold)
+    "q_returned_item_customers",  # aggregate-before-join top-k (Q10)
+    "q_nation_market_share",   # two-level dimension chains + share (Q8)
 ]
 
 _BUCKETED_EV_TABLE = "bench_ev_bucketed"

@@ -29,6 +29,8 @@ _PRIORITY = (
     "q_waiting_suppliers",
     "q_excess_inventory_suppliers",
     "doc_winnow_robust",
+    "q_returned_item_customers",
+    "q_nation_market_share",
     # r4-stale: pipeline/text/dedup family
     "dedup_clusters",
     "dedup_minhash_lsh_md5",

@@ -1123,6 +1123,168 @@ WHERE 2 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * n_li < sum_q
 """
 
 
+# --- TPC-H Q10 shape: aggregate the fact BEFORE the detail join ------
+
+def q_returned_item_customers(spark, sf_dir):
+    """Top customers by revenue lost to returned items in one quarter —
+    TPC-H Q10.  The plan aggregates lineitem⋈orders down to one row
+    per customer BEFORE joining customer details (the Q13 move —
+    Catalyst does not reorder an agg past a join itself), so the
+    customer join carries an aggregate-sized left side instead of
+    fact-sized line items; nation broadcasts.  At 100 TB the
+    cust_rev⋈customer join is a genuine shuffle join (both sides scale
+    with SF — AQE broadcast at the audited SF is a bonus); top-20
+    selection orders by the EXACT integer revenue with a key
+    tie-break, so the cut is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev4 = unit4_revenue("l_extendedprice", "l_discount")
+    cust_rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            exact_sum2_from_unit4(rev4).alias("revenue"),
+            F.sum(rev4).alias("_rev4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("cust_nation")
+    )
+    return (
+        cust_rev.join(cust, cust_rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .orderBy(F.desc("_rev4"), "c_custkey")
+        .limit(20)
+        .select("c_name", "cust_nation", "revenue", "n_items")
+    )
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = """
+WITH cr AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             * (100 - CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT))
+            )::BIGINT AS rev4,
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE
+           AS revenue,
+         COUNT(*) AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_name, n_name AS cust_nation, revenue, n_items
+FROM cr JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY rev4 DESC, c_custkey LIMIT 20
+"""
+
+
+# --- TPC-H Q8 shape: market share via two-level dimension chains -----
+
+def q_nation_market_share(spark, sf_dir):
+    """One supplier nation's share of a region's ECONOMY-part market by
+    order year — TPC-H Q8.  Two independent dimension CHAINS scope the
+    fact: region→nation reduces CUSTOMERS to the market region before
+    any fact join (one broadcast, ~20% of customers survive), and
+    nation labels SUPPLIERS for the share numerator (second broadcast
+    of the same dim in a different role — the Q7 move).  The share is
+    the ratio of two exact 10⁻⁴-unit integer sums (Q14's recipe: one
+    IEEE divide of identical operands on both engines).  At 100 TB the
+    three fact joins (lineitem⋈orders, ⋈customer, ⋈supplier) are
+    shuffle joins on reduced sides; only the dims broadcast."""
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    region_nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("mkt_nkey"))
+    )
+    cust_f = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(region_nat), F.col("c_nationkey") == F.col("mkt_nkey"))
+        .select("c_custkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev4 = unit4_revenue("l_extendedprice", "l_discount")
+    nat4 = F.when(F.col("supp_nation") == "NATION_5", rev4).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_f, orders.o_custkey == cust_f.c_custkey, "leftsemi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(nat4).cast("double") / F.sum(rev4).cast("double"))
+            .alias("mkt_share"),
+            exact_sum2_from_unit4(nat4).alias("nation_revenue"),
+            exact_sum2_from_unit4(rev4).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_NATION_MARKET_SHARE = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * (100 - CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT))
+           AS rev4,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(3,2))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY'
+)
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       SUM(CASE WHEN sn.n_name = 'NATION_5' THEN rev4 ELSE 0 END)::BIGINT::DOUBLE
+         / SUM(rev4)::BIGINT::DOUBLE AS mkt_share,
+       ROUND(SUM(CASE WHEN sn.n_name = 'NATION_5' THEN rev ELSE 0 END), 2)::DOUBLE
+         AS nation_revenue,
+       ROUND(SUM(rev), 2)::DOUBLE AS total_revenue,
+       COUNT(*) AS n_items
+FROM l
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA')
+GROUP BY o_year
+"""
+
+
 # --- TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact -----
 
 def q_waiting_suppliers(spark, sf_dir):
@@ -1315,6 +1477,8 @@ QUERIES = {
     "q_small_quantity_revenue": q_small_quantity_revenue,
     "q_waiting_suppliers": q_waiting_suppliers,
     "q_excess_inventory_suppliers": q_excess_inventory_suppliers,
+    "q_returned_item_customers": q_returned_item_customers,
+    "q_nation_market_share": q_nation_market_share,
 }
 
 ORACLES = {
@@ -1351,4 +1515,6 @@ ORACLES = {
     "q_small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "q_waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "q_excess_inventory_suppliers": SQL_EXCESS_INVENTORY_SUPPLIERS,
+    "q_returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
+    "q_nation_market_share": SQL_NATION_MARKET_SHARE,
 }

@@ -70,6 +70,8 @@ AUDITED = [
     ("q_waiting_suppliers", "Q21: late frame computed once, LEFT SEMI + LEFT ANTI self-joins on orderkey, no row-duplicating inner join"),
     ("q_excess_inventory_suppliers", "Q20: nested semi-join chain, one composite-key shuffle, exact-cents threshold"),
     ("doc_winnow_robust", "robust winnowing: per-document array fold, no algorithmic exchange"),
+    ("q_returned_item_customers", "Q10: fact aggregated to one row per customer BEFORE the detail join, exact-integer top-20 cut"),
+    ("q_nation_market_share", "Q8: region->nation chain reduces customers pre-join, nation broadcast twice, exact-ratio share"),
 ]
 
 

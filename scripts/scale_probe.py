@@ -86,6 +86,8 @@ PROBES = [
     ("q_waiting_suppliers", "lineitem"),
     ("q_excess_inventory_suppliers", "lineitem"),
     ("doc_winnow_robust", "documents"),
+    ("q_returned_item_customers", "lineitem"),
+    ("q_nation_market_share", "lineitem"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key
