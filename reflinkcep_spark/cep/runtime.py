@@ -58,7 +58,7 @@ class _Cfg:
         self.env = env  # data-variable environment (copy-on-write)
         self.caps = caps  # {capture_name: cons-list (prev, event_pos)}
         self.last_take = last_take
-        self.eps_seen = eps_seen  # states entered by ε this consume-step
+        self.eps_seen = eps_seen  # BITMASK of states entered by ε this consume-step
         self.first = first  # stamp of this run's first TAKEN event
 
 
@@ -181,7 +181,7 @@ class MatchEngine:
         spawn_types = self._spawn_types
         if ev_type is None or spawn_types is None or ev_type in spawn_types:
             worklist.append(
-                (pos, _Cfg(aut.start, aut.init_env, {}, False, {aut.start}))
+                (pos, _Cfg(aut.start, aut.init_env, {}, False, 1 << aut.start))
             )
 
         accepted: list = []
@@ -194,11 +194,11 @@ class MatchEngine:
                 kind = e.kind
                 if kind == EPS:
                     dst = e.dst
-                    if dst in cfg.eps_seen:
+                    if cfg.eps_seen & (1 << dst):
                         continue
                     nc = _Cfg(
                         dst, env, cfg.caps, cfg.last_take,
-                        cfg.eps_seen | {dst}, cfg.first,
+                        cfg.eps_seen | (1 << dst), cfg.first,
                     )
                     worklist.insert(i, (k, nc))
                 else:
@@ -209,7 +209,7 @@ class MatchEngine:
                         caps = dict(cfg.caps)
                         caps[e.sink] = (caps.get(e.sink), pos)
                         first = cfg.first if cfg.first is not None else stamp
-                        nc = _Cfg(e.dst, new_env, caps, True, {e.dst}, first)
+                        nc = _Cfg(e.dst, new_env, caps, True, 1 << e.dst, first)
                         next_runs.append((k, nc))
                         if outputs[nc.state] is not None:
                             accepted.append((k, nc))
@@ -219,7 +219,7 @@ class MatchEngine:
                             accepted.append((k, dug))
                     else:  # IGNORE
                         nc = _Cfg(
-                            e.dst, env, cfg.caps, False, {e.dst}, cfg.first
+                            e.dst, env, cfg.caps, False, 1 << e.dst, cfg.first
                         )
                         next_runs.append((k, nc))
 
@@ -239,9 +239,9 @@ class MatchEngine:
             visited.add(c.state)
             for e in edges[c.state]:
                 dst = e.dst
-                if dst in visited or e.kind != EPS or dst in c.eps_seen:
+                if dst in visited or e.kind != EPS or c.eps_seen & (1 << dst):
                     continue
-                nc = _Cfg(dst, c.env, c.caps, c.last_take, c.eps_seen | {dst})
+                nc = _Cfg(dst, c.env, c.caps, c.last_take, c.eps_seen | (1 << dst))
                 if outputs[dst] is not None:
                     return nc
                 found = rec(nc)

@@ -68,7 +68,7 @@ def _save_engine(
     engine: MatchEngine, match_seq: int, buffer: dict, pending: list
 ) -> bytes:
     runs = [
-        (k, (c.state, c.env, c.caps, c.last_take, tuple(c.eps_seen), c.first))
+        (k, (c.state, c.env, c.caps, c.last_take, c.eps_seen, c.first))
         for k, c in engine.runs
     ]
     return pickle.dumps((engine.pos, runs, match_seq, buffer, pending), protocol=5)
@@ -78,7 +78,7 @@ def _load_engine(blob: bytes, engine: MatchEngine) -> tuple[int, dict, list]:
     pos, runs, match_seq, buffer, pending = pickle.loads(blob)
     engine.pos = pos
     engine.runs = [
-        (k, _Cfg(state, env, caps, last_take, set(eps), first))
+        (k, _Cfg(state, env, caps, last_take, eps, first))
         for k, (state, env, caps, last_take, eps, first) in runs
     ]
     return match_seq, buffer, pending
