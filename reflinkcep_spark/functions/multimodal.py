@@ -5,17 +5,25 @@ metadata struct; decode / feature-extraction steps are Arrow-batched
 ``mapInPandas`` stages so payloads stream JVM→Python in columnar
 batches (never one row at a time).
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT available in this
-environment, so the decode step is STUBBED two ways:
+Decoder tiers, selected per call with ``decoder=``:
 
-* ``decoder="strict"`` raises ``NotImplementedError`` — the marker for
-  "plug your codec here";
-* ``decoder="fake"`` produces a deterministic pseudo-feature vector
-  from the payload bytes, so the Spark-side plumbing (schema, batch
-  shape, partitioning) is fully testable end-to-end.
+* ``"strict"`` (default) raises ``NotImplementedError`` — the marker
+  for "plug your codec here";
+* ``"fake"`` produces a deterministic pseudo-output from the payload
+  bytes, so the Spark-side plumbing (schema, batch shape,
+  partitioning) is fully testable end-to-end without any codec;
+* REAL pure-Python decoders that need no external codec library:
+  ``"netpbm"`` (binary PPM ``P6`` / PGM ``P5`` images, header parsed
+  with comment support, numpy nearest-neighbor resize) for
+  :func:`resize_images`, and ``"wav"`` (stdlib ``wave``, 16-bit PCM)
+  for :func:`extract_features` (per-window mean-amplitude features)
+  and :func:`sample_frames` (raw PCM slices at sample timestamps);
+* ``"pil"`` in :func:`resize_images` uses Pillow when installed (the
+  import lives in the worker function; the test skips without it).
 
-Everything around the stub — schemas, batching, metadata extraction —
-is real.
+Undecodable or NULL payloads yield zero output rather than failing
+the Arrow batch — at 100 TB a corrupt blob must mark itself, not
+kill the stage.
 """
 
 from __future__ import annotations
@@ -79,6 +87,74 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _decode_netpbm(payload: bytes):
+    """Binary netpbm → 2-D uint8 grayscale array, or None if the
+    payload isn't a parseable ``P6`` (RGB) / ``P5`` (gray) image with
+    maxval ≤ 255.  Pure Python + numpy — no codec library."""
+    import re
+
+    import numpy as np
+
+    if not payload or payload[:2] not in (b"P5", b"P6"):
+        return None
+    # Header = magic + 3 ints (width, height, maxval), '#' comments
+    # allowed between tokens, ONE whitespace byte after maxval, then
+    # the raster.
+    m = re.match(
+        rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)"
+        rb"\s+(?:#[^\n]*\n\s*)*(\d+)\s",
+        payload,
+    )
+    if m is None:
+        return None
+    magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    channels = 3 if magic == b"P6" else 1
+    raster = payload[m.end() : m.end() + w * h * channels]
+    if len(raster) < w * h * channels:
+        return None
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w * channels)
+    if channels == 3:
+        rgb = arr.reshape(h, w, 3).astype(np.uint16)
+        # Integer mean keeps the result deterministic across platforms.
+        return ((rgb[:, :, 0] + rgb[:, :, 1] + rgb[:, :, 2]) // 3).astype(np.uint8)
+    return arr
+
+
+def _resize_nearest(gray, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a 2-D uint8 array to h×w bytes."""
+    import numpy as np
+
+    src_h, src_w = gray.shape
+    rows = (np.arange(height) * src_h) // height
+    cols = (np.arange(width) * src_w) // width
+    return gray[np.ix_(rows, cols)].tobytes()
+
+
+def _decode_wav(payload: bytes):
+    """WAV payload → (mono int16 numpy array, frame rate), or None.
+    stdlib ``wave`` handles the RIFF container; only 16-bit PCM is
+    accepted (the overwhelmingly common case)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload or b""), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            n = wf.getnframes()
+            pcm = np.frombuffer(wf.readframes(n), dtype="<i2")
+            ch = wf.getnchannels()
+            if ch > 1:
+                pcm = pcm.reshape(-1, ch).astype(np.int32).mean(axis=1).astype(np.int16)
+            return pcm, wf.getframerate()
+    except Exception:
+        return None
+
+
 def _fake_decode(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real decoder: features derived from
     the payload digest.  Stable across runs and machines."""
@@ -86,6 +162,23 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     raw = (digest * ((dim * 2) // len(digest) + 1))[: dim * 2]
     return [
         int.from_bytes(raw[2 * i : 2 * i + 2], "big") / 65535.0 for i in range(dim)
+    ]
+
+
+def _wav_features(payload: bytes, dim: int) -> list[float]:
+    """Mean |amplitude| per equal-width window of the mono PCM, in
+    [0, 1] — ``dim`` deterministic floats; zeros if undecodable."""
+    import numpy as np
+
+    dec = _decode_wav(payload)
+    if dec is None or len(dec[0]) == 0:
+        return [0.0] * dim
+    pcm, _rate = dec
+    idx = (np.arange(dim + 1) * len(pcm)) // dim
+    return [
+        float(np.abs(pcm[idx[i]:idx[i + 1]].astype(np.int32)).mean() / 32768.0)
+        if idx[i + 1] > idx[i] else 0.0
+        for i in range(dim)
     ]
 
 
@@ -98,10 +191,14 @@ def extract_features(
 ) -> DataFrame:
     """Decode payloads into feature vectors via ``mapInPandas``.
 
-    ``decoder="strict"`` raises NotImplementedError (no codecs in this
-    environment — swap in PIL/librosa here).  ``decoder="fake"`` runs
-    the deterministic stub so the distributed plumbing is testable.
+    ``decoder="strict"`` raises NotImplementedError (plug PIL/librosa
+    here); ``decoder="fake"`` runs the deterministic stub so the
+    distributed plumbing is testable; ``decoder="wav"`` REALLY decodes
+    16-bit PCM WAV payloads (stdlib ``wave``) into ``dim`` per-window
+    mean-amplitude features — zeros for undecodable payloads.
     """
+    if decoder not in ("strict", "fake", "wav"):
+        raise ValueError(f"unknown decoder {decoder!r}")
     src = binary_metadata(df.select(F.col(id_col).alias("item_id"), payload_col), payload_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,10 +206,14 @@ def extract_features(
             if decoder == "strict":
                 raise NotImplementedError(
                     "media decoding requires codec libraries not present in "
-                    "this environment; use decoder='fake' for plumbing tests "
-                    "or plug a real decoder here"
+                    "this environment; use decoder='fake' for plumbing "
+                    "tests, decoder='wav' for real PCM audio, or plug a "
+                    "codec here"
                 )
-            feats = [_fake_decode(p, dim) for p in pdf[payload_col]]
+            if decoder == "wav":
+                feats = [_wav_features(p, dim) for p in pdf[payload_col]]
+            else:
+                feats = [_fake_decode(p, dim) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
@@ -149,14 +250,19 @@ def resize_images(
     ``decoder="strict"`` raises NotImplementedError (plug a codec here);
     ``decoder="fake"`` emits a deterministic digest-derived payload of
     ``width·height`` bytes so schema/batching/row-alignment are
-    testable without codecs; ``decoder="pil"`` uses Pillow when it is
-    installed (decode → LANCZOS resize → grayscale raw bytes, one byte
-    per pixel; undecodable/NULL payloads yield a zero payload rather
-    than failing the batch).  The import happens inside the worker
-    function, so the plan builds fine on driver hosts without Pillow.
+    testable without codecs; ``decoder="netpbm"`` REALLY decodes
+    binary PPM/PGM payloads (pure Python header parse + numpy
+    nearest-neighbor resample → grayscale raw bytes, one byte per
+    pixel — no codec library needed); ``decoder="pil"`` uses Pillow
+    when it is installed (decode → LANCZOS resize → grayscale raw
+    bytes).  Undecodable/NULL payloads yield a zero payload rather
+    than failing the batch.  Library imports happen inside the worker
+    function, so the plan builds fine on driver hosts without them.
     The stage is stateless per row — it pipelines with the scan, no
     shuffle.
     """
+    if decoder not in ("strict", "fake", "netpbm", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "pil":
@@ -176,13 +282,22 @@ def resize_images(
         for pdf in batches:
             if decoder == "strict":
                 raise NotImplementedError(
-                    "image resize requires codec libraries not present in "
-                    "this environment; use decoder='fake' for plumbing tests "
-                    "or decoder='pil' when Pillow is installed"
+                    "image resize requires a decoder: use decoder='fake' "
+                    "for plumbing tests, decoder='netpbm' for real binary "
+                    "PPM/PGM payloads (no codec library needed), or "
+                    "decoder='pil' when Pillow is installed"
                 )
             n = width * height
             if decoder == "pil":
                 payloads = [decode(p) for p in pdf[payload_col]]
+            elif decoder == "netpbm":
+                payloads = []
+                for p in pdf[payload_col]:
+                    gray = _decode_netpbm(p)
+                    payloads.append(
+                        _resize_nearest(gray, width, height)
+                        if gray is not None else bytes(n)
+                    )
             else:
                 payloads = [
                     bytes(
@@ -229,23 +344,46 @@ def sample_frames(
     here).  ``decoder="fake"`` treats payload length as duration in ms
     and emits digest-derived 64-byte frames at ``every_ms`` intervals,
     capped at ``max_frames`` — deterministic row counts for tests.
+    ``decoder="wav"`` REALLY decodes 16-bit PCM WAV payloads (stdlib
+    ``wave``): duration comes from frame count / sample rate, and each
+    emitted frame is the 64-byte raw PCM slice starting at its
+    timestamp (zero-padded at the tail); undecodable payloads emit no
+    rows.
 
     ``max_frames`` is the memory rail: frame expansion multiplies rows,
     and an unbounded explode of a long video inside one Arrow batch is
     how executors die at scale.  Real decoders should also stream
     frames out incrementally per input row, as this stub does.
     """
+    if decoder not in ("strict", "fake", "wav"):
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "strict":
                 raise NotImplementedError(
-                    "frame sampling requires codec libraries not present in "
-                    "this environment; use decoder='fake' for plumbing tests "
+                    "frame sampling requires a decoder: use decoder='fake' "
+                    "for plumbing tests, decoder='wav' for real PCM audio, "
                     "or plug ffmpeg/pyav here"
                 )
             ids, idxs, stamps, frames = [], [], [], []
             for item_id, p in zip(pdf[id_col], pdf[payload_col]):
+                if decoder == "wav":
+                    dec = _decode_wav(p)
+                    if dec is None or dec[1] == 0:
+                        continue
+                    pcm, rate = dec
+                    duration_ms = (len(pcm) * 1000) // rate
+                    n = min(max_frames, max(1, duration_ms // every_ms + 1))
+                    for i in range(n):
+                        start = (i * every_ms * rate) // 1000
+                        ids.append(item_id)
+                        idxs.append(i)
+                        stamps.append(i * every_ms)
+                        frames.append(
+                            pcm[start : start + 32].tobytes().ljust(64, b"\0")
+                        )
+                    continue
                 p = p or b""
                 duration_ms = len(p)
                 n = min(max_frames, max(1, duration_ms // every_ms + 1))

@@ -270,8 +270,91 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
 
     # Spark wraps worker-side NotImplementedError in its own exception
     # type; pin the contract by matching the stub's message instead.
-    with _pytest.raises(Exception, match="image resize requires codec"):
+    with _pytest.raises(Exception, match="image resize requires a decoder"):
         multimodal.resize_images(df, 8, 4, decoder="strict").collect()
+    with _pytest.raises(ValueError, match="unknown decoder"):
+        multimodal.resize_images(df, 8, 4, decoder="nope")
+
+
+def _ppm_bytes(w, h, pixel_fn, magic=b"P6", comment=False):
+    hdr = magic + b"\n"
+    if comment:
+        hdr += b"# a comment\n"
+    hdr += b"%d %d\n255\n" % (w, h)
+    if magic == b"P6":
+        raster = bytes(
+            c for y in range(h) for x in range(w) for c in pixel_fn(x, y)
+        )
+    else:
+        raster = bytes(pixel_fn(x, y) for y in range(h) for x in range(w))
+    return hdr + raster
+
+
+def _wav_bytes(samples, rate=8000, channels=1):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack("<%dh" % len(samples), *samples))
+    return buf.getvalue()
+
+
+def test_multimodal_netpbm_real_decode(spark):
+    """decoder='netpbm' must genuinely parse binary PPM/PGM and
+    nearest-neighbor resample: a 4x2 half-black/half-white RGB image
+    resized to 2x2 keeps its left-dark right-light structure; PGM with
+    a header comment parses; garbage yields the zero payload."""
+    ppm = _ppm_bytes(4, 2, lambda x, y: (0, 0, 0) if x < 2 else (255, 255, 255))
+    pgm = _ppm_bytes(3, 3, lambda x, y: 10 * (y * 3 + x), magic=b"P5", comment=True)
+    rows = [(1, ppm), (2, pgm), (3, b"not an image"), (4, None)]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    out = {r["item_id"]: r for r in
+           multimodal.resize_images(df, 2, 2, decoder="netpbm").collect()}
+    assert bytes(out[1]["payload"]) == bytes([0, 255, 0, 255])
+    # PGM 3x3 -> 2x2 nearest picks source rows/cols 0 and 1
+    assert bytes(out[2]["payload"]) == bytes([0, 10, 30, 40])
+    assert bytes(out[3]["payload"]) == bytes(4)
+    assert bytes(out[4]["payload"]) == bytes(4)
+
+
+def test_multimodal_wav_real_decode(spark):
+    """decoder='wav' must genuinely decode 16-bit PCM through the RIFF
+    container: constant-amplitude halves give the expected per-window
+    mean features, frame sampling slices raw PCM at timestamps, and
+    the magic-byte sniffer labels the payload audio/wav."""
+    # 8000 samples at 8kHz = 1s: first half amplitude 8192, second 16384
+    wav = _wav_bytes([8192] * 4000 + [-16384] * 4000)
+    rows = [(1, wav), (2, b"junk"), (3, None)]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+
+    feats = {r["item_id"]: r for r in
+             multimodal.extract_features(df, dim=2, decoder="wav").collect()}
+    a, b = feats[1]["features"]
+    assert abs(a - 0.25) < 1e-9 and abs(b - 0.5) < 1e-9
+    assert feats[1]["media_type"] == "audio/wav"
+    assert feats[2]["features"] == [0.0, 0.0]
+    assert feats[3]["features"] == [0.0, 0.0]
+
+    frames = multimodal.sample_frames(
+        df, every_ms=400, max_frames=8, decoder="wav"
+    ).collect()
+    per_item = {}
+    for r in frames:
+        per_item.setdefault(r["item_id"], []).append(r)
+    # 1000ms / 400ms -> frames at 0/400/800
+    assert sorted(r["ts_ms"] for r in per_item[1]) == [0, 400, 800]
+    assert all(len(r["frame"]) == 64 for r in per_item[1])
+    # the 0ms frame is 32 samples of +8192 little-endian
+    f0 = min(per_item[1], key=lambda r: r["ts_ms"])
+    import struct
+    assert struct.unpack("<32h", bytes(f0["frame"])) == (8192,) * 32
+    # undecodable payloads emit no rows
+    assert 2 not in per_item and 3 not in per_item
 
 
 def test_pack_sequences_invariants(spark, docs):
