@@ -684,6 +684,7 @@ def winnow_pairs(
     id_col: str = "doc_id",
     max_df: int = 64,
     min_shared: int = 2,
+    robust: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via WINNOWING fingerprints (see
     functions/text.py:winnow_fingerprints): documents sharing a large
@@ -708,12 +709,18 @@ def winnow_pairs(
     threshold, so a pair must share at least two fingerprints before
     the ratio is trusted.
 
+    ``robust=True`` selects with robust winnowing (SIGMOD'03 §5.2) —
+    an even smaller posting index on boilerplate-heavy corpora, with
+    the guarantee weakened to whp (see winnow_fingerprints).
+
     Returns (doc_a, doc_b, n_shared, sim) with doc_a < doc_b.
     """
     from reflinkcep_spark.functions.text import winnow_fingerprints
 
     fps = (
-        winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, w=w)
+        winnow_fingerprints(
+            df, text_col=text_col, id_col=id_col, k=k, w=w, robust=robust
+        )
         .select(F.col(id_col).alias("doc_id"), "fp")
         .distinct()
     )

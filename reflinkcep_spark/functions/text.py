@@ -402,6 +402,56 @@ def winnow_fingerprints(
     )
 
 
+def lm_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality signals from a corpus-trained bigram
+    table — the shape of CCNet-style LM quality filtering with the
+    language model replaced by the corpus's own bigram statistics, so
+    the whole operator stays in one Spark job with no external model:
+
+    * ``n_bigrams`` — document length in bigrams;
+    * ``avg_bigram_df`` — mean corpus frequency of the document's
+      bigrams (LOW = unusual text: fresh content or noise);
+    * ``unique_fraction`` — share of the document's bigrams that occur
+      exactly once in the whole corpus (HIGH = no other document
+      phrases anything the same way — gibberish, or genuinely novel).
+
+    Both ratios are one IEEE divide of two exact integer sums (the Q14
+    recipe), so scores are bit-stable across engines — the log-free
+    analogue of a perplexity score, rankable and thresholdable without
+    the cross-engine `ln()` drift that exact value-hash gates cannot
+    tolerate.
+
+    Scale shape: explode to bigrams once (checkpointed — feeds both
+    the count table and the join back), one shuffle to count bigrams,
+    one bigram-keyed join, one doc-keyed aggregate.  The bigram count
+    table scales with corpus vocabulary, not corpus size — standard
+    LM-scoring shape.  Documents with fewer than 2 tokens have no
+    bigrams and are absent from the output (no score, not a 0 score).
+    """
+    bg = df.select(
+        F.col(id_col), F.explode(ngrams(tokens(F.col(text_col)), 2)).alias("bg")
+    )
+    # Referenced twice (count table + per-doc join): compute once.
+    bg = bg.localCheckpoint(eager=False)
+    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("bdf"))
+    n = F.count(F.lit(1))
+    return (
+        bg.join(cnt, "bg")
+        .groupBy(id_col)
+        .agg(
+            n.alias("n_bigrams"),
+            (F.sum("bdf").cast("double") / n.cast("double")).alias("avg_bigram_df"),
+            (
+                F.sum(F.when(F.col("bdf") == 1, F.lit(1)).otherwise(F.lit(0)))
+                .cast("double")
+                / n.cast("double")
+            ).alias("unique_fraction"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats frame: counts, quality, fingerprint."""
     c = F.col(text_col)

@@ -17,6 +17,13 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
+# Round-7 queue: functions/text.py:lm_quality is implemented and
+# tested but deliberately NOT registered this round — the window is
+# at its 5-new-queries cap and a 51st entry would either evict a
+# stale query or sit driver-unchecked ("NEVER" row).  Register
+# text_lm_quality (with a bigram-count SQL oracle) in the round-7
+# rotation.
+#
 # Front of the driver's 50-entry check window (round 6 rotation).
 # First the queries added this round (never driver-checked), then the
 # 45 queries whose latest green rows are r4-vintage (they sat outside

@@ -729,6 +729,16 @@ def test_winnow_pairs_are_real_near_dups(spark, docs):
         assert containment >= 0.3, (r["doc_a"], r["doc_b"], containment)
         assert r["n_shared"] >= 2
         assert 0.5 <= r["sim"] <= 1.0
+    # Robust selection shrinks the index but must keep finding the
+    # corpus's genuine near-dup pairs (collision-free hashes → whp).
+    robust_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.winnow_pairs(docs, threshold=0.5, robust=True).collect()
+    }
+    assert robust_pairs, "robust winnow_pairs found nothing"
+    for a, b in robust_pairs:
+        ga, gb = grams(rows[a]), grams(rows[b])
+        assert len(ga & gb) / min(len(ga), len(gb)) >= 0.3, (a, b)
 
 
 def test_winnow_guarantee_long_overlaps_share_a_fingerprint(spark):
@@ -769,6 +779,28 @@ def test_winnow_guarantee_long_overlaps_share_a_fingerprint(spark):
         rfps.setdefault(r["doc_id"], set()).add(r["fp"])
     for a, b in pairs:
         assert rfps[a] & rfps[b], f"robust: planted pair ({a},{b}) shares no fp"
+
+
+def test_lm_quality_signals(spark):
+    """Corpus-trained bigram quality scores: a duplicated document's
+    bigrams all recur (unique_fraction 0, avg df = copy count), a
+    novel document's never do (unique_fraction 1), and sub-bigram
+    documents are absent rather than scored 0."""
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),
+        (2, "zq1 zq2 zq3"),
+        (3, "hello"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.lm_quality(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_bigrams"] == 5
+    assert out[0]["avg_bigram_df"] == 2.0
+    assert out[0]["unique_fraction"] == 0.0
+    assert out[2]["n_bigrams"] == 2
+    assert out[2]["avg_bigram_df"] == 1.0
+    assert out[2]["unique_fraction"] == 1.0
 
 
 def test_winnow_robust_matches_bruteforce_and_shrinks(spark):
