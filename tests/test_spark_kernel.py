@@ -312,3 +312,24 @@ def test_within_fastpath_equals_kernel(spark):
         ev, q, order_by="event_id", partition_by="user_id"
     ).count()
     assert len(fast) < unbounded  # and removes others
+
+
+def test_engine_handles_more_than_64_states():
+    """The ε-cycle guard is an integer bitmask; a 40-step chain
+    compiles to >64 NFA states, so the mask must spill into Python
+    big-int territory without losing any state bit (a fixed-width
+    mask would alias states ≥64 and silently drop ε-paths)."""
+    from reflinkcep_spark import Pattern, run_pattern
+    from reflinkcep_spark.cep.compiler import compile_query
+
+    p = Pattern.begin("s0", event="e", where="True")
+    for i in range(1, 40):
+        p = p.followed_by(f"s{i}", event="e", where="True")
+    q = p.query(schema={"e": ["v"]})
+    aut = compile_query(q)
+    assert aut.n_states() > 64, aut.n_states()
+    stream = [("e", {"v": i}) for i in range(40)]
+    out = run_pattern(q, stream)
+    # Exactly one full assignment of 40 events to 40 chain steps.
+    assert len(out) == 1
+    assert [c[0]["v"] for c in out[0].values()] == list(range(40))
