@@ -684,6 +684,37 @@ WHERE n >= 4 AND greatest(0, pos - a) <= least(pos + b - 3, n - 4)
 """
 
 
+def text_lm_quality(spark, sf_dir):
+    """Corpus-trained bigram LM quality signals per document (CCNet
+    shape without the external model): mean corpus bigram frequency +
+    unique-bigram fraction, both as one IEEE divide of exact integer
+    sums.  functions/text.py:lm_quality.  NOTE: implemented and
+    oracle-verified in round 6 but registered in the ROUND-7 window
+    rotation — round 6's 5-new-query cap was already spent (see the
+    queue note in queries/__init__.py)."""
+    return text.lm_quality(_docs(spark, sf_dir))
+
+
+SQL_LM_QUALITY = r"""
+WITH bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+    FROM documents
+  ), UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+),
+cnt AS (SELECT bg, COUNT(*) AS bdf FROM bg GROUP BY bg)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       SUM(bdf)::BIGINT::DOUBLE / COUNT(*)::DOUBLE AS avg_bigram_df,
+       SUM(CASE WHEN bdf = 1 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         / COUNT(*)::DOUBLE AS unique_fraction
+FROM bg JOIN cnt USING (bg)
+GROUP BY doc_id
+"""
+
+
 def doc_winnow_robust(spark, sf_dir):
     """ROBUST winnowing (SIGMOD'03 §5.2): a window whose minimum
     equals the still-in-window previous selection re-selects it
