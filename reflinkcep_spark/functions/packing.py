@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from reflinkcep_spark.functions import text
 
-__all__ = ["pack_sequences", "pack_stats"]
+__all__ = ["pack_sequences", "pack_sequences_ffd", "pack_stats"]
 
 
 def _order_key(id_col: str):
@@ -90,4 +90,89 @@ def pack_stats(assignments: DataFrame) -> DataFrame:
     return assignments.groupBy("source", "shard", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    capacity: int = 256,
+    *,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """WHOLE-DOCUMENT packing via first-fit-decreasing bin packing —
+    the complement of :func:`pack_sequences`: concat-and-chunk slices
+    documents across sequence boundaries (no wasted tokens, but
+    cross-document attention or mid-document truncation), while FFD
+    keeps every document intact in exactly one sequence and minimizes
+    the padding waste instead (FFD uses at most 11/9·OPT + 6/9 bins —
+    the classic Johnson bound).
+
+    Per ``(source, shard)`` stratum: documents sorted by token count
+    descending (ties broken by the deterministic md5 order key, then
+    id — fully reproducible), each placed into the FIRST sequence with
+    room.  A document longer than ``capacity`` gets a sequence of its
+    own, flagged ``overflow = true`` (truncate or re-chunk those
+    upstream; silently dropping them would bias the corpus against
+    long documents).
+
+    Output: ``(source, shard, seq_id, doc_id, n_tok, overflow)``.
+    ``seq_id`` numbers bins in creation order within the stratum.
+    :func:`pack_stats` works on this output unchanged.
+
+    Scale shape: same single shuffle as :func:`pack_sequences` (hash
+    by the stratum key into ``applyInPandas``), but the packing loop
+    is Python per stratum — bin packing is inherently sequential, so
+    parallelism again comes from sharding, and packing quality is per
+    shard by construction.  The first-fit scan is O(n·bins) per
+    stratum; raise ``n_shards`` until a stratum's documents fit a
+    task.
+    """
+    import pandas as pd
+
+    ok = _order_key(id_col)
+    staged = df.select(
+        F.col(id_col),
+        F.col(source_col).cast("string").alias("source"),
+        text.token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        ok.alias("__ok"),
+        F.pmod(ok, F.lit(n_shards)).cast("long").alias("shard"),
+    )
+
+    cap = int(capacity)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", "__ok", id_col], ascending=[False, True, True]
+        )
+        remaining: list[int] = []  # free tokens per open sequence
+        seq_ids, overflow = [], []
+        for tok in pdf["n_tok"]:
+            if tok > cap:
+                seq_ids.append(len(remaining))
+                remaining.append(0)  # full: nothing else joins it
+                overflow.append(True)
+                continue
+            for b, free in enumerate(remaining):
+                if free >= tok:
+                    seq_ids.append(b)
+                    remaining[b] = free - tok
+                    break
+            else:
+                seq_ids.append(len(remaining))
+                remaining.append(cap - tok)
+            overflow.append(False)
+        out = pdf[["source", "shard", id_col, "n_tok"]].copy()
+        out["seq_id"] = seq_ids
+        out["overflow"] = overflow
+        return out[["source", "shard", "seq_id", id_col, "n_tok", "overflow"]]
+
+    return staged.groupBy("source", "shard").applyInPandas(
+        pack,
+        schema=(
+            f"source string, shard long, seq_id long, {id_col} long, "
+            "n_tok long, overflow boolean"
+        ),
     )

@@ -386,6 +386,50 @@ def test_pack_sequences_invariants(spark, docs):
                      for r in rows}
 
 
+def test_pack_sequences_ffd_invariants(spark, docs):
+    from reflinkcep_spark.functions.packing import pack_sequences_ffd, pack_stats
+
+    CAP = 64
+    assign = pack_sequences_ffd(docs, capacity=CAP).cache()
+    rows = assign.collect()
+    # every document assigned exactly once, whole (n_tok carried)
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    # bins: within capacity unless the single overflow doc owns them
+    per_bin = {}
+    for r in rows:
+        per_bin.setdefault((r["source"], r["shard"], r["seq_id"]), []).append(r)
+    saw_multi = False
+    for members in per_bin.values():
+        toks = sum(m["n_tok"] for m in members)
+        if any(m["overflow"] for m in members):
+            assert len(members) == 1  # an overflow doc shares with nobody
+            assert members[0]["n_tok"] > CAP
+        else:
+            assert toks <= CAP, members
+        saw_multi = saw_multi or len(members) > 1
+    assert saw_multi  # FFD actually combines documents
+    # seq ids contiguous from 0 per stratum (creation order)
+    by_stratum = {}
+    for r in rows:
+        by_stratum.setdefault((r["source"], r["shard"]), set()).add(r["seq_id"])
+    for seqs in by_stratum.values():
+        assert seqs == set(range(max(seqs) + 1))
+    # pack_stats composes unchanged
+    st = pack_stats(assign).collect()
+    assert sum(r["n_tokens"] for r in st) == sum(r["n_tok"] for r in rows)
+    # deterministic: same input -> identical assignment
+    again = {r["doc_id"]: (r["source"], r["shard"], r["seq_id"])
+             for r in pack_sequences_ffd(docs, capacity=CAP).collect()}
+    assert again == {r["doc_id"]: (r["source"], r["shard"], r["seq_id"])
+                     for r in rows}
+    # FFD fill quality: non-tail bins in a stratum are mostly full —
+    # mean utilization of multi-doc bins comfortably beats half-full
+    multi = [sum(m["n_tok"] for m in v) for v in per_bin.values()
+             if len(v) > 1]
+    assert sum(multi) / (len(multi) * CAP) > 0.5
+
+
 def test_pii_scrub_counts_and_redaction(spark):
     rows = [
         (1, "mail me at alice.smith+x@example.co.uk or call 415-555-1234"),
