@@ -97,7 +97,13 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, "events.parquet")
-        if not os.path.exists(link):
+        # lexists, not exists: a dangling symlink (testdata regenerated)
+        # reports exists=False but still blocks os.symlink; likewise a
+        # live link pointing at stale data must be re-made, not reused.
+        if os.path.lexists(link):
+            if not os.path.exists(link) or os.readlink(link) != path:
+                os.remove(link)
+        if not os.path.lexists(link):
             os.symlink(path, link)
         stream = (
             spark.readStream.schema(schema)

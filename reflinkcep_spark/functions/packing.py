@@ -152,7 +152,10 @@ def pack_sequences_ffd(
         for tok in pdf["n_tok"]:
             if tok > cap:
                 seq_ids.append(len(remaining))
-                remaining.append(0)  # full: nothing else joins it
+                # -1 sentinel, not 0: an overflow sequence must never
+                # accept another document, and a zero-token document
+                # would satisfy ``free >= tok`` against a 0.
+                remaining.append(-1)
                 overflow.append(True)
                 continue
             for b, free in enumerate(remaining):

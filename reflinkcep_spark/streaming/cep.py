@@ -78,10 +78,23 @@ def _load_engine(blob: bytes, engine: MatchEngine) -> tuple[int, dict, list]:
     pos, runs, match_seq, buffer, pending = pickle.loads(blob)
     engine.pos = pos
     engine.runs = [
-        (k, _Cfg(state, env, caps, last_take, eps, first))
+        (k, _Cfg(state, env, caps, last_take, _coerce_eps(eps), first))
         for k, (state, env, caps, last_take, eps, first) in runs
     ]
     return match_seq, buffer, pending
+
+
+def _coerce_eps(eps) -> int:
+    """Migrate pre-bitmask checkpoints: ``eps_seen`` was a tuple of
+    state ids before it became an int bitmask, and a streaming job
+    restored from an old checkpoint would otherwise crash on the first
+    ``eps_seen & (1 << dst)``."""
+    if isinstance(eps, int):
+        return eps
+    mask = 0
+    for s in eps:
+        mask |= 1 << s
+    return mask
 
 
 def match_pattern_stream(

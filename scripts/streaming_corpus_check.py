@@ -46,6 +46,13 @@ def main() -> int:
         help="take every Nth case of handwritten + four-division corpus "
         "(~14k total); 1 runs all",
     )
+    ap.add_argument(
+        "--offset",
+        type=int,
+        default=0,
+        help="start the stride sample at this index; --stride 2 --offset 1 "
+        "runs the complement of --stride 2 --offset 0",
+    )
     ap.add_argument("--threads", type=int, default=4)
     args = ap.parse_args()
 
@@ -66,7 +73,7 @@ def main() -> int:
         for cid, pat in iter_division(div)
         for strat in STRATEGIES
     ]
-    cases = cases[:: max(1, args.stride)]
+    cases = cases[max(0, args.offset) :: max(1, args.stride)]
     if args.limit:
         cases = cases[: args.limit]
 

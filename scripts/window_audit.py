@@ -27,8 +27,10 @@ WINDOW = 50
 
 def row_ok(row: dict) -> bool:
     if row.get("err") == "no_oracle":
-        # by-design rows-only query: ran and produced rows
-        return (row.get("spark_rows") or 0) >= 0 and row.get("err") == "no_oracle"
+        # by-design rows-only query: must actually have run and
+        # produced rows (a zero-row or rows-missing run is a failure,
+        # not a pass — every rows-only query here is expected non-empty)
+        return (row.get("spark_rows") or 0) > 0
     return bool(row.get("rows_match") and row.get("schema_match"))
 
 

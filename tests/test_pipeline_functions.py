@@ -905,3 +905,34 @@ def test_winnow_robust_matches_bruteforce_and_shrinks(spark):
     std = text.winnow_fingerprints(boiler, k=K, w=W).count()
     rob = text.winnow_fingerprints(boiler, k=K, w=W, robust=True).count()
     assert rob < std, (rob, std)
+
+
+def test_pack_sequences_ffd_zero_token_doc_avoids_overflow_bins(spark):
+    """A zero-token document must not join an overflow sequence: the
+    overflow bin's bookkeeping is a closed sentinel, not 'remaining
+    capacity 0 that a 0-token doc happens to fit'."""
+    from reflinkcep_spark.functions.packing import pack_sequences_ffd
+
+    CAP = 8
+    rows = [
+        # one overflow doc (> CAP tokens), several normal, one empty
+        (1, "w " * (CAP + 4), "s"),
+        (2, "a b c", "s"),
+        (3, "d e f g", "s"),
+        (4, "", "s"),  # zero tokens
+        (5, "   ", "s"),  # whitespace only -> zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = pack_sequences_ffd(
+        df, capacity=CAP, n_shards=1
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == len(rows)  # every doc assigned exactly once
+    assert by_id[1]["overflow"] and by_id[1]["n_tok"] > CAP
+    overflow_seqs = {r["seq_id"] for r in out if r["overflow"]}
+    for r in out:
+        if not r["overflow"]:
+            assert r["seq_id"] not in overflow_seqs, r
+    # zero-token docs land in a real (non-overflow) sequence
+    assert by_id[4]["n_tok"] == 0 and not by_id[4]["overflow"]
+    assert by_id[5]["n_tok"] == 0 and not by_id[5]["overflow"]

@@ -333,3 +333,71 @@ def test_stream_parameterized_skip_state(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert _canon_caps(spark.table(sink).collect(), ["b", "c"]) == want
+
+
+def test_load_engine_coerces_legacy_eps_tuple():
+    """Checkpoint-format migration: ``_Cfg.eps_seen`` was a tuple of
+    state ids before it became an int bitmask.  A blob saved in the
+    old format must load cleanly and keep matching identically — the
+    unmigrated state crashed on the first ``eps_seen & (1 << dst)``."""
+    import pickle
+
+    from reflinkcep_spark.cep.compiler import compile_query
+    from reflinkcep_spark.cep.runtime import MatchEngine
+    from reflinkcep_spark.streaming.cep import _load_engine, _save_engine
+
+    q = Query.from_yaml(Q_SEQ)
+    aut = compile_query(q)
+
+    def run(events, engine):
+        out = []
+        for i, (name, price) in enumerate(events):
+            out.extend(
+                engine.feed("e", {"id": i + 1, "name": name, "price": price})
+            )
+        return [
+            tuple(sorted((k, tuple(v)) for k, v in m.captures.items()))
+            for m in out
+        ]
+
+    # Uninterrupted engine over the whole stream = the expected result.
+    expected = run(PAIRS, MatchEngine(aut, q.strategy))
+
+    # Interrupted engine: run the first half, checkpoint, rewrite the
+    # blob to the LEGACY tuple format, restore, finish the stream.
+    half = len(PAIRS) // 2
+    eng = MatchEngine(aut, q.strategy)
+    first = run(PAIRS[:half], eng)
+    blob = _save_engine(eng, match_seq=0, buffer={}, pending=[])
+    pos, runs, match_seq, buffer, pending = pickle.loads(blob)
+    legacy_runs = [
+        (
+            k,
+            (
+                state,
+                env,
+                caps,
+                last_take,
+                tuple(b for b in range(eps.bit_length()) if eps >> b & 1),
+                first,
+            ),
+        )
+        for k, (state, env, caps, last_take, eps, first) in runs
+    ]
+    legacy = pickle.dumps((pos, legacy_runs, match_seq, buffer, pending))
+
+    eng2 = MatchEngine(aut, q.strategy)
+    _load_engine(legacy, eng2)
+    assert all(isinstance(c.eps_seen, int) for _k, c in eng2.runs)
+    rest = []
+    for i, (name, price) in enumerate(PAIRS[half:]):
+        rest.extend(
+            eng2.feed(
+                "e", {"id": half + i + 1, "name": name, "price": price}
+            )
+        )
+    got = first + [
+        tuple(sorted((k, tuple(v)) for k, v in m.captures.items()))
+        for m in rest
+    ]
+    assert got == expected
