@@ -73,6 +73,8 @@ HEADLINE = [
     "doc_winnow_robust",       # history-dependent winnowing (array fold)
     "q_returned_item_customers",  # aggregate-before-join top-k (Q10)
     "q_nation_market_share",   # two-level dimension chains + share (Q8)
+    "text_lm_quality",         # corpus-trained bigram LM scoring (broadcast stats)
+    "doc_pack_ffd",            # whole-doc FFD bin packing (sharded applyInPandas)
 ]
 
 _BUCKETED_EV_TABLE = "bench_ev_bucketed"

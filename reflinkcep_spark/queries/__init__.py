@@ -17,77 +17,75 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
-# Round-7 queue: functions/text.py:lm_quality is implemented and
-# tested but deliberately NOT registered this round — the window is
-# at its 5-new-queries cap and a 51st entry would either evict a
-# stale query or sit driver-unchecked ("NEVER" row).  Register
-# text_lm_quality (with a bigram-count SQL oracle) in the round-7
-# rotation.
-#
-# Front of the driver's 50-entry check window (round 6 rotation).
-# First the queries added this round (never driver-checked), then the
-# 45 queries whose latest green rows are r4-vintage (they sat outside
-# the r5 window); the 50 freshly r5-confirmed queries absorb the
-# overflow at the tail.  Before this rotation every promoted query was
-# verified green in CORRECTNESS_r04.json and every demoted query green
-# in CORRECTNESS_r05.json.
+# Front of the driver's 50-entry check window (round 7 rotation).
+# First the two queries registered this round (never driver-checked:
+# text_lm_quality — pre-staged in round 6 — and doc_pack_ffd, the FFD
+# packing query with a recursive-CTE oracle), then the 50 queries
+# whose latest green rows are r5-vintage (they sat outside the r6
+# window), MINUS two named stalwarts: with 102 registered queries, 52
+# candidates compete for 50 slots, so `q1_pricing_summary` and
+# `q6_revenue_delta` (both green since round 1, the two simplest
+# scan-aggregate shapes in the registry) sit out this round and go
+# two rounds stale — promote them FIRST in the round-8 rotation.
+# Before this rotation every promoted query was verified green in
+# CORRECTNESS_r05.json and every demoted query green in
+# CORRECTNESS_r06.json (scripts/window_audit.py run before and after).
 _PRIORITY = (
-    # new in round 6 (never driver-checked)
-    "q_waiting_suppliers",
-    "q_excess_inventory_suppliers",
-    "doc_winnow_robust",
-    "q_returned_item_customers",
-    "q_nation_market_share",
-    # r4-stale: pipeline/text/dedup family
-    "dedup_clusters",
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
-    "text_profile",
-    "text_repetition",
-    "text_language",
-    "doc_rolling_fingerprint",
-    "doc_top_terms",
-    "doc_hash_sample",
-    "doc_mixture_sample",
-    "doc_mixture_upsample",
-    "doc_source_stats",
-    "doc_decontam",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_curation_funnel",
-    "doc_chunk_overlap",
-    "doc_vocab_coverage",
-    "doc_split_assign",
-    "doc_global_shuffle",
-    "doc_split_leakage",
-    "text_token_histogram",
-    # r4-stale: similarity family
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_embedding_neardup",
-    "multimodal_bytes",
-    # r4-stale: temporal family
-    "q_range_join_clicks",
-    "q_events_tumbling",
-    "q_events_sliding",
-    "q_user_sessions",
-    "q_session_windows",
-    "q_asof_last_click",
-    "q_asof_next_error",
-    "q_events_props_json",
-    "q_running_order_totals",
-    # r4-stale: CEP family
-    "cep_high_purchases",
-    "cep_funnel_3step",
-    "cep_funnel_within",
-    "cep_error_runs",
-    "cep_purchase_then_error",
-    "cep_error_runs_skiptolast",
-    "cep_signup_purchase_skipfirst",
-    # r4-stale: relational family
-    "q_balance_quartiles",
-    "q_skew_salted_events",
+    # new in round 7 (never driver-checked)
+    "text_lm_quality",
+    "doc_pack_ffd",
+    # r5-stale: pipeline/text/dedup family
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "doc_length_outliers",
+    "text_bigram_lift",
+    # r5-stale: CEP family
+    "cep_error_triples",
+    "cep_signup_to_purchase",
+    "cep_conversion_rate",
+    "cep_view_click_cycles",
+    "cep_spending_burst",
+    "cep_error_streaks_skip",
+    "cep_view_combos_ndrelaxed",
+    "cep_optional_click_prefix",
+    "cep_view_click_runs",
+    "cep_error_pairs_skippast",
+    "cep_high_purchase_chains",
+    "cep_error_then_purchase_grouped",
+    "cep_signup_any_purchase",
+    "cep_signup_abandoned",
+    # r5-stale: relational family (q1_pricing_summary and
+    # q6_revenue_delta deliberately absent — see note above)
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q_top_customers_per_nation",
+    "q_rollup_order_priority",
+    "q_cube_lineitem_flags",
+    "q_big_building_buyers",
+    "q_customers_without_orders",
+    "q_orders_without_items",
+    "q_parts_with_cheap_suppliers",
+    "q_scalar_functions",
+    "q_orders_by_month",
+    "q_distinct_counts",
+    "q_grouping_sets",
+    "q_quantity_percentiles",
+    "q_above_nation_avg",
+    "q_pivot_status_priority",
+    "q_unpivot_balances",
+    "q_late_ship_priority",
+    "q_order_count_distribution",
+    "q_promo_revenue_share",
+    "q_large_quantity_orders",
+    "q_segment_opportunity",
+    "q_disjunctive_revenue",
+    "q_binational_volume",
+    "q_top_supplier",
+    "q_small_quantity_revenue",
 )
 
 

@@ -688,10 +688,9 @@ def text_lm_quality(spark, sf_dir):
     """Corpus-trained bigram LM quality signals per document (CCNet
     shape without the external model): mean corpus bigram frequency +
     unique-bigram fraction, both as one IEEE divide of exact integer
-    sums.  functions/text.py:lm_quality.  NOTE: implemented and
-    oracle-verified in round 6 but registered in the ROUND-7 window
-    rotation — round 6's 5-new-query cap was already spent (see the
-    queue note in queries/__init__.py)."""
+    sums.  functions/text.py:lm_quality.  (Implemented and
+    oracle-verified in round 6; registered in the round-7 rotation —
+    round 6's 5-new-query window cap was already spent.)"""
     return text.lm_quality(_docs(spark, sf_dir))
 
 
@@ -1036,6 +1035,71 @@ SELECT source, shard::BIGINT AS shard,
        (cum_before // 256)::BIGINT AS seq_id,
        COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens
 FROM a GROUP BY 1, 2, 3
+"""
+
+
+def doc_pack_ffd(spark, sf_dir):
+    """WHOLE-DOCUMENT first-fit-decreasing packing (capacity 96
+    tokens, 4 shards per source): every document lands intact in
+    exactly one training sequence; docs longer than the capacity get a
+    flagged overflow sequence of their own.  Complements
+    doc_pack_sequences (concat-and-chunk).  Packing is sequential per
+    (source, shard) stratum — parallelism comes from sharding, same
+    single-shuffle shape as pack_sequences (functions/packing.py for
+    the 100 TB rationale).  The oracle replays FFD exactly with a
+    recursive CTE: one document placed per iteration per stratum,
+    state = the per-bin remaining-capacity list."""
+    from reflinkcep_spark.functions.packing import pack_sequences_ffd
+
+    return pack_sequences_ffd(_docs(spark, sf_dir), capacity=96)
+
+
+# FFD replay: s ranks each stratum's docs in FFD order (tokens desc,
+# md5 order key, id).  The recursive branch joins rank rn+1 onto the
+# rank-rn row and carries `caps` (remaining capacity per bin; -1 marks
+# a closed overflow bin so nothing — not even a 0-token doc — joins
+# it).  `fit` is the 1-based first bin with room (NULLIF: DuckDB's
+# list_position yields 0, not NULL, on no match).  Strata step in
+# lockstep, so recursion depth = max docs per stratum.
+SQL_DOC_PACK_FFD = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tok,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS ok
+  FROM documents
+),
+s AS (
+  SELECT source, (ok % 4)::BIGINT AS shard, doc_id, n_tok,
+         row_number() OVER (PARTITION BY source, ok % 4
+                            ORDER BY n_tok DESC, ok, doc_id) AS rn
+  FROM d
+),
+ffd AS (
+  SELECT source, shard, rn, doc_id, n_tok,
+         0::BIGINT AS seq_id,
+         n_tok > 96 AS overflow,
+         CASE WHEN n_tok > 96 THEN [(-1)::BIGINT]
+              ELSE [96 - n_tok] END AS caps
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT nxt.source, nxt.shard, nxt.rn, nxt.doc_id, nxt.n_tok,
+         CASE WHEN nxt.n_tok > 96 THEN len(p.caps)
+              WHEN fit IS NOT NULL THEN fit - 1
+              ELSE len(p.caps) END::BIGINT AS seq_id,
+         nxt.n_tok > 96 AS overflow,
+         CASE WHEN nxt.n_tok > 96 THEN list_append(p.caps, (-1)::BIGINT)
+              WHEN fit IS NOT NULL THEN
+                p.caps[1:fit-1] || [p.caps[fit] - nxt.n_tok]
+                  || p.caps[fit+1:len(p.caps)]
+              ELSE list_append(p.caps, 96 - nxt.n_tok) END AS caps
+  FROM ffd p
+  JOIN s nxt ON nxt.source = p.source AND nxt.shard = p.shard
+            AND nxt.rn = p.rn + 1,
+  LATERAL (SELECT NULLIF(list_position(
+             list_transform(p.caps, c -> c >= nxt.n_tok), true), 0) AS fit) l
+)
+SELECT source, shard, seq_id, doc_id, n_tok, overflow FROM ffd
 """
 
 
@@ -1744,6 +1808,7 @@ QUERIES = {
     "doc_source_stats": doc_source_stats,
     "doc_decontam": doc_decontam,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_pack_ffd": doc_pack_ffd,
     "doc_length_outliers": doc_length_outliers,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_curation_funnel": doc_curation_funnel,
@@ -1754,6 +1819,7 @@ QUERIES = {
     "doc_split_leakage": doc_split_leakage,
     "text_token_histogram": text_token_histogram,
     "text_bigram_lift": text_bigram_lift,
+    "text_lm_quality": text_lm_quality,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1787,6 +1853,7 @@ ORACLES = {
     "doc_source_stats": SQL_DOC_SOURCE_STATS,
     "doc_decontam": SQL_DOC_DECONTAM,
     "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
+    "doc_pack_ffd": SQL_DOC_PACK_FFD,
     "doc_length_outliers": SQL_DOC_LENGTH_OUTLIERS,
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "doc_curation_funnel": SQL_DOC_CURATION_FUNNEL,
@@ -1797,6 +1864,7 @@ ORACLES = {
     "doc_split_leakage": SQL_DOC_SPLIT_LEAKAGE,
     "text_token_histogram": SQL_TEXT_TOKEN_HISTOGRAM,
     "text_bigram_lift": SQL_BIGRAM_LIFT,
+    "text_lm_quality": SQL_LM_QUALITY,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
 }
