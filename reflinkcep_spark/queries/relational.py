@@ -1443,6 +1443,153 @@ ORDER BY s_name
 """
 
 
+# --- Q2 shape: min-cost supplier per part (PRE-STAGED for round 8) ----
+#
+# q_min_cost_suppliers and q_important_parts below are implemented and
+# locally oracle-verified but deliberately NOT registered this round:
+# the round-7 window is full (102 queries, two stalwarts already
+# sitting out — see queries/__init__.py).  Register both in the
+# round-8 rotation.
+
+def q_min_cost_suppliers(spark, sf_dir):
+    """For every ECONOMY part, the EUROPE supplier(s) quoting the
+    minimum historical price — TPC-H Q2's correlated min-per-group
+    subquery, adapted to the testdata schema (no partsupp: supply
+    cost per (part, supplier) := MIN of that supplier's exact-cents
+    extendedprice for the part over lineitem).
+
+    The classic Q2 decorrelation, but as ONE window pass instead of
+    aggregate+join-back: per-(part, supplier) costs are shuffled once
+    on l_partkey, and ``MIN(cost) OVER (PARTITION BY part)`` + filter
+    keeps the tie-preserving minimum rows — no second shuffle, no
+    self-join.  Supplier→nation→region is a broadcast chain onto the
+    aggregate-sized cost frame; the part filter broadcasts last, after
+    the min cut has already shrunk the rows.  Exact cents (BIGINT), so
+    boundary ties are engine-stable; ORDER BY is a total order
+    (p_partkey breaks all remaining ties) so LIMIT 100 is
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents("l_extendedprice")).alias("cost_cents")
+    )
+    nr = _t(spark, sf_dir, "nation").join(
+        F.broadcast(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cr = cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey).select(
+        "l_partkey", "cost_cents", "s_name", "s_acctbal", "n_name"
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cr.withColumn("min_cost", F.min("cost_cents").over(w)).filter(
+        F.col("cost_cents") == F.col("min_cost")
+    )
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_name")
+    )
+    return (
+        best.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost_cents"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_MIN_COST_SUPPLIERS = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            )::BIGINT AS cost_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+),
+cr AS (
+  SELECT c.l_partkey, c.cost_cents, eu.s_name, eu.s_acctbal, eu.n_name
+  FROM cost c JOIN eu ON eu.s_suppkey = c.l_suppkey
+),
+mn AS (SELECT l_partkey, MIN(cost_cents) AS min_cost FROM cr GROUP BY l_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_cents
+FROM cr JOIN mn ON mn.l_partkey = cr.l_partkey AND cr.cost_cents = mn.min_cost
+JOIN part ON p_partkey = cr.l_partkey AND p_type = 'ECONOMY'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --- Q11 shape: group share of a global scalar (PRE-STAGED, round 8) --
+
+def q_important_parts(spark, sf_dir):
+    """Parts whose shipped value through NATION_3's suppliers exceeds
+    1/2000 of that nation's total shipped value — TPC-H Q11's
+    group-aggregate-vs-global-scalar threshold.
+
+    Plan: the nation's supplier keys broadcast into a LEFT SEMI on
+    lineitem (fact never widened), one shuffle aggregates value per
+    part, a second pass reduces that aggregate to ONE total row which
+    broadcasts back via crossJoin — the established 1-row scalar-frame
+    pattern.  The threshold is an integer cross-multiply
+    (``value * 2000 > total``), not a double divide, so boundary parts
+    are engine-stable.  Headroom: total cents at 100 TB ≈ 1e15 — the
+    ×2000 product stays in BIGINT with ~4 decimal digits to spare;
+    past that move both sides to DECIMAL(38,0)."""
+    nsupp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(nsupp), F.col("l_suppkey") == F.col("s_suppkey"), "leftsemi"
+    )
+    v = li.groupBy("l_partkey").agg(
+        F.sum(cents("l_extendedprice")).alias("value_cents")
+    )
+    total = v.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 2000 > F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            )::BIGINT AS value_cents
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON n_nationkey = s_nationkey
+                                 AND n_name = 'NATION_3')
+  GROUP BY l_partkey
+),
+t AS (SELECT SUM(value_cents)::BIGINT AS total_cents FROM v)
+SELECT l_partkey AS p_partkey, value_cents
+FROM v, t
+WHERE value_cents * 2000 > total_cents
+ORDER BY value_cents DESC, p_partkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
