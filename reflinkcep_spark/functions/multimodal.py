@@ -17,7 +17,10 @@ Decoder tiers, selected per call with ``decoder=``:
   with comment support, numpy nearest-neighbor resize) for
   :func:`resize_images`, and ``"wav"`` (stdlib ``wave``, 16-bit PCM)
   for :func:`extract_features` (per-window mean-amplitude features)
-  and :func:`sample_frames` (raw PCM slices at sample timestamps);
+  and :func:`sample_frames` (raw PCM slices at sample timestamps),
+  and ``"avi"`` for :func:`sample_frames` (AVI/RIFF container walk —
+  frame timing from the ``avih`` header, each sampled frame's exact
+  ``movi`` chunk bytes emitted without invoking any codec);
 * ``"pil"`` in :func:`resize_images` uses Pillow when installed (the
   import lives in the worker function; the test skips without it).
 
@@ -153,6 +156,51 @@ def _decode_wav(payload: bytes):
             return pcm, wf.getframerate()
     except Exception:
         return None
+
+
+def _parse_avi(payload: bytes):
+    """AVI (RIFF) container → ``(video frame chunks, µs per frame)``,
+    or None if the payload isn't a parseable AVI.  Pure Python: walks
+    the RIFF chunk tree, reads ``dwMicroSecPerFrame`` from the ``avih``
+    main header, and indexes the ``movi`` list's stream-0 video chunks
+    (``00dc`` = compressed — JPEG bytes in an MJPEG AVI — and ``00db``
+    = uncompressed).  No codec is invoked: the caller gets each
+    frame's exact byte slice, which downstream stages decode however
+    they like.  Frames are byte slices, so this never copies the
+    raster twice."""
+    import struct
+
+    if (
+        not payload
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return None
+    us_per_frame = 0
+    frames: list[tuple[int, int]] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal us_per_frame
+        off = start
+        while off + 8 <= end:
+            fourcc = payload[off : off + 4]
+            (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+            body = off + 8
+            if body + size > end:
+                break  # truncated chunk: stop at the damage, keep prior
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)  # skip the 4-byte list type
+            elif fourcc == b"avih" and size >= 4:
+                (us_per_frame,) = struct.unpack("<I", payload[body : body + 4])
+            elif fourcc[:2] == b"00" and fourcc[2:4] in (b"dc", b"db"):
+                frames.append((body, size))
+            off = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if us_per_frame <= 0 or not frames:
+        return None
+    return frames, us_per_frame
 
 
 def _fake_decode(payload: bytes, dim: int) -> list[float]:
@@ -348,14 +396,19 @@ def sample_frames(
     ``wave``): duration comes from frame count / sample rate, and each
     emitted frame is the 64-byte raw PCM slice starting at its
     timestamp (zero-padded at the tail); undecodable payloads emit no
-    rows.
+    rows.  ``decoder="avi"`` REALLY parses AVI (RIFF) video
+    containers — pure-Python chunk walk, no codec: frame timing comes
+    from the ``avih`` header's µs-per-frame, and each emitted frame is
+    the indexed ``movi`` chunk's exact bytes (JPEG images for MJPEG
+    AVIs, raw pixels for ``00db`` uncompressed AVIs) at the sampled
+    timestamp; unparseable payloads emit no rows.
 
     ``max_frames`` is the memory rail: frame expansion multiplies rows,
     and an unbounded explode of a long video inside one Arrow batch is
     how executors die at scale.  Real decoders should also stream
     frames out incrementally per input row, as this stub does.
     """
-    if decoder not in ("strict", "fake", "wav"):
+    if decoder not in ("strict", "fake", "wav", "avi"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -364,10 +417,28 @@ def sample_frames(
                 raise NotImplementedError(
                     "frame sampling requires a decoder: use decoder='fake' "
                     "for plumbing tests, decoder='wav' for real PCM audio, "
+                    "decoder='avi' for real AVI/MJPEG video containers, "
                     "or plug ffmpeg/pyav here"
                 )
             ids, idxs, stamps, frames = [], [], [], []
             for item_id, p in zip(pdf[id_col], pdf[payload_col]):
+                if decoder == "avi":
+                    parsed = _parse_avi(p)
+                    if parsed is None:
+                        continue
+                    chunks, uspf = parsed
+                    duration_ms = (len(chunks) * uspf) // 1000
+                    n = min(max_frames, max(1, duration_ms // every_ms + 1))
+                    for i in range(n):
+                        fidx = min(
+                            len(chunks) - 1, (i * every_ms * 1000) // uspf
+                        )
+                        off, size = chunks[fidx]
+                        ids.append(item_id)
+                        idxs.append(fidx)
+                        stamps.append(i * every_ms)
+                        frames.append(bytes(p[off : off + size]))
+                    continue
                 if decoder == "wav":
                     dec = _decode_wav(p)
                     if dec is None or dec[1] == 0:

@@ -403,7 +403,10 @@ def winnow_fingerprints(
 
 
 def lm_quality(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 2,
 ) -> DataFrame:
     """Per-document quality signals from a corpus-trained bigram
     table — the shape of CCNet-style LM quality filtering with the
@@ -427,11 +430,23 @@ def lm_quality(
     the count table and the join back), one shuffle to count bigrams,
     one bigram-keyed join, one doc-keyed aggregate.  The bigram count
     table scales with corpus vocabulary, not corpus size — standard
-    LM-scoring shape.  Documents with fewer than 2 tokens have no
-    bigrams and are absent from the output (no score, not a 0 score).
+    LM-scoring shape.  Documents with fewer than ``order`` tokens have
+    no n-grams and are absent from the output (no score, not a 0
+    score).
+
+    ``order`` picks the n-gram order: 2 (default, CCNet-lite bigrams;
+    legacy ``n_bigrams``/``avg_bigram_df`` column names) or higher —
+    e.g. ``order=3`` approaches CCNet's 5-gram KenLM shape one step
+    further at the cost of a bigger count table (columns become
+    ``n_3grams``/``avg_3gram_df``).  The fold, the exact-integer sums,
+    and the single IEEE divide are identical at every order.
     """
+    if order < 2:
+        raise ValueError(f"lm_quality needs order >= 2, got {order}")
+    g = "bigram" if order == 2 else f"{order}gram"
     bg = df.select(
-        F.col(id_col), F.explode(ngrams(tokens(F.col(text_col)), 2)).alias("bg")
+        F.col(id_col),
+        F.explode(ngrams(tokens(F.col(text_col)), order)).alias("bg"),
     )
     # Referenced twice (count table + per-doc join): compute once.
     bg = bg.localCheckpoint(eager=False)
@@ -441,8 +456,10 @@ def lm_quality(
         bg.join(cnt, "bg")
         .groupBy(id_col)
         .agg(
-            n.alias("n_bigrams"),
-            (F.sum("bdf").cast("double") / n.cast("double")).alias("avg_bigram_df"),
+            n.alias(f"n_{g}s"),
+            (F.sum("bdf").cast("double") / n.cast("double")).alias(
+                f"avg_{g}_df"
+            ),
             (
                 F.sum(F.when(F.col("bdf") == 1, F.lit(1)).otherwise(F.lit(0)))
                 .cast("double")

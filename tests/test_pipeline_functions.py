@@ -846,6 +846,20 @@ def test_lm_quality_signals(spark):
     assert out[2]["avg_bigram_df"] == 1.0
     assert out[2]["unique_fraction"] == 1.0
 
+    # Trigram order: same fold, one order higher.  Doc 0/1 share all 4
+    # trigrams (df 2); doc 2 has exactly one, unseen elsewhere; doc 3
+    # (1 token) and now ALSO any 2-token doc would be absent.
+    out3 = {r["doc_id"]: r for r in text.lm_quality(df, order=3).collect()}
+    assert set(out3) == {0, 1, 2}
+    assert out3[0]["n_3grams"] == 4
+    assert out3[0]["avg_3gram_df"] == 2.0
+    assert out3[0]["unique_fraction"] == 0.0
+    assert out3[2]["n_3grams"] == 1
+    assert out3[2]["unique_fraction"] == 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text.lm_quality(df, order=1)
+
 
 def test_winnow_robust_matches_bruteforce_and_shrinks(spark):
     """robust=True must equal the definitional robust selection (keep
@@ -936,3 +950,47 @@ def test_pack_sequences_ffd_zero_token_doc_avoids_overflow_bins(spark):
     # zero-token docs land in a real (non-overflow) sequence
     assert by_id[4]["n_tok"] == 0 and not by_id[4]["overflow"]
     assert by_id[5]["n_tok"] == 0 and not by_id[5]["overflow"]
+
+def _avi_bytes(frame_payloads, us_per_frame=40000):
+    """Minimal valid AVI: RIFF('AVI ' LIST('hdrl' avih) LIST('movi'
+    00dc...)) with word-aligned chunks (odd-length frames get a pad
+    byte, which the parser must skip)."""
+    import struct
+
+    def chunk(fourcc, body):
+        pad = b"\0" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(listtype, body):
+        return chunk(b"LIST", listtype + body)
+
+    avih = chunk(b"avih", struct.pack("<I", us_per_frame) + b"\0" * 52)
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frame_payloads))
+    body = b"AVI " + lst(b"hdrl", avih) + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_multimodal_avi_real_container_parse(spark):
+    """decoder='avi' must genuinely walk the RIFF chunk tree: frame
+    timing from the avih header, sampled frames = the exact movi chunk
+    bytes (odd-length chunks force the word-alignment path), junk/NULL
+    payloads emit no rows."""
+    # 25 fps (40ms/frame) x 25 frames = 1s; odd lengths exercise padding
+    frames_in = [bytes([i]) * (31 + (i & 1)) for i in range(25)]
+    avi = _avi_bytes(frames_in)
+    rows = [(1, avi), (2, b"RIFF\x04\x00\x00\x00WAVE"), (3, b"junk"), (4, None)]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    out = multimodal.sample_frames(
+        df, every_ms=400, max_frames=8, decoder="avi"
+    ).collect()
+    per_item = {}
+    for r in out:
+        per_item.setdefault(r["item_id"], []).append(r)
+    got = sorted(per_item[1], key=lambda r: r["ts_ms"])
+    # 1000ms / 400ms -> samples at 0/400/800 -> frame indexes 0/10/20
+    assert [r["ts_ms"] for r in got] == [0, 400, 800]
+    assert [r["frame_idx"] for r in got] == [0, 10, 20]
+    assert [bytes(r["frame"]) for r in got] == [
+        frames_in[0], frames_in[10], frames_in[20]
+    ]
+    assert 2 not in per_item and 3 not in per_item and 4 not in per_item
