@@ -288,7 +288,12 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
 
 
-def _bucket_pairs(df: DataFrame, bucket_cols: list, payload: str = "doc_id") -> DataFrame:
+def _bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list,
+    payload: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs co-located in any bucket.
 
     groupBy bucket → collect ids → in-bucket combination expansion with
@@ -297,7 +302,16 @@ def _bucket_pairs(df: DataFrame, bucket_cols: list, payload: str = "doc_id") -> 
     SimHash chunks); the ids array per bucket lives in one task —
     fine up to ~10⁵ ids per bucket, and hot buckets that big mean the
     banding parameters are wrong, not that we should shuffle more.
-    """
+
+    ``max_bucket`` is the optional ABSOLUTE rail for when the banding
+    parameters can't be trusted (same rationale as winnow_pairs'
+    ``max_df``): a bucket holding more than this many documents is a
+    degenerate collision (constant boilerplate hashing to one band
+    signature) and is dropped instead of expanding quadratically.
+    Dropping loses only pairs whose every shared band is degenerate —
+    at that point they're boilerplate duplicates better caught by
+    exact dedup.  Default None keeps every bucket (bit-compatible
+    with the oracle replay)."""
     ids = F.col("ids")
     pairs = F.filter(
         F.flatten(
@@ -311,10 +325,12 @@ def _bucket_pairs(df: DataFrame, bucket_cols: list, payload: str = "doc_id") -> 
         ),
         lambda p: p["doc_a"] < p["doc_b"],
     )
+    grouped = df.groupBy(*bucket_cols).agg(F.collect_list(payload).alias("ids"))
+    size_ok = F.size("ids") >= 2
+    if max_bucket is not None:
+        size_ok = size_ok & (F.size("ids") <= int(max_bucket))
     return (
-        df.groupBy(*bucket_cols)
-        .agg(F.collect_list(payload).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        grouped.filter(size_ok)
         .select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
@@ -330,6 +346,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact shingle-Jaccard verify.
 
@@ -338,6 +355,17 @@ def minhash_lsh_pairs(
     verified with the exact Jaccard over their shingle sets, so the
     output contains no false positives (recall is bounded by the LSH
     S-curve).
+
+    Scale shape (round-7 rework): the full corpus is shingled exactly
+    ONCE — inside the signature fold.  The verify stage shingles only
+    CANDIDATE documents: the (small) candidate-pair frame is
+    checkpointed, its distinct ids semi-join the corpus, and the
+    shingle projection runs above that semi join — so verify cost
+    scales with the candidate set (LSH's whole point), not the corpus.
+    Previously both verify sides recomputed shingles corpus-wide (3×
+    total); the marginal per-document cost dropped accordingly.
+    ``max_bucket`` (absolute, optional) rails degenerate band buckets
+    — see :func:`_bucket_pairs`.
     """
     rows = num_perm // bands
     sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col, hash_fn)
@@ -369,10 +397,26 @@ def minhash_lsh_pairs(
     # JVM-side.  A self-join would recompute the whole signature
     # pipeline for both sides and leave the join strategy to AQE
     # (measured 3-12s flapping at sf0.1 vs stable ~2s for this shape).
-    cand = _bucket_pairs(banded, ["band", "bucket"])
+    cand = _bucket_pairs(banded, ["band", "bucket"], max_bucket=max_bucket)
+    # Reused three times (id set + both verify joins): compute once.
+    cand = cand.localCheckpoint(eager=False)
 
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # The semi join sits BELOW the shingle projection (Catalyst pushes
+    # leftsemi through Project on the join key), so only candidate
+    # documents pay the shingle expansion; checkpointed because both
+    # verify sides read it.
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .join(cand_ids, "doc_id", "leftsemi")
+        .localCheckpoint(eager=False)
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

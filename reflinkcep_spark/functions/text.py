@@ -383,14 +383,14 @@ def winnow_fingerprints(
             hi = F.least(pos + b - (w - 1), n - w)
             return lo <= hi
 
-        return F.filter(
-            F.transform(
-                F.sequence(F.lit(0), n - 1),
-                lambda pos: F.struct(
-                    pos.cast("long").alias("pos"), F.get(hs, pos).alias("fp")
-                ),
+        # Filter positions FIRST, then build structs only for the
+        # ~2/(w+1) survivors — the rejected majority never pays the
+        # struct construction.
+        return F.transform(
+            F.filter(F.sequence(F.lit(0), n - 1), keep),
+            lambda pos: F.struct(
+                pos.cast("long").alias("pos"), F.get(hs, pos).alias("fp")
             ),
-            lambda s: keep(s["pos"].cast("int")),
         )
 
     n = F.size(hs)
