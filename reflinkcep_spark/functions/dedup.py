@@ -406,16 +406,19 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # The semi join sits BELOW the shingle projection (Catalyst pushes
-    # leftsemi through Project on the join key), so only candidate
-    # documents pay the shingle expansion; checkpointed because both
-    # verify sides read it.
+    # Semi join FIRST, shingle projection second — written in that
+    # order explicitly because Catalyst does NOT push a leftsemi below
+    # a Project here (verified on the optimized plan), and the whole
+    # point is that only candidate documents pay the shingle
+    # expansion.  Checkpointed because both verify sides read it.
     sh = (
-        df.select(
+        df.join(
+            cand_ids.withColumnRenamed("doc_id", id_col), id_col, "leftsemi"
+        )
+        .select(
             F.col(id_col).alias("doc_id"),
             shingles(F.col(text_col), shingle_n).alias("sh"),
         )
-        .join(cand_ids, "doc_id", "leftsemi")
         .localCheckpoint(eager=False)
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -72,6 +72,11 @@ AUDITED = [
     ("doc_winnow_robust", "robust winnowing: per-document array fold, no algorithmic exchange"),
     ("q_returned_item_customers", "Q10: fact aggregated to one row per customer BEFORE the detail join, exact-integer top-20 cut"),
     ("q_nation_market_share", "Q8: region->nation chain reduces customers pre-join, nation broadcast twice, exact-ratio share"),
+    ("text_lm_quality", "LM quality: one bigram explode checkpointed, count-table join, doc-keyed agg"),
+    ("doc_pack_ffd", "FFD packing: one stratum-keyed exchange into applyInPandas, packing local per shard"),
+    ("dedup_minhash_lsh_md5", "MinHash verify (r7 rework): candidate-id semi join applied BEFORE the shingle projection (explicit order — Catalyst won't push it) — corpus shingled once, verify shingles only candidates"),
+    ("q_min_cost_suppliers", "Q2 (pre-staged): one partkey exchange, window min filter, tie-preserving, dims broadcast"),
+    ("q_important_parts", "Q11 (pre-staged): supplier semi broadcast into fact, per-part agg, 1-row total broadcast crossJoin"),
 ]
 
 
@@ -97,7 +102,15 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = all_queries()
+    qs = dict(all_queries())
+    # Pre-staged (not yet registered) queries still get plan audits.
+    from reflinkcep_spark.queries.relational import (
+        q_important_parts,
+        q_min_cost_suppliers,
+    )
+
+    qs.setdefault("q_min_cost_suppliers", q_min_cost_suppliers)
+    qs.setdefault("q_important_parts", q_important_parts)
 
     out = [
         "# PLANS — audited physical plans",
