@@ -494,13 +494,18 @@ def simhash_pairs(
     feature: str = "shingles",
     hash_fn: str = "xxhash64",
     n_bits: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Banded search: split the ``n_bits`` fingerprint into 4 equal bands;
     any pair within Hamming distance ≤ 3 agrees exactly on ≥ 1 band
     (pigeonhole), so a per-band equi-join finds all of them, then the
-    exact popcount(xor) filter verifies.
+    exact popcount(xor) filter verifies.  ``max_bucket`` (absolute,
+    optional) rails degenerate band-chunk buckets exactly like
+    :func:`_bucket_pairs` — a 16-bit chunk shared by thousands of
+    documents is boilerplate collapsing to one SimHash region, and its
+    quadratic expansion buys nothing exact dedup wouldn't.
     """
     assert n_bits % 4 == 0, "n_bits must split into 4 equal bands"
     band_bits = n_bits // 4
@@ -540,10 +545,13 @@ def simhash_pairs(
         ),
         lambda p: p["x"]["doc_id"] < p["y"]["doc_id"],
     )
+    size_ok = F.size("ids") >= 2
+    if max_bucket is not None:
+        size_ok = size_ok & (F.size("ids") <= int(max_bucket))
     return (
         banded.groupBy("band", "chunk")
         .agg(F.collect_list(F.struct("doc_id", "fp")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter(size_ok)
         .select(F.explode(combos).alias("p"))
         .select(
             F.col("p.x.doc_id").alias("doc_a"),

@@ -994,3 +994,26 @@ def test_multimodal_avi_real_container_parse(spark):
         frames_in[0], frames_in[10], frames_in[20]
     ]
     assert 2 not in per_item and 3 not in per_item and 4 not in per_item
+
+
+def test_bucket_cap_rails_degenerate_buckets(spark):
+    """max_bucket drops buckets above the absolute cap (degenerate
+    boilerplate collisions) instead of expanding them quadratically;
+    default None keeps every bucket."""
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, same, "s") for i in range(6)] + [
+        (10, "totally different text one two three four five", "s")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    full = dedup.minhash_lsh_pairs(df, threshold=0.9, num_perm=16, bands=4)
+    assert full.count() == 15  # 6 identical docs -> C(6,2) pairs
+    capped = dedup.minhash_lsh_pairs(
+        df, threshold=0.9, num_perm=16, bands=4, max_bucket=4
+    )
+    assert capped.count() == 0  # every shared bucket holds all 6 -> dropped
+
+    sfull = dedup.simhash_pairs(df, max_hamming=3)
+    assert sfull.count() == 15
+    scapped = dedup.simhash_pairs(df, max_hamming=3, max_bucket=4)
+    assert scapped.count() == 0
