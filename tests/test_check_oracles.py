@@ -56,3 +56,33 @@ def test_int32_vs_int64_is_same_kind():
     got = pd.DataFrame({"a": pd.array([1, 2], dtype="int32")})
     want = pd.DataFrame({"a": pd.array([1, 2], dtype="int64")})
     assert compare("x", got, want) == []
+
+
+def test_prestaged_round8_queries_match_oracles(spark):
+    """q_min_cost_suppliers / q_important_parts are written but not yet
+    registered (round-7 window full).  Keep them oracle-green at
+    sf0.001 until the round-8 rotation registers them, so registration
+    is a two-line edit, not a debugging session."""
+    import duckdb
+
+    from reflinkcep_spark.queries.relational import (
+        SQL_IMPORTANT_PARTS,
+        SQL_MIN_COST_SUPPLIERS,
+        q_important_parts,
+        q_min_cost_suppliers,
+    )
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "part", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
+        )
+    for fn, sql in (
+        (q_min_cost_suppliers, SQL_MIN_COST_SUPPLIERS),
+        (q_important_parts, SQL_IMPORTANT_PARTS),
+    ):
+        got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
+        want = check_oracles.normalize(con.execute(sql).fetchdf())
+        assert len(got) > 0
+        assert compare(fn.__name__, got, want) == []
