@@ -88,6 +88,8 @@ PROBES = [
     ("doc_winnow_robust", "documents"),
     ("q_returned_item_customers", "lineitem"),
     ("q_nation_market_share", "lineitem"),
+    ("text_lm_quality", "documents"),
+    ("doc_pack_ffd", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key
@@ -228,8 +230,27 @@ def main() -> int:
     ap.add_argument("--scales", default="1,2,4,8")
     ap.add_argument("--out", default=None, help="write a SCALING.md report")
     ap.add_argument("--keep", action="store_true", help="keep scratch tables")
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=1,
+        help="timed runs per (query, scale); the MEDIAN is reported — "
+        "sub-second rows need >1 to keep r8/2 out of noise territory",
+    )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: probe only these; with --out "
+        "pointing at an existing report, the other rows are carried over "
+        "unchanged (targeted re-measurement instead of a full regen)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - {q for q, _ in PROBES}
+        if unknown:
+            raise SystemExit(f"--only names not in PROBES: {sorted(unknown)}")
 
     from reflinkcep_spark.queries import all_queries
     from reflinkcep_spark.session import get_spark
@@ -284,13 +305,33 @@ def main() -> int:
 
     results: dict[str, dict[int, float]] = {}
     for qname, table in PROBES:
+        if only and qname not in only:
+            continue
         results[qname] = {}
         for n in scales:
-            t0 = time.time()
-            build(qname, n).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
+            samples = []
+            for _ in range(max(1, args.repeats)):
+                t0 = time.time()
+                build(qname, n).write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            samples.sort()
+            dt = samples[len(samples) // 2]
             results[qname][n] = dt
-            print(f"{qname:28s} x{n}: {dt:7.3f}s", flush=True)
+            print(
+                f"{qname:28s} x{n}: {dt:7.3f}s"
+                + (f"  (median of {samples})" if len(samples) > 1 else ""),
+                flush=True,
+            )
+
+    # Targeted re-probe: carry over the untouched rows of the existing
+    # report so a noisy borderline row can be re-measured (with
+    # --repeats) without paying for a full regeneration.
+    carried: dict[str, str] = {}
+    if only and args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                if line.startswith("| ") and not line.startswith("| query"):
+                    carried[line.split("|")[1].strip()] = line.rstrip("\n")
 
     lines = [
         "# SCALING — measured wall time vs input multiple",
@@ -307,6 +348,10 @@ def main() -> int:
         "|---|" + "---|" * (len(scales) + 1),
     ]
     for qname, _ in PROBES:
+        if qname not in results:
+            if qname in carried:
+                lines.append(carried[qname])
+            continue
         r = results[qname]
         ratio = (
             f"{r[8] / r[2]:.2f}" if 8 in r and 2 in r and r[2] > 0 else "n/a"
@@ -316,6 +361,12 @@ def main() -> int:
             + " | ".join(f"{r[n]:.2f}" for n in scales)
             + f" | {ratio} |"
         )
+    if args.repeats > 1 and results:
+        lines += [
+            "",
+            f"Rows for {', '.join(sorted(results))} are the median of "
+            f"{args.repeats} runs each; other rows are single-shot.",
+        ]
     report = "\n".join(lines) + "\n"
     print(report)
     if args.out:
