@@ -18,10 +18,15 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["md5_hash60", "md5_bucket", "assign_split"]
+__all__ = [
+    "md5_hash60",
+    "md5_bucket",
+    "assign_split",
+    "token_budget_sample",
+]
 
 
 def md5_hash60(col: Column) -> Column:
@@ -67,3 +72,89 @@ def assign_split(col: Column, splits: Mapping[str, int]) -> Column:
             cond, F.lit(name)
         )
     return F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    *,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source TOKEN-budget quota sample: the deterministic
+    hash-ordered prefix of each source's documents whose cumulative
+    token count stays within ``budget``.
+
+    Mixture recipes are usually stated in tokens ("50 B tokens of web,
+    5 B of code"), not document counts — ``doc_mixture_sample`` (doc
+    fractions) can't express them because document lengths vary by
+    orders of magnitude.  Selection is by the frozen md5 order of the
+    doc id, so the sample is reproducible on any engine and GROWS
+    MONOTONICALLY: new corpus docs append to the end of the hash order
+    only if budget remains, and a re-run after corpus growth keeps
+    every previously selected document whose prefix position survived.
+
+    Scale design: a per-source cumulative sum is inherently sequential,
+    so the corpus never flows through one total-order window.  The
+    60-bit order key is RANGE-sharded on its top bits (shard boundaries
+    align with the hash order, unlike ``pmod`` bucketing), giving:
+    (1) one aggregate per (source, shard) — tiny frame; (2) running
+    shard offsets via a window over that aggregate (rows = sources ×
+    shards, driver-scale); (3) offsets broadcast back, and shards whose
+    offset already exceeds the budget are dropped BEFORE the detail
+    window — at 100 TB with a budget selecting 1% of a source, ~99% of
+    its rows never reach the big window's shuffle; (4) the per-row
+    cumulative sum runs per (source, shard) in parallel.  Raise
+    ``n_shards`` until a shard's rows fit a task.
+
+    Returns ``(doc_id, source, n_tok, cum_tok)`` — ``cum_tok`` is the
+    document's inclusive global prefix total within its source, always
+    ``<= budget``.
+    """
+    from reflinkcep_spark.functions import text
+
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    # 60-bit key space split into n_shards contiguous ranges; ceil so
+    # shard ids stay < n_shards even when 2**60 % n_shards != 0.
+    width = -(-(1 << 60) // n_shards)
+    staged = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        text.token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        md5_hash60(F.col(id_col)).alias("__ok"),
+    ).withColumn("__shard", F.expr(f"__ok div {width}"))
+    # The staged frame feeds BOTH the shard totals and the detail
+    # window; without a cut Catalyst plans two full text scans (and
+    # tokenizes the corpus twice).  The lazy localCheckpoint (the
+    # dedup-module pattern) materializes the NARROW text-free frame
+    # once instead.
+    staged = staged.localCheckpoint(eager=False)
+    totals = staged.groupBy("source", "__shard").agg(
+        F.sum("n_tok").alias("__tok")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "source",
+        "__shard",
+        (F.sum("__tok").over(w_off) - F.col("__tok")).alias("__offset"),
+    ).filter(F.col("__offset") <= F.lit(budget))
+    w_in = (
+        Window.partitionBy("source", "__shard")
+        .orderBy("__ok", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.join(F.broadcast(offsets), ["source", "__shard"])
+        .withColumn(
+            "cum_tok", F.col("__offset") + F.sum("n_tok").over(w_in)
+        )
+        .filter(F.col("cum_tok") <= F.lit(budget))
+        .select(id_col, "source", "n_tok", "cum_tok")
+    )

@@ -18,11 +18,15 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
 # Round-8 queue: relational.py pre-stages q_min_cost_suppliers (TPC-H
-# Q2 shape: window-decorrelated min-per-group) and q_important_parts
-# (Q11 shape: group share of a broadcast global scalar), both locally
-# oracle-verified at sf0.01 — register them in the round-8 rotation
-# and promote the two sitting-out stalwarts (q1_pricing_summary,
-# q6_revenue_delta) FIRST.
+# Q2 shape: window-decorrelated min-per-group), q_important_parts
+# (Q11 shape: group share of a broadcast global scalar), and
+# q_local_supplier_volume (Q5 shape: same-nation customer/supplier
+# cross-fact residual); pipeline.py pre-stages doc_token_budget
+# (per-source token-budget quota sample over range-sharded prefix
+# sums).  All four are locally oracle-verified at sf0.01 and pinned
+# green by tests/test_check_oracles.py — register them in the round-8
+# rotation and promote the two sitting-out stalwarts
+# (q1_pricing_summary, q6_revenue_delta) FIRST.
 #
 # Front of the driver's 50-entry check window (round 7 rotation).
 # First the two queries registered this round (never driver-checked:

@@ -1786,6 +1786,47 @@ GROUP BY c.doc_id
 """
 
 
+# --- token-budget quota sample (PRE-STAGED for round 8) ----------------
+#
+# doc_token_budget is implemented and locally oracle-verified but
+# deliberately NOT registered this round: the round-7 window is full
+# (see queries/__init__.py).  Register it in the round-8 rotation.
+
+def doc_token_budget(spark, sf_dir):
+    """Token-budgeted mixture building: per source, the deterministic
+    md5-ordered document prefix whose cumulative token count fits an
+    800-token budget — mixture recipes are stated in tokens, not doc
+    counts, so the doc-fraction samplers can't express them.  The
+    corpus never crosses one total-order window: the 60-bit order key
+    is range-sharded on its top bits, shard subtotals make a
+    driver-scale offset frame, shards past the budget are dropped
+    before the detail window, and the per-row cumulative sum runs per
+    (source, shard) in parallel (functions/sampling.py for the 100 TB
+    rationale)."""
+    from reflinkcep_spark.functions.sampling import token_budget_sample
+
+    return token_budget_sample(_docs(spark, sf_dir), budget=800)
+
+
+SQL_DOC_TOKEN_BUDGET = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tok,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS ok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY ok, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM d
+)
+SELECT doc_id, source, n_tok, cum_tok::BIGINT AS cum_tok
+FROM c WHERE cum_tok <= 800
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -1590,6 +1590,71 @@ ORDER BY value_cents DESC, p_partkey
 """
 
 
+# --- Q5 shape: LOCAL supplier volume (PRE-STAGED for round 8) ---------
+
+def q_local_supplier_volume(spark, sf_dir):
+    """Revenue shipped within each ASIA nation by that nation's OWN
+    suppliers — TPC-H Q5's distinctive twist: the customer and the
+    supplier of the same lineitem must share a nation
+    (``c_nationkey = s_nationkey``), a cross-fact residual no other
+    registered query exercises (q5_nation_revenue has no supplier
+    leg).
+
+    Plan: region→nation→supplier reduces to a broadcast-sized
+    (s_suppkey, nation) frame that LEFT-justifies the fact first —
+    lineitem shrinks to ASIA-supplier rows BEFORE the only two real
+    shuffles (orderkey join to orders, custkey join to customer).  The
+    same-nation residual rides the customer equi-join instead of a
+    post-join filter, so mismatched rows die inside the join.  Exact
+    unit-4 revenue arithmetic keeps the oracle compare bit-stable."""
+    nr = _t(spark, sf_dir, "nation").join(
+        F.broadcast(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust,
+            (F.col("o_custkey") == cust.c_custkey)
+            & (cust.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            exact_sum2_from_unit4(
+                unit4_revenue("l_extendedprice", "l_discount")
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name AS nation,
+       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,

@@ -77,6 +77,8 @@ AUDITED = [
     ("dedup_minhash_lsh_md5", "MinHash verify (r7 rework): candidate-id semi join applied BEFORE the shingle projection (explicit order — Catalyst won't push it) — corpus shingled once, verify shingles only candidates"),
     ("q_min_cost_suppliers", "Q2 (pre-staged): one partkey exchange, window min filter, tie-preserving, dims broadcast"),
     ("q_important_parts", "Q11 (pre-staged): supplier semi broadcast into fact, per-part agg, 1-row total broadcast crossJoin"),
+    ("q_local_supplier_volume", "Q5 (pre-staged): broadcast ASIA-supplier frame reduces the fact first, same-nation residual rides the customer equi-join, two keyed shuffles"),
+    ("doc_token_budget", "token budget (pre-staged): narrow staged frame checkpointed (one text scan), shard offsets tiny + broadcast, past-budget shards dropped before the one (source, shard) detail exchange, no Python"),
 ]
 
 
@@ -111,6 +113,12 @@ def main() -> int:
 
     qs.setdefault("q_min_cost_suppliers", q_min_cost_suppliers)
     qs.setdefault("q_important_parts", q_important_parts)
+
+    from reflinkcep_spark.queries.pipeline import doc_token_budget
+    from reflinkcep_spark.queries.relational import q_local_supplier_volume
+
+    qs.setdefault("q_local_supplier_volume", q_local_supplier_volume)
+    qs.setdefault("doc_token_budget", doc_token_budget)
 
     out = [
         "# PLANS — audited physical plans",

