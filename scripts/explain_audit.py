@@ -77,7 +77,7 @@ AUDITED = [
     ("dedup_minhash_lsh_md5", "MinHash verify (r7 rework): candidate-id semi join applied BEFORE the shingle projection (explicit order — Catalyst won't push it) — corpus shingled once, verify shingles only candidates"),
     ("q_min_cost_suppliers", "Q2 (pre-staged): one partkey exchange, window min filter, tie-preserving, dims broadcast"),
     ("q_important_parts", "Q11 (pre-staged): supplier semi broadcast into fact, per-part agg, 1-row total broadcast crossJoin"),
-    ("q_local_supplier_volume", "Q5 (pre-staged): broadcast ASIA-supplier frame reduces the fact first, same-nation residual rides the customer equi-join, two keyed shuffles"),
+    ("q_local_supplier_volume", "Q5 (pre-staged): broadcast ASIA-supplier frame reduces the fact first, same-nation residual rides the customer equi-join (orderkey/custkey shuffle joins at scale; AQE-broadcast at this SF)"),
     ("doc_token_budget", "token budget (pre-staged): narrow staged frame checkpointed (one text scan), shard offsets tiny + broadcast, past-budget shards dropped before the one (source, shard) detail exchange, no Python"),
 ]
 
