@@ -100,8 +100,14 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lexists, not exists: a dangling symlink (testdata regenerated)
         # reports exists=False but still blocks os.symlink; likewise a
         # live link pointing at stale data must be re-made, not reused.
+        # islink before readlink: a REGULAR file at this path (older
+        # layout, a copy instead of a link) would make readlink raise.
         if os.path.lexists(link):
-            if not os.path.exists(link) or os.readlink(link) != path:
+            if (
+                not os.path.islink(link)
+                or not os.path.exists(link)
+                or os.readlink(link) != path
+            ):
                 os.remove(link)
         if not os.path.lexists(link):
             os.symlink(path, link)

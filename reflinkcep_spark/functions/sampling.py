@@ -117,6 +117,11 @@ def token_budget_sample(
 
     if budget < 0:
         raise ValueError(f"budget must be non-negative, got {budget}")
+    if n_shards < 1:
+        # A negative shard count would silently REVERSE the shard
+        # order (negative ids ascend backwards through the hash
+        # ranges) and return the wrong end of the prefix.
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     # 60-bit key space split into n_shards contiguous ranges; ceil so
     # shard ids stay < n_shards even when 2**60 % n_shards != 0.
     width = -(-(1 << 60) // n_shards)

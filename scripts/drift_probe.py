@@ -63,7 +63,12 @@ def main() -> int:
         path = os.path.join(repo, f"BENCH_r{rnd}.json")
         if os.path.exists(path):
             with open(path) as f:
-                history[rnd] = json.load(f).get("queries", {})
+                blob = json.load(f)
+            # Driver bench records nest the bench.py JSON line under
+            # "parsed"; accept a bare bench.py line too.
+            history[rnd] = (blob.get("parsed") or blob).get("queries", {})
+            if not history[rnd]:
+                print(f"warning: no per-query times found in {path}")
 
     from reflinkcep_spark.queries import all_queries
     from reflinkcep_spark.session import get_spark

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import shutil
 import sys
 import time
@@ -325,13 +326,21 @@ def main() -> int:
 
     # Targeted re-probe: carry over the untouched rows of the existing
     # report so a noisy borderline row can be re-measured (with
-    # --repeats) without paying for a full regeneration.
+    # --repeats) without paying for a full regeneration.  Repeat
+    # PROVENANCE is carried too — the footer's "Median-of-N rows:"
+    # lines are parsed back so earlier re-measurements keep their
+    # label instead of silently reading as single-shot.
     carried: dict[str, str] = {}
+    prov: dict[str, int] = {}
     if only and args.out and os.path.exists(args.out):
         with open(args.out) as f:
             for line in f:
                 if line.startswith("| ") and not line.startswith("| query"):
                     carried[line.split("|")[1].strip()] = line.rstrip("\n")
+                m = re.match(r"Median-of-(\d+) rows: (.+)\.$", line.strip())
+                if m:
+                    for name in m.group(2).split(", "):
+                        prov[name] = int(m.group(1))
 
     lines = [
         "# SCALING — measured wall time vs input multiple",
@@ -361,11 +370,24 @@ def main() -> int:
             + " | ".join(f"{r[n]:.2f}" for n in scales)
             + f" | {ratio} |"
         )
-    if args.repeats > 1 and results:
+    for qname in results:
+        if args.repeats > 1:
+            prov[qname] = args.repeats
+        else:
+            prov.pop(qname, None)  # freshly re-measured single-shot
+    probe_names = {q for q, _ in PROBES}
+    groups: dict[int, list[str]] = {}
+    for qname, n in prov.items():
+        if qname in probe_names:
+            groups.setdefault(n, []).append(qname)
+    if groups:
+        lines.append("")
+        for n in sorted(groups, reverse=True):
+            lines.append(f"Median-of-{n} rows: {', '.join(sorted(groups[n]))}.")
         lines += [
-            "",
-            f"Rows for {', '.join(sorted(results))} are the median of "
-            f"{args.repeats} runs each; other rows are single-shot.",
+            "Other rows are single-shot.  Sub-2s rows get repeats because a",
+            "single-shot r8/2 there swings ±0.3 with ordinary box noise",
+            "(scripts/scale_probe.py --only/--repeats).",
         ]
     report = "\n".join(lines) + "\n"
     print(report)

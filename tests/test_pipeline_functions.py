@@ -1061,4 +1061,7 @@ def test_token_budget_sample_matches_global_prefix_and_shard_invariant(spark):
         }
         assert got == expected, n_shards
     assert expected  # the budget selects a non-trivial prefix
-    assert any(v[1] == 0 for v in expected.values()) or True
+    # doc 101 (zero tokens) sits at hash position 2 of s1, inside the
+    # budget — pins that zero-token docs ride the prefix for free and
+    # that the shard-offset filter is `<=`, not `<`.
+    assert 101 in expected and expected[101][1] == 0

@@ -41,3 +41,32 @@ def test_streaming_entry_matches_batch_query(spark, tmp_path):
         for r in entrymod.queries()["cep_signup_to_purchase"](spark, SF_DIR).collect()
     )
     assert got == want and got
+
+
+def test_streaming_entry_replaces_regular_file_at_link_path(spark):
+    """A REGULAR file parked at the link path (older layout, a copy
+    instead of a link) must be replaced with the symlink, not fed to
+    os.readlink — which raises EINVAL on non-links — and not silently
+    reused as potentially stale data."""
+    import hashlib
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    path = os.path.join(SF_DIR, "events.parquet")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "stream_events_" + hashlib.md5(path.encode()).hexdigest()[:12],
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if os.path.lexists(link):
+        os.remove(link)
+    with open(link, "w") as f:
+        f.write("not a symlink")
+
+    out = entrymod.queries_streaming()["cep_signup_to_purchase_stream"](
+        spark, SF_DIR
+    )
+    assert out.isStreaming
+    assert os.path.islink(link) and os.readlink(link) == path
