@@ -332,9 +332,19 @@ def main() -> int:
     # label instead of silently reading as single-shot.
     carried: dict[str, str] = {}
     prov: dict[str, int] = {}
+    extension = ""
     if only and args.out and os.path.exists(args.out):
+        in_extension = False
         with open(args.out) as f:
             for line in f:
+                if line.startswith("## "):
+                    # Hand-added extension sections (e.g. the x16 table)
+                    # may reuse query names with DIFFERENT columns —
+                    # they are carried VERBATIM, not merged as rows.
+                    in_extension = True
+                if in_extension:
+                    extension += line
+                    continue
                 if line.startswith("| ") and not line.startswith("| query"):
                     carried[line.split("|")[1].strip()] = line.rstrip("\n")
                 m = re.match(r"Median-of-(\d+) rows: (.+)\.$", line.strip())
@@ -390,6 +400,8 @@ def main() -> int:
             "(scripts/scale_probe.py --only/--repeats).",
         ]
     report = "\n".join(lines) + "\n"
+    if extension:
+        report += "\n" + extension
     print(report)
     if args.out:
         with open(args.out, "w") as f:
