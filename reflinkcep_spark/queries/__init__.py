@@ -17,86 +17,85 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
-# Round-8 queue: relational.py pre-stages q_min_cost_suppliers (TPC-H
-# Q2 shape: window-decorrelated min-per-group), q_important_parts
-# (Q11 shape: group share of a broadcast global scalar), and
-# q_local_supplier_volume (Q5 shape: same-nation customer/supplier
-# cross-fact residual); pipeline.py pre-stages doc_token_budget
-# (per-source token-budget quota sample over range-sharded prefix
-# sums).  All four are locally oracle-verified at sf0.01 and pinned
-# green by tests/test_check_oracles.py — register them in the round-8
-# rotation and promote the two sitting-out stalwarts
-# (q1_pricing_summary, q6_revenue_delta) FIRST.
-#
-# Front of the driver's 50-entry check window (round 7 rotation).
-# First the two queries registered this round (never driver-checked:
-# text_lm_quality — pre-staged in round 6 — and doc_pack_ffd, the FFD
-# packing query with a recursive-CTE oracle), then the 50 queries
-# whose latest green rows are r5-vintage (they sat outside the r6
-# window), MINUS two named stalwarts: with 102 registered queries, 52
-# candidates compete for 50 slots, so `q1_pricing_summary` and
-# `q6_revenue_delta` (both green since round 1, the two simplest
-# scan-aggregate shapes in the registry) sit out this round and go
-# two rounds stale — promote them FIRST in the round-8 rotation.
-# Before this rotation every promoted query was verified green in
-# CORRECTNESS_r05.json and every demoted query green in
-# CORRECTNESS_r06.json (scripts/window_audit.py run before and after).
+# Front of the driver's 50-entry check window (round 8 rotation).
+# First the two stalwarts that sat out rounds 6-7 (q1_pricing_summary,
+# q6_revenue_delta — 2 rounds stale, the audit's only flags), then the
+# four queries registered this round (pre-staged + oracle-verified in
+# round 7: q_min_cost_suppliers, q_important_parts,
+# q_local_supplier_volume, doc_token_budget — never driver-checked),
+# then 44 of the 50 queries whose latest green rows are r6-vintage.
+# Window arithmetic: 106 registered queries, 2 + 4 + 50 = 56 candidates
+# for 50 slots, so SIX r6-green queries sit out and go two rounds stale
+# at round 9 — promote these FIRST in the round-9 rotation:
+#   text_profile, doc_top_terms, doc_hash_sample, text_token_histogram,
+#   q_events_tumbling, q_running_order_totals
+# (the six simplest scan/window-aggregate shapes among the r6 set, each
+# green every round since registration).  Before this rotation every
+# promoted query was verified green in CORRECTNESS_r06.json (stalwarts
+# in r05) and every demoted query green in CORRECTNESS_r07.json
+# (scripts/window_audit.py run before and after).
 _PRIORITY = (
-    # new in round 7 (never driver-checked)
-    "text_lm_quality",
-    "doc_pack_ffd",
-    # r5-stale: pipeline/text/dedup family
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "doc_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "doc_length_outliers",
-    "text_bigram_lift",
-    # r5-stale: CEP family
-    "cep_error_triples",
-    "cep_signup_to_purchase",
-    "cep_conversion_rate",
-    "cep_view_click_cycles",
-    "cep_spending_burst",
-    "cep_error_streaks_skip",
-    "cep_view_combos_ndrelaxed",
-    "cep_optional_click_prefix",
-    "cep_view_click_runs",
-    "cep_error_pairs_skippast",
-    "cep_high_purchase_chains",
-    "cep_error_then_purchase_grouped",
-    "cep_signup_any_purchase",
-    "cep_signup_abandoned",
-    # r5-stale: relational family (q1_pricing_summary and
-    # q6_revenue_delta deliberately absent — see note above)
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "q_top_customers_per_nation",
-    "q_rollup_order_priority",
-    "q_cube_lineitem_flags",
-    "q_big_building_buyers",
-    "q_customers_without_orders",
-    "q_orders_without_items",
-    "q_parts_with_cheap_suppliers",
-    "q_scalar_functions",
-    "q_orders_by_month",
-    "q_distinct_counts",
-    "q_grouping_sets",
-    "q_quantity_percentiles",
-    "q_above_nation_avg",
-    "q_pivot_status_priority",
-    "q_unpivot_balances",
-    "q_late_ship_priority",
-    "q_order_count_distribution",
-    "q_promo_revenue_share",
-    "q_large_quantity_orders",
-    "q_segment_opportunity",
-    "q_disjunctive_revenue",
-    "q_binational_volume",
-    "q_top_supplier",
-    "q_small_quantity_revenue",
+    # 2-rounds-stale stalwarts (last row r5) — first, per round-7 plan
+    "q1_pricing_summary",
+    "q6_revenue_delta",
+    # new in round 8 (never driver-checked; pre-staged round 7)
+    "q_min_cost_suppliers",
+    "q_important_parts",
+    "q_local_supplier_volume",
+    "doc_token_budget",
+    # r6-stale: dedup/text/pipeline family (text_profile, doc_top_terms,
+    # doc_hash_sample, text_token_histogram deliberately absent — they
+    # sit out; see note above)
+    "dedup_clusters",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "text_repetition",
+    "text_language",
+    "doc_rolling_fingerprint",
+    "doc_winnow_robust",
+    "doc_mixture_sample",
+    "doc_mixture_upsample",
+    "doc_source_stats",
+    "doc_decontam",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_curation_funnel",
+    "doc_chunk_overlap",
+    "doc_vocab_coverage",
+    "doc_split_assign",
+    "doc_global_shuffle",
+    "doc_split_leakage",
+    # r6-stale: similarity/multimodal family
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_embedding_neardup",
+    "multimodal_bytes",
+    # r6-stale: temporal family (q_events_tumbling deliberately absent
+    # — sits out; see note above)
+    "q_range_join_clicks",
+    "q_events_sliding",
+    "q_user_sessions",
+    "q_session_windows",
+    "q_asof_last_click",
+    "q_asof_next_error",
+    "q_events_props_json",
+    # r6-stale: CEP family
+    "cep_high_purchases",
+    "cep_funnel_3step",
+    "cep_funnel_within",
+    "cep_error_runs",
+    "cep_purchase_then_error",
+    "cep_error_runs_skiptolast",
+    "cep_signup_purchase_skipfirst",
+    # r6-stale: relational family (q_running_order_totals deliberately
+    # absent — sits out; see note above)
+    "q_balance_quartiles",
+    "q_skew_salted_events",
+    "q_waiting_suppliers",
+    "q_excess_inventory_suppliers",
+    "q_returned_item_customers",
+    "q_nation_market_share",
 )
 
 

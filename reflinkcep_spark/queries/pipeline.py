@@ -1786,11 +1786,10 @@ GROUP BY c.doc_id
 """
 
 
-# --- token-budget quota sample (PRE-STAGED for round 8) ----------------
+# --- token-budget quota sample (registered round 8) --------------------
 #
-# doc_token_budget is implemented and locally oracle-verified but
-# deliberately NOT registered this round: the round-7 window is full
-# (see queries/__init__.py).  Register it in the round-8 rotation.
+# doc_token_budget was pre-staged (written + oracle-verified) in
+# round 7 and registered in the round-8 rotation (queries/__init__.py).
 
 def doc_token_budget(spark, sf_dir):
     """Token-budgeted mixture building: per source, the deterministic
@@ -1866,6 +1865,7 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "sim_embedding_neardup": sim_embedding_neardup,
     "multimodal_bytes": multimodal_bytes,
+    "doc_token_budget": doc_token_budget,
 }
 
 ORACLES = {
@@ -1908,4 +1908,5 @@ ORACLES = {
     "text_lm_quality": SQL_LM_QUALITY,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
+    "doc_token_budget": SQL_DOC_TOKEN_BUDGET,
 }

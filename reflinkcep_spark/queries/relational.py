@@ -1443,13 +1443,11 @@ ORDER BY s_name
 """
 
 
-# --- Q2 shape: min-cost supplier per part (PRE-STAGED for round 8) ----
+# --- Q2 shape: min-cost supplier per part (registered round 8) -------
 #
-# q_min_cost_suppliers and q_important_parts below are implemented and
-# locally oracle-verified but deliberately NOT registered this round:
-# the round-7 window is full (102 queries, two stalwarts already
-# sitting out — see queries/__init__.py).  Register both in the
-# round-8 rotation.
+# q_min_cost_suppliers, q_important_parts, and q_local_supplier_volume
+# were pre-staged (written + oracle-verified) in round 7 and registered
+# in the round-8 rotation (see queries/__init__.py).
 
 def q_min_cost_suppliers(spark, sf_dir):
     """For every ECONOMY part, the EUROPE supplier(s) quoting the
@@ -1691,6 +1689,9 @@ QUERIES = {
     "q_excess_inventory_suppliers": q_excess_inventory_suppliers,
     "q_returned_item_customers": q_returned_item_customers,
     "q_nation_market_share": q_nation_market_share,
+    "q_min_cost_suppliers": q_min_cost_suppliers,
+    "q_important_parts": q_important_parts,
+    "q_local_supplier_volume": q_local_supplier_volume,
 }
 
 ORACLES = {
@@ -1729,4 +1730,7 @@ ORACLES = {
     "q_excess_inventory_suppliers": SQL_EXCESS_INVENTORY_SUPPLIERS,
     "q_returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
     "q_nation_market_share": SQL_NATION_MARKET_SHARE,
+    "q_min_cost_suppliers": SQL_MIN_COST_SUPPLIERS,
+    "q_important_parts": SQL_IMPORTANT_PARTS,
+    "q_local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
 }
