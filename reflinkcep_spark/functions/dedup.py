@@ -813,3 +813,98 @@ def winnow_pairs(
         .filter(F.col("sim") >= threshold)
     )
     return out.select("doc_a", "doc_b", "n_shared", "sim")
+
+
+def substring_spans(
+    df: DataFrame,
+    min_len: int = 50,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-document duplicate SPAN detection ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022): maximal runs
+    of ≥ ``min_len`` consecutive tokens shared verbatim between two
+    documents — the substring-level operator exact-dedup misses (a
+    boilerplate header pasted into otherwise-distinct documents) and
+    set-similarity misses (a long quote inside two long documents keeps
+    Jaccard low).
+
+    Shape, all Catalyst: each document emits one hash per token
+    position (the k-gram starting there), a ``max_df``-capped posting
+    index joins equal hashes across documents (the
+    :func:`ngram_jaccard_pairs` / :func:`winnow_pairs` scale shape —
+    fanout bounded at max_df² per gram, so boilerplate can't expand
+    quadratically), and consecutive positional matches merge into
+    maximal spans with the classic diagonal trick: matches at
+    ``(pos_a, pos_b)`` and ``(pos_a+1, pos_b+1)`` share a diagonal
+    ``pos_b − pos_a``, so within ``(doc_a, doc_b, diag)`` a run is a
+    group of ``pos_a − row_number()`` — three keyed exchanges total
+    (gram df-count, gram self-join, pair+diag window), each on keys
+    whose cardinality the cap bounds.  A run of L consecutive matching
+    k-grams covers L+k−1 tokens.
+
+    Caveats by construction: a gram the cap drops (shared by > max_df
+    docs) splits a span crossing it — each fragment still reports if it
+    alone clears ``min_len``; spans shorter than k tokens are invisible
+    (choose k ≤ min_len).  ``hash_fn="md5"`` (60-bit, via
+    :func:`_hash64`) is bit-identical to DuckDB and makes the operator
+    oracle-checkable; xxhash64 is the production default — hash values
+    never reach the output, so the twins differ only under collisions.
+
+    Returns (doc_a, doc_b, start_a, start_b, span_len) with
+    doc_a < doc_b; starts are 0-based token positions, span_len in
+    tokens.
+    """
+    if k > min_len:
+        raise ValueError(f"k={k} must be <= min_len={min_len}")
+    from reflinkcep_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    ).filter(F.size("tk") >= k)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(k - 1)),
+                lambda i: _hash64(F.array_join(F.slice("tk", i, k), " "), hash_fn),
+            )
+        ).alias("pos", "h"),
+    )
+    grams = grams.localCheckpoint(eager=False)  # used 3x: df-count + both join sides
+    rare = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    idx = grams.join(rare, "h")
+    pairs = (
+        idx.select("h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"))
+        .join(
+            idx.select("h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")),
+            "h",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("diag", F.col("pos_b") - F.col("pos_a"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    return (
+        pairs.withColumn("run_id", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "run_id")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            (F.col("start_a") + F.col("diag")).cast("long").alias("start_b"),
+            "span_len",
+        )
+    )

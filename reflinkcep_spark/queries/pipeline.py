@@ -1826,6 +1826,66 @@ FROM c WHERE cum_tok <= 800
 """
 
 
+# --- substring-span dedup (PRE-STAGED for round 9) ----------------------
+#
+# dedup_substring_spans is implemented and locally oracle-verified but
+# deliberately NOT registered this round: the round-8 window is full
+# (106 queries, six r6-green sit-outs already named — see
+# queries/__init__.py).  Register it in the round-9 rotation.
+
+def dedup_substring_spans(spark, sf_dir):
+    """Duplicate-span detection (Lee et al. 2022): maximal runs of
+    ≥ 40 consecutive tokens shared verbatim between two documents —
+    catches the pasted-boilerplate / long-quote overlaps that both
+    exact dedup (whole-doc) and set similarity (order-blind) miss.
+    md5 gram hashes so every value is DuckDB-replayable; xxhash64 is
+    the function's production default (hash values never reach the
+    output — see functions/dedup.py:substring_spans for the capped
+    posting-index scale shape and the diagonal run-merge)."""
+    return dedup.substring_spans(
+        _docs(spark, sf_dir), min_len=40, k=8, hash_fn="md5"
+    )
+
+
+# Same pipeline in SQL: per-position k-gram hashes (k=8), max_df-capped
+# posting self-join, diagonal run-merge via pos - row_number.
+SQL_DEDUP_SUBSTRING_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS h
+  FROM toks, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)
+  WHERE len(tk) >= 8
+),
+rare AS (
+  SELECT h FROM grams GROUP BY h HAVING count(*) <= 64
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS diag
+  FROM grams a JOIN rare USING (h) JOIN grams b USING (h)
+  WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run_id
+  FROM pairs
+)
+SELECT doc_a, doc_b,
+       min(pos_a)::BIGINT AS start_a,
+       (min(pos_a) + diag)::BIGINT AS start_b,
+       (count(*) + 7)::BIGINT AS span_len
+FROM runs
+GROUP BY doc_a, doc_b, diag, run_id
+HAVING count(*) + 7 >= 40
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -91,6 +91,7 @@ PROBES = [
     ("q_nation_market_share", "lineitem"),
     ("text_lm_quality", "documents"),
     ("doc_pack_ffd", "documents"),
+    ("dedup_substring_spans", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key
@@ -259,6 +260,16 @@ def main() -> int:
     spark = get_spark(app_name="reflinkcep-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    # Pre-staged queries (written + oracle-verified but not yet
+    # registered — the next round's rotation queue) are probe-able too:
+    # fall back to the query modules' namespaces for PROBES names the
+    # registry doesn't know yet.
+    from reflinkcep_spark.queries import _MODULES
+
+    for mod in _MODULES:
+        for _q, _ in PROBES:
+            if _q not in queries and hasattr(mod, _q):
+                queries[_q] = getattr(mod, _q)
 
     # warm JVM + Python worker pool (see bench.py)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -324,16 +335,16 @@ def main() -> int:
                 flush=True,
             )
 
-    # Targeted re-probe: carry over the untouched rows of the existing
-    # report so a noisy borderline row can be re-measured (with
-    # --repeats) without paying for a full regeneration.  Repeat
-    # PROVENANCE is carried too — the footer's "Median-of-N rows:"
-    # lines are parsed back so earlier re-measurements keep their
-    # label instead of silently reading as single-shot.
+    # Carry-over from the existing report (targeted --only re-probes
+    # AND full regens alike): rows not re-measured this run, repeat
+    # PROVENANCE (the footer's "Median-of-N rows:" lines, so earlier
+    # re-measurements keep their label instead of silently reading as
+    # single-shot), and hand-added "## " extension sections (e.g. the
+    # x16 table) — a full regen must not silently drop any of them.
     carried: dict[str, str] = {}
     prov: dict[str, int] = {}
     extension = ""
-    if only and args.out and os.path.exists(args.out):
+    if args.out and os.path.exists(args.out):
         in_extension = False
         with open(args.out) as f:
             for line in f:
@@ -370,6 +381,16 @@ def main() -> int:
         if qname not in results:
             if qname in carried:
                 lines.append(carried[qname])
+            else:
+                # "no silent caps": a probe with neither a fresh
+                # measurement nor a prior row would vanish from the
+                # table — say so instead.
+                print(
+                    f"WARNING: probe {qname} not measured this run and "
+                    f"has no carried row — absent from the table "
+                    f"(re-run with --only {qname} or a full regen)",
+                    flush=True,
+                )
             continue
         r = results[qname]
         ratio = (

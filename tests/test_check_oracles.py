@@ -58,25 +58,18 @@ def test_int32_vs_int64_is_same_kind():
     assert compare("x", got, want) == []
 
 
-def test_prestaged_round8_queries_match_oracles(spark):
-    """The round-8 queue (q_min_cost_suppliers, q_important_parts,
-    q_local_supplier_volume, doc_token_budget) is written but not yet
-    registered (round-7 window full).  Keep every queued query
-    oracle-green at sf0.001 until the round-8 rotation registers them,
-    so registration is a two-line edit, not a debugging session."""
+def test_prestaged_round9_queries_match_oracles(spark):
+    """The round-9 queue is written but not yet registered (round-8
+    window full — see queries/__init__.py).  Keep every queued query
+    oracle-green at sf0.001 until the round-9 rotation registers them,
+    so registration is a two-line edit, not a debugging session.
+    (The round-8 queue graduated into the registry and is now covered
+    by the full check_oracles replay.)"""
     import duckdb
 
     from reflinkcep_spark.queries.pipeline import (
-        SQL_DOC_TOKEN_BUDGET,
-        doc_token_budget,
-    )
-    from reflinkcep_spark.queries.relational import (
-        SQL_IMPORTANT_PARTS,
-        SQL_LOCAL_SUPPLIER_VOLUME,
-        SQL_MIN_COST_SUPPLIERS,
-        q_important_parts,
-        q_local_supplier_volume,
-        q_min_cost_suppliers,
+        SQL_DEDUP_SUBSTRING_SPANS,
+        dedup_substring_spans,
     )
     from tests.conftest import SF_DIR
 
@@ -95,10 +88,7 @@ def test_prestaged_round8_queries_match_oracles(spark):
             f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
         )
     for fn, sql in (
-        (q_min_cost_suppliers, SQL_MIN_COST_SUPPLIERS),
-        (q_important_parts, SQL_IMPORTANT_PARTS),
-        (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
-        (doc_token_budget, SQL_DOC_TOKEN_BUDGET),
+        (dedup_substring_spans, SQL_DEDUP_SUBSTRING_SPANS),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

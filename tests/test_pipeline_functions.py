@@ -1065,3 +1065,71 @@ def test_token_budget_sample_matches_global_prefix_and_shard_invariant(spark):
     # budget — pins that zero-token docs ride the prefix for free and
     # that the shard-offset filter is `<=`, not `<`.
     assert 101 in expected and expected[101][1] == 0
+
+
+def test_substring_spans_planted_overlaps(spark):
+    """Plant verbatim token runs inside otherwise-disjoint noise and
+    assert substring_spans recovers each one with exact start positions
+    and length (Lee et al. 2022's operator contract: maximal shared
+    spans >= min_len tokens, positions 0-based)."""
+    import random
+
+    rng = random.Random(11)
+    noise = lambda did, n: " ".join(  # noqa: E731
+        f"n{did}_{rng.randrange(10**6)}" for _ in range(n)
+    )
+    run = " ".join(f"shared_{i}" for i in range(12))
+    rows = [
+        # pair (0,1): run at token 5 in doc 0, token 9 in doc 1
+        (0, f"{noise(0, 5)} {run} {noise(0, 8)}"),
+        (1, f"{noise(1, 9)} {run} {noise(1, 3)}"),
+        # doc 2: unrelated noise, long enough to gram
+        (2, noise(2, 30)),
+        # doc 3: shorter-than-k tail — must not crash or pair
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.substring_spans(df, min_len=10, k=4).collect()
+    assert [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_len) for r in out] == [
+        (0, 1, 5, 9, 12)
+    ]
+    # md5 twin: hash values never reach the output, so both hash
+    # functions must emit the identical span set.
+    md5_out = dedup.substring_spans(df, min_len=10, k=4, hash_fn="md5").collect()
+    assert sorted(map(tuple, md5_out)) == sorted(map(tuple, out))
+
+
+def test_substring_spans_identical_docs_and_diagonals(spark):
+    """Two identical documents share one full-length span on diagonal
+    0; a doc repeating its own prefix pairs on a second diagonal too
+    (each reported separately — spans merge per diagonal, not per
+    pair)."""
+    text12 = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(0, text12), (1, text12), (2, text12 + " " + text12)],
+        "doc_id long, text string",
+    )
+    out = dedup.substring_spans(df, min_len=12, k=4)
+    got = {(r.doc_a, r.doc_b): (r.start_a, r.start_b, r.span_len) for r in out.collect()}
+    assert got[(0, 1)] == (0, 0, 12)
+    # docs 0 and 2: doc 2 holds the 12-token run at positions 0 AND 12
+    spans_02 = sorted(
+        (r.start_a, r.start_b, r.span_len)
+        for r in out.collect()
+        if (r.doc_a, r.doc_b) == (0, 2)
+    )
+    assert spans_02 == [(0, 0, 12), (0, 12, 12)]
+
+
+def test_substring_spans_max_df_caps_boilerplate(spark):
+    """A gram shared by more than max_df documents is boilerplate: it
+    must be dropped from the posting index, so a corpus of N identical
+    docs yields zero pairs at max_df < N instead of N^2/2."""
+    text = " ".join(f"b{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(8)], "doc_id long, text string"
+    )
+    assert dedup.substring_spans(df, min_len=10, k=4, max_df=4).count() == 0
+    assert dedup.substring_spans(df, min_len=10, k=4, max_df=8).count() == 8 * 7 // 2
+    with pytest.raises(ValueError):
+        dedup.substring_spans(df, min_len=3, k=4)
