@@ -450,18 +450,30 @@ def lm_quality(
     )
     # Referenced twice (count table + per-doc join): compute once.
     bg = bg.localCheckpoint(eager=False)
-    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("bdf"))
+    # Singleton elision: under Zipf, roughly half of all n-gram TYPES
+    # are corpus singletons, and "bdf == 1" is EXACTLY "absent from
+    # the bdf >= 2 table" — so a LEFT join against only the repeated
+    # types plus coalesce(bdf, 1) computes bit-identical scores while
+    # the count-table shuffle and the join build side carry only the
+    # repeated vocabulary (the term that grows with corpus vocabulary;
+    # the VERDICT-r7 watch item on this row's scaling).
+    cnt = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .filter(F.col("bdf") >= 2)
+    )
     n = F.count(F.lit(1))
     return (
-        bg.join(cnt, "bg")
+        bg.join(cnt, "bg", "left")
         .groupBy(id_col)
         .agg(
             n.alias(f"n_{g}s"),
-            (F.sum("bdf").cast("double") / n.cast("double")).alias(
-                f"avg_{g}_df"
-            ),
             (
-                F.sum(F.when(F.col("bdf") == 1, F.lit(1)).otherwise(F.lit(0)))
+                F.sum(F.coalesce(F.col("bdf"), F.lit(1))).cast("double")
+                / n.cast("double")
+            ).alias(f"avg_{g}_df"),
+            (
+                F.sum(F.when(F.col("bdf").isNull(), F.lit(1)).otherwise(F.lit(0)))
                 .cast("double")
                 / n.cast("double")
             ).alias("unique_fraction"),
