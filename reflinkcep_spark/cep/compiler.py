@@ -45,6 +45,14 @@ def _neg(pred: Callable) -> Callable:
     return lambda attrs, env: not pred(attrs, env)
 
 
+def _none_of(preds: list) -> Callable:
+    """True iff NO predicate matches — the relaxed-ignore guard for a
+    boundary whose next consuming step has several candidate edges."""
+    if len(preds) == 1:
+        return _neg(preds[0])
+    return lambda attrs, env: not any(p(attrs, env) for p in preds)
+
+
 def _conj_not(pred: Callable, until: Callable) -> Callable:
     return lambda attrs, env: pred(attrs, env) and not until(attrs, env)
 
@@ -70,6 +78,34 @@ class _Builder:
 
     def _other_types(self, ev: str):
         return [t for t in self.schema.keys() if t != ev]
+
+    def _closure_takes_finals(self, r0: int) -> tuple[list, list[int]]:
+        """TAKE edges and final states ε-reachable from ``r0`` without
+        consuming — i.e. every way the sub-automaton rooted at ``r0``
+        can consume its FIRST event, and every way it can complete on
+        zero events.  Collected in the runtime's worklist-insertion
+        exploration order (runtime.py feed()'s insert-at-i expansion),
+        so edges replayed at a combine boundary keep the exact edge
+        priority a run ε-parked at ``r0`` would have explored — edge
+        order is semantic (it fixes match emission order)."""
+        a = self.aut
+        order = [r0]
+        seen = {r0}
+        takes: list = []
+        finals: list[int] = []
+        i = 0
+        while i < len(order):
+            s = order[i]
+            i += 1
+            if a.outputs[s] is not None:
+                finals.append(s)
+            for e in a.edges[s]:
+                if e.kind == TAKE:
+                    takes.append(e)
+                elif e.kind == EPS and e.dst not in seen:
+                    seen.add(e.dst)
+                    order.insert(i, e.dst)
+        return takes, finals
 
     def _wrap_until(self, states: list[int], until_pred: Callable) -> None:
         """Conjoin ¬until onto every consuming edge of a fragment
@@ -207,7 +243,27 @@ class _Builder:
         compile.py:375-474).  Left-final outputs are merged into right
         finals, then replaced by ε-links into the right start.  For
         non-strict modes, a boundary "skipping" state replays the right
-        start's take edges after ignoring interleaved events."""
+        start's take edges after ignoring interleaved events.
+
+        NESTED right children under non-strict contiguity are a
+        beyond-reference extension (the reference reads the right
+        child's leaf fields directly, compile.py:415-419, and refuses
+        anything else; Flink's genjava surface refuses them too, so
+        the semantics spec is the public Flink GroupPattern contract):
+        the gap's skip rule only needs the set of events that can
+        BEGIN the right child — the TAKE edges in the right start's
+        ε-closure.  relaxed ignores exactly the events none of those
+        edges accept (Flink: "relaxed contiguity skips events that do
+        not match"); nd-relaxed ignores everything.  Left finals route
+        through a replay ENTRY state carrying those closure takes
+        instead of ε-linking into the right's interior: interior
+        states reachable by ε may own IGNORE edges of their own (e.g.
+        a nested non-strict combine behind an optional loop), and a
+        run parked on one would fork a second, strictly-weaker skip
+        path that duplicates matches — the entry state makes the
+        boundary the ONLY skip path before the right's first take.
+        Zero-consume completions survive via explicit ε-links to the
+        closure's final states."""
         contiguity = node["contiguity"]
         left = self.build(node["left"])
         right = self.build(node["right"])
@@ -222,30 +278,62 @@ class _Builder:
                 a.outputs[qr] = merged
 
         r0 = right.start
-        for ql in left_finals:
-            a.add(ql, Edge(EPS, None, None, r0))
-            a.outputs[ql] = None
-
         states = left.states + right.states
-        if contiguity != "strict":
-            boundary = a.new_state()
-            states.append(boundary)
-            for e in list(a.edges[r0]):
-                if e.kind == TAKE:
-                    a.add(boundary, Edge(TAKE, e.ev_type, e.pred, e.dst, e.sink, e.update))
-            if contiguity == "relaxed":
-                rnode = node["right"]  # leaf by validation
-                rpred = compile_predicate(str(rnode["cndt"]["expr"]))
-                rev = rnode["event"]
-                notp = _neg(rpred)
-                a.add(r0, Edge(IGNORE, rev, notp, boundary))
-                a.add(boundary, Edge(IGNORE, rev, notp, boundary))
-                for other in self._other_types(rev):
-                    a.add(r0, Edge(IGNORE, other, None, boundary))
-                    a.add(boundary, Edge(IGNORE, other, None, boundary))
-            else:  # nd-relaxed
-                a.add(r0, Edge(IGNORE, ANY_TYPE, None, boundary))
-                a.add(boundary, Edge(IGNORE, ANY_TYPE, None, boundary))
+        nested = (
+            contiguity != "strict"
+            and node["right"].get("type") not in ("spat", "lpat", "lpat-inf")
+        )
+
+        if not nested:
+            for ql in left_finals:
+                a.add(ql, Edge(EPS, None, None, r0))
+                a.outputs[ql] = None
+            if contiguity != "strict":
+                boundary = a.new_state()
+                states.append(boundary)
+                for e in list(a.edges[r0]):
+                    if e.kind == TAKE:
+                        a.add(boundary, Edge(TAKE, e.ev_type, e.pred, e.dst, e.sink, e.update))
+                if contiguity == "relaxed":
+                    rnode = node["right"]  # leaf on this path
+                    rpred = compile_predicate(str(rnode["cndt"]["expr"]))
+                    rev = rnode["event"]
+                    notp = _neg(rpred)
+                    a.add(r0, Edge(IGNORE, rev, notp, boundary))
+                    a.add(boundary, Edge(IGNORE, rev, notp, boundary))
+                    for other in self._other_types(rev):
+                        a.add(r0, Edge(IGNORE, other, None, boundary))
+                        a.add(boundary, Edge(IGNORE, other, None, boundary))
+                else:  # nd-relaxed
+                    a.add(r0, Edge(IGNORE, ANY_TYPE, None, boundary))
+                    a.add(boundary, Edge(IGNORE, ANY_TYPE, None, boundary))
+            return _Frag(left.start, states)
+
+        # -- nested non-strict right: replay-entry construction --------
+        ctakes, cfinals = self._closure_takes_finals(r0)
+        entry = a.new_state()
+        boundary = a.new_state()
+        states += [entry, boundary]
+        for q in (entry, boundary):
+            for e in ctakes:
+                a.add(q, Edge(TAKE, e.ev_type, e.pred, e.dst, e.sink, e.update))
+        if contiguity == "relaxed":
+            by_type: dict = {}
+            for e in ctakes:
+                by_type.setdefault(e.ev_type, []).append(e.pred)
+            for t in self.schema.keys():
+                preds = by_type.get(t)
+                guard = _none_of(preds) if preds else None
+                a.add(entry, Edge(IGNORE, t, guard, boundary))
+                a.add(boundary, Edge(IGNORE, t, guard, boundary))
+        else:  # nd-relaxed
+            a.add(entry, Edge(IGNORE, ANY_TYPE, None, boundary))
+            a.add(boundary, Edge(IGNORE, ANY_TYPE, None, boundary))
+        for ql in left_finals:
+            a.add(ql, Edge(EPS, None, None, entry))
+            for f in cfinals:
+                a.add(ql, Edge(EPS, None, None, f))
+            a.outputs[ql] = None
 
         return _Frag(left.start, states)
 

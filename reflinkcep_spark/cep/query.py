@@ -124,14 +124,13 @@ def _validate_node(node: Mapping, where: str = "patseq") -> None:
             raise QueryError(f"{where}: bad contiguity {node['contiguity']!r}")
         _validate_node(node["left"], where + ".left")
         _validate_node(node["right"], where + ".right")
-        if node["contiguity"] != "strict" and node["right"].get("type") not in LEAF_TYPES:
-            # The reference cannot express this either: its non-strict
-            # combine reads the right child's leaf fields directly
-            # (compile.py:415-419 → KeyError on nested right children).
-            raise QueryError(
-                f"{where}: non-strict combine requires a leaf right child "
-                f"(got {node['right'].get('type')!r})"
-            )
+        # Non-strict combine with a NESTED right child is accepted as a
+        # beyond-reference extension since round 8 (the reference reads
+        # the right child's leaf fields directly, compile.py:415-419,
+        # and raises on anything else).  The compiler derives the gap's
+        # skip rule from the right fragment's start-ε-closure take
+        # edges — see compiler.py:_build_combine and the Flink-derived
+        # golden tests in tests/test_nested_combine.py.
     else:  # group patterns
         _require(node, ("child",), where)
         _validate_node(node["child"], where + ".child")

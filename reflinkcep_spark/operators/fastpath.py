@@ -63,11 +63,14 @@ def _spat_chain(node: Mapping) -> Optional[tuple[list[Mapping], list[str]]]:
         right = _spat_chain(node["right"])
         if left is None or right is None:
             return None
-        if node["contiguity"] != "strict" and len(right[0]) != 1:
-            # The reference only compiles a LEAF right child for
-            # non-strict combines (compile.py:415-419 reads
-            # right_ast["event"] directly); mirror that limit.
-            return None
+        # A non-strict combine whose right child flattens to a chain is
+        # the chain with the combine's contiguity on the gap BEFORE the
+        # right's first leaf (the compiler's ε-closure construction
+        # degenerates to exactly this for spat chains — the closure of
+        # a chain's start holds one take edge, the first leaf's).  The
+        # pre-round-8 leaf-only limit mirrored the reference's refusal;
+        # the kernel now accepts nested rights, and kernel/fast-path
+        # parity is pinned by tests/test_nested_combine.py.
         return left[0] + right[0], left[1] + [node["contiguity"]] + right[1]
     return None
 

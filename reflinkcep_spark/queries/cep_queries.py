@@ -1233,6 +1233,84 @@ FROM conv GROUP BY 1
 """
 
 
+# --- nested-right relaxed combine (PRE-STAGED for round 9) -------------
+#
+# cep_nested_funnel_relaxed is implemented and locally oracle-verified
+# but deliberately NOT registered this round: the round-8 window is
+# full (see queries/__init__.py).  Register it in the round-9 rotation.
+
+def cep_nested_funnel_relaxed(spark, sf_dir):
+    """Signup followed (relaxed) by the NESTED sub-pattern "qualifying
+    purchase IMMEDIATELY followed by an error" — `A then (B next C)`,
+    the right-nested non-strict combine the reference refuses outright
+    (compile.py:415-419) and round 8 lifted (cep/compiler.py
+    `_build_combine`, replay-entry construction).  Semantics: after the
+    signup, every event that cannot BEGIN the right child (anything
+    but a >50 purchase) is skipped; the first qualifying purchase is
+    taken, and the run survives only if the very next event in the
+    user's stream is an error — no backtracking to a later purchase,
+    exactly Flink's followedBy(group) contract.  Dispatches to the
+    window fast path (the planner flattens right-nested spat chains,
+    operators/fastpath.py)."""
+    out = _run(
+        spark,
+        sf_dir,
+        """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left:
+    type: spat
+    name: reg
+    event: signup
+    cndt: {expr: "True"}
+  right:
+    type: combine
+    contiguity: strict
+    left:
+      type: spat
+      name: buy
+      event: purchase
+      cndt: {expr: value > 50}
+    right:
+      type: spat
+      name: err
+      event: error
+      cndt: {expr: "True"}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+""",
+    )
+    return out.select(
+        "user_id",
+        _cap("reg")["event_id"].alias("signup_id"),
+        _cap("buy")["event_id"].alias("purchase_id"),
+        _cap("err")["event_id"].alias("error_id"),
+    )
+
+
+# Window replay: for each signup, the first qualifying purchase after
+# it (relaxed gap = first-blocking-event), matched only if the user's
+# IMMEDIATELY NEXT event is an error (the inner strict link).
+SQL_NESTED_FUNNEL_RELAXED = """
+WITH nb AS (
+  SELECT user_id, event_id, event_type,
+         MIN(CASE WHEN event_type = 'purchase' AND value > 50 THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_buy,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt_type,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt_id
+  FROM events
+)
+SELECT s.user_id, s.event_id AS signup_id, b.event_id AS purchase_id,
+       b.nxt_id AS error_id
+FROM nb s
+JOIN nb b ON b.user_id = s.user_id AND b.event_id = s.next_buy
+WHERE s.event_type = 'signup' AND b.nxt_type = 'error'
+"""
+
+
 QUERIES = {
     "cep_high_purchases": cep_high_purchases,
     "cep_funnel_3step": cep_funnel_3step,

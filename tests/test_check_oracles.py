@@ -67,6 +67,10 @@ def test_prestaged_round9_queries_match_oracles(spark):
     by the full check_oracles replay.)"""
     import duckdb
 
+    from reflinkcep_spark.queries.cep_queries import (
+        SQL_NESTED_FUNNEL_RELAXED,
+        cep_nested_funnel_relaxed,
+    )
     from reflinkcep_spark.queries.pipeline import (
         SQL_DEDUP_SUBSTRING_SPANS,
         dedup_substring_spans,
@@ -83,12 +87,14 @@ def test_prestaged_round9_queries_match_oracles(spark):
         "orders",
         "lineitem",
         "documents",
+        "events",
     ):
         con.execute(
             f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
         )
     for fn, sql in (
         (dedup_substring_spans, SQL_DEDUP_SUBSTRING_SPANS),
+        (cep_nested_funnel_relaxed, SQL_NESTED_FUNNEL_RELAXED),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

@@ -1,0 +1,215 @@
+"""Nested right children under non-strict combine — the round-8
+beyond-reference lift (reference compile.py:415-419 refuses these; so
+does Flink's genjava surface, so the semantics source is the public
+Flink GroupPattern contract: ``A.followedBy(group)`` applies the gap's
+contiguity to the events before the GROUP'S FIRST MATCHED EVENT, and
+relaxed contiguity may only skip events that cannot be taken).
+
+Three layers:
+* golden cases with hand-derived expectations,
+* nested-vs-flat differential on randomized streams (the flat
+  left-nested forms compile through the pre-existing, reference-
+  validated leaf path — equivalence pins the new construction to it),
+* fast-path parity for right-nested spat chains (the planner's
+  flattening now accepts them).
+"""
+
+import random
+
+import pytest
+
+from reflinkcep_spark import Pattern, Query, run_pattern
+
+SCHEMA = {"e": ["id", "name"]}
+
+
+def ev(names):
+    return [("e", {"id": i + 1, "name": n}) for i, n in enumerate(names)]
+
+
+def ids(matches):
+    return [
+        {k: [e["id"] for e in v] for k, v in m.items()} for m in matches
+    ]
+
+
+def test_relaxed_gap_applies_before_first_right_event_only():
+    """A fby (B next C): events are skippable only until B is taken;
+    the inner strict link is untouched by the outer relaxed gap."""
+    inner = Pattern.begin("b", "e").where("name == 2").next_("c", "e", "name == 3")
+    q = Pattern.begin("a", "e").where("name == 1").then("relaxed", inner).query(SCHEMA)
+    # e2 (name 4) skipped — it cannot begin the right child; then b=e3,
+    # strict c=e4.
+    assert ids(run_pattern(q, ev([1, 4, 2, 3]))) == [{"a": [1], "b": [3], "c": [4]}]
+    # b=e2 taken (a matching event is NOT skippable under relaxed),
+    # then e3 breaks the inner strict link: no match.
+    assert ids(run_pattern(q, ev([1, 2, 4, 3]))) == []
+
+
+def test_no_duplicate_skip_path_for_nested_nonstrict_right():
+    """A fby (B* fby C): the right child's own start-ε-closure reaches
+    a state owning IGNORE edges (the inner combine's boundary juncture
+    behind the optional loop).  The replay-entry construction must keep
+    the outer boundary the ONLY pre-first-take skip path — one match,
+    not a duplicate per interior ignore fork."""
+    inner = (
+        Pattern.begin("b", "e").where("name == 2").times_or_more(0)
+        .followed_by("c", "e", "name == 3")
+    )
+    q = Pattern.begin("a", "e").where("name == 1").then("relaxed", inner).query(SCHEMA)
+    assert ids(run_pattern(q, ev([1, 9, 3]))) == [{"a": [1], "c": [3]}]
+    # With loop iterations: the relaxed loop's legitimate prefix forks
+    # remain (b=[2,4] and b=[2]), but nothing is doubled.
+    assert ids(run_pattern(q, ev([1, 2, 9, 2, 3]))) == [
+        {"a": [1], "b": [2, 4], "c": [5]},
+        {"a": [1], "b": [2], "c": [5]},
+    ]
+
+
+def test_zero_consume_right_completes_via_closure_finals():
+    """A fby group(B){0,∞}: the right child can match zero events, so
+    the match [A] alone must survive the replay-entry construction
+    (ε-links to the closure's final states)."""
+    g = Pattern.group(Pattern.begin("b", "e").where("name == 2")).times_or_more(0)
+    q = Pattern.begin("a", "e").where("name == 1").then("relaxed", g).query(SCHEMA)
+    assert ids(run_pattern(q, ev([1, 2]))) == [{"a": [1]}, {"a": [1], "b": [2]}]
+
+
+def test_nd_relaxed_gap_forks_on_matching_events():
+    """A fbAny (B next C): nd-relaxed may skip even a usable B, so both
+    (b=e2,c=e3) and (b=e4,c=e5) emit; relaxed would force b=e2."""
+    inner = Pattern.begin("b", "e").where("name == 2").next_("c", "e", "name == 3")
+    q = (
+        Pattern.begin("a", "e").where("name == 1")
+        .then("nd-relaxed", inner).query(SCHEMA)
+    )
+    assert ids(run_pattern(q, ev([1, 2, 3, 2, 3]))) == [
+        {"a": [1], "b": [2], "c": [3]},
+        {"a": [1], "b": [4], "c": [5]},
+    ]
+
+
+def test_multi_take_closure_optional_loop_then_strict():
+    """A fby (B*consec next C): the closure holds TWO take edges (begin
+    the loop, or begin C directly with zero Bs) — the gap guard is
+    ¬(B-pred ∨ C-pred)."""
+    inner = (
+        Pattern.begin("b", "e").where("name == 2").times_or_more(0).consecutive()
+        .next_("c", "e", "name == 3")
+    )
+    q = Pattern.begin("a", "e").where("name == 1").then("relaxed", inner).query(SCHEMA)
+    # e2 (name 9) matches neither take → skipped; b=[3,4] strict; c=e5.
+    assert ids(run_pattern(q, ev([1, 9, 2, 2, 3]))) == [
+        {"a": [1], "b": [3, 4], "c": [5]}
+    ]
+    # Zero-B completion: C can be the first right event.
+    assert ids(run_pattern(q, ev([1, 9, 3]))) == [{"a": [1], "c": [3]}]
+
+
+def _flat_vs_nested_cases():
+    """(nested query, flat query) pairs that must be equivalent: the
+    flat builder chains left-nested combines through the pre-existing
+    leaf path; associativity of sequencing makes them the same
+    language."""
+    a = Pattern.begin("a", "e").where("name == 1")
+    cases = []
+    for contig, seq in (("relaxed", "followed_by"), ("nd-relaxed", "followed_by_any")):
+        inner_strict = (
+            Pattern.begin("b", "e").where("name == 2").next_("c", "e", "name == 3")
+        )
+        nested = a.then(contig, inner_strict).query(SCHEMA)
+        flat = getattr(a, seq)("b", "e", "name == 2").next_(
+            "c", "e", "name == 3"
+        ).query(SCHEMA)
+        cases.append((f"{contig}/strict-pair", nested, flat))
+
+        inner_relaxed = (
+            Pattern.begin("b", "e").where("name == 2")
+            .followed_by("c", "e", "name == 3")
+        )
+        nested = a.then(contig, inner_relaxed).query(SCHEMA)
+        flat = getattr(a, seq)("b", "e", "name == 2").followed_by(
+            "c", "e", "name == 3"
+        ).query(SCHEMA)
+        cases.append((f"{contig}/relaxed-pair", nested, flat))
+
+        inner_loop = (
+            Pattern.begin("b", "e").where("name == 2").one_or_more()
+            .followed_by("c", "e", "name == 3")
+        )
+        nested = a.then(contig, inner_loop).query(SCHEMA)
+        flat = (
+            getattr(a, seq)("b", "e", "name == 2")
+            .one_or_more()
+            .followed_by("c", "e", "name == 3")
+            .query(SCHEMA)
+        )
+        cases.append((f"{contig}/loop-then-leaf", nested, flat))
+    return cases
+
+
+@pytest.mark.parametrize(
+    "label,nested,flat",
+    _flat_vs_nested_cases(),
+    ids=[c[0] for c in _flat_vs_nested_cases()],
+)
+def test_nested_equals_flat_on_random_streams(label, nested, flat):
+    rng = random.Random(20260815)
+    for trial in range(60):
+        stream = ev([rng.randrange(1, 5) for _ in range(rng.randrange(2, 12))])
+        got = ids(run_pattern(nested, stream))
+        want = ids(run_pattern(flat, stream))
+        assert got == want, (label, trial, [e[1]["name"] for e in stream])
+
+
+def test_fastpath_parity_right_nested_chain(spark):
+    """The planner now flattens a right-nested spat chain under a
+    non-strict combine; its window plan must match the kernel."""
+    from reflinkcep_spark.operators import match_pattern
+    from reflinkcep_spark.operators.fastpath import try_fast_path
+
+    inner = {
+        "type": "combine",
+        "contiguity": "strict",
+        "left": {"type": "spat", "name": "b", "event": "e",
+                 "cndt": {"expr": "name == 2"}},
+        "right": {"type": "spat", "name": "c", "event": "e",
+                  "cndt": {"expr": "name == 3"}},
+    }
+    ast = {
+        "type": "combine",
+        "contiguity": "relaxed",
+        "left": {"type": "spat", "name": "a", "event": "e",
+                 "cndt": {"expr": "name == 1"}},
+        "right": inner,
+    }
+    query = Query(ast, {"schema": {"e": ["id", "name"]}, "strategy": "NoSkip",
+                        "name": "nested"})
+    rows = [
+        (k, i + 1, "e", n)
+        for k in range(3)
+        for i, n in enumerate([1, 4, 2, 3, 1, 2, 4, 3, 1, 9, 2, 3])
+    ]
+    df = spark.createDataFrame(rows, "user_id int, id long, type string, name long")
+    fast = try_fast_path(
+        df, query, order_by="id", keys=["user_id"], type_col="type",
+        attr_cols=["id", "type", "name"],
+    )
+    assert fast is not None, "planner should accept the right-nested chain now"
+    slow = match_pattern(
+        df, query, order_by="id", partition_by="user_id", type_col="type",
+        allow_fastpath=False,
+    )
+    assert fast.columns == slow.columns
+
+    def canon(rows_):
+        return {
+            (r["user_id"], r["start_ord"], r["end_ord"],
+             tuple(e["id"] for e in r["a"]), tuple(e["id"] for e in r["b"]),
+             tuple(e["id"] for e in r["c"]))
+            for r in rows_
+        }
+
+    got, want = canon(fast.collect()), canon(slow.collect())
+    assert got == want
+    assert len(got) > 0
