@@ -28,6 +28,7 @@ __all__ = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_neardup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -205,6 +206,69 @@ def _fit_centroids(X, n_cells: int, seed: int, iters: int = 25):
     return centers
 
 
+def _fit_cell_centers(
+    c: DataFrame,
+    n_cells: int,
+    seed: int,
+    fit_sample: float | None,
+    max_fit_rows: int | None,
+    vec_col: str,
+    id_col: str,
+) -> list[list[float]]:
+    """The shared coarse-quantizer front end of :func:`ivf_ann_topk`
+    and :func:`semantic_dedup`: fit KMeans centers on a BOUNDED,
+    order-canonical sample (default 256 rows per cell, the standard
+    IVF training budget), collected once through Arrow and fit with
+    vectorized numpy Lloyd's on the driver — a coarse quantizer needs
+    a sample, not the corpus.  The id-ordered prefix is deterministic
+    under ANY partitioning (repartitioned input, AQE, retries) — a
+    bare limit() is not — so the fitted centroids are reproducible,
+    including by an external oracle.  TakeOrdered = scan + per-
+    partition heap of max_fit_rows: one cheap pass at any scale."""
+    import numpy as np
+
+    if max_fit_rows is None:
+        max_fit_rows = 256 * n_cells
+    fit_input = c.sample(fit_sample, seed=seed) if fit_sample else c
+    sample = (
+        fit_input.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__id")
+        .limit(max_fit_rows)
+    )
+    X = np.array(sample.toPandas()["__v"].tolist(), dtype=np.float64)
+    return [[float(x) for x in ctr] for ctr in _fit_centroids(X, n_cells, seed)]
+
+
+def _nearest_cells_expr(centers: list[list[float]]):
+    """``fn(vec, n) -> Column``: the ``n`` nearest centroid indices for
+    ``vec``.  The (tiny) centroid table rides into the plan as ONE
+    nested-array Literal — n_cells × dim doubles as a single plan node
+    instead of thousands, so plan analysis/codegen time collapses —
+    and assignment is JVM-side expression work, no join."""
+    cent_arr = F.lit(centers)
+
+    def _sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _nearest_cells(vec, n):
+        ranked = F.array_sort(
+            F.zip_with(
+                cent_arr,
+                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                lambda ctr, i: F.struct(
+                    _sq_dist(vec, ctr).alias("d"), i.alias("cell")
+                ),
+            )
+        )
+        return F.slice(F.transform(ranked, lambda s: s["cell"]), 1, n)
+
+    return _nearest_cells
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -235,51 +299,11 @@ def ivf_ann_topk(
     plan as literals, so probing is JVM-side expression work, no extra
     join.
     """
-    import numpy as np
-
     c = _as_double(corpus, vec_col)
-    if max_fit_rows is None:
-        max_fit_rows = 256 * n_cells
-    fit_input = c.sample(fit_sample, seed=seed) if fit_sample else c
-    # Order-canonical sample: the id-ordered prefix is deterministic
-    # under ANY partitioning (repartitioned input, AQE, retries) — a
-    # bare limit() is not — so the fitted centroids are reproducible,
-    # including by an external oracle.  TakeOrdered = scan + per-
-    # partition heap of max_fit_rows: one cheap pass at any scale.
-    sample = (
-        fit_input.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .orderBy("__id")
-        .limit(max_fit_rows)
+    centers = _fit_cell_centers(
+        c, n_cells, seed, fit_sample, max_fit_rows, vec_col, id_col
     )
-    X = np.array(sample.toPandas()["__v"].tolist(), dtype=np.float64)
-    centers = [
-        [float(x) for x in ctr] for ctr in _fit_centroids(X, n_cells, seed)
-    ]
-    # Single nested-array Literal: n_cells × dim doubles as ONE plan
-    # node instead of thousands — plan analysis/codegen time collapses.
-    cent_arr = F.lit(centers)
-
-    def _sq_dist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    # Corpus cell assignment = nearest centroid (same rule KMeans.transform
-    # applies, expressed as a column so no ML vector conversion on the
-    # scan path).
-    def _nearest_cells(vec, n):
-        ranked = F.array_sort(
-            F.zip_with(
-                cent_arr,
-                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
-                lambda ctr, i: F.struct(
-                    _sq_dist(vec, ctr).alias("d"), i.alias("cell")
-                ),
-            )
-        )
-        return F.slice(F.transform(ranked, lambda s: s["cell"]), 1, n)
+    _nearest_cells = _nearest_cells_expr(centers)
 
     assigned = c.select(
         F.col(id_col).alias("neighbor_id"),
@@ -361,4 +385,82 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    n_cells: int = 16,
+    seed: int = 42,
+    fit_sample: float | None = None,
+    max_fit_rows: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with a coarse quantizer, then inside each cluster drop every
+    document whose cosine similarity to a LOWER-ID cluster member
+    reaches ``threshold`` — semantic near-duplicates that share no
+    surface n-grams (paraphrases, translations-of-boilerplate), the
+    gap between :func:`embedding_neardup_pairs` (pairs only) and
+    lexical dedup.  Keep-lowest-id is the paper's deterministic
+    representative rule.
+
+    Composition of existing pieces: the IVF quantizer front end
+    (:func:`_fit_cell_centers` — bounded id-ordered fit sample, so the
+    whole pipeline is reproducible and DuckDB-oracle-checkable) and the
+    grouped in-cell expansion of :func:`embedding_neardup_pairs`, but
+    folded to the per-member MINIMUM lower-id witness inside the
+    aggregated array — O(|cell|²) cosine evaluations JVM-side with NO
+    pair rows materialized and no second shuffle.
+
+    Scale shape: one exchange (the cell groupBy).  ``n_cells`` is THE
+    knob — cells must fit a task (the paper runs ~100k clusters at
+    web scale; expected |cell| ≈ corpus / n_cells) and in-cell work is
+    Σ|cell|² — the same documented contract as
+    ``embedding_neardup_pairs``'s Σ|bucket|².
+
+    Returns one row PER INPUT DOC: (vec_id, cell, dup_of, keep) where
+    ``dup_of`` is the smallest qualifying lower-id witness (NULL ⇔
+    ``keep``).
+    """
+    c = _as_double(corpus, vec_col)
+    centers = _fit_cell_centers(
+        c, n_cells, seed, fit_sample, max_fit_rows, vec_col, id_col
+    )
+    nearest = _nearest_cells_expr(centers)
+    assigned = c.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.element_at(nearest(F.col(vec_col), 1), 1).alias("cell"),
+    )
+    members = F.col("members")
+    per_member = F.transform(
+        members,
+        lambda y: F.struct(
+            y["id"].alias("vec_id"),
+            F.array_min(
+                F.transform(
+                    F.filter(
+                        members,
+                        lambda x: (x["id"] < y["id"])
+                        & (cosine(x["v"], y["v"]) >= F.lit(threshold)),
+                    ),
+                    lambda x: x["id"],
+                )
+            ).alias("dup_of"),
+        ),
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.collect_list(F.struct("id", "v")).alias("members"))
+        .select("cell", F.explode(per_member).alias("m"))
+        .select(
+            F.col("m.vec_id").alias("vec_id"),
+            "cell",
+            F.col("m.dup_of").alias("dup_of"),
+            F.col("m.dup_of").isNull().alias("keep"),
+        )
     )

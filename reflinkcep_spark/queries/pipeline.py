@@ -849,21 +849,16 @@ def sim_ann_ivf(spark, sf_dir):
     )
 
 
-def _sql_sim_ann_ivf(sf_dir: str | None = None) -> str:
-    """DuckDB oracle for the full IVF pipeline.  The quantizer fit is
-    deterministic (numpy k-means++/Lloyd, seed 42, id-ordered sample),
-    so this generator recomputes the IDENTICAL centroids offline from
-    the oracle-scale parquet (the driver's correctness gate runs at
-    sf0.01 by contract; override via ``sf_dir`` or the
-    ``SPARK_GRAFT_ORACLE_SF_DIR`` env var) and embeds them as literals;
-    cell assignment, probing and rescoring are then re-expressed in
-    SQL.  Distances fold left-to-right via list_reduce to match Spark's
-    sequential ``aggregate`` fold bit-for-bit.
-
-    Deliberately NOT run at module import: it reads parquet and pays a
-    KMeans fit, so it is registered as a lazy callable in ``ORACLES``
-    and only resolved (then cached) when ``oracle_sql()`` is built.
-    """
+def _sql_ivf_parts(
+    sf_dir: str | None = None, n_cells: int = 16
+) -> tuple[str, str]:
+    """Shared centroid machinery of the IVF-family oracles
+    (sim_ann_ivf, dedup_semantic): recompute the IDENTICAL quantizer
+    centers offline (numpy k-means++/Lloyd, seed 42, id-ordered sample
+    — deterministic, see similarity._fit_cell_centers) and return
+    (centers-literal SQL, ranked-cells expression SQL).  Distances fold
+    left-to-right via list_reduce to match Spark's sequential
+    ``aggregate`` fold bit-for-bit."""
     import os
 
     import numpy as np
@@ -875,8 +870,10 @@ def _sql_sim_ann_ivf(sf_dir: str | None = None) -> str:
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     order = np.argsort(np.array(tbl.column("vec_id").to_pylist()), kind="stable")
-    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)[order][:4096]
-    centers = similarity._fit_centroids(X, 16, 42)
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)[order][
+        : 256 * n_cells
+    ]
+    centers = similarity._fit_centroids(X, n_cells, 42)
     cc = (
         "["
         + ", ".join(
@@ -892,9 +889,28 @@ def _sql_sim_ann_ivf(sf_dir: str | None = None) -> str:
         f"j -> (v[j] - CC[i + 1][j]) * (v[j] - CC[i + 1][j]))), (a, b) -> a + b)"
     )
     ranked = (
-        f"list_transform(list_sort(list_transform(range(0, 16), "
+        f"list_transform(list_sort(list_transform(range(0, {n_cells}), "
         f"i -> {{'d': {d_expr}, 'cell': i}})), s -> s.cell)"
     )
+    return cc, ranked
+
+
+def _sql_sim_ann_ivf(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for the full IVF pipeline.  The quantizer fit is
+    deterministic (numpy k-means++/Lloyd, seed 42, id-ordered sample),
+    so this generator recomputes the IDENTICAL centroids offline from
+    the oracle-scale parquet (the driver's correctness gate runs at
+    sf0.01 by contract; override via ``sf_dir`` or the
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` env var) and embeds them as literals;
+    cell assignment, probing and rescoring are then re-expressed in
+    SQL.  Distances fold left-to-right via list_reduce to match Spark's
+    sequential ``aggregate`` fold bit-for-bit.
+
+    Deliberately NOT run at module import: it reads parquet and pays a
+    KMeans fit, so it is registered as a lazy callable in ``ORACLES``
+    and only resolved (then cached) when ``oracle_sql()`` is built.
+    """
+    cc, ranked = _sql_ivf_parts(sf_dir)
     return f"""
 WITH cc AS (SELECT {cc} AS CC),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1883,6 +1899,46 @@ SELECT doc_a, doc_b,
 FROM runs
 GROUP BY doc_a, doc_b, diag, run_id
 HAVING count(*) + 7 >= 40
+"""
+
+
+# --- semantic dedup / SemDeDup (PRE-STAGED for round 9) -----------------
+#
+# dedup_semantic is implemented and locally oracle-verified but
+# deliberately NOT registered this round (round-8 window full — see
+# queries/__init__.py).  Register it in the round-9 rotation.
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup over the embeddings table: IVF-quantizer clusters, then
+    drop every vector with a ≥ 0.3-cosine LOWER-ID neighbor in its
+    cluster (keep-lowest-id representative rule).  Deterministic end to
+    end — seeded id-ordered quantizer fit, centroid literals — so the
+    whole pipeline replays in DuckDB (functions/similarity.py
+    semantic_dedup for the one-exchange scale shape)."""
+    return similarity.semantic_dedup(
+        _embs(spark, sf_dir), threshold=0.3, n_cells=16
+    )
+
+
+def _sql_dedup_semantic(sf_dir: str | None = None) -> str:
+    """Lazy oracle (reads parquet + KMeans fit — see _sql_ivf_parts):
+    identical cell assignment, then the per-vector minimum lower-id
+    same-cell witness at the same threshold."""
+    cc, ranked = _sql_ivf_parts(sf_dir)
+    return f"""
+WITH cc AS (SELECT {cc} AS CC),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, ({ranked})[1] AS cell FROM c, cc
+)
+SELECT b.vec_id, b.cell,
+       MIN(CASE WHEN list_cosine_similarity(a.v, b.v) >= 0.3
+                THEN a.vec_id END) AS dup_of,
+       MIN(CASE WHEN list_cosine_similarity(a.v, b.v) >= 0.3
+                THEN a.vec_id END) IS NULL AS keep
+FROM assigned b
+LEFT JOIN assigned a ON a.cell = b.cell AND a.vec_id < b.vec_id
+GROUP BY b.vec_id, b.cell
 """
 
 

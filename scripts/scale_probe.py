@@ -92,6 +92,8 @@ PROBES = [
     ("text_lm_quality", "documents"),
     ("doc_pack_ffd", "documents"),
     ("dedup_substring_spans", "documents"),
+    ("dedup_semantic", "embeddings"),
+    ("cep_nested_funnel_relaxed", "events"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key
@@ -302,6 +304,21 @@ def main() -> int:
 
             return _dedup.ngram_jaccard_pairs(
                 _d(spark, dirs[n]), threshold=0.5, n=3, max_df=0.1 / n
+            )
+        if qname == "dedup_semantic":
+            # SemDeDup's knob is CLUSTER COUNT: the paper scales it
+            # with the corpus so expected cell size stays constant
+            # (similarity.semantic_dedup documents Σ|cell|² as the
+            # cost).  A fixed n_cells under N× replication grows
+            # in-cell pair work N² by construction, not by plan defect
+            # — holding cell size constant (n_cells = 16·N) is the
+            # like-for-like measurement, same reasoning as
+            # dedup_ngram_jaccard's absolute-cap correction above.
+            from reflinkcep_spark.functions import similarity as _sim
+            from reflinkcep_spark.queries.pipeline import _embs as _e
+
+            return _sim.semantic_dedup(
+                _e(spark, dirs[n]), threshold=0.3, n_cells=16 * n
             )
         if qname == "dedup_clusters":
             # Built on the same relative-capped pair generator — same

@@ -73,6 +73,8 @@ def test_prestaged_round9_queries_match_oracles(spark):
     )
     from reflinkcep_spark.queries.pipeline import (
         SQL_DEDUP_SUBSTRING_SPANS,
+        _sql_dedup_semantic,
+        dedup_semantic,
         dedup_substring_spans,
     )
     from tests.conftest import SF_DIR
@@ -92,9 +94,16 @@ def test_prestaged_round9_queries_match_oracles(spark):
         con.execute(
             f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
         )
+    con.execute(
+        f"CREATE VIEW embeddings AS FROM "
+        f"'{os.path.join(SF_DIR, 'embeddings.parquet')}'"
+    )
     for fn, sql in (
         (dedup_substring_spans, SQL_DEDUP_SUBSTRING_SPANS),
         (cep_nested_funnel_relaxed, SQL_NESTED_FUNNEL_RELAXED),
+        # the quantizer oracle recomputes centroids from the SAME
+        # scale's parquet — pass the test scale explicitly
+        (dedup_semantic, _sql_dedup_semantic(SF_DIR)),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

@@ -1133,3 +1133,43 @@ def test_substring_spans_max_df_caps_boilerplate(spark):
     assert dedup.substring_spans(df, min_len=10, k=4, max_df=8).count() == 8 * 7 // 2
     with pytest.raises(ValueError):
         dedup.substring_spans(df, min_len=3, k=4)
+
+
+def test_semantic_dedup_keeps_lowest_id_per_cluster(spark):
+    """Planted semantic dups: identical (and near-identical) vectors
+    land in the same quantizer cell and only the lowest id survives;
+    dissimilar vectors keep regardless of cell.  One row per input doc,
+    keep <=> dup_of IS NULL, and every witness has a lower id."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    dim = 8
+
+    def unit(seed_vec):
+        n = math.sqrt(sum(x * x for x in seed_vec)) or 1.0
+        return [x / n for x in seed_vec]
+
+    base_a = unit([rng.gauss(0, 1) for _ in range(dim)])
+    base_b = unit([rng.gauss(0, 1) for _ in range(dim)])
+    jitter = lambda v: unit([x + rng.gauss(0, 0.01) for x in v])  # noqa: E731
+    rows = [
+        (0, base_a),            # kept: lowest id of the a-clique
+        (1, jitter(base_a)),    # dropped, dup_of 0
+        (2, base_b),            # kept: lowest id of the b-clique
+        (3, jitter(base_a)),    # dropped, dup_of 0 (min witness, not 1)
+        (4, jitter(base_b)),    # dropped, dup_of 2
+        (5, unit([rng.gauss(0, 1) for _ in range(dim)])),  # kept: unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.keep, r.dup_of)
+        for r in similarity.semantic_dedup(df, threshold=0.9, n_cells=3).collect()
+    }
+    assert len(out) == len(rows)
+    assert out[0] == (True, None)
+    assert out[1] == (False, 0)
+    assert out[2] == (True, None)
+    assert out[3] == (False, 0)
+    assert out[4] == (False, 2)
+    assert out[5] == (True, None)
