@@ -180,9 +180,13 @@ def _parse_avi(payload: bytes):
     us_per_frame = 0
     frames: list[tuple[int, int]] = []
 
-    def walk(start: int, end: int) -> None:
-        nonlocal us_per_frame
-        off = start
+    # Iterative walk with an explicit range stack: a crafted payload of
+    # ~1000 nested 12-byte LIST headers (a ~12 KB blob) would blow the
+    # recursion limit and fail the whole Spark task instead of honoring
+    # the "unparseable payloads emit no rows" contract.
+    stack: list[tuple[int, int]] = [(12, len(payload))]
+    while stack:
+        off, end = stack.pop()
         while off + 8 <= end:
             fourcc = payload[off : off + 4]
             (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
@@ -190,14 +194,17 @@ def _parse_avi(payload: bytes):
             if body + size > end:
                 break  # truncated chunk: stop at the damage, keep prior
             if fourcc == b"LIST":
-                walk(body + 4, body + size)  # skip the 4-byte list type
-            elif fourcc == b"avih" and size >= 4:
+                # resume the remainder of THIS level after the nested
+                # list (LIFO order preserves document order: the nested
+                # range is pushed last, popped first)
+                stack.append((body + size + (size & 1), end))
+                stack.append((body + 4, body + size))  # skip the list type
+                break
+            if fourcc == b"avih" and size >= 4:
                 (us_per_frame,) = struct.unpack("<I", payload[body : body + 4])
             elif fourcc[:2] == b"00" and fourcc[2:4] in (b"dc", b"db"):
                 frames.append((body, size))
             off = body + size + (size & 1)  # chunks are word-aligned
-
-    walk(12, len(payload))
     if us_per_frame <= 0 or not frames:
         return None
     return frames, us_per_frame
@@ -407,6 +414,14 @@ def sample_frames(
     and an unbounded explode of a long video inside one Arrow batch is
     how executors die at scale.  Real decoders should also stream
     frames out incrementally per input row, as this stub does.
+
+    ``frame_idx`` is DECODER-DEPENDENT: for ``avi`` it is the SOURCE
+    CONTAINER frame index the sample landed on (e.g. 0, 10, 20 when
+    sampling a 100 fps container every 100 ms — the value you'd pass a
+    seeking decoder), while ``wav`` and ``fake`` have no container
+    frame structure and emit the SAMPLE ORDINAL i.  Don't key across
+    decoders on it; the decoder-independent sample ordinal is always
+    ``ts_ms / every_ms`` (``ts_ms`` is uniform across decoders).
     """
     if decoder not in ("strict", "fake", "wav", "avi"):
         raise ValueError(f"unknown decoder {decoder!r}")

@@ -1173,3 +1173,34 @@ def test_semantic_dedup_keeps_lowest_id_per_cluster(spark):
     assert out[3] == (False, 0)
     assert out[4] == (False, 2)
     assert out[5] == (True, None)
+
+
+def test_parse_avi_deep_list_nesting_returns_none():
+    """A crafted payload of thousands of nested 12-byte LIST headers
+    must parse iteratively to None (no frames), not blow the recursion
+    limit and kill the Spark task — 'unparseable payloads emit no
+    rows' has to hold for adversarial inputs too."""
+    import struct
+
+    from reflinkcep_spark.functions.multimodal import _parse_avi
+
+    inner = b""
+    for _ in range(3000):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"hdrl" + inner
+    payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    assert _parse_avi(payload) is None
+    # and a LIST *following* a nested LIST is still reached (document
+    # order): the avih lives in a sibling AFTER a deep decoy
+    decoy = b"LIST" + struct.pack("<I", 4) + b"JUNK"
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack("<I", 40000) + b"\0" * 52
+    hdrl = b"LIST" + struct.pack("<I", len(avih) + 4) + b"hdrl" + avih
+    frame = b"00dc" + struct.pack("<I", 4) + b"ABCD"
+    movi = b"LIST" + struct.pack("<I", len(frame) + 4) + b"movi" + frame
+    body = b"AVI " + decoy + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    parsed = _parse_avi(payload)
+    assert parsed is not None
+    chunks, uspf = parsed
+    assert uspf == 40000 and len(chunks) == 1
+    off, size = chunks[0]
+    assert payload[off : off + size] == b"ABCD"
