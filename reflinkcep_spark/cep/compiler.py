@@ -79,19 +79,23 @@ class _Builder:
     def _other_types(self, ev: str):
         return [t for t in self.schema.keys() if t != ev]
 
-    def _closure_takes_finals(self, r0: int) -> tuple[list, list[int]]:
-        """TAKE edges and final states ε-reachable from ``r0`` without
-        consuming — i.e. every way the sub-automaton rooted at ``r0``
-        can consume its FIRST event, and every way it can complete on
-        zero events.  Collected in the runtime's worklist-insertion
-        exploration order (runtime.py feed()'s insert-at-i expansion),
-        so edges replayed at a combine boundary keep the exact edge
-        priority a run ε-parked at ``r0`` would have explored — edge
-        order is semantic (it fixes match emission order)."""
+    def _closure_take_states(
+        self, r0: int
+    ) -> tuple[list[tuple[int, list]], list[int]]:
+        """Per-state TAKE edges and final states ε-reachable from
+        ``r0`` without consuming — i.e. every way the sub-automaton
+        rooted at ``r0`` can consume its FIRST event (grouped by the
+        state that owns the edges: each group is one Flink-style
+        computation branch with its OWN ignore condition), and every
+        way it can complete on zero events.  Collected in the runtime's
+        worklist-insertion exploration order (runtime.py feed()'s
+        insert-at-i expansion), so replayed edge priority — and thus
+        match emission order — matches what a run ε-parked at ``r0``
+        would have explored."""
         a = self.aut
         order = [r0]
         seen = {r0}
-        takes: list = []
+        take_states: list[tuple[int, list]] = []
         finals: list[int] = []
         i = 0
         while i < len(order):
@@ -99,13 +103,14 @@ class _Builder:
             i += 1
             if a.outputs[s] is not None:
                 finals.append(s)
+            takes = [e for e in a.edges[s] if e.kind == TAKE]
+            if takes:
+                take_states.append((s, takes))
             for e in a.edges[s]:
-                if e.kind == TAKE:
-                    takes.append(e)
-                elif e.kind == EPS and e.dst not in seen:
+                if e.kind == EPS and e.dst not in seen:
                     seen.add(e.dst)
                     order.insert(i, e.dst)
-        return takes, finals
+        return take_states, finals
 
     def _wrap_until(self, states: list[int], until_pred: Callable) -> None:
         """Conjoin ¬until onto every consuming edge of a fragment
@@ -249,21 +254,27 @@ class _Builder:
         beyond-reference extension (the reference reads the right
         child's leaf fields directly, compile.py:415-419, and refuses
         anything else; Flink's genjava surface refuses them too, so
-        the semantics spec is the public Flink GroupPattern contract):
-        the gap's skip rule only needs the set of events that can
-        BEGIN the right child — the TAKE edges in the right start's
-        ε-closure.  relaxed ignores exactly the events none of those
-        edges accept (Flink: "relaxed contiguity skips events that do
-        not match"); nd-relaxed ignores everything.  Left finals route
-        through a replay ENTRY state carrying those closure takes
-        instead of ε-linking into the right's interior: interior
-        states reachable by ε may own IGNORE edges of their own (e.g.
-        a nested non-strict combine behind an optional loop), and a
-        run parked on one would fork a second, strictly-weaker skip
-        path that duplicates matches — the entry state makes the
-        boundary the ONLY skip path before the right's first take.
+        the semantics spec is the public Flink contract: per-state
+        ignore conditions — a computation branch parked at a state may
+        skip exactly the events that state's OWN take condition
+        rejects).  The ways the right child can consume its FIRST
+        event are the TAKE edges in its start's ε-closure, grouped by
+        owning state; each group becomes ONE replay-branch state
+        carrying that state's takes plus leaf-style ignore self-loops
+        guarded by ¬(that state's takes) — so e.g. ``(B* fby C)`` as a
+        right child forks a B-waiting branch (skips non-B) AND a
+        loop-bypassing C-waiting branch (skips non-C, including Bs),
+        exactly the branches Flink's optional-prefix NFA runs, and
+        exactly what the equivalent FLAT chain through the leaf path
+        already does (pinned by the nested-vs-flat differential in
+        tests/test_nested_combine.py).  Left finals ε-link only to the
+        replay branches, never into the right's interior: interior
+        states reachable by ε may own IGNORE edges of their own (the
+        inner combine's boundary juncture behind an optional loop),
+        and a run parked there would duplicate the C-waiting branch.
         Zero-consume completions survive via explicit ε-links to the
-        closure's final states."""
+        closure's final states.  nd-relaxed branches ignore
+        everything (followedByAny forks)."""
         contiguity = node["contiguity"]
         left = self.build(node["left"])
         right = self.build(node["right"])
@@ -309,30 +320,36 @@ class _Builder:
                     a.add(boundary, Edge(IGNORE, ANY_TYPE, None, boundary))
             return _Frag(left.start, states)
 
-        # -- nested non-strict right: replay-entry construction --------
-        ctakes, cfinals = self._closure_takes_finals(r0)
-        entry = a.new_state()
-        boundary = a.new_state()
-        states += [entry, boundary]
-        for q in (entry, boundary):
-            for e in ctakes:
-                a.add(q, Edge(TAKE, e.ev_type, e.pred, e.dst, e.sink, e.update))
-        if contiguity == "relaxed":
-            by_type: dict = {}
-            for e in ctakes:
-                by_type.setdefault(e.ev_type, []).append(e.pred)
-            for t in self.schema.keys():
-                preds = by_type.get(t)
-                guard = _none_of(preds) if preds else None
-                a.add(entry, Edge(IGNORE, t, guard, boundary))
-                a.add(boundary, Edge(IGNORE, t, guard, boundary))
-        else:  # nd-relaxed
-            a.add(entry, Edge(IGNORE, ANY_TYPE, None, boundary))
-            a.add(boundary, Edge(IGNORE, ANY_TYPE, None, boundary))
+        # -- nested non-strict right: per-branch replay construction ---
+        take_states, cfinals = self._closure_take_states(r0)
+        branches: list[int] = []
+        for _s, takes in take_states:
+            br = a.new_state()
+            branches.append(br)
+            for e in takes:
+                a.add(br, Edge(TAKE, e.ev_type, e.pred, e.dst, e.sink, e.update))
+            if contiguity == "relaxed":
+                by_type: dict = {}
+                for e in takes:
+                    by_type.setdefault(e.ev_type, []).append(e.pred)
+                for t in self.schema.keys():
+                    preds = by_type.get(t)
+                    guard = _none_of(preds) if preds else None
+                    a.add(br, Edge(IGNORE, t, guard, br))
+            else:  # nd-relaxed
+                a.add(br, Edge(IGNORE, ANY_TYPE, None, br))
+        states += branches
+        # ε-links in REVERSE branch order: the runtime's worklist
+        # insertion processes ε-siblings last-added-first, so reversing
+        # here makes runs explore branches in closure exploration order
+        # — the same interleaving (and thus the same match emission
+        # order) the plain ε walk of an equivalent FLAT chain produces
+        # (pinned by the nested-vs-flat differential tests).
         for ql in left_finals:
-            a.add(ql, Edge(EPS, None, None, entry))
-            for f in cfinals:
+            for f in reversed(cfinals):
                 a.add(ql, Edge(EPS, None, None, f))
+            for br in reversed(branches):
+                a.add(ql, Edge(EPS, None, None, br))
             a.outputs[ql] = None
 
         return _Frag(left.start, states)

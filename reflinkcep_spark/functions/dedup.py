@@ -875,9 +875,13 @@ def substring_spans(
         ).alias("pos", "h"),
     )
     grams = grams.localCheckpoint(eager=False)  # used 3x: df-count + both join sides
+    # max_df counts DISTINCT DOCUMENTS per gram (the winnow_pairs
+    # convention): a phrase repeated many times inside ONE document is
+    # span structure, not boilerplate, and must not evict the gram for
+    # the two-document duplicate the operator exists to find.
     rare = (
         grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") <= max_df)
         .select("h")
     )

@@ -1878,7 +1878,7 @@ grams AS (
   WHERE len(tk) >= 8
 ),
 rare AS (
-  SELECT h FROM grams GROUP BY h HAVING count(*) <= 64
+  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) <= 64
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -90,14 +90,11 @@ def test_prestaged_round9_queries_match_oracles(spark):
         "lineitem",
         "documents",
         "events",
+        "embeddings",
     ):
         con.execute(
             f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
         )
-    con.execute(
-        f"CREATE VIEW embeddings AS FROM "
-        f"'{os.path.join(SF_DIR, 'embeddings.parquet')}'"
-    )
     for fn, sql in (
         (dedup_substring_spans, SQL_DEDUP_SUBSTRING_SPANS),
         (cep_nested_funnel_relaxed, SQL_NESTED_FUNNEL_RELAXED),

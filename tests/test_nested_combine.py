@@ -1,15 +1,22 @@
 """Nested right children under non-strict combine — the round-8
 beyond-reference lift (reference compile.py:415-419 refuses these; so
 does Flink's genjava surface, so the semantics source is the public
-Flink GroupPattern contract: ``A.followedBy(group)`` applies the gap's
-contiguity to the events before the GROUP'S FIRST MATCHED EVENT, and
-relaxed contiguity may only skip events that cannot be taken).
+Flink contract: PER-STATE ignore conditions.  The gap's contiguity
+governs the transition into the group's FIRST MATCHED ELEMENT,
+whichever leaf that turns out to be: each way the right child can
+consume its first event becomes one computation branch whose ignore
+guard derives from that branch's own take condition (relaxed) or is
+unconditional (nd-relaxed).  In particular a right child with an
+optional prefix — ``(B* fby C)`` — forks a B-waiting branch AND a
+loop-bypassing C-waiting branch, so the zero-B match ``{a, c}``
+survives even when usable Bs stream past the other branch.
 
 Three layers:
 * golden cases with hand-derived expectations,
 * nested-vs-flat differential on randomized streams (the flat
   left-nested forms compile through the pre-existing, reference-
-  validated leaf path — equivalence pins the new construction to it),
+  validated leaf path — where a flat equivalent EXISTS, the nested
+  form must match it exactly, emission order included),
 * fast-path parity for right-nested spat chains (the planner's
   flattening now accepts them).
 """
@@ -46,29 +53,34 @@ def test_relaxed_gap_applies_before_first_right_event_only():
     assert ids(run_pattern(q, ev([1, 2, 4, 3]))) == []
 
 
-def test_no_duplicate_skip_path_for_nested_nonstrict_right():
-    """A fby (B* fby C): the right child's own start-ε-closure reaches
-    a state owning IGNORE edges (the inner combine's boundary juncture
-    behind the optional loop).  The replay-entry construction must keep
-    the outer boundary the ONLY pre-first-take skip path — one match,
-    not a duplicate per interior ignore fork."""
+def test_optional_prefix_forks_branches_without_duplicates():
+    """A fby (B* fby C): two computation branches — B-waiting (skips
+    non-B) and loop-bypassing C-waiting (skips non-C, INCLUDING usable
+    Bs, because for that branch C is the group's first element).  On a
+    stream with no B at all, both branches funnel into exactly ONE
+    {a, c} (the interior ignore edges behind the optional loop must
+    not fork a duplicate); with Bs present, the zero-B bypass match
+    appears alongside the loop prefixes — Flink's optional-prefix NFA
+    branch set."""
     inner = (
         Pattern.begin("b", "e").where("name == 2").times_or_more(0)
         .followed_by("c", "e", "name == 3")
     )
     q = Pattern.begin("a", "e").where("name == 1").then("relaxed", inner).query(SCHEMA)
     assert ids(run_pattern(q, ev([1, 9, 3]))) == [{"a": [1], "c": [3]}]
-    # With loop iterations: the relaxed loop's legitimate prefix forks
-    # remain (b=[2,4] and b=[2]), but nothing is doubled.
+    # Loop prefixes b=[2,4] and b=[2] (relaxed loop), plus the zero-B
+    # bypass {a, c} — same set AND order as the flat chain
+    # a fby b{0,inf} fby c (asserted exhaustively below).
     assert ids(run_pattern(q, ev([1, 2, 9, 2, 3]))) == [
         {"a": [1], "b": [2, 4], "c": [5]},
         {"a": [1], "b": [2], "c": [5]},
+        {"a": [1], "c": [5]},
     ]
 
 
 def test_zero_consume_right_completes_via_closure_finals():
     """A fby group(B){0,∞}: the right child can match zero events, so
-    the match [A] alone must survive the replay-entry construction
+    the match [A] alone must survive the per-branch construction
     (ε-links to the closure's final states)."""
     g = Pattern.group(Pattern.begin("b", "e").where("name == 2")).times_or_more(0)
     q = Pattern.begin("a", "e").where("name == 1").then("relaxed", g).query(SCHEMA)
@@ -90,20 +102,51 @@ def test_nd_relaxed_gap_forks_on_matching_events():
 
 
 def test_multi_take_closure_optional_loop_then_strict():
-    """A fby (B*consec next C): the closure holds TWO take edges (begin
-    the loop, or begin C directly with zero Bs) — the gap guard is
-    ¬(B-pred ∨ C-pred)."""
+    """A fby (B*consec next C): the closure holds TWO take states
+    (begin the loop, or begin C directly with zero Bs) — each becomes
+    its own branch with its OWN guard (¬B for the loop branch, ¬C for
+    the bypass branch), so the bypass may skip usable Bs while the
+    loop branch may not."""
     inner = (
         Pattern.begin("b", "e").where("name == 2").times_or_more(0).consecutive()
         .next_("c", "e", "name == 3")
     )
     q = Pattern.begin("a", "e").where("name == 1").then("relaxed", inner).query(SCHEMA)
-    # e2 (name 9) matches neither take → skipped; b=[3,4] strict; c=e5.
+    # Loop branch: 9 skipped (¬B), b=[3,4] strict-consecutive, c=e5.
+    # Bypass branch: 9, 2, 2 all skipped (¬C), c=e5 with zero Bs.
     assert ids(run_pattern(q, ev([1, 9, 2, 2, 3]))) == [
-        {"a": [1], "b": [3, 4], "c": [5]}
+        {"a": [1], "b": [3, 4], "c": [5]},
+        {"a": [1], "c": [5]},
     ]
-    # Zero-B completion: C can be the first right event.
+    # Zero-B completion: C can be the first right event — exactly once.
     assert ids(run_pattern(q, ev([1, 9, 3]))) == [{"a": [1], "c": [3]}]
+
+
+def test_nd_relaxed_gap_inherited_by_bypass_branch():
+    """A fbAny (B* fby C): the gap's ANY-contiguity belongs to the
+    group's first MATCHED element, so the zero-B bypass branch may
+    skip even C events (emitting one match per later C), while a
+    B-taking branch's C link stays relaxed (first C only).  This shape
+    has NO flat-chain equivalent — the flat a fbAny b* fby c pins C's
+    link to relaxed for every branch — which is precisely the
+    expressiveness the nested lift adds."""
+    inner = (
+        Pattern.begin("b", "e").where("name == 2").times_or_more(0)
+        .followed_by("c", "e", "name == 3")
+    )
+    q = (
+        Pattern.begin("a", "e").where("name == 1")
+        .then("nd-relaxed", inner).query(SCHEMA)
+    )
+    assert ids(run_pattern(q, ev([1, 3, 3]))) == [
+        {"a": [1], "c": [2]},
+        {"a": [1], "c": [3]},
+    ]
+    assert ids(run_pattern(q, ev([1, 2, 3, 3]))) == [
+        {"a": [1], "b": [2], "c": [3]},  # b taken, inner fby → first C
+        {"a": [1], "c": [3]},            # bypass, first C
+        {"a": [1], "c": [4]},            # bypass, ANY gap skips c3 too
+    ]
 
 
 def _flat_vs_nested_cases():
@@ -145,13 +188,29 @@ def _flat_vs_nested_cases():
             .query(SCHEMA)
         )
         cases.append((f"{contig}/loop-then-leaf", nested, flat))
+    # Optional prefix, relaxed gap: the bypass branch exists in BOTH
+    # forms (the flat b{0,inf} leaf forks it through the leaf path),
+    # and both gaps are relaxed, so nested ≡ flat exactly.  (The
+    # nd-relaxed optional-prefix shape has no flat equivalent — see
+    # test_nd_relaxed_gap_inherited_by_bypass_branch.)
+    inner_opt = (
+        Pattern.begin("b", "e").where("name == 2").times_or_more(0)
+        .followed_by("c", "e", "name == 3")
+    )
+    nested = a.then("relaxed", inner_opt).query(SCHEMA)
+    flat = (
+        a.followed_by("b", "e", "name == 2").times_or_more(0)
+        .followed_by("c", "e", "name == 3").query(SCHEMA)
+    )
+    cases.append(("relaxed/optional-prefix", nested, flat))
     return cases
 
 
+_CASES = _flat_vs_nested_cases()
+
+
 @pytest.mark.parametrize(
-    "label,nested,flat",
-    _flat_vs_nested_cases(),
-    ids=[c[0] for c in _flat_vs_nested_cases()],
+    "label,nested,flat", _CASES, ids=[c[0] for c in _CASES]
 )
 def test_nested_equals_flat_on_random_streams(label, nested, flat):
     rng = random.Random(20260815)

@@ -1204,3 +1204,22 @@ def test_parse_avi_deep_list_nesting_returns_none():
     assert uspf == 40000 and len(chunks) == 1
     off, size = chunks[0]
     assert payload[off : off + size] == b"ABCD"
+
+
+def test_substring_spans_cap_counts_documents_not_occurrences(spark):
+    """max_df is a DOCUMENT-frequency cap: a phrase repeated many times
+    inside one document (occurrences >> max_df, but only 2 distinct
+    docs) is span structure, not boilerplate — the genuine two-document
+    duplicate must still be found."""
+    phrase = " ".join(f"p{i}" for i in range(12))
+    filler = lambda j: " ".join(f"f{j}_{i}" for i in range(5))  # noqa: E731
+    doc_a = " ".join(f"{phrase} {filler(j)}" for j in range(6))  # 6 occurrences
+    rows = [(0, doc_a), (1, f"{filler(99)} {phrase} {filler(98)}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.substring_spans(df, min_len=12, k=4, max_df=4).collect()
+    assert out, "document-level cap must keep the 2-doc duplicate"
+    assert {(r.doc_a, r.doc_b) for r in out} == {(0, 1)}
+    assert all(r.span_len == 12 for r in out)
+    # one span per occurrence in doc A (6 diagonals), each aligned on
+    # doc B's single copy at token 5
+    assert sorted(r.start_b for r in out) == [5] * 6
