@@ -75,10 +75,13 @@ AUDITED = [
     ("text_lm_quality", "LM quality: one bigram explode checkpointed, count-table join, doc-keyed agg"),
     ("doc_pack_ffd", "FFD packing: one stratum-keyed exchange into applyInPandas, packing local per shard"),
     ("dedup_minhash_lsh_md5", "MinHash verify (r7 rework): candidate-id semi join applied BEFORE the shingle projection (explicit order — Catalyst won't push it) — corpus shingled once, verify shingles only candidates"),
-    ("q_min_cost_suppliers", "Q2 (pre-staged): one partkey exchange, window min filter, tie-preserving, dims broadcast"),
-    ("q_important_parts", "Q11 (pre-staged): supplier semi broadcast into fact, per-part agg, 1-row total broadcast crossJoin"),
-    ("q_local_supplier_volume", "Q5 (pre-staged): broadcast ASIA-supplier frame reduces the fact first, same-nation residual rides the customer equi-join (orderkey/custkey shuffle joins at scale; AQE-broadcast at this SF)"),
-    ("doc_token_budget", "token budget (pre-staged): narrow staged frame checkpointed (one text scan), shard offsets tiny + broadcast, past-budget shards dropped before the one (source, shard) detail exchange, no Python"),
+    ("q_min_cost_suppliers", "Q2 (registered r8): one partkey exchange, window min filter, tie-preserving, dims broadcast"),
+    ("q_important_parts", "Q11 (registered r8): supplier semi broadcast into fact, per-part agg, 1-row total broadcast crossJoin"),
+    ("q_local_supplier_volume", "Q5 (registered r8): broadcast ASIA-supplier frame reduces the fact first, same-nation residual rides the customer equi-join (orderkey/custkey shuffle joins at scale; AQE-broadcast at this SF)"),
+    ("doc_token_budget", "token budget (registered r8): narrow staged frame checkpointed (one text scan), shard offsets tiny + broadcast, past-budget shards dropped before the one (source, shard) detail exchange, no Python"),
+    ("dedup_substring_spans", "substring spans (pre-staged r9): gram explode checkpointed, doc-capped posting semi-filter, hash self-join, (pair, diag) window run-merge — keyed exchanges bounded, join fanout capped by max_df"),
+    ("dedup_semantic", "SemDeDup (pre-staged r9): centroid literals, ONE cell exchange, in-cell min-witness fold inside the aggregated array — no pair rows, no Python"),
+    ("cep_nested_funnel_relaxed", "nested funnel (pre-staged r9): right-nested relaxed combine flattened by the planner to per-user window passes — no join, no Python"),
 ]
 
 
@@ -86,7 +89,14 @@ def summarize(plan: str) -> str:
     counts = {
         "BroadcastHashJoin": len(re.findall(r"BroadcastHashJoin", plan)),
         "SortMergeJoin": len(re.findall(r"SortMergeJoin", plan)),
-        "Exchange (shuffle)": len(re.findall(r"\bExchange hashpartitioning", plan)),
+        # Keyed vs other exchanges reported separately so plan claims
+        # stay honest: "keyed exchanges: 1" can coexist with a guarded
+        # round-robin spread() exchange (sources/tables.py:88-104)
+        # without the audit line hiding it (round-7 VERDICT nit).
+        "Exchange (keyed)": len(re.findall(r"\bExchange hashpartitioning", plan)),
+        "Exchange (other)": len(
+            re.findall(r"\bExchange (?:RoundRobinPartitioning|rangepartitioning|SinglePartition)", plan)
+        ),
         "FlatMapGroupsInPandas": len(re.findall(r"FlatMapGroupsInPandas", plan)),
         "ArrowEvalPython": len(re.findall(r"ArrowEvalPython|BatchEvalPython", plan)),
         "WholeStageCodegen spans": len(re.findall(r"WholeStageCodegen", plan)),
@@ -119,6 +129,13 @@ def main() -> int:
 
     qs.setdefault("q_local_supplier_volume", q_local_supplier_volume)
     qs.setdefault("doc_token_budget", doc_token_budget)
+
+    from reflinkcep_spark.queries.cep_queries import cep_nested_funnel_relaxed
+    from reflinkcep_spark.queries.pipeline import dedup_semantic, dedup_substring_spans
+
+    qs.setdefault("dedup_substring_spans", dedup_substring_spans)
+    qs.setdefault("dedup_semantic", dedup_semantic)
+    qs.setdefault("cep_nested_funnel_relaxed", cep_nested_funnel_relaxed)
 
     out = [
         "# PLANS — audited physical plans",
