@@ -17,6 +17,23 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
+# Round-9 queue (all implemented, locally oracle-verified, and pinned
+# green by tests/test_check_oracles.py::
+# test_prestaged_round9_queries_match_oracles — registration is a
+# QUERIES/ORACLES-dict + _PRIORITY edit):
+#   dedup_substring_spans   (pipeline.py — duplicate-span detection)
+#   dedup_semantic          (pipeline.py — SemDeDup; its oracle is the
+#                            LAZY callable _sql_dedup_semantic)
+#   cep_nested_funnel_relaxed (cep_queries.py — nested-right combine)
+#   q_product_profit        (relational.py — Q9 shape)
+#   q_late_lines_by_status  (relational.py — Q12 shape)
+#   q_part_supplier_counts  (relational.py — Q16 shape)
+# Round-9 window arithmetic: 6 sit-outs from round 8 (2 rounds stale —
+# promote FIRST: text_profile, doc_top_terms, doc_hash_sample,
+# text_token_histogram, q_events_tumbling, q_running_order_totals) +
+# these 6 registrations + 50 r7-stale = 62 candidates for 50 slots →
+# ~12 named sit-outs.
+#
 # Front of the driver's 50-entry check window (round 8 rotation).
 # First the two stalwarts that sat out rounds 6-7 (q1_pricing_summary,
 # q6_revenue_delta — 2 rounds stale, the audit's only flags), then the

@@ -1653,6 +1653,160 @@ GROUP BY n_name
 """
 
 
+# --- Q9/Q12/Q16 shapes (PRE-STAGED for round 9) -----------------------
+#
+# q_product_profit, q_late_lines_by_status, and q_part_supplier_counts
+# below are implemented and locally oracle-verified but deliberately
+# NOT registered this round (round-8 window full — see
+# queries/__init__.py).  Register them in the round-9 rotation.
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: per (supplier nation, order year) profit on
+    PROMO parts — profit := revenue − supply cost, with supply cost
+    adapted to the testdata schema (no partsupp: cost per line :=
+    p_retailprice · l_quantity).  Profit can be NEGATIVE, so the
+    half-up cent rounding of exact_sum2_from_unit4 (positive-domain
+    floor trick) is wrong here; instead the exact unit-4 long sum is
+    divided once in DECIMAL and cast — both engines correctly round
+    the same exact rational to double, no ROUND needed.
+
+    Plan: part (PROMO filter) and supplier→nation broadcast into the
+    fact; the only real shuffle is the orderkey join to orders, then
+    one (nation, year) agg exchange."""
+    part = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit_u4 = unit4_revenue("l_extendedprice", "l_discount") - (
+        cents("p_retailprice") * 100 * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.sum(profit_u4).cast("decimal(38,0)") / 10000)
+            .cast("double")
+            .alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       (SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(3,2)))
+            - CAST(p_retailprice AS DECIMAL(18,2))
+              * CAST(l_quantity AS BIGINT)))::DOUBLE AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q_late_lines_by_status(spark, sf_dir):
+    """TPC-H Q12 shape: conditional priority counts per line attribute,
+    adapted to the testdata schema (no l_shipmode/l_receiptdate —
+    l_linestatus is the grouping axis and "late" := shipped 60+ days
+    after the order date).  One fact-side filterable join condition,
+    two conditional sums in a single agg pass — the Q12 plan property
+    is that the CASE logic rides the one (status) exchange."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("status"))
+        .agg(
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0))).alias("high_line_count"),
+            F.sum(F.when(high, F.lit(0)).otherwise(F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+SQL_LATE_LINES_BY_STATUS = """
+SELECT l_linestatus AS status,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+def q_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per (brand, size),
+    excluding an out-list of suppliers, adapted to the testdata schema
+    (no partsupp: the part↔supplier relation is the distinct
+    (l_partkey, l_suppkey) pairs of lineitem; the excluded suppliers
+    are s_acctbal < 1000 instead of complaint-comment matches).
+
+    Plan: the exclusion is a broadcast ANTI join (NOT IN with
+    guaranteed-non-null keys), part is a broadcast dim, the pair
+    distinct and the count-distinct agg share the same keys."""
+    bad = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    part = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") != "PROMO")
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .distinct()
+    )
+    return (
+        pairs.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000))
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,

@@ -82,6 +82,9 @@ AUDITED = [
     ("dedup_substring_spans", "substring spans (pre-staged r9): gram explode checkpointed, doc-capped posting semi-filter, hash self-join, (pair, diag) window run-merge — keyed exchanges bounded, join fanout capped by max_df"),
     ("dedup_semantic", "SemDeDup (pre-staged r9): centroid literals, ONE cell exchange, in-cell min-witness fold inside the aggregated array — no pair rows, no Python"),
     ("cep_nested_funnel_relaxed", "nested funnel (pre-staged r9): right-nested relaxed combine flattened by the planner to per-user window passes — no join, no Python"),
+    ("q_product_profit", "Q9 (pre-staged r9): PROMO part + supplier-nation dims broadcast into the fact, one orderkey shuffle, exact unit-4 profit (no-round decimal divide — profit can be negative)"),
+    ("q_late_lines_by_status", "Q12 (pre-staged r9): one orderkey join, interval residual inside it, conditional sums ride the single status exchange"),
+    ("q_part_supplier_counts", "Q16 (pre-staged r9): broadcast anti join for the supplier out-list, broadcast part dim, pair-distinct + count-distinct share keys"),
 ]
 
 
@@ -136,6 +139,16 @@ def main() -> int:
     qs.setdefault("dedup_substring_spans", dedup_substring_spans)
     qs.setdefault("dedup_semantic", dedup_semantic)
     qs.setdefault("cep_nested_funnel_relaxed", cep_nested_funnel_relaxed)
+
+    from reflinkcep_spark.queries.relational import (
+        q_late_lines_by_status,
+        q_part_supplier_counts,
+        q_product_profit,
+    )
+
+    qs.setdefault("q_product_profit", q_product_profit)
+    qs.setdefault("q_late_lines_by_status", q_late_lines_by_status)
+    qs.setdefault("q_part_supplier_counts", q_part_supplier_counts)
 
     out = [
         "# PLANS — audited physical plans",

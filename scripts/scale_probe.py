@@ -94,6 +94,9 @@ PROBES = [
     ("dedup_substring_spans", "documents"),
     ("dedup_semantic", "embeddings"),
     ("cep_nested_funnel_relaxed", "events"),
+    ("q_product_profit", "lineitem"),
+    ("q_late_lines_by_status", "lineitem"),
+    ("q_part_supplier_counts", "lineitem"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

@@ -77,6 +77,14 @@ def test_prestaged_round9_queries_match_oracles(spark):
         dedup_semantic,
         dedup_substring_spans,
     )
+    from reflinkcep_spark.queries.relational import (
+        SQL_LATE_LINES_BY_STATUS,
+        SQL_PART_SUPPLIER_COUNTS,
+        SQL_PRODUCT_PROFIT,
+        q_late_lines_by_status,
+        q_part_supplier_counts,
+        q_product_profit,
+    )
     from tests.conftest import SF_DIR
 
     con = duckdb.connect()
@@ -101,6 +109,9 @@ def test_prestaged_round9_queries_match_oracles(spark):
         # the quantizer oracle recomputes centroids from the SAME
         # scale's parquet — pass the test scale explicitly
         (dedup_semantic, _sql_dedup_semantic(SF_DIR)),
+        (q_product_profit, SQL_PRODUCT_PROFIT),
+        (q_late_lines_by_status, SQL_LATE_LINES_BY_STATUS),
+        (q_part_supplier_counts, SQL_PART_SUPPLIER_COUNTS),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())
