@@ -64,57 +64,78 @@ def oracle_sql() -> dict[str, str]:
     return all_oracles()
 
 
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the sf_dir event log (ALL columns).
+
+    The file stream source requires a DIRECTORY; the testdata tables
+    are single parquet files, so expose the file through a per-sf_dir
+    temp directory symlink (stable path → the source's file-tracking
+    log stays consistent across calls).  lexists, not exists: a
+    dangling symlink (testdata regenerated) reports exists=False but
+    still blocks os.symlink; likewise a live link pointing at stale
+    data must be re-made, not reused.  islink before readlink: a
+    REGULAR file at this path (older layout, a copy instead of a
+    link) would make readlink raise."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "stream_events_" + hashlib.md5(path.encode()).hexdigest()[:12],
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if os.path.lexists(link):
+        if (
+            not os.path.islink(link)
+            or not os.path.exists(link)
+            or os.readlink(link) != path
+        ):
+            os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(schema).parquet(d)
+    if "ts" in stream.columns and dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        # Watermarks require TIMESTAMP; the testdata stores NTZ.  Pin
+        # the session zone before the cast so the instant is stable
+        # regardless of host zone — same move as sources/tables.py.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Streaming counterpart of ``queries()``, pre-wired for the day
     the driver contract admits streaming entries (it does not today —
-    nothing calls this but tests/test_streaming_entry.py).  Each entry
+    nothing calls this but the streaming test suite).  Each entry
     takes (spark, sf_dir) and returns an UNSTARTED streaming DataFrame
-    reading ``sf_dir/events.parquet`` as a file stream through
-    ``match_pattern_stream``; the caller starts it with
-    ``.writeStream`` (e.g. memory sink + ``processAllAvailable``).
-    Batch-vs-stream equality for this query is asserted in the test."""
+    reading ``sf_dir/events.parquet`` as a file stream; the caller
+    starts it with ``.writeStream`` (memory sink +
+    ``trigger(availableNow=True)`` in the tests).
+
+    The five entries cover every streaming execution path the repo has
+    (STREAMING_READY.md): the stateful NFA kernel, three windowed-
+    aggregation flavors, and absence-via-timeout.  Each one's batch
+    twin is an already-oracled driver query with IDENTICAL arithmetic
+    (exact cent sums), so the streaming check is "stream result ==
+    batch twin (== oracle)": full equality for the kernel entry, and
+    equality on watermark-CLOSED windows/spans for the windowed and
+    absence entries (append mode holds windows the final watermark
+    never passes — tests/test_streaming_entry.py pins both forms)."""
+    from pyspark.sql import functions as F
 
     def cep_signup_to_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pyspark.sql import functions as F
-
         from reflinkcep_spark.cep.query import Query
         from reflinkcep_spark.session import ensure_package_shipped
         from reflinkcep_spark.streaming import match_pattern_stream
 
         ensure_package_shipped(spark)
-        path = os.path.join(sf_dir, "events.parquet")
-        schema = spark.read.parquet(path).schema
-        # The file stream source requires a DIRECTORY; the testdata
-        # tables are single parquet files, so expose the file through
-        # a per-sf_dir temp directory symlink (stable path → the
-        # source's file-tracking log stays consistent across calls).
-        import hashlib
-        import tempfile
-
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "stream_events_" + hashlib.md5(path.encode()).hexdigest()[:12],
-        )
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, "events.parquet")
-        # lexists, not exists: a dangling symlink (testdata regenerated)
-        # reports exists=False but still blocks os.symlink; likewise a
-        # live link pointing at stale data must be re-made, not reused.
-        # islink before readlink: a REGULAR file at this path (older
-        # layout, a copy instead of a link) would make readlink raise.
-        if os.path.lexists(link):
-            if (
-                not os.path.islink(link)
-                or not os.path.exists(link)
-                or os.readlink(link) != path
-            ):
-                os.remove(link)
-        if not os.path.lexists(link):
-            os.symlink(path, link)
-        stream = (
-            spark.readStream.schema(schema)
-            .parquet(d)
-            .select("user_id", "event_id", "event_type", "value")
+        stream = _stream_events(spark, sf_dir).select(
+            "user_id", "event_id", "event_type", "value"
         )
         out = match_pattern_stream(
             stream,
@@ -139,4 +160,57 @@ context:
             F.element_at(F.col("buy"), 1)["event_id"].alias("purchase_id"),
         )
 
-    return {"cep_signup_to_purchase_stream": cep_signup_to_purchase_stream}
+    def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from reflinkcep_spark.streaming.aggregations import tumbling_agg
+
+        return tumbling_agg(
+            _stream_events(spark, sf_dir).select("ts", "event_type", "value")
+        )
+
+    def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from reflinkcep_spark.streaming.aggregations import sliding_agg
+
+        return sliding_agg(
+            _stream_events(spark, sf_dir).select("ts", "event_type", "value")
+        )
+
+    def q_session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from reflinkcep_spark.streaming.aggregations import session_agg
+
+        return session_agg(
+            _stream_events(spark, sf_dir).select("ts", "user_id", "value")
+        )
+
+    def cep_signup_abandoned_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from reflinkcep_spark.session import ensure_package_shipped
+        from reflinkcep_spark.streaming.absence import not_followed_by_stream
+
+        ensure_package_shipped(spark)
+        base = (
+            _stream_events(spark, sf_dir)
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                "ts",
+                F.unix_micros("ts").alias("us"),
+            )
+            .withWatermark("ts", "30 minutes")
+        )
+        out = not_followed_by_stream(
+            base,
+            left_filter="event_type = 'signup'",
+            right_filter="event_type = 'purchase'",
+            on="us",
+            by="user_id",
+            within=30 * 60 * 1_000_000,
+        )
+        return out.select("user_id", F.col("event_id").alias("signup_id"))
+
+    return {
+        "cep_signup_to_purchase_stream": cep_signup_to_purchase_stream,
+        "q_events_tumbling_stream": q_events_tumbling_stream,
+        "q_events_sliding_stream": q_events_sliding_stream,
+        "q_session_windows_stream": q_session_windows_stream,
+        "cep_signup_abandoned_stream": cep_signup_abandoned_stream,
+    }

@@ -18,6 +18,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from reflinkcep_spark.queries.exact import exact_sum2
+
 __all__ = [
     "tumbling_agg",
     "sliding_agg",
@@ -50,7 +52,10 @@ def tumbling_agg(
         .groupBy(F.window(ts_col, window).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("total_value"),
+            # exact integer-cent accumulator (queries/exact.py): the
+            # streaming output must be BIT-equal to its batch driver
+            # twin, which sums in exact cents
+            exact_sum2(value_col).alias("total_value"),
         )
     )
     return agged.select(
@@ -83,7 +88,10 @@ def sliding_agg(
         .groupBy(F.window(ts_col, window, slide).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("total_value"),
+            # exact integer-cent accumulator (queries/exact.py): the
+            # streaming output must be BIT-equal to its batch driver
+            # twin, which sums in exact cents
+            exact_sum2(value_col).alias("total_value"),
         )
     )
     return agged.select(
@@ -117,7 +125,7 @@ def session_agg(
         .groupBy(*keys, F.session_window(ts_col, gap).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("session_value"),
+            exact_sum2(value_col).alias("session_value"),
         )
     )
     return agged.select(

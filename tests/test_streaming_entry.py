@@ -70,3 +70,67 @@ def test_streaming_entry_replaces_regular_file_at_link_path(spark):
     )
     assert out.isStreaming
     assert os.path.islink(link) and os.readlink(link) == path
+
+
+def test_streaming_entries_match_batch_twins_on_closed_state(spark, tmp_path):
+    """The four round-8 additions to ``queries_streaming()`` (windowed
+    aggregations ×3 + absence): each runs end-to-end through the file
+    source and equals its already-oracled BATCH DRIVER TWIN on the
+    watermark-CLOSED subset — append mode holds windows/spans the
+    final watermark never passes, so the closed subset is the defined
+    equality (STREAMING_READY.md).  Arithmetic is shared (exact cent
+    sums), so equality is exact, not approximate."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from reflinkcep_spark.sources import load_table
+
+    qs = entrymod.queries_streaming()
+    batch = entrymod.queries()
+    ev = load_table(spark, SF_DIR, "events")
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    horizon = max_ts - 30 * 60  # every wrapper uses a 30-minute delay
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm_us = max_us - 30 * 60 * 1_000_000
+
+    signup_us = {
+        r["event_id"]: r["us"]
+        for r in ev.filter(F.col("event_type") == "signup")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+
+    def closed(name, row):
+        if name.startswith("q_events_"):  # tumbling/sliding windows
+            return row["window_start_s"] + 3600 <= horizon
+        if name == "q_session_windows_stream":
+            return row["end_s"] + 600 <= horizon  # w.end = last + gap
+        # absence: span closes when the watermark passes us + within
+        return signup_us[row["signup_id"]] + 30 * 60 * 1_000_000 < wm_us
+
+    pairs = [
+        ("q_events_tumbling_stream", "q_events_tumbling"),
+        ("q_events_sliding_stream", "q_events_sliding"),
+        ("q_session_windows_stream", "q_session_windows"),
+        ("cep_signup_abandoned_stream", "cep_signup_abandoned"),
+    ]
+    for sname, bname in pairs:
+        out = qs[sname](spark, SF_DIR)
+        assert out.isStreaming, sname
+        sink = f"entry_{sname}_{os.getpid()}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{sname}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(tuple(r) for r in spark.table(sink).collect())
+        want = sorted(
+            tuple(r)
+            for r in batch[bname](spark, SF_DIR).collect()
+            if closed(sname, r)
+        )
+        assert got == want and got, sname
