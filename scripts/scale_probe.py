@@ -317,11 +317,19 @@ def main() -> int:
             # — holding cell size constant (n_cells = 16·N) is the
             # like-for-like measurement, same reasoning as
             # dedup_ngram_jaccard's absolute-cap correction above.
+            # max_fit_rows pinned: the default budget (256 rows/cell)
+            # makes the DRIVER-side numpy Lloyd fit O(sample·k) =
+            # O(N²) when both scale with N — measured 79 s at x16,
+            # all of it single-threaded fit, none of it the
+            # distributed plan.  A production fit at paper scale is
+            # minibatch/ANN-assisted anyway; pinning the sample
+            # isolates what this probe measures: the Spark plan.
             from reflinkcep_spark.functions import similarity as _sim
             from reflinkcep_spark.queries.pipeline import _embs as _e
 
             return _sim.semantic_dedup(
-                _e(spark, dirs[n]), threshold=0.3, n_cells=16 * n
+                _e(spark, dirs[n]), threshold=0.3, n_cells=16 * n,
+                max_fit_rows=4096,
             )
         if qname == "dedup_clusters":
             # Built on the same relative-capped pair generator — same
