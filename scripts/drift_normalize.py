@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Normalize two driver bench records by the calibration row.
+
+Usage:
+    python3 scripts/drift_normalize.py BENCH_r08.json BENCH_r09.json
+
+Implements NOTES_r08.md's one-division drift rule: the fixed-work
+``calibration_cpu`` row (bench.py) moves only with host state, so a
+uniform bench move that TRACKS the calibration ratio is box weather,
+not code.  Prints the raw total ratio, the calibration ratio, the
+normalized total ratio, and the per-query movers whose ratio exceeds
+what calibration explains by more than the noise floor — those are the
+only rows worth a bench-vs-bench reproduction.
+
+Driver records nest bench.py's JSON line under ``parsed``; raw
+bench.py output (one JSON object) is accepted too.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+NOISE_FLOOR = 1.25  # single-run sub-second rows swing this much anyway
+MIN_ABS_SEC = 0.3  # ignore movers below this absolute time (noise)
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("parsed", d)
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    a, b = load(sys.argv[1]), load(sys.argv[2])
+    qa, qb = a["queries"], b["queries"]
+    common = sorted(set(qa) & set(qb))
+    if not common:
+        print("no common queries between the two records")
+        return 1
+    total_a = sum(qa[q] for q in common)
+    total_b = sum(qb[q] for q in common)
+    raw = total_b / total_a
+    ca, cb = a.get("calibration_sec"), b.get("calibration_sec")
+    print(f"common subset: {len(common)} queries")
+    print(f"raw total ratio      (B/A): {raw:.3f}  ({total_a:.2f}s -> {total_b:.2f}s)")
+    if ca and cb:
+        calib = cb / ca
+        print(f"calibration ratio    (B/A): {calib:.3f}  ({ca:.3f}s -> {cb:.3f}s)")
+        print(f"normalized total ratio    : {raw / calib:.3f}  (1.0 = box state explains it)")
+    else:
+        calib = 1.0
+        missing = [p for p, c in ((sys.argv[1], ca), (sys.argv[2], cb)) if not c]
+        print(f"calibration row missing in {missing} — raw comparison only")
+    movers = []
+    for q in common:
+        if max(qa[q], qb[q]) < MIN_ABS_SEC:
+            continue
+        r = (qb[q] / qa[q]) / calib
+        if r > NOISE_FLOOR or r < 1 / NOISE_FLOOR:
+            movers.append((r, q, qa[q], qb[q]))
+    if movers:
+        print(f"\nmovers beyond calibration x {NOISE_FLOOR} (reproduce these bench-vs-bench):")
+        for r, q, ta, tb in sorted(movers, reverse=True):
+            print(f"  {q:32s} {ta:7.3f}s -> {tb:7.3f}s   normalized x{r:.2f}")
+    else:
+        print("\nno per-query mover exceeds what calibration explains — chase nothing")
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:  # piped into head — not an error
+        raise SystemExit(0)
