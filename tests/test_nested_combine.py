@@ -272,3 +272,67 @@ def test_fastpath_parity_right_nested_chain(spark):
     got, want = canon(fast.collect()), canon(slow.collect())
     assert got == want
     assert len(got) > 0
+
+
+def test_nested_combine_through_streaming_kernel(spark, tmp_path):
+    """The lifted nested-right automaton must run through the STREAMING
+    kernel too (match_pattern_stream persists the same run-set the
+    batch kernel walks): the nested funnel's stream output over the
+    sf0.001 event log equals the batch driver query exactly — the NFA
+    path has no watermark hold-back."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _stream_events
+    from reflinkcep_spark.cep.query import Query as CQuery
+    from reflinkcep_spark.queries.cep_queries import cep_nested_funnel_relaxed
+    from reflinkcep_spark.session import ensure_package_shipped
+    from reflinkcep_spark.streaming import match_pattern_stream
+
+    SF = "/root/testdata/sf0.001"
+    ensure_package_shipped(spark)
+    stream = _stream_events(spark, SF).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    out = match_pattern_stream(
+        stream,
+        CQuery.from_yaml(
+            """
+type: query
+patseq:
+  type: combine
+  contiguity: relaxed
+  left: {type: spat, name: reg, event: signup, cndt: {expr: "True"}}
+  right:
+    type: combine
+    contiguity: strict
+    left:  {type: spat, name: buy, event: purchase, cndt: {expr: value > 50}}
+    right: {type: spat, name: err, event: error,    cndt: {expr: "True"}}
+context:
+  schema: {signup: [], purchase: [], error: [], click: [], view: []}
+"""
+        ),
+        order_by="event_id",
+        partition_by="user_id",
+    ).select(
+        "user_id",
+        F.element_at(F.col("reg"), 1)["event_id"].alias("signup_id"),
+        F.element_at(F.col("buy"), 1)["event_id"].alias("purchase_id"),
+        F.element_at(F.col("err"), 1)["event_id"].alias("error_id"),
+    )
+    sink = f"nested_stream_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table(sink).collect())
+    want = sorted(
+        tuple(r) for r in cep_nested_funnel_relaxed(spark, SF).collect()
+    )
+    assert got == want and got

@@ -1223,3 +1223,56 @@ def test_substring_spans_cap_counts_documents_not_occurrences(spark):
     # one span per occurrence in doc A (6 diagonals), each aligned on
     # doc B's single copy at token 5
     assert sorted(r.start_b for r in out) == [5] * 6
+
+
+def test_substring_spans_matches_bruteforce_on_random_corpora(spark):
+    """Property test: on random small corpora (tiny vocabulary for
+    chance collisions + planted shared runs), substring_spans must
+    equal the direct definition — for every doc pair and diagonal, the
+    maximal runs of equal tokens of length >= min_len (cap disabled so
+    the posting index is exhaustive)."""
+    import random
+
+    rng = random.Random(42)
+    K, MIN_LEN = 3, 5
+
+    def brute(docs):
+        toks = {i: t.split() for i, t in docs}
+        out = set()
+        for a in sorted(toks):
+            for b in sorted(toks):
+                if a >= b:
+                    continue
+                ta, tb = toks[a], toks[b]
+                for diag in range(-len(ta) + 1, len(tb)):
+                    i = max(0, -diag)
+                    run = 0
+                    while i <= len(ta):
+                        j = i + diag
+                        if i < len(ta) and 0 <= j < len(tb) and ta[i] == tb[j]:
+                            run += 1
+                        else:
+                            if run >= max(MIN_LEN, K):
+                                out.add((a, b, i - run, i - run + diag, run))
+                            run = 0
+                        i += 1
+        return out
+
+    for trial in range(5):
+        vocab = [f"w{v}" for v in range(6)]  # tiny vocab → chance runs
+        planted = " ".join(rng.choice(vocab) for _ in range(MIN_LEN + 2))
+        docs = []
+        for i in range(6):
+            words = [rng.choice(vocab) for _ in range(rng.randrange(8, 25))]
+            if i % 2 == 0:  # plant the shared run in half the docs
+                p = rng.randrange(0, len(words))
+                words[p:p] = planted.split()
+            docs.append((i, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_len)
+            for r in dedup.substring_spans(
+                df, min_len=MIN_LEN, k=K, max_df=10**9
+            ).collect()
+        }
+        assert got == brute(docs), (trial, sorted(got ^ brute(docs))[:5])
