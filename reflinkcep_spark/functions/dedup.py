@@ -39,6 +39,8 @@ __all__ = [
     "duplicate_clusters",
     "contaminated_docs",
     "winnow_pairs",
+    "substring_spans",
+    "scrub_spans",
 ]
 
 
@@ -910,5 +912,91 @@ def substring_spans(
             "start_a",
             (F.col("start_a") + F.col("diag")).cast("long").alias("start_b"),
             "span_len",
+        )
+    )
+
+
+def scrub_spans(
+    df: DataFrame,
+    min_len: int = 50,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The ACTION half of substring-level dedup (Lee et al. 2022's
+    ExactSubstr removes the duplicated text, not the document): detect
+    duplicate spans with :func:`substring_spans`, keep the LOWEST-id
+    document's copy, and delete the span tokens from every other
+    document.  One row per input document: the scrubbed text plus an
+    audit count of removed tokens (0 ⇔ text unchanged).
+
+    Shape, all Catalyst: the span frame keyed by the losing doc
+    becomes a (doc, position-interval) table; each document's token
+    positions anti-join it on a range predicate (pos ∈ [start, start+
+    len)), and surviving tokens re-assemble in position order.  The
+    anti join's left side is tokens of SPAN-CARRYING documents only
+    (a semi join cuts the corpus first — at a 1% duplication rate 99%
+    of documents never shuffle a token); untouched documents pass
+    through with their original text.  Overlapping spans need no
+    explicit interval merge: a position inside ANY interval is dropped
+    by the anti join, which is precisely interval-union semantics.
+    """
+    from reflinkcep_spark.functions.text import tokens
+
+    spans = substring_spans(
+        df, min_len=min_len, k=k, text_col=text_col, id_col=id_col,
+        max_df=max_df, hash_fn=hash_fn,
+    )
+    intervals = spans.select(
+        F.col("doc_b").alias("victim"),
+        F.col("start_b").alias("iv_start"),
+        (F.col("start_b") + F.col("span_len")).alias("iv_end"),
+    )
+    intervals = intervals.localCheckpoint(eager=False)  # used twice below
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    victim_ids = intervals.select(F.col("victim").alias("doc_id")).distinct()
+    victims = base.join(victim_ids, "doc_id")
+    toks = victims.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("__text"))).alias("pos", "tok"),
+    )
+    kept = toks.join(
+        intervals,
+        (toks.doc_id == intervals.victim)
+        & (toks.pos >= intervals.iv_start)
+        & (toks.pos < intervals.iv_end),
+        "left_anti",
+    )
+    scrubbed = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                )
+            , " ").alias("__kept_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    n_tok = F.size(tokens(F.col("__text")))
+    # Victims whose EVERY token sits in a span (a whole-document
+    # duplicate) produce no scrubbed row — they must come back as the
+    # empty string, not their original text, so the victim flag (not
+    # the scrub join) decides which side wins.
+    return (
+        base.join(victim_ids.withColumn("__victim", F.lit(True)), "doc_id", "left")
+        .join(scrubbed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__victim").isNull(), F.col("__text"))
+            .otherwise(F.coalesce(F.col("__kept_text"), F.lit("")))
+            .alias("text_clean"),
+            F.when(F.col("__victim").isNull(), F.lit(0))
+            .otherwise(n_tok - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
         )
     )

@@ -22,6 +22,7 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 # test_prestaged_round9_queries_match_oracles — registration is a
 # QUERIES/ORACLES-dict + _PRIORITY edit):
 #   dedup_substring_spans   (pipeline.py — duplicate-span detection)
+#   dedup_scrub_spans       (pipeline.py — span REMOVAL / ExactSubstr)
 #   dedup_semantic          (pipeline.py — SemDeDup; its oracle is the
 #                            LAZY callable _sql_dedup_semantic)
 #   cep_nested_funnel_relaxed (cep_queries.py — nested-right combine)
@@ -31,8 +32,8 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 # Round-9 window arithmetic: 6 sit-outs from round 8 (2 rounds stale —
 # promote FIRST: text_profile, doc_top_terms, doc_hash_sample,
 # text_token_histogram, q_events_tumbling, q_running_order_totals) +
-# these 6 registrations + 50 r7-stale = 62 candidates for 50 slots →
-# ~12 named sit-outs.
+# these 7 registrations + 50 r7-stale = 63 candidates for 50 slots →
+# ~13 named sit-outs.
 #
 # Front of the driver's 50-entry check window (round 8 rotation).
 # First the two stalwarts that sat out rounds 6-7 (q1_pricing_summary,

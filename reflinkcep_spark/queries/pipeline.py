@@ -1902,6 +1902,91 @@ HAVING count(*) + 7 >= 40
 """
 
 
+# --- substring-span SCRUB (PRE-STAGED for round 9) ----------------------
+#
+# dedup_scrub_spans is implemented and locally oracle-verified but
+# deliberately NOT registered this round (round-8 window full — see
+# queries/__init__.py).  Register it in the round-9 rotation.
+
+def dedup_scrub_spans(spark, sf_dir):
+    """The ACTION half of substring dedup (Lee et al. 2022 ExactSubstr
+    removes the duplicated TEXT, not the document): spans found by
+    dedup_substring_spans are deleted from every document except the
+    lowest-id copy; whole-document duplicates scrub to the empty
+    string.  One row per input document with an n_removed audit count
+    (functions/dedup.py:scrub_spans — the span-carrying 1% of the
+    corpus is isolated by a semi join before any token explodes)."""
+    return dedup.scrub_spans(
+        _docs(spark, sf_dir), min_len=40, k=8, hash_fn="md5"
+    )
+
+
+# Same spans CTE chain as SQL_DEDUP_SUBSTRING_SPANS (min_len=40, k=8),
+# then: victims rebuilt from their positions OUTSIDE every interval
+# (NOT EXISTS = interval-union semantics), non-victims pass through
+# with their ORIGINAL text verbatim.
+SQL_DEDUP_SCRUB_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS h
+  FROM toks, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)
+  WHERE len(tk) >= 8
+),
+rare AS (
+  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) <= 64
+),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS diag
+  FROM grams a JOIN rare USING (h) JOIN grams b USING (h)
+  WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run_id
+  FROM prs
+),
+spans AS (
+  SELECT doc_b AS victim,
+         min(pos_a) + diag AS iv_start,
+         min(pos_a) + diag + count(*) + 7 AS iv_end
+  FROM runs
+  GROUP BY doc_a, doc_b, diag, run_id
+  HAVING count(*) + 7 >= 40
+),
+pos AS (
+  SELECT t.doc_id, u.i - 1 AS pos, t.tk[u.i] AS tok
+  FROM toks t, UNNEST(generate_series(1, len(t.tk))) AS u(i)
+  WHERE t.doc_id IN (SELECT victim FROM spans)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.victim = p.doc_id
+                      AND p.pos >= s.iv_start AND p.pos < s.iv_end)
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN t.doc_id IN (SELECT victim FROM spans)
+            THEN COALESCE(a.kept_text, '') ELSE t.text END AS text_clean,
+       CASE WHEN t.doc_id IN (SELECT victim FROM spans)
+            THEN len(t.tk) - COALESCE(a.n_kept, 0) ELSE 0 END::BIGINT
+         AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --- semantic dedup / SemDeDup (PRE-STAGED for round 9) -----------------
 #
 # dedup_semantic is implemented and locally oracle-verified but

@@ -80,6 +80,7 @@ AUDITED = [
     ("q_local_supplier_volume", "Q5 (registered r8): broadcast ASIA-supplier frame reduces the fact first, same-nation residual rides the customer equi-join (orderkey/custkey shuffle joins at scale; AQE-broadcast at this SF)"),
     ("doc_token_budget", "token budget (registered r8): narrow staged frame checkpointed (one text scan), shard offsets tiny + broadcast, past-budget shards dropped before the one (source, shard) detail exchange, no Python"),
     ("dedup_substring_spans", "substring spans (pre-staged r9): gram explode checkpointed, doc-capped posting semi-filter, hash self-join, (pair, diag) window run-merge — keyed exchanges bounded, join fanout capped by max_df"),
+    ("dedup_scrub_spans", "span scrub (pre-staged r9): span frame semi-isolates victim docs before any token explodes, range anti join = interval union, non-victims never rebuilt"),
     ("dedup_semantic", "SemDeDup (pre-staged r9): centroid literals, ONE cell exchange, in-cell min-witness fold inside the aggregated array — no pair rows, no Python"),
     ("cep_nested_funnel_relaxed", "nested funnel (pre-staged r9): right-nested relaxed combine flattened by the planner to per-user window passes — no join, no Python"),
     ("q_product_profit", "Q9 (pre-staged r9): PROMO part + supplier-nation dims broadcast into the fact, one orderkey shuffle, exact unit-4 profit (no-round decimal divide — profit can be negative)"),
@@ -137,6 +138,9 @@ def main() -> int:
     from reflinkcep_spark.queries.pipeline import dedup_semantic, dedup_substring_spans
 
     qs.setdefault("dedup_substring_spans", dedup_substring_spans)
+    from reflinkcep_spark.queries.pipeline import dedup_scrub_spans
+
+    qs.setdefault("dedup_scrub_spans", dedup_scrub_spans)
     qs.setdefault("dedup_semantic", dedup_semantic)
     qs.setdefault("cep_nested_funnel_relaxed", cep_nested_funnel_relaxed)
 

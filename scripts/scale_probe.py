@@ -92,6 +92,7 @@ PROBES = [
     ("text_lm_quality", "documents"),
     ("doc_pack_ffd", "documents"),
     ("dedup_substring_spans", "documents"),
+    ("dedup_scrub_spans", "documents"),
     ("dedup_semantic", "embeddings"),
     ("cep_nested_funnel_relaxed", "events"),
     ("q_product_profit", "lineitem"),

@@ -72,8 +72,10 @@ def test_prestaged_round9_queries_match_oracles(spark):
         cep_nested_funnel_relaxed,
     )
     from reflinkcep_spark.queries.pipeline import (
+        SQL_DEDUP_SCRUB_SPANS,
         SQL_DEDUP_SUBSTRING_SPANS,
         _sql_dedup_semantic,
+        dedup_scrub_spans,
         dedup_semantic,
         dedup_substring_spans,
     )
@@ -105,6 +107,7 @@ def test_prestaged_round9_queries_match_oracles(spark):
         )
     for fn, sql in (
         (dedup_substring_spans, SQL_DEDUP_SUBSTRING_SPANS),
+        (dedup_scrub_spans, SQL_DEDUP_SCRUB_SPANS),
         (cep_nested_funnel_relaxed, SQL_NESTED_FUNNEL_RELAXED),
         # the quantizer oracle recomputes centroids from the SAME
         # scale's parquet — pass the test scale explicitly

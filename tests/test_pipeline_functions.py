@@ -1276,3 +1276,30 @@ def test_substring_spans_matches_bruteforce_on_random_corpora(spark):
             ).collect()
         }
         assert got == brute(docs), (trial, sorted(got ^ brute(docs))[:5])
+
+
+def test_scrub_spans_contract(spark):
+    """scrub_spans removes duplicated spans from every doc but the
+    lowest-id copy: a whole-document duplicate scrubs to the EMPTY
+    string (not its original text), a partial overlap loses exactly
+    the span tokens, the keeper and untouched docs pass through
+    VERBATIM (original whitespace preserved — only victims are
+    rebuilt)."""
+    phrase = " ".join(f"p{i}" for i in range(12))
+    tail = " ".join(f"t{i}" for i in range(6))
+    rows = [
+        (0, phrase),                     # keeper (lowest id)
+        (1, phrase),                     # whole-doc duplicate -> ""
+        (2, f"{phrase} {tail}"),         # partial: loses the phrase
+        (3, "u0  u1\tu2 unrelated doc"), # untouched, odd whitespace
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in dedup.scrub_spans(df, min_len=12, k=4).collect()
+    }
+    assert len(out) == 4
+    assert out[0] == (phrase, 0)                       # keeper untouched
+    assert out[1] == ("", 12)                          # fully scrubbed
+    assert out[2] == (tail, 12)                        # span cut, tail kept
+    assert out[3] == ("u0  u1\tu2 unrelated doc", 0)   # verbatim
