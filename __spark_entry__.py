@@ -81,6 +81,11 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    # Same ts-generation defenses as sources/tables.py:load_table —
+    # some testdata generations ship events.ts as TIMESTAMP(NANOS),
+    # which Spark rejects (PARQUET_TYPE_ILLEGAL) unless read as BIGINT
+    # and rebuilt; others ship TIMESTAMP_NTZ, which watermarks reject.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     d = os.path.join(
@@ -99,10 +104,17 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.lexists(link):
         os.symlink(path, link)
     stream = spark.readStream.schema(schema).parquet(d)
-    if "ts" in stream.columns and dict(stream.dtypes)["ts"] == "timestamp_ntz":
-        # Watermarks require TIMESTAMP; the testdata stores NTZ.  Pin
-        # the session zone before the cast so the instant is stable
-        # regardless of host zone — same move as sources/tables.py.
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        # Nanosecond BIGINT generation: rebuild the real timestamp with
+        # exact integer division (`div`, not `/` — see tables.py).
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP; pin the session zone before
+        # the cast so the instant is stable regardless of host zone —
+        # same move as sources/tables.py.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream

@@ -43,11 +43,14 @@ def main() -> int:
         return 1
     total_a = sum(qa[q] for q in common)
     total_b = sum(qb[q] for q in common)
+    if total_a <= 0:
+        print("record A has a zero total over the common subset — nothing to ratio")
+        return 1
     raw = total_b / total_a
     ca, cb = a.get("calibration_sec"), b.get("calibration_sec")
     print(f"common subset: {len(common)} queries")
     print(f"raw total ratio      (B/A): {raw:.3f}  ({total_a:.2f}s -> {total_b:.2f}s)")
-    if ca and cb:
+    if ca is not None and cb is not None and ca > 0 and cb > 0:
         calib = cb / ca
         print(f"calibration ratio    (B/A): {calib:.3f}  ({ca:.3f}s -> {cb:.3f}s)")
         print(f"normalized total ratio    : {raw / calib:.3f}  (1.0 = box state explains it)")
@@ -58,8 +61,11 @@ def main() -> int:
     movers = []
     for q in common:
         if max(qa[q], qb[q]) < MIN_ABS_SEC:
-            continue
-        r = (qb[q] / qa[q]) / calib
+            continue  # both below the absolute noise floor
+        # A zero/near-zero side is reported as an infinite mover, never
+        # divided by (a 0.0 recording with a measurable other side is
+        # exactly the row a human should look at).
+        r = float("inf") if qa[q] <= 0 else (qb[q] / qa[q]) / calib
         if r > NOISE_FLOOR or r < 1 / NOISE_FLOOR:
             movers.append((r, q, qa[q], qb[q]))
     if movers:

@@ -119,40 +119,16 @@ def main() -> int:
     spark = get_spark(app_name="explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(all_queries())
-    # Pre-staged (not yet registered) queries still get plan audits.
-    from reflinkcep_spark.queries.relational import (
-        q_important_parts,
-        q_min_cost_suppliers,
-    )
+    # Pre-staged (not yet registered) queries still get plan audits:
+    # one namespace sweep over the query modules instead of a
+    # hand-written import per round (the AUDITED list is the single
+    # source of which names matter).
+    from reflinkcep_spark.queries import _MODULES
 
-    qs.setdefault("q_min_cost_suppliers", q_min_cost_suppliers)
-    qs.setdefault("q_important_parts", q_important_parts)
-
-    from reflinkcep_spark.queries.pipeline import doc_token_budget
-    from reflinkcep_spark.queries.relational import q_local_supplier_volume
-
-    qs.setdefault("q_local_supplier_volume", q_local_supplier_volume)
-    qs.setdefault("doc_token_budget", doc_token_budget)
-
-    from reflinkcep_spark.queries.cep_queries import cep_nested_funnel_relaxed
-    from reflinkcep_spark.queries.pipeline import dedup_semantic, dedup_substring_spans
-
-    qs.setdefault("dedup_substring_spans", dedup_substring_spans)
-    from reflinkcep_spark.queries.pipeline import dedup_scrub_spans
-
-    qs.setdefault("dedup_scrub_spans", dedup_scrub_spans)
-    qs.setdefault("dedup_semantic", dedup_semantic)
-    qs.setdefault("cep_nested_funnel_relaxed", cep_nested_funnel_relaxed)
-
-    from reflinkcep_spark.queries.relational import (
-        q_late_lines_by_status,
-        q_part_supplier_counts,
-        q_product_profit,
-    )
-
-    qs.setdefault("q_product_profit", q_product_profit)
-    qs.setdefault("q_late_lines_by_status", q_late_lines_by_status)
-    qs.setdefault("q_part_supplier_counts", q_part_supplier_counts)
+    for mod in _MODULES:
+        for name, _claim in AUDITED:
+            if name not in qs and hasattr(mod, name):
+                qs[name] = getattr(mod, name)
 
     out = [
         "# PLANS — audited physical plans",
