@@ -75,7 +75,18 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     still blocks os.symlink; likewise a live link pointing at stale
     data must be re-made, not reused.  islink before readlink: a
     REGULAR file at this path (older layout, a copy instead of a
-    link) would make readlink raise."""
+    link) would make readlink raise.
+
+    SESSION-WIDE SIDE EFFECT (same contract as sources/tables.py):
+    pins ``spark.sql.legacy.parquet.nanosAsLong = true`` and
+    ``spark.sql.session.timeZone = UTC`` on the CALLER'S session, and
+    the pins persist after this call — later batch reads in the same
+    session see them too.  They cannot be set/restored here because
+    the returned stream is LAZY: both confs are consulted when the
+    query starts, not when this function builds it.  ``get_spark``
+    sessions already carry identical values; callers embedding this
+    in a foreign session with different expectations must manage the
+    conf themselves."""
     import hashlib
     import tempfile
 
@@ -85,7 +96,10 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # some testdata generations ship events.ts as TIMESTAMP(NANOS),
     # which Spark rejects (PARQUET_TYPE_ILLEGAL) unless read as BIGINT
     # and rebuilt; others ship TIMESTAMP_NTZ, which watermarks reject.
+    # Both pins happen up front, unconditionally, so the session state
+    # after this call doesn't depend on which generation was on disk.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     d = os.path.join(
@@ -112,10 +126,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     elif ts_type == "timestamp_ntz":
-        # Watermarks require TIMESTAMP; pin the session zone before
-        # the cast so the instant is stable regardless of host zone —
+        # Watermarks require TIMESTAMP; the UTC session-zone pin above
+        # makes this cast's instant stable regardless of host zone —
         # same move as sources/tables.py.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 

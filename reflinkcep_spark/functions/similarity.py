@@ -397,6 +397,7 @@ def semantic_dedup(
     max_fit_rows: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -420,7 +421,14 @@ def semantic_dedup(
     knob — cells must fit a task (the paper runs ~100k clusters at
     web scale; expected |cell| ≈ corpus / n_cells) and in-cell work is
     Σ|cell|² — the same documented contract as
-    ``embedding_neardup_pairs``'s Σ|bucket|².
+    ``embedding_neardup_pairs``'s Σ|bucket|².  ``max_cell_rows``
+    ENFORCES the contract at run time: any cell larger than it fails
+    the job with an actionable error instead of silently grinding
+    O(|cell|²) or OOM-killing the executor (a skewed quantizer — e.g.
+    a zero-vector attractor — concentrates the corpus into one cell;
+    the guard turns that into "raise n_cells / re-fit the quantizer /
+    pre-split the hot cell by salting ``cell``" rather than a dead
+    task).  ``None`` disables the guard.
 
     Returns one row PER INPUT DOC: (vec_id, cell, dup_of, keep) where
     ``dup_of`` is the smallest qualifying lower-id witness (NULL ⇔
@@ -453,12 +461,38 @@ def semantic_dedup(
             ).alias("dup_of"),
         ),
     )
+    grouped = assigned.groupBy("cell").agg(
+        F.collect_list(F.struct("id", "v")).alias("members"),
+        F.count(F.lit(1)).alias("_cell_n"),
+    )
+    vec_id = F.col("m.vec_id")
+    if max_cell_rows is not None:
+        # assert_true yields NULL on pass and aborts the task on
+        # violation; coalescing it into the projected id keeps Catalyst
+        # from pruning the check (a when(p, x).otherwise(x) form gets
+        # folded to x by SimplifyConditionals and the assert vanishes).
+        # Fires before any O(|cell|²) cosine work on the oversized
+        # cell runs.
+        guard = F.assert_true(
+            F.col("_cell_n") <= F.lit(int(max_cell_rows)),
+            F.concat(
+                F.lit("semantic_dedup: cell "),
+                F.col("cell").cast("string"),
+                F.lit(" holds "),
+                F.col("_cell_n").cast("string"),
+                F.lit(
+                    f" vectors > max_cell_rows={int(max_cell_rows)}; "
+                    "raise n_cells (or max_cell_rows), or pre-split "
+                    "the hot cell"
+                ),
+            ),
+        )
+        id_type = dict(assigned.dtypes)["id"]
+        vec_id = F.coalesce(guard.cast(id_type), vec_id)
     return (
-        assigned.groupBy("cell")
-        .agg(F.collect_list(F.struct("id", "v")).alias("members"))
-        .select("cell", F.explode(per_member).alias("m"))
+        grouped.select("cell", "_cell_n", F.explode(per_member).alias("m"))
         .select(
-            F.col("m.vec_id").alias("vec_id"),
+            vec_id.alias("vec_id"),
             "cell",
             F.col("m.dup_of").alias("dup_of"),
             F.col("m.dup_of").isNull().alias("keep"),

@@ -17,103 +17,103 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
-# Round-9 queue (all implemented, locally oracle-verified, and pinned
-# green by tests/test_check_oracles.py::
-# test_prestaged_round9_queries_match_oracles — registration is a
-# QUERIES/ORACLES-dict + _PRIORITY edit):
-#   dedup_substring_spans   (pipeline.py — duplicate-span detection)
-#   dedup_scrub_spans       (pipeline.py — span REMOVAL / ExactSubstr)
-#   dedup_semantic          (pipeline.py — SemDeDup; its oracle is the
-#                            LAZY callable _sql_dedup_semantic)
-#   cep_nested_funnel_relaxed (cep_queries.py — nested-right combine)
-#   q_product_profit        (relational.py — Q9 shape)
-#   q_late_lines_by_status  (relational.py — Q12 shape)
-#   q_part_supplier_counts  (relational.py — Q16 shape)
-# Round-9 window arithmetic: 6 sit-outs from round 8 (2 rounds stale —
-# promote FIRST: text_profile, doc_top_terms, doc_hash_sample,
-# text_token_histogram, q_events_tumbling, q_running_order_totals) +
-# these 7 registrations + 50 r7-stale = 63 candidates for 50 slots →
-# ~13 named sit-outs.
-#
-# Front of the driver's 50-entry check window (round 8 rotation).
-# First the two stalwarts that sat out rounds 6-7 (q1_pricing_summary,
-# q6_revenue_delta — 2 rounds stale, the audit's only flags), then the
-# four queries registered this round (pre-staged + oracle-verified in
-# round 7: q_min_cost_suppliers, q_important_parts,
-# q_local_supplier_volume, doc_token_budget — never driver-checked),
-# then 44 of the 50 queries whose latest green rows are r6-vintage.
-# Window arithmetic: 106 registered queries, 2 + 4 + 50 = 56 candidates
-# for 50 slots, so SIX r6-green queries sit out and go two rounds stale
-# at round 9 — promote these FIRST in the round-9 rotation:
-#   text_profile, doc_top_terms, doc_hash_sample, text_token_histogram,
-#   q_events_tumbling, q_running_order_totals
-# (the six simplest scan/window-aggregate shapes among the r6 set, each
-# green every round since registration).  Before this rotation every
-# promoted query was verified green in CORRECTNESS_r06.json (stalwarts
-# in r05) and every demoted query green in CORRECTNESS_r07.json
+# Front of the driver's 50-entry check window (round 9 rotation),
+# executed exactly as pre-planned in round 8: FIRST the six 2-round-
+# stale sit-outs from the round-8 plan (r6-vintage rows — the only
+# staleness the audit flags), then the seven queries registered this
+# round (pre-staged + oracle-verified in round 8: dedup_substring_spans,
+# dedup_scrub_spans, dedup_semantic, cep_nested_funnel_relaxed,
+# q_product_profit, q_late_lines_by_status, q_part_supplier_counts —
+# never driver-checked), then 37 of the 50 queries whose latest green
+# rows are r7-vintage.  Window arithmetic: 113 registered queries,
+# 6 + 7 + 50 = 63 candidates for 50 slots, so THIRTEEN r7-green queries
+# sit out and go two rounds stale at round 10 — promote PLANNED_SITOUTS
+# FIRST in the round-10 rotation.  Before this rotation every promoted
+# query was verified green in its latest CORRECTNESS row (r6/r7) and
+# every demoted query green in CORRECTNESS_r08.json
 # (scripts/window_audit.py run before and after).
+
+# Machine-readable sit-out plan: queries whose latest driver row is
+# EXPECTED to be ≥2 rounds stale at the NEXT driver run, because the
+# 50-slot window can't hold every candidate.  scripts/window_audit.py
+# exits 0 only when observed staleness matches this plan exactly —
+# any unplanned-stale query (or a planned one that is stale-and-red)
+# is a rotation bug and exits nonzero.  Chosen round 9: the thirteen
+# simplest single-agg/scan relational shapes among the r7 set, each
+# green every round since registration.
+PLANNED_SITOUTS = (
+    "q_big_building_buyers",
+    "q_scalar_functions",
+    "q_orders_by_month",
+    "q_distinct_counts",
+    "q_late_ship_priority",
+    "q_order_count_distribution",
+    "q_promo_revenue_share",
+    "q_large_quantity_orders",
+    "q_segment_opportunity",
+    "q_disjunctive_revenue",
+    "q_binational_volume",
+    "q_top_supplier",
+    "q_small_quantity_revenue",
+)
+
 _PRIORITY = (
-    # 2-rounds-stale stalwarts (last row r5) — first, per round-7 plan
-    "q1_pricing_summary",
-    "q6_revenue_delta",
-    # new in round 8 (never driver-checked; pre-staged round 7)
-    "q_min_cost_suppliers",
-    "q_important_parts",
-    "q_local_supplier_volume",
-    "doc_token_budget",
-    # r6-stale: dedup/text/pipeline family (text_profile, doc_top_terms,
-    # doc_hash_sample, text_token_histogram deliberately absent — they
-    # sit out; see note above)
-    "dedup_clusters",
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
-    "text_repetition",
-    "text_language",
-    "doc_rolling_fingerprint",
-    "doc_winnow_robust",
-    "doc_mixture_sample",
-    "doc_mixture_upsample",
-    "doc_source_stats",
-    "doc_decontam",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_curation_funnel",
-    "doc_chunk_overlap",
-    "doc_vocab_coverage",
-    "doc_split_assign",
-    "doc_global_shuffle",
-    "doc_split_leakage",
-    # r6-stale: similarity/multimodal family
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_embedding_neardup",
-    "multimodal_bytes",
-    # r6-stale: temporal family (q_events_tumbling deliberately absent
-    # — sits out; see note above)
-    "q_range_join_clicks",
-    "q_events_sliding",
-    "q_user_sessions",
-    "q_session_windows",
-    "q_asof_last_click",
-    "q_asof_next_error",
-    "q_events_props_json",
-    # r6-stale: CEP family
-    "cep_high_purchases",
-    "cep_funnel_3step",
-    "cep_funnel_within",
-    "cep_error_runs",
-    "cep_purchase_then_error",
-    "cep_error_runs_skiptolast",
-    "cep_signup_purchase_skipfirst",
-    # r6-stale: relational family (q_running_order_totals deliberately
-    # absent — sits out; see note above)
-    "q_balance_quartiles",
-    "q_skew_salted_events",
-    "q_waiting_suppliers",
-    "q_excess_inventory_suppliers",
-    "q_returned_item_customers",
-    "q_nation_market_share",
+    # 2-rounds-stale round-8 sit-outs (last row r6) — first, per plan
+    "text_profile",
+    "doc_top_terms",
+    "doc_hash_sample",
+    "text_token_histogram",
+    "q_events_tumbling",
+    "q_running_order_totals",
+    # new in round 9 (never driver-checked; pre-staged round 8)
+    "dedup_substring_spans",
+    "dedup_scrub_spans",
+    "dedup_semantic",
+    "cep_nested_funnel_relaxed",
+    "q_product_profit",
+    "q_late_lines_by_status",
+    "q_part_supplier_counts",
+    # r7-stale: dedup/text/pipeline family
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "doc_pack_ffd",
+    "doc_length_outliers",
+    "text_bigram_lift",
+    "text_lm_quality",
+    # r7-stale: CEP family
+    "cep_error_triples",
+    "cep_signup_to_purchase",
+    "cep_conversion_rate",
+    "cep_view_click_cycles",
+    "cep_spending_burst",
+    "cep_error_streaks_skip",
+    "cep_view_combos_ndrelaxed",
+    "cep_optional_click_prefix",
+    "cep_view_click_runs",
+    "cep_error_pairs_skippast",
+    "cep_high_purchase_chains",
+    "cep_error_then_purchase_grouped",
+    "cep_signup_any_purchase",
+    "cep_signup_abandoned",
+    # r7-stale: relational family (the PLANNED_SITOUTS thirteen
+    # deliberately absent — they sit out; see note above)
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q_top_customers_per_nation",
+    "q_rollup_order_priority",
+    "q_cube_lineitem_flags",
+    "q_customers_without_orders",
+    "q_orders_without_items",
+    "q_parts_with_cheap_suppliers",
+    "q_grouping_sets",
+    "q_quantity_percentiles",
+    "q_above_nation_avg",
+    "q_pivot_status_priority",
+    "q_unpivot_balances",
 )
 
 

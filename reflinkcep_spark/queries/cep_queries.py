@@ -1233,11 +1233,7 @@ FROM conv GROUP BY 1
 """
 
 
-# --- nested-right relaxed combine (PRE-STAGED for round 9) -------------
-#
-# cep_nested_funnel_relaxed is implemented and locally oracle-verified
-# but deliberately NOT registered this round: the round-8 window is
-# full (see queries/__init__.py).  Register it in the round-9 rotation.
+# --- nested-right relaxed combine (registered round 9; pre-staged r8) --
 
 def cep_nested_funnel_relaxed(spark, sf_dir):
     """Signup followed (relaxed) by the NESTED sub-pattern "qualifying
@@ -1333,6 +1329,7 @@ QUERIES = {
     "cep_error_then_purchase_grouped": cep_error_then_purchase_grouped,
     "cep_signup_any_purchase": cep_signup_any_purchase,
     "cep_signup_abandoned": cep_signup_abandoned,
+    "cep_nested_funnel_relaxed": cep_nested_funnel_relaxed,
 }
 
 ORACLES = {
@@ -1357,4 +1354,5 @@ ORACLES = {
     "cep_error_then_purchase_grouped": SQL_ERROR_THEN_PURCHASE_GROUPED,
     "cep_signup_any_purchase": SQL_SIGNUP_ANY_PURCHASE,
     "cep_signup_abandoned": SQL_SIGNUP_ABANDONED,
+    "cep_nested_funnel_relaxed": SQL_NESTED_FUNNEL_RELAXED,
 }

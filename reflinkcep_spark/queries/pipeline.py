@@ -1842,12 +1842,7 @@ FROM c WHERE cum_tok <= 800
 """
 
 
-# --- substring-span dedup (PRE-STAGED for round 9) ----------------------
-#
-# dedup_substring_spans is implemented and locally oracle-verified but
-# deliberately NOT registered this round: the round-8 window is full
-# (106 queries, six r6-green sit-outs already named — see
-# queries/__init__.py).  Register it in the round-9 rotation.
+# --- substring-span dedup (registered round 9; pre-staged round 8) ------
 
 def dedup_substring_spans(spark, sf_dir):
     """Duplicate-span detection (Lee et al. 2022): maximal runs of
@@ -1902,11 +1897,7 @@ HAVING count(*) + 7 >= 40
 """
 
 
-# --- substring-span SCRUB (PRE-STAGED for round 9) ----------------------
-#
-# dedup_scrub_spans is implemented and locally oracle-verified but
-# deliberately NOT registered this round (round-8 window full — see
-# queries/__init__.py).  Register it in the round-9 rotation.
+# --- substring-span SCRUB (registered round 9; pre-staged round 8) ------
 
 def dedup_scrub_spans(spark, sf_dir):
     """The ACTION half of substring dedup (Lee et al. 2022 ExactSubstr
@@ -1987,11 +1978,7 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
-# --- semantic dedup / SemDeDup (PRE-STAGED for round 9) -----------------
-#
-# dedup_semantic is implemented and locally oracle-verified but
-# deliberately NOT registered this round (round-8 window full — see
-# queries/__init__.py).  Register it in the round-9 rotation.
+# --- semantic dedup / SemDeDup (registered round 9; pre-staged round 8) -
 
 def dedup_semantic(spark, sf_dir):
     """SemDeDup over the embeddings table: IVF-quantizer clusters, then
@@ -2067,6 +2054,9 @@ QUERIES = {
     "sim_embedding_neardup": sim_embedding_neardup,
     "multimodal_bytes": multimodal_bytes,
     "doc_token_budget": doc_token_budget,
+    "dedup_substring_spans": dedup_substring_spans,
+    "dedup_scrub_spans": dedup_scrub_spans,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLES = {
@@ -2110,4 +2100,9 @@ ORACLES = {
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
     "doc_token_budget": SQL_DOC_TOKEN_BUDGET,
+    "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
+    "dedup_scrub_spans": SQL_DEDUP_SCRUB_SPANS,
+    # lazy: resolved by all_oracles() on first use (parquet read +
+    # KMeans fit — same contract as sim_ann_ivf above).
+    "dedup_semantic": _sql_dedup_semantic,
 }

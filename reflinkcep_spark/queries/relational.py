@@ -1653,12 +1653,7 @@ GROUP BY n_name
 """
 
 
-# --- Q9/Q12/Q16 shapes (PRE-STAGED for round 9) -----------------------
-#
-# q_product_profit, q_late_lines_by_status, and q_part_supplier_counts
-# below are implemented and locally oracle-verified but deliberately
-# NOT registered this round (round-8 window full — see
-# queries/__init__.py).  Register them in the round-9 rotation.
+# --- Q9/Q12/Q16 shapes (registered round 9; pre-staged round 8) --------
 
 def q_product_profit(spark, sf_dir):
     """TPC-H Q9 shape: per (supplier nation, order year) profit on
@@ -1846,6 +1841,9 @@ QUERIES = {
     "q_min_cost_suppliers": q_min_cost_suppliers,
     "q_important_parts": q_important_parts,
     "q_local_supplier_volume": q_local_supplier_volume,
+    "q_product_profit": q_product_profit,
+    "q_late_lines_by_status": q_late_lines_by_status,
+    "q_part_supplier_counts": q_part_supplier_counts,
 }
 
 ORACLES = {
@@ -1887,4 +1885,7 @@ ORACLES = {
     "q_min_cost_suppliers": SQL_MIN_COST_SUPPLIERS,
     "q_important_parts": SQL_IMPORTANT_PARTS,
     "q_local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "q_product_profit": SQL_PRODUCT_PROFIT,
+    "q_late_lines_by_status": SQL_LATE_LINES_BY_STATUS,
+    "q_part_supplier_counts": SQL_PART_SUPPLIER_COUNTS,
 }

@@ -52,10 +52,12 @@ def main() -> int:
     print(f"raw total ratio      (B/A): {raw:.3f}  ({total_a:.2f}s -> {total_b:.2f}s)")
     if ca is not None and cb is not None and ca > 0 and cb > 0:
         calib = cb / ca
+        label = "normalized"
         print(f"calibration ratio    (B/A): {calib:.3f}  ({ca:.3f}s -> {cb:.3f}s)")
         print(f"normalized total ratio    : {raw / calib:.3f}  (1.0 = box state explains it)")
     else:
         calib = 1.0
+        label = "raw"  # don't print ratios as calibration-adjusted when they aren't
         missing = [p for p, c in ((sys.argv[1], ca), (sys.argv[2], cb)) if not c]
         print(f"calibration row missing in {missing} — raw comparison only")
     movers = []
@@ -69,9 +71,10 @@ def main() -> int:
         if r > NOISE_FLOOR or r < 1 / NOISE_FLOOR:
             movers.append((r, q, qa[q], qb[q]))
     if movers:
-        print(f"\nmovers beyond calibration x {NOISE_FLOOR} (reproduce these bench-vs-bench):")
+        what = "calibration" if label == "normalized" else f"x{NOISE_FLOOR} raw"
+        print(f"\nmovers beyond {what} (reproduce these bench-vs-bench):")
         for r, q, ta, tb in sorted(movers, reverse=True):
-            print(f"  {q:32s} {ta:7.3f}s -> {tb:7.3f}s   normalized x{r:.2f}")
+            print(f"  {q:32s} {ta:7.3f}s -> {tb:7.3f}s   {label} x{r:.2f}")
     else:
         print("\nno per-query mover exceeds what calibration explains — chase nothing")
     return 0

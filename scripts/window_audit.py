@@ -8,6 +8,13 @@ driver-checked and queries whose latest row is more than one round
 old — the two states the per-round `_PRIORITY` rotation exists to
 prevent (see queries/__init__.py).
 
+Staleness is judged against the machine-readable sit-out plan
+(`queries/__init__.py:PLANNED_SITOUTS`): a ≥2-rounds-stale query that
+is IN the plan and green is expected (the 50-slot window can't hold
+every candidate); one NOT in the plan — or planned but red — is a
+rotation bug.  Exit 0 iff observed staleness matches the plan exactly,
+so "nonzero exit" always means "act", never "expected noise".
+
 Run before AND after editing `_PRIORITY`:
     python3 scripts/window_audit.py
 """
@@ -34,8 +41,65 @@ def row_ok(row: dict) -> bool:
     return bool(row.get("rows_match") and row.get("schema_match"))
 
 
+def classify(names, rounds, planned_sitouts, window=WINDOW):
+    """Pure staleness classification (unit-testable without the repo's
+    CORRECTNESS files).  `rounds` is [(round_no, {query: row})…];
+    returns a dict with the per-query report lines and the four flag
+    lists the exit code is computed from."""
+    latest_round = max(r for r, _ in rounds)
+    never, stale, red, planned, lines = [], [], [], [], []
+    by_round = sorted(rounds, reverse=True)
+    for i, name in enumerate(names):
+        hit = None
+        for rnd, data in by_round:
+            if name in data:
+                hit = (rnd, data[name])
+                break
+        pos = f"{i:>4}"
+        if hit is None:
+            never.append(name)
+            lines.append(f"{pos}  {name:<34} {'NEVER':<10} "
+                         f"{'in window' if i < window else 'NOT in window — will stay NEVER'}")
+            continue
+        rnd, row = hit
+        ok = row_ok(row)
+        age = latest_round - rnd
+        status = "pass" if ok else "FAIL"
+        if row.get("err") == "no_oracle":
+            status = "rows-only"
+        if not ok and row.get("err") != "no_oracle":
+            red.append(name)
+        if age > 1 and i >= window:
+            # planned sit-outs must still be green — a stale AND red
+            # row is a real regression no plan excuses
+            (stale if name not in planned_sitouts or not ok else planned).append(name)
+        flag = ""
+        if age > 1:
+            if i < window:
+                flag = f"  <-- {age} rounds stale"
+            elif name in planned_sitouts and ok:
+                flag = f"  (planned sit-out, {age} rounds stale)"
+            else:
+                flag = f"  <-- {age} rounds stale AND outside window (UNPLANNED)"
+        lines.append(f"{pos}  {name:<34} {'r' + str(rnd):<10} {status}{flag}")
+
+    # plan sanity: every planned sit-out must be a registered query
+    # sitting OUTSIDE the window (a planned sit-out inside the window,
+    # or a name that no longer exists, means the plan and _PRIORITY
+    # have drifted apart)
+    plan_bugs = [n for n in planned_sitouts
+                 if n not in names or n in names[:window]]
+    healthy = (not red and not stale and not plan_bugs
+               and all(n in names[:window] for n in never))
+    return {
+        "latest_round": latest_round, "lines": lines, "never": never,
+        "red": red, "planned": planned, "stale": stale,
+        "plan_bugs": plan_bugs, "exit": 0 if healthy else 2,
+    }
+
+
 def main() -> int:
-    from reflinkcep_spark.queries import all_queries
+    from reflinkcep_spark.queries import PLANNED_SITOUTS, all_queries
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds: list[tuple[int, dict]] = []
@@ -47,45 +111,23 @@ def main() -> int:
     if not rounds:
         print("no CORRECTNESS_r*.json files found")
         return 1
-    latest_round = max(r for r, _ in rounds)
 
     names = list(all_queries())
-    never, stale, red = [], [], []
+    rep = classify(names, rounds, PLANNED_SITOUTS)
     print(f"{len(names)} queries, window = first {WINDOW}, "
-          f"latest driver round = r{latest_round}\n")
+          f"latest driver round = r{rep['latest_round']}\n")
     print(f"{'pos':>4}  {'query':<34} {'latest row':<10} status")
-    for i, name in enumerate(names):
-        hit = None
-        for rnd, data in sorted(rounds, reverse=True):
-            if name in data:
-                hit = (rnd, data[name])
-                break
-        pos = f"{i:>4}"
-        if hit is None:
-            never.append(name)
-            print(f"{pos}  {name:<34} {'NEVER':<10} "
-                  f"{'in window' if i < WINDOW else 'NOT in window — will stay NEVER'}")
-            continue
-        rnd, row = hit
-        ok = row_ok(row)
-        age = latest_round - rnd
-        status = "pass" if ok else "FAIL"
-        if row.get("err") == "no_oracle":
-            status = "rows-only"
-        if not ok and row.get("err") != "no_oracle":
-            red.append(name)
-        if age > 1 and i >= WINDOW:
-            stale.append(name)
-        flag = ""
-        if age > 1:
-            flag = f"  <-- {age} rounds stale" + ("" if i < WINDOW else " AND outside window")
-        print(f"{pos}  {name:<34} {'r' + str(rnd):<10} {status}{flag}")
-
+    for line in rep["lines"]:
+        print(line)
     print()
-    print(f"never checked: {len(never)}  ({'OK' if all(n in names[:WINDOW] for n in never) else 'SOME OUTSIDE WINDOW'})")
-    print(f"latest-row FAIL: {len(red)} {red or ''}")
-    print(f">1 round stale and outside window: {len(stale)} {stale or ''}")
-    return 0 if not red and not stale and all(n in names[:WINDOW] for n in never) else 2
+    print(f"never checked: {len(rep['never'])}  "
+          f"({'OK' if all(n in names[:WINDOW] for n in rep['never']) else 'SOME OUTSIDE WINDOW'})")
+    print(f"latest-row FAIL: {len(rep['red'])} {rep['red'] or ''}")
+    print(f"planned sit-outs ≥2 rounds stale (expected): {len(rep['planned'])} {rep['planned'] or ''}")
+    print(f"UNPLANNED >1 round stale and outside window: {len(rep['stale'])} {rep['stale'] or ''}")
+    if rep["plan_bugs"]:
+        print(f"PLANNED_SITOUTS entries unregistered or inside window: {rep['plan_bugs']}")
+    return rep["exit"]
 
 
 if __name__ == "__main__":

@@ -1175,6 +1175,31 @@ def test_semantic_dedup_keeps_lowest_id_per_cluster(spark):
     assert out[5] == (True, None)
 
 
+def test_semantic_dedup_max_cell_rows_guard(spark):
+    """A cell bigger than max_cell_rows must fail the job with an
+    actionable message (the documented Σ|cell|² contract, enforced),
+    not silently grind O(|cell|²); None disables the guard."""
+    rows = [(i, [1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # all six identical vectors land in one cell > max_cell_rows=4
+    with pytest.raises(Exception, match="max_cell_rows"):
+        similarity.semantic_dedup(
+            df, threshold=0.9, n_cells=2, max_cell_rows=4
+        ).collect()
+    # guard off (and the default 100k budget) both still compute
+    assert (
+        len(similarity.semantic_dedup(
+            df, threshold=0.9, n_cells=2, max_cell_rows=None
+        ).collect())
+        == 6
+    )
+    out = {
+        r.vec_id: r.keep
+        for r in similarity.semantic_dedup(df, threshold=0.9, n_cells=2).collect()
+    }
+    assert out[0] is True and all(not out[i] for i in range(1, 6))
+
+
 def test_parse_avi_deep_list_nesting_returns_none():
     """A crafted payload of thousands of nested 12-byte LIST headers
     must parse iteratively to None (no frames), not blow the recursion
