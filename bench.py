@@ -79,6 +79,13 @@ HEADLINE = [
     "q_important_parts",       # group share of broadcast global scalar (Q11)
     "q_local_supplier_volume", # same-nation cross-fact residual join (Q5 shape)
     "doc_token_budget",        # token-budget quota sample (range-sharded prefix sums)
+    "dedup_substring_spans",   # per-position k-gram posting index + diagonal run-merge
+    "dedup_scrub_spans",       # ExactSubstr removal (semi-join victim isolation)
+    "dedup_semantic",          # SemDeDup (IVF cells, in-cell witness fold)
+    "cep_nested_funnel_relaxed",  # nested-right combine (window fast path)
+    "q_product_profit",        # broadcast dims + conditional profit agg (Q9)
+    "q_late_lines_by_status",  # join-filtered conditional counts (Q12)
+    "q_part_supplier_counts",  # anti-join + distinct-pair count (Q16)
     "calibration_cpu",         # fixed-work box-state calibration (no IO, no data)
 ]
 

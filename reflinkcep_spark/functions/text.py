@@ -28,6 +28,7 @@ __all__ = [
     "max_multiplicity",
     "repetition_profile",
     "text_profile",
+    "dedup_paragraphs",
     "pii_counts",
     "scrub_pii",
     "BPE_ISH_PATTERN",
@@ -478,6 +479,68 @@ def lm_quality(
                 / n.cast("double")
             ).alias("unique_fraction"),
         )
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    sep: str = "\n",
+    unit_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repetition removal — the exact-duplicate
+    paragraph/line filter of the RefinedWeb (Penedo et al. 2023) and
+    MassiveText/Gopher (Rae et al. 2021) curation recipes: within each
+    document, every paragraph equal to an EARLIER paragraph of the
+    same document is dropped, and the survivors are reassembled in
+    their original order.  The intra-doc complement of the cross-doc
+    ExactSubstr scrub (:func:`reflinkcep_spark.functions.dedup
+    .scrub_spans`): boilerplate repeated INSIDE a page (cookie
+    banners, nav blocks pasted per-section) never leaves the row.
+
+    Two unit modes: by default paragraphs are ``sep``-separated
+    segments (newline for line-dedup, ``"\\n\\n"`` for
+    paragraph-dedup), preserved verbatim — including empty segments,
+    which dedup like any other, matching the exact-match recipes.
+    ``unit_tokens=k`` instead treats each run of k whitespace tokens
+    as the unit (for corpora with no line structure); reassembly then
+    single-space-normalizes, identically on both engine and oracle.
+
+    Scale shape: ZERO exchanges — a narrow per-row array fold
+    (split → ``array_distinct``, which keeps first occurrences in
+    order → join), whole-stage codegen end to end, the same contract
+    as ``doc_winnow_robust``.  Row width is the only cost driver.
+
+    Returns (id_col, text_clean, n_removed) with one row per input
+    document.
+    """
+    c = F.col(text_col)
+    if unit_tokens is None:
+        units = F.split(c, sep)
+        joiner = sep
+    else:
+        if unit_tokens < 1:
+            raise ValueError(f"unit_tokens must be >= 1, got {unit_tokens}")
+        toks = tokens(c)
+        n = F.size(toks)
+        # chunk starts 0, k, 2k, …; sequence(0, -1) would DESCEND, so
+        # the empty document needs an explicit empty-array branch
+        starts = F.when(n > 0, F.sequence(
+            F.lit(0), F.floor((n - F.lit(1)) / F.lit(unit_tokens)).cast("int")
+        )).otherwise(F.array().cast("array<int>"))
+        units = F.transform(
+            starts,
+            lambda i: F.array_join(
+                F.slice(toks, i * unit_tokens + 1, unit_tokens), " "
+            ),
+        )
+        joiner = " "
+    kept = F.array_distinct(units)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, joiner).alias("text_clean"),
+        (F.size(units) - F.size(kept)).cast("long").alias("n_removed"),
     )
 
 

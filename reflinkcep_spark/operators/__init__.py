@@ -1,6 +1,6 @@
 """Spark-facing operators: the CEP match kernel and plan fast paths."""
 
-from reflinkcep_spark.operators.absence import not_followed_by
+from reflinkcep_spark.operators.absence import not_followed_by, not_next
 from reflinkcep_spark.operators.asof import asof_join
 from reflinkcep_spark.operators.cep import match_pattern
 from reflinkcep_spark.operators.fastpath import try_fast_path
@@ -13,5 +13,6 @@ __all__ = [
     "asof_join",
     "interval_join",
     "not_followed_by",
+    "not_next",
     "sessionize",
 ]

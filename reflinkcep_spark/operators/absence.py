@@ -1,8 +1,10 @@
-"""Absence (negation) patterns: left events NOT followed by a right
-event within a span — Flink CEP's ``notFollowedBy`` for the ubiquitous
-two-step case (reference has no negation operator at all; Flink's is
-the public spec: a pattern A¬B matches an A with no B after it inside
-the match window).
+"""Absence (negation) patterns: Flink CEP's ``notFollowedBy`` (left
+events NOT followed by a right event within a span) and ``notNext``
+(left events whose IMMEDIATELY following event does not satisfy the
+negated condition) for the ubiquitous two-step case — the reference
+has no negation operator at all; Flink's is the public spec: a
+pattern A¬B matches an A with no B after it inside the match window
+(relaxed), or with the very next event failing B (strict).
 
 Physical strategy mirrors :mod:`reflinkcep_spark.operators.asof` —
 tag + union + ONE ordered window pass per key.  Each left row learns
@@ -26,7 +28,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["not_followed_by"]
+__all__ = ["not_followed_by", "not_next"]
 
 
 def not_followed_by(
@@ -83,3 +85,83 @@ def not_followed_by(
     if within is not None:
         absent = absent | (F.col(next_col) > F.col(on) + F.lit(within))
     return out.filter(absent).drop("__side")
+
+
+def not_next(
+    left: DataFrame,
+    stream: DataFrame,
+    *,
+    on: str,
+    by: str | Sequence[str],
+    cond: Column,
+    next_col: str = "next_on",
+) -> DataFrame:
+    """Flink CEP ``notNext``: left rows whose IMMEDIATELY following
+    event in the per-key ``stream`` does NOT satisfy ``cond`` (or that
+    have no following event at all).  The strict sibling of
+    :func:`not_followed_by` — per the public Flink docs, ``notNext(B)``
+    rejects a match only when the very next event is a B; a B arriving
+    LATER (with any other event in between) does not kill it, which is
+    exactly where the two negations differ.
+
+    ``left`` is typically a match-end frame (a filter of the stream, or
+    ``match_pattern`` output re-keyed to its last event); ``stream`` is
+    the full per-key event log the "next event" is defined over.
+    ``cond`` is a boolean Column over ``stream``'s columns; a NULL
+    evaluation counts as not-matching (SQL predicate semantics).
+    ``on`` must be a numeric order column present in both frames and
+    unique per key (an event id / sequence number).
+
+    Same physical strategy as :func:`not_followed_by`: tag + union +
+    ONE ordered window pass per key — cost is one shuffle on the key
+    plus one sort, the floor for any per-key order-sensitive operator.
+    (When ``left`` is just a filter of ``stream``, a bare
+    ``lead() over (partition by key order by on)`` on the stream is the
+    same plan minus the union — this operator exists for the general
+    case where the probe rows carry columns the stream lacks.)
+
+    Returns all left rows/columns plus ``next_col`` (the order key of
+    the immediately following stream event, NULL if none), already
+    filtered to the survivors.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    for c in (next_col, "__side", "__neg"):
+        if c in left.columns:
+            raise ValueError(f"column {c!r} already exists in left frame")
+
+    # NULL cond is "not the negated event", never "skip this row": the
+    # window below reads the FIRST following side-0 row, so its flag
+    # must be non-null or a null-cond event would be silently passed
+    # over and a later event's flag read in its place.
+    rhs = (
+        stream.withColumn("__neg", F.coalesce(cond, F.lit(False)))
+        .select(*keys, on, "__neg")
+        .withColumn("__side", F.lit(0))
+    )
+    lhs = left.withColumn("__side", F.lit(1))
+    for c in lhs.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
+    lhs = lhs.withColumn("__neg", F.lit(None).cast("boolean"))
+    unioned = lhs.unionByName(rhs)
+
+    # Stream rows sort BEFORE probe rows at equal `on` (__side 0 < 1):
+    # a probe row's own stream twin is never in its following frame,
+    # so "next" means strictly-after — Flink's contract between steps.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    stream_only = lambda col: F.when(F.col("__side") == 0, col)  # noqa: E731
+    nxt_on = F.first(stream_only(F.col(on)), ignorenulls=True).over(w)
+    nxt_neg = F.first(stream_only(F.col("__neg")), ignorenulls=True).over(w)
+
+    out = unioned.select(
+        *left.columns,
+        "__side",
+        nxt_on.alias(next_col),
+        nxt_neg.alias("__next_neg"),
+    ).filter(F.col("__side") == 1)
+    survives = F.col("__next_neg").isNull() | ~F.col("__next_neg")
+    return out.filter(survives).drop("__side", "__next_neg")

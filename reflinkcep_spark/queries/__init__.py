@@ -17,6 +17,19 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
+# Round-10 queue (implemented, locally oracle-verified at sf0.001 AND
+# sf0.01, pinned green by tests/test_check_oracles.py::
+# test_prestaged_round10_queries_match_oracles — registration is a
+# QUERIES/ORACLES-dict + _PRIORITY edit):
+#   cep_purchase_no_immediate_error (cep_queries.py — Flink notNext,
+#                                    strict negation via operators/
+#                                    absence.py:not_next)
+#   text_dedup_paragraphs  (pipeline.py — RefinedWeb intra-doc exact
+#                           paragraph dedup, zero-exchange per-doc fold)
+# Round-10 window arithmetic: 13 PLANNED_SITOUTS (2 rounds stale at
+# r10 — promote FIRST) + these 2 registrations + 50 r8-stale = 65
+# candidates for 50 slots → ~15 named sit-outs.
+#
 # Front of the driver's 50-entry check window (round 9 rotation),
 # executed exactly as pre-planned in round 8: FIRST the six 2-round-
 # stale sit-outs from the round-8 plan (r6-vintage rows — the only

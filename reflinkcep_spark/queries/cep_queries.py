@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from reflinkcep_spark.cep.query import Query
-from reflinkcep_spark.operators import match_pattern, not_followed_by
+from reflinkcep_spark.operators import match_pattern, not_followed_by, not_next
 from reflinkcep_spark.sources import load_table
 
 EVENT_SCHEMA = {"signup": [], "purchase": [], "error": [], "click": [], "view": []}
@@ -1304,6 +1304,54 @@ SELECT s.user_id, s.event_id AS signup_id, b.event_id AS purchase_id,
 FROM nb s
 JOIN nb b ON b.user_id = s.user_id AND b.event_id = s.next_buy
 WHERE s.event_type = 'signup' AND b.nxt_type = 'error'
+"""
+
+
+# --- strict negation / notNext (PRE-STAGED for round 10) ---------------
+#
+# cep_purchase_no_immediate_error is implemented and locally
+# oracle-verified but deliberately NOT registered this round: the
+# round-9 window is full (113 queries, 13 sit-outs already named — see
+# queries/__init__.py).  Register it in the round-10 rotation.
+
+def cep_purchase_no_immediate_error(spark, sf_dir):
+    """Strict negation — Flink CEP's ``notNext``, completing the
+    negation surface next to ``cep_signup_abandoned``'s relaxed
+    ``notFollowedBy``: big purchases (value > 100) whose IMMEDIATELY
+    following event in the user's stream is NOT an error.  An error
+    arriving later — with any other event in between — does not kill
+    the match; that is exactly where notNext and notFollowedBy differ
+    (operators/absence.py:not_next — tag + union + one ordered window
+    pass per user; the oracle is the LEAD window formulation)."""
+    base = _events(spark, sf_dir)
+    purchases = base.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100)
+    ).select("user_id", "event_id")
+    out = not_next(
+        purchases,
+        base,
+        on="event_id",
+        by="user_id",
+        cond=F.col("event_type") == "error",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("next_on").alias("next_event_id"),
+    )
+
+
+SQL_PURCHASE_NO_IMMEDIATE_ERROR = """
+WITH nb AS (
+  SELECT user_id, event_id, event_type, value,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt_type,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt_id
+  FROM events
+)
+SELECT user_id, event_id AS purchase_id, nxt_id AS next_event_id
+FROM nb
+WHERE event_type = 'purchase' AND value > 100
+  AND (nxt_type IS NULL OR nxt_type <> 'error')
 """
 
 

@@ -2014,6 +2014,58 @@ GROUP BY b.vec_id, b.cell
 """
 
 
+# --- intra-document paragraph dedup (PRE-STAGED for round 10) -----------
+#
+# text_dedup_paragraphs is implemented and locally oracle-verified but
+# deliberately NOT registered this round: the round-9 window is full
+# (113 queries, 13 sit-outs already named — see queries/__init__.py).
+# Register it in the round-10 rotation.
+
+def text_dedup_paragraphs(spark, sf_dir):
+    """Intra-document repetition removal (RefinedWeb/MassiveText exact
+    paragraph dedup): inside each document, drop every paragraph equal
+    to an earlier one and reassemble — the curation action ExactSubstr
+    (dedup_scrub_spans) does NOT cover, because it only fires on
+    cross-document duplication.  Zero exchanges: a per-row
+    split → array_distinct → join fold (functions/text.py:
+    dedup_paragraphs).  This synthetic corpus has no newline
+    structure (zero docs contain a line break), so the unit is fixed
+    2-token runs, which the generator's tiny vocabulary does repeat
+    within documents; real corpora use the default sep='\\n' mode."""
+    return text.dedup_paragraphs(_docs(spark, sf_dir), unit_tokens=2)
+
+
+# Same pipeline in SQL: 2-token chunks at odd positions, first
+# occurrence per (doc, chunk) kept via row_number, reassembled in
+# position order.
+SQL_TEXT_DEDUP_PARAGRAPHS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i, array_to_string(tk[i:i+1], ' ') AS chunk
+  FROM toks, UNNEST(generate_series(1, len(tk), 2)) AS u(i)
+),
+r AS (
+  SELECT doc_id, i, chunk,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY i) AS rn
+  FROM ch
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(chunk, ' ' ORDER BY i) FILTER (WHERE rn = 1) AS text_clean,
+         count(*) FILTER (WHERE rn > 1) AS n_removed
+  FROM r GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.n_removed, 0)::BIGINT AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

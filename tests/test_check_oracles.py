@@ -58,63 +58,33 @@ def test_int32_vs_int64_is_same_kind():
     assert compare("x", got, want) == []
 
 
-def test_prestaged_round9_queries_match_oracles(spark):
-    """The round-9 queue is written but not yet registered (round-8
+def test_prestaged_round10_queries_match_oracles(spark):
+    """The round-10 queue is written but not yet registered (round-9
     window full — see queries/__init__.py).  Keep every queued query
-    oracle-green at sf0.001 until the round-9 rotation registers them,
+    oracle-green at sf0.001 until the round-10 rotation registers them,
     so registration is a two-line edit, not a debugging session.
-    (The round-8 queue graduated into the registry and is now covered
+    (The round-9 queue graduated into the registry and is now covered
     by the full check_oracles replay.)"""
     import duckdb
 
     from reflinkcep_spark.queries.cep_queries import (
-        SQL_NESTED_FUNNEL_RELAXED,
-        cep_nested_funnel_relaxed,
+        SQL_PURCHASE_NO_IMMEDIATE_ERROR,
+        cep_purchase_no_immediate_error,
     )
     from reflinkcep_spark.queries.pipeline import (
-        SQL_DEDUP_SCRUB_SPANS,
-        SQL_DEDUP_SUBSTRING_SPANS,
-        _sql_dedup_semantic,
-        dedup_scrub_spans,
-        dedup_semantic,
-        dedup_substring_spans,
-    )
-    from reflinkcep_spark.queries.relational import (
-        SQL_LATE_LINES_BY_STATUS,
-        SQL_PART_SUPPLIER_COUNTS,
-        SQL_PRODUCT_PROFIT,
-        q_late_lines_by_status,
-        q_part_supplier_counts,
-        q_product_profit,
+        SQL_TEXT_DEDUP_PARAGRAPHS,
+        text_dedup_paragraphs,
     )
     from tests.conftest import SF_DIR
 
     con = duckdb.connect()
-    for t in (
-        "region",
-        "nation",
-        "supplier",
-        "customer",
-        "part",
-        "orders",
-        "lineitem",
-        "documents",
-        "events",
-        "embeddings",
-    ):
+    for t in ("documents", "events"):
         con.execute(
             f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
         )
     for fn, sql in (
-        (dedup_substring_spans, SQL_DEDUP_SUBSTRING_SPANS),
-        (dedup_scrub_spans, SQL_DEDUP_SCRUB_SPANS),
-        (cep_nested_funnel_relaxed, SQL_NESTED_FUNNEL_RELAXED),
-        # the quantizer oracle recomputes centroids from the SAME
-        # scale's parquet — pass the test scale explicitly
-        (dedup_semantic, _sql_dedup_semantic(SF_DIR)),
-        (q_product_profit, SQL_PRODUCT_PROFIT),
-        (q_late_lines_by_status, SQL_LATE_LINES_BY_STATUS),
-        (q_part_supplier_counts, SQL_PART_SUPPLIER_COUNTS),
+        (cep_purchase_no_immediate_error, SQL_PURCHASE_NO_IMMEDIATE_ERROR),
+        (text_dedup_paragraphs, SQL_TEXT_DEDUP_PARAGRAPHS),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

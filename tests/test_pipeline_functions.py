@@ -1200,6 +1200,42 @@ def test_semantic_dedup_max_cell_rows_guard(spark):
     assert out[0] is True and all(not out[i] for i in range(1, 6))
 
 
+def test_dedup_paragraphs_line_mode(spark):
+    """RefinedWeb exact line dedup: later duplicates drop, order and
+    empty segments preserved, one row per input doc."""
+    rows = [
+        (0, "a\nb\na\nc\nb"),  # dup 'a' and 'b' drop -> a b c
+        (1, "x\n\ny\n\nx"),    # 2nd empty segment and 2nd 'x' drop
+        (2, ""),               # single empty paragraph, nothing removed
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in text.dedup_paragraphs(df).collect()}
+    assert out[0] == ("a\nb\nc", 2)
+    assert out[1] == ("x\n\ny", 2)
+    assert out[2] == ("", 0)
+    assert out[3] == ("solo", 0)
+
+
+def test_dedup_paragraphs_unit_tokens_mode(spark):
+    rows = [
+        (0, "a b a b c d"),   # chunks [a b][a b][c d] -> one removed
+        (1, "a b a"),         # trailing partial chunk 'a' != 'a b'
+        (2, "  "),            # whitespace-only -> no tokens
+        (3, "a b a b a"),     # [a b][a b][a] -> one removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in text.dedup_paragraphs(df, unit_tokens=2).collect()}
+    assert out[0] == ("a b c d", 1)
+    assert out[1] == ("a b a", 0)
+    assert out[2] == ("", 0)
+    assert out[3] == ("a b a", 1)
+    with pytest.raises(ValueError):
+        text.dedup_paragraphs(df, unit_tokens=0)
+
+
 def test_parse_avi_deep_list_nesting_returns_none():
     """A crafted payload of thousands of nested 12-byte LIST headers
     must parse iteratively to None (no frames), not blow the recursion
