@@ -26,6 +26,7 @@ __all__ = [
     "md5_bucket",
     "assign_split",
     "token_budget_sample",
+    "importance_weights",
 ]
 
 
@@ -162,4 +163,112 @@ def token_budget_sample(
         )
         .filter(F.col("cum_tok") <= F.lit(budget))
         .select(id_col, "source", "n_tok", "cum_tok")
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: Column,
+    *,
+    n: int = 2,
+    buckets: int = 1024,
+    alpha: int = 1,
+    threshold: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much more probable its
+    hashed n-gram profile is under the TARGET distribution (the rows
+    matching ``target``, e.g. a trusted high-quality source) than
+    under the raw corpus, then keep the documents whose importance
+    ratio clears ``threshold`` — the standard recipe for tilting a web
+    crawl toward a reference corpus without training a classifier.
+
+    Adaptation for exact cross-engine replay: DSIR's per-gram
+    log-ratio sum needs ``ln()``, whose last-ulp drift across engines
+    a value-hash gate cannot tolerate, so the score is the RATIO OF
+    MEANS rather than the mean of log-ratios — with ``alpha``
+    pseudocount smoothing,
+
+        score = (Σ tgt_c[b] + α·G) · (raw_total + α·B)
+              / ((Σ raw_c[b] + α·G) · (tgt_total + α·B))
+
+    over the document's G gram-buckets b: > 1 iff the document's
+    buckets are on average relatively more frequent in the target
+    than in the raw corpus.  Both operands are exact integers
+    (decimal(38,0) — the products overflow a 64-bit long at corpus
+    scale), converted once to double for the single division, so
+    scores and keep flags are bit-stable on every engine — the same
+    log-free trick as :func:`reflinkcep_spark.functions.text
+    .lm_quality`.
+
+    Hashing is the module's engine-portable md5 bucket (DSIR's own
+    hashed n-gram variant quantizes exactly like this, ~10k buckets);
+    ``buckets`` bounds the stats table regardless of corpus size.
+
+    Scale shape: explode to gram-buckets once (checkpointed — feeds
+    the stats aggregate and the scoring join), ONE bucket-keyed
+    aggregate whose output is ≤ ``buckets`` rows, stats broadcast
+    back, one doc-keyed aggregate.  No vocabulary-sized table, no
+    driver collect.  Documents with fewer than ``n`` tokens have no
+    grams: score NULL, ``keep`` false (never silently kept).
+
+    Returns ``(id_col, n_grams, score, keep)``, one row per input
+    document.
+    """
+    from reflinkcep_spark.functions import text
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if alpha < 1:
+        # alpha = 0 would let an empty target source divide by zero
+        # (and make never-seen buckets minus-infinitely unlikely,
+        # which a ratio-of-means cannot represent anyway).
+        raise ValueError(f"alpha must be >= 1, got {alpha}")
+    g = df.select(
+        F.col(id_col),
+        target.alias("__tgt"),
+        F.explode(text.ngrams(text.tokens(F.col(text_col)), n)).alias("g"),
+    ).select(
+        id_col, "__tgt", (md5_hash60(F.col("g")) % buckets).alias("b")
+    )
+    # Referenced twice (bucket stats + scoring join): compute once.
+    g = g.localCheckpoint(eager=False)
+    cnt = g.groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias("tgt_c"),
+        F.count(F.lit(1)).alias("raw_c"),
+    )
+    tot = cnt.agg(
+        F.sum("tgt_c").alias("__tgt_total"), F.sum("raw_c").alias("__raw_total")
+    )
+    dec = "decimal(38,0)"
+    ab = F.lit(int(alpha) * int(buckets)).cast("long")
+    ag = F.lit(int(alpha)) * F.col("n_grams")
+    num = (F.col("__sum_tgt") + ag).cast(dec) * (F.col("__raw_total") + ab).cast(dec)
+    den = (F.col("__sum_raw") + ag).cast(dec) * (F.col("__tgt_total") + ab).cast(dec)
+    score = num.cast("double") / den.cast("double")
+    scored = (
+        g.join(F.broadcast(cnt), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("tgt_c").alias("__sum_tgt"),
+            F.sum("raw_c").alias("__sum_raw"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(id_col, "n_grams", score.alias("score"))
+    )
+    # LEFT join back so sub-n-token documents keep a row (score NULL).
+    return (
+        df.select(F.col(id_col)).join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            "score",
+            F.coalesce(
+                F.col("score") >= F.lit(float(threshold)), F.lit(False)
+            ).alias("keep"),
+        )
     )

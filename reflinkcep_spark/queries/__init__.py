@@ -26,9 +26,11 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                                    absence.py:not_next)
 #   text_dedup_paragraphs  (pipeline.py — RefinedWeb intra-doc exact
 #                           paragraph dedup, zero-exchange per-doc fold)
+#   doc_importance_weights (pipeline.py — DSIR hashed-bigram importance
+#                           resampling, exact-integer ratio-of-means)
 # Round-10 window arithmetic: 13 PLANNED_SITOUTS (2 rounds stale at
-# r10 — promote FIRST) + these 2 registrations + 50 r8-stale = 65
-# candidates for 50 slots → ~15 named sit-outs.
+# r10 — promote FIRST) + these 3 registrations + 50 r8-stale = 66
+# candidates for 50 slots → ~16 named sit-outs.
 #
 # Front of the driver's 50-entry check window (round 9 rotation),
 # executed exactly as pre-planned in round 8: FIRST the six 2-round-

@@ -2014,6 +2014,74 @@ GROUP BY b.vec_id, b.cell
 """
 
 
+# --- DSIR importance weighting (PRE-STAGED for round 10) ----------------
+#
+# doc_importance_weights is implemented and locally oracle-verified but
+# deliberately NOT registered this round: the round-9 window is full
+# (113 queries, 13 sit-outs already named — see queries/__init__.py).
+# Register it in the round-10 rotation.
+
+def doc_importance_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed-bigram importance
+    of every document against the src0/src1 "trusted" target slice,
+    exact-integer ratio-of-means score (one IEEE divide — no ln()
+    drift), keep iff more target-like than the raw corpus average.
+    functions/sampling.py:importance_weights for the one-broadcast
+    scale shape (the stats table is ≤ `buckets` rows at ANY corpus
+    size)."""
+    return sampling.importance_weights(
+        _docs(spark, sf_dir),
+        F.col("source").isin("src0", "src1"),
+        n=2,
+        buckets=256,
+        alpha=1,
+        threshold=1.0,
+    )
+
+
+# Same pipeline in SQL: md5 gram buckets, per-bucket target/raw counts,
+# per-doc exact-integer sums, one HUGEINT-product-ratio divide.
+SQL_DOC_IMPORTANCE_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, tgt,
+         ('0x' || substr(md5(array_to_string(tk[i:i+1], ' ')), 1, 15))::BIGINT
+           % 256 AS b
+  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+),
+cnt AS (
+  SELECT b,
+         count(*) FILTER (WHERE tgt) AS tgt_c,
+         count(*) AS raw_c
+  FROM grams GROUP BY b
+),
+tot AS (SELECT sum(tgt_c) AS tgt_total, sum(raw_c) AS raw_total FROM cnt),
+perdoc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(c.tgt_c) AS sum_tgt, sum(c.raw_c) AS sum_raw
+  FROM grams g JOIN cnt c USING (b)
+  GROUP BY g.doc_id
+),
+scored AS (
+  SELECT p.doc_id, p.n_grams,
+         ((p.sum_tgt + p.n_grams)::HUGEINT * (t.raw_total + 256))::DOUBLE
+           / ((p.sum_raw + p.n_grams)::HUGEINT * (t.tgt_total + 256))::DOUBLE
+           AS score
+  FROM perdoc p, tot t
+)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, 0)::BIGINT AS n_grams,
+       s.score,
+       COALESCE(s.score >= 1.0, FALSE) AS keep
+FROM toks d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 # --- intra-document paragraph dedup (PRE-STAGED for round 10) -----------
 #
 # text_dedup_paragraphs is implemented and locally oracle-verified but

@@ -79,13 +79,16 @@ AUDITED = [
     ("q_important_parts", "Q11 (registered r8): supplier semi broadcast into fact, per-part agg, 1-row total broadcast crossJoin"),
     ("q_local_supplier_volume", "Q5 (registered r8): broadcast ASIA-supplier frame reduces the fact first, same-nation residual rides the customer equi-join (orderkey/custkey shuffle joins at scale; AQE-broadcast at this SF)"),
     ("doc_token_budget", "token budget (registered r8): narrow staged frame checkpointed (one text scan), shard offsets tiny + broadcast, past-budget shards dropped before the one (source, shard) detail exchange, no Python"),
-    ("dedup_substring_spans", "substring spans (pre-staged r9): gram explode checkpointed, doc-capped posting semi-filter, hash self-join, (pair, diag) window run-merge — keyed exchanges bounded, join fanout capped by max_df"),
-    ("dedup_scrub_spans", "span scrub (pre-staged r9): span frame semi-isolates victim docs before any token explodes, range anti join = interval union, non-victims never rebuilt"),
-    ("dedup_semantic", "SemDeDup (pre-staged r9): centroid literals, ONE cell exchange, in-cell min-witness fold inside the aggregated array — no pair rows, no Python"),
-    ("cep_nested_funnel_relaxed", "nested funnel (pre-staged r9): right-nested relaxed combine flattened by the planner to per-user window passes — no join, no Python"),
-    ("q_product_profit", "Q9 (pre-staged r9): PROMO part + supplier-nation dims broadcast into the fact, one orderkey shuffle, exact unit-4 profit (no-round decimal divide — profit can be negative)"),
-    ("q_late_lines_by_status", "Q12 (pre-staged r9): one orderkey join, interval residual inside it, conditional sums ride the single status exchange"),
-    ("q_part_supplier_counts", "Q16 (pre-staged r9): broadcast anti join for the supplier out-list, broadcast part dim, pair-distinct + count-distinct share keys"),
+    ("dedup_substring_spans", "substring spans (registered r9): gram explode checkpointed, doc-capped posting semi-filter, hash self-join, (pair, diag) window run-merge — keyed exchanges bounded, join fanout capped by max_df"),
+    ("dedup_scrub_spans", "span scrub (registered r9): span frame semi-isolates victim docs before any token explodes, range anti join = interval union, non-victims never rebuilt"),
+    ("dedup_semantic", "SemDeDup (registered r9): centroid literals, ONE cell exchange, in-cell min-witness fold inside the aggregated array — no pair rows, no Python"),
+    ("cep_nested_funnel_relaxed", "nested funnel (registered r9): right-nested relaxed combine flattened by the planner to per-user window passes — no join, no Python"),
+    ("q_product_profit", "Q9 (registered r9): PROMO part + supplier-nation dims broadcast into the fact, one orderkey shuffle, exact unit-4 profit (no-round decimal divide — profit can be negative)"),
+    ("q_late_lines_by_status", "Q12 (registered r9): one orderkey join, interval residual inside it, conditional sums ride the single status exchange"),
+    ("q_part_supplier_counts", "Q16 (registered r9): broadcast anti join for the supplier out-list, broadcast part dim, pair-distinct + count-distinct share keys"),
+    ("text_dedup_paragraphs", "paragraph dedup (pre-staged r10): per-doc split -> array_distinct -> join fold, zero exchanges, no Python"),
+    ("cep_purchase_no_immediate_error", "notNext (pre-staged r10): union + ONE user-keyed window pass, no join, no Python"),
+    ("doc_importance_weights", "DSIR (pre-staged r10): gram-bucket explode checkpointed, ONE bounded bucket agg (<= `buckets` rows) broadcast back, doc-keyed agg, exact-integer score"),
 ]
 
 

@@ -98,6 +98,9 @@ PROBES = [
     ("q_product_profit", "lineitem"),
     ("q_late_lines_by_status", "lineitem"),
     ("q_part_supplier_counts", "lineitem"),
+    ("text_dedup_paragraphs", "documents"),
+    ("cep_purchase_no_immediate_error", "events"),
+    ("doc_importance_weights", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

@@ -72,7 +72,9 @@ def test_prestaged_round10_queries_match_oracles(spark):
         cep_purchase_no_immediate_error,
     )
     from reflinkcep_spark.queries.pipeline import (
+        SQL_DOC_IMPORTANCE_WEIGHTS,
         SQL_TEXT_DEDUP_PARAGRAPHS,
+        doc_importance_weights,
         text_dedup_paragraphs,
     )
     from tests.conftest import SF_DIR
@@ -85,6 +87,7 @@ def test_prestaged_round10_queries_match_oracles(spark):
     for fn, sql in (
         (cep_purchase_no_immediate_error, SQL_PURCHASE_NO_IMMEDIATE_ERROR),
         (text_dedup_paragraphs, SQL_TEXT_DEDUP_PARAGRAPHS),
+        (doc_importance_weights, SQL_DOC_IMPORTANCE_WEIGHTS),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

@@ -1236,6 +1236,53 @@ def test_dedup_paragraphs_unit_tokens_mode(spark):
         text.dedup_paragraphs(df, unit_tokens=0)
 
 
+def test_importance_weights_dsir_semantics(spark):
+    """Planted distributions: documents phrased like the target slice
+    score > 1 (kept), documents phrased like nothing in the target
+    score < 1 (dropped), sub-n-token documents get NULL score and are
+    never silently kept."""
+    from reflinkcep_spark.functions import sampling
+
+    templates = [
+        ("tgt", "alpha beta alpha beta alpha beta"),
+        ("tgt", "alpha beta gamma delta alpha beta"),
+        ("raw", "alpha beta alpha beta gamma delta"),  # target-like
+        ("raw", "zig zag zig zag zig zag"),            # target-unlike
+        ("raw", "zig zag quux zig zag quux"),          # target-unlike
+        ("raw", "solo"),                                # no bigrams
+    ]
+    # 20 copies per template: corpus gram totals must dominate the
+    # alpha*buckets smoothing mass, exactly as any real corpus does —
+    # at 6 docs the Laplace prior flattens both distributions and the
+    # planted separation would vanish by construction, not by bug.
+    rows = [
+        (20 * j + c, src, txt)
+        for j, (src, txt) in enumerate(templates)
+        for c in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in sampling.importance_weights(
+            df, F.col("source") == "tgt", n=2, buckets=64
+        ).collect()
+    }
+    assert len(out) == len(rows)
+    for i in (0, 20, 40):   # phrased like the target slice
+        assert out[i].score > 1.0 and out[i].keep
+    for i in (60, 80):      # vocabulary the target never uses
+        assert out[i].score < 1.0 and not out[i].keep
+    assert out[100].score is None and out[100].keep is False
+    assert out[0].n_grams == 5 and out[100].n_grams == 0
+    # every copy of a template scores identically (pure function of text)
+    assert out[0].score == out[19].score
+
+    with pytest.raises(ValueError, match="buckets"):
+        sampling.importance_weights(df, F.lit(True), buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.importance_weights(df, F.lit(True), alpha=0)
+
+
 def test_parse_avi_deep_list_nesting_returns_none():
     """A crafted payload of thousands of nested 12-byte LIST headers
     must parse iteratively to None (no frames), not blow the recursion
