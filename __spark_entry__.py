@@ -142,9 +142,10 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     starts it with ``.writeStream`` (memory sink +
     ``trigger(availableNow=True)`` in the tests).
 
-    The five entries cover every streaming execution path the repo has
+    The six entries cover every streaming execution path the repo has
     (STREAMING_READY.md): the stateful NFA kernel, three windowed-
-    aggregation flavors, and absence-via-timeout.  Each one's batch
+    aggregation flavors, absence-via-timeout, and strict negation
+    (notNext) via watermark-final next-event candidates.  Each one's batch
     twin is an already-oracled driver query with IDENTICAL arithmetic
     (exact cent sums), so the streaming check is "stream result ==
     batch twin (== oracle)": full equality for the kernel entry, and
@@ -232,10 +233,43 @@ context:
         )
         return out.select("user_id", F.col("event_id").alias("signup_id"))
 
+    def cep_purchase_no_immediate_error_stream(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from reflinkcep_spark.session import ensure_package_shipped
+        from reflinkcep_spark.streaming.absence import not_next_stream
+
+        ensure_package_shipped(spark)
+        base = (
+            _stream_events(spark, sf_dir)
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                "value",
+                "ts",
+                F.unix_micros("ts").alias("us"),
+            )
+            .withWatermark("ts", "30 minutes")
+        )
+        out = not_next_stream(
+            base,
+            left_filter="event_type = 'purchase' AND value > 100",
+            neg_filter="event_type = 'error'",
+            on="us",
+            by="user_id",
+        )
+        return out.select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("next_on").alias("next_us"),
+        )
+
     return {
         "cep_signup_to_purchase_stream": cep_signup_to_purchase_stream,
         "q_events_tumbling_stream": q_events_tumbling_stream,
         "q_events_sliding_stream": q_events_sliding_stream,
         "q_session_windows_stream": q_session_windows_stream,
         "cep_signup_abandoned_stream": cep_signup_abandoned_stream,
+        "cep_purchase_no_immediate_error_stream": cep_purchase_no_immediate_error_stream,
     }

@@ -32,9 +32,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, StructField, StructType
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
-__all__ = ["not_followed_by_stream"]
+__all__ = ["not_followed_by_stream", "not_next_stream"]
 
 
 def not_followed_by_stream(
@@ -135,6 +135,153 @@ def not_followed_by_stream(
                 # Wake on watermark passing the earliest open deadline.
                 deadline_ms = min(us for us, _ in lefts) // 1000 + within // 1000 + 1
                 state.setTimeoutTimestamp(max(deadline_ms, wm_us // 1000 + 1))
+        else:
+            state.remove()
+
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_columns)
+
+    return projected.groupBy(*keys).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+def not_next_stream(
+    df: DataFrame,
+    *,
+    left_filter,
+    neg_filter,
+    on: str,
+    by: str | Sequence[str],
+    next_col: str = "next_on",
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Streaming ``notNext`` (the strict sibling of
+    :func:`not_followed_by_stream`): emit rows matching ``left_filter``
+    whose IMMEDIATELY following event in the per-key stream does NOT
+    match ``neg_filter``.  "Immediately following" is by ``on``, over
+    ALL events of the key — not just the filtered sides — exactly the
+    batch :func:`reflinkcep_spark.operators.absence.not_next` contract.
+
+    A probe resolves once its next-event CANDIDATE (smallest ``on``
+    strictly greater than the probe's) is watermark-final: ``on`` must
+    be consistent with ``event_time_col`` in MICROSECONDS, so when the
+    watermark passes the candidate's instant no earlier event can still
+    arrive and the candidate IS the next event — the probe is then
+    emitted (candidate not negated, with ``next_col`` carrying the
+    candidate's ``on``) or silently dropped (negated).  A probe with no
+    following event stays pending forever: streaming cannot decide
+    "nothing ever follows" — batch equivalence is therefore on probes
+    whose next event exists and is watermark-closed (``next_on`` not
+    NULL and ``<= final watermark``), the analogue of
+    ``not_followed_by_stream``'s closed spans.
+
+    State per key: pending probes + the events past the watermark
+    (bounded by watermark delay × per-key rate; watermark-passed events
+    are spent — any probe they could resolve has resolved).  Probes
+    arriving later than the watermark are dropped (standard append-mode
+    late-data semantics).  Event-time timeouts re-arm at the earliest
+    pending candidate so quiet keys flush on watermark advance.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    left_c = F.expr(left_filter) if isinstance(left_filter, str) else left_filter
+    neg_c = F.expr(neg_filter) if isinstance(neg_filter, str) else neg_filter
+
+    attr_cols = [c for c in df.columns if c not in keys]
+    projected = df.select(
+        *keys,
+        F.when(left_c, F.lit(1)).otherwise(F.lit(0)).alias("__is_left"),
+        # NULL neg evaluation counts as not-negated (batch contract)
+        F.coalesce(neg_c, F.lit(False)).alias("__is_neg"),
+        *attr_cols,
+    )
+
+    field_by_name = {f.name: f for f in projected.schema.fields}
+    out_schema = StructType(
+        [field_by_name[k] for k in keys]
+        + [field_by_name[c] for c in attr_cols]
+        + [StructField(next_col, LongType(), True)]
+    )
+    state_schema = StructType([StructField("blob", BinaryType(), True)])
+    out_columns = [f.name for f in out_schema.fields]
+    n_keys = len(keys)
+
+    def _flush(probes, events, wm_us, key_values):
+        """Resolve probes whose candidate the watermark closed; prune
+        spent (watermark-passed) events.  Events are kept SORTED and
+        each probe's candidate lookup is one bisect."""
+        from bisect import bisect_right
+
+        events.sort()
+        ons = [e[0] for e in events]
+        out_rows, keep = [], []
+        for us, rec in probes:
+            i = bisect_right(ons, us)
+            if i < len(ons) and ons[i] <= wm_us:
+                if not events[i][1]:
+                    row = dict(key_values)
+                    row.update(rec)
+                    row[next_col] = ons[i]
+                    out_rows.append((us, row))
+                # negated-next probes die silently
+            else:
+                # no watermark-closed candidate yet: the probe stays
+                # pending even when the watermark has passed ITS OWN
+                # instant — a quiet key's next event may be far away.
+                keep.append((us, rec))
+        # Spent events: every probe a wm-passed event could resolve
+        # (probe.on < event.on <= wm) either resolved above or was
+        # late-dropped; only events beyond the watermark can serve a
+        # future on-time probe.
+        events = events[bisect_right(ons, wm_us):]
+        out_rows.sort(key=lambda p: p[0])
+        return [r for _, r in out_rows], keep, events
+
+    def step(key: tuple, pdf_iter: Iterable[pd.DataFrame], state):
+        key_values = dict(zip((f.name for f in out_schema.fields[:n_keys]), key))
+        if state.exists:
+            probes, events = pickle.loads(state.get[0])
+        else:
+            probes, events = [], []
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                for rec in pdf.to_dict("records"):
+                    is_left = rec.pop("__is_left")
+                    is_neg = bool(rec.pop("__is_neg"))
+                    for k in keys:
+                        rec.pop(k, None)
+                    if rec[on] < wm_us:
+                        # late row: the ordering before the watermark
+                        # is final, a late event may not rewrite it
+                        # (standard stateful-op late-data drop)
+                        continue
+                    events.append((rec[on], is_neg))
+                    if is_left:
+                        probes.append((rec[on], rec))
+        out_rows, probes, events = _flush(probes, events, wm_us, key_values)
+
+        if probes or events:
+            state.update((pickle.dumps((probes, events), protocol=5),))
+            # Wake when the watermark passes the earliest pending
+            # candidate (events are sorted post-flush and all > wm).
+            deadlines = []
+            ons = [e[0] for e in events]
+            from bisect import bisect_right as _br
+
+            for us, _rec in probes:
+                i = _br(ons, us)
+                if i < len(ons):
+                    deadlines.append(ons[i])
+            if deadlines:
+                state.setTimeoutTimestamp(
+                    max(min(deadlines) // 1000 + 1, wm_us // 1000 + 1)
+                )
         else:
             state.remove()
 

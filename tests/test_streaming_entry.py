@@ -156,3 +156,52 @@ def test_streaming_entries_match_batch_twins_on_closed_state(spark, tmp_path):
             if closed(sname, r) and not ambiguous(sname, r)
         )
         assert got == want and got, sname
+
+
+def test_streaming_entry_not_next_matches_batch_closed(spark, tmp_path):
+    """The round-9 sixth entry (strict negation / notNext): equals the
+    batch twin ``cep_purchase_no_immediate_error`` (round-10 queue) on
+    probes whose NEXT EVENT exists and is watermark-final — a probe
+    with no follower is undecidable on a stream and never emitted.
+    The batch twin orders by event_id and the stream resolves on
+    micros; the sf event log is strictly ts-increasing per user, so
+    the two orders agree and (user_id, purchase_id) compares exactly."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from reflinkcep_spark.queries.cep_queries import (
+        cep_purchase_no_immediate_error,
+    )
+    from reflinkcep_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm_us = (max_us // 1000 - 30 * 60 * 1000) * 1000
+    ev_us = {
+        r["event_id"]: r["us"]
+        for r in ev.select("event_id", F.unix_micros("ts").alias("us")).collect()
+    }
+
+    out = entrymod.queries_streaming()["cep_purchase_no_immediate_error_stream"](
+        spark, SF_DIR
+    )
+    assert out.isStreaming
+    sink = f"entry_not_next_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_not_next"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["purchase_id"]) for r in spark.table(sink).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["purchase_id"])
+        for r in cep_purchase_no_immediate_error(spark, SF_DIR).collect()
+        if r["next_event_id"] is not None and ev_us[r["next_event_id"]] <= wm_us
+    )
+    assert got == want and got
