@@ -145,13 +145,17 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The six entries cover every streaming execution path the repo has
     (STREAMING_READY.md): the stateful NFA kernel, three windowed-
     aggregation flavors, absence-via-timeout, and strict negation
-    (notNext) via watermark-final next-event candidates.  Each one's batch
-    twin is an already-oracled driver query with IDENTICAL arithmetic
-    (exact cent sums), so the streaming check is "stream result ==
-    batch twin (== oracle)": full equality for the kernel entry, and
-    equality on watermark-CLOSED windows/spans for the windowed and
-    absence entries (append mode holds windows the final watermark
-    never passes — tests/test_streaming_entry.py pins both forms)."""
+    (notNext) via watermark-final next-event candidates.  Each one's
+    batch twin is an oracled query with IDENTICAL arithmetic (exact
+    cent sums) — registered driver queries for the first five; the
+    sixth's twin (``cep_purchase_no_immediate_error``) is round-10
+    pre-staged, locally oracle-verified and suite-pinned, not yet
+    driver-checked.  The streaming check is "stream result == batch
+    twin (== oracle)": full equality for the kernel entry, and
+    equality on watermark-CLOSED windows/spans/candidates for the
+    windowed, absence, and notNext entries (append mode holds state
+    the final watermark never passes —
+    tests/test_streaming_entry.py pins all forms)."""
     from pyspark.sql import functions as F
 
     def cep_signup_to_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

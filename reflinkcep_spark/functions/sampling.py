@@ -244,18 +244,22 @@ def importance_weights(
         F.sum("tgt_c").alias("__tgt_total"), F.sum("raw_c").alias("__raw_total")
     )
     dec = "decimal(38,0)"
-    ab = F.lit(int(alpha) * int(buckets)).cast("long")
-    ag = F.lit(int(alpha)) * F.col("n_grams")
-    num = (F.col("__sum_tgt") + ag).cast(dec) * (F.col("__raw_total") + ab).cast(dec)
-    den = (F.col("__sum_raw") + ag).cast(dec) * (F.col("__tgt_total") + ab).cast(dec)
+    ab = F.lit(int(alpha) * int(buckets)).cast(dec)
+    ag = (F.lit(int(alpha)) * F.col("n_grams")).cast(dec)
+    num = (F.col("__sum_tgt") + ag) * (F.col("__raw_total") + ab)
+    den = (F.col("__sum_raw") + ag) * (F.col("__tgt_total") + ab)
     score = num.cast("double") / den.cast("double")
     scored = (
         g.join(F.broadcast(cnt), "b")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum("tgt_c").alias("__sum_tgt"),
-            F.sum("raw_c").alias("__sum_raw"),
+            # decimal sums, not long: per-doc Σ raw_c reaches
+            # grams_per_doc × corpus/buckets — a 1e13-gram corpus at
+            # buckets=256 wraps a 64-bit long on any >~2e5-gram doc,
+            # silently, while DuckDB's HUGEINT stays exact
+            F.sum(F.col("tgt_c").cast(dec)).alias("__sum_tgt"),
+            F.sum(F.col("raw_c").cast(dec)).alias("__sum_raw"),
         )
         .crossJoin(F.broadcast(tot))
         .select(id_col, "n_grams", score.alias("score"))

@@ -445,6 +445,32 @@ def semantic_dedup(
         F.element_at(nearest(F.col(vec_col), 1), 1).alias("cell"),
     )
     members = F.col("members")
+    if max_cell_rows is not None:
+        # assert_true yields NULL on pass and aborts the task on
+        # violation.  The guard must gate the ARRAY the quadratic
+        # transform consumes — not ride in a sibling projection, where
+        # (a) a when(p, x).otherwise(x) form gets folded away by
+        # SimplifyConditionals and (b) even a surviving sibling column
+        # can be evaluated after the explode has already run the
+        # O(|cell|²) transform.  when(assert.isNull(), members) with no
+        # otherwise can't be folded (branches differ) and makes the
+        # transform's input depend on the assert, so an oversized cell
+        # dies with the actionable message before any cosine work.
+        guard = F.assert_true(
+            F.col("_cell_n") <= F.lit(int(max_cell_rows)),
+            F.concat(
+                F.lit("semantic_dedup: cell "),
+                F.col("cell").cast("string"),
+                F.lit(" holds "),
+                F.col("_cell_n").cast("string"),
+                F.lit(
+                    f" vectors > max_cell_rows={int(max_cell_rows)}; "
+                    "raise n_cells (or max_cell_rows), or pre-split "
+                    "the hot cell"
+                ),
+            ),
+        )
+        members = F.when(guard.isNull(), members)
     per_member = F.transform(
         members,
         lambda y: F.struct(
@@ -465,34 +491,10 @@ def semantic_dedup(
         F.collect_list(F.struct("id", "v")).alias("members"),
         F.count(F.lit(1)).alias("_cell_n"),
     )
-    vec_id = F.col("m.vec_id")
-    if max_cell_rows is not None:
-        # assert_true yields NULL on pass and aborts the task on
-        # violation; coalescing it into the projected id keeps Catalyst
-        # from pruning the check (a when(p, x).otherwise(x) form gets
-        # folded to x by SimplifyConditionals and the assert vanishes).
-        # Fires before any O(|cell|²) cosine work on the oversized
-        # cell runs.
-        guard = F.assert_true(
-            F.col("_cell_n") <= F.lit(int(max_cell_rows)),
-            F.concat(
-                F.lit("semantic_dedup: cell "),
-                F.col("cell").cast("string"),
-                F.lit(" holds "),
-                F.col("_cell_n").cast("string"),
-                F.lit(
-                    f" vectors > max_cell_rows={int(max_cell_rows)}; "
-                    "raise n_cells (or max_cell_rows), or pre-split "
-                    "the hot cell"
-                ),
-            ),
-        )
-        id_type = dict(assigned.dtypes)["id"]
-        vec_id = F.coalesce(guard.cast(id_type), vec_id)
     return (
         grouped.select("cell", "_cell_n", F.explode(per_member).alias("m"))
         .select(
-            vec_id.alias("vec_id"),
+            F.col("m.vec_id").alias("vec_id"),
             "cell",
             F.col("m.dup_of").alias("dup_of"),
             F.col("m.dup_of").isNull().alias("keep"),

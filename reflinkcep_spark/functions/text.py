@@ -515,9 +515,14 @@ def dedup_paragraphs(
     Returns (id_col, text_clean, n_removed) with one row per input
     document.
     """
+    import re as _re
+
     c = F.col(text_col)
     if unit_tokens is None:
-        units = F.split(c, sep)
+        # sep is a LITERAL separator (the docstring contract), but
+        # F.split takes a Java regex — escape it, or sep="|" would
+        # split between every character and sep="." on every one.
+        units = F.split(c, _re.escape(sep))
         joiner = sep
     else:
         if unit_tokens < 1:

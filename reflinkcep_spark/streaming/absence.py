@@ -180,14 +180,29 @@ def not_next_stream(
     NULL and ``<= final watermark``), the analogue of
     ``not_followed_by_stream``'s closed spans.
 
+    ``on`` must be UNIQUE per key (an event sequence consistent with
+    event time — the batch operator's contract): duplicate instants
+    make "the immediately next event" ill-defined and this operator's
+    tie behavior is unspecified.
+
     State per key: pending probes + the events past the watermark
     (bounded by watermark delay × per-key rate; watermark-passed events
     are spent — any probe they could resolve has resolved).  Probes
     arriving later than the watermark are dropped (standard append-mode
-    late-data semantics).  Event-time timeouts re-arm at the earliest
-    pending candidate so quiet keys flush on watermark advance.
+    late-data semantics); a probe with no follower yet is retained
+    indefinitely (the batch "never followed" case — bound it upstream
+    if keys can go permanently quiet).  Event-time timeouts re-arm at
+    the earliest pending candidate — or, for candidate-less state, at
+    the last buffered event's instant, so spent events are pruned and
+    dead keys removed on watermark advance instead of living in the
+    state store forever.
     """
     keys = [by] if isinstance(by, str) else list(by)
+    for c in (next_col, "__is_left", "__is_neg"):
+        if c in df.columns:
+            # same contract as the batch operator: a colliding column
+            # would be silently overwritten in the emitted rows
+            raise ValueError(f"column {c!r} already exists in the input frame")
     left_c = F.expr(left_filter) if isinstance(left_filter, str) else left_filter
     neg_c = F.expr(neg_filter) if isinstance(neg_filter, str) else neg_filter
 
@@ -278,6 +293,12 @@ def not_next_stream(
                 i = _br(ons, us)
                 if i < len(ons):
                     deadlines.append(ons[i])
+            if not deadlines and events:
+                # no pending candidate, but buffered events: once the
+                # watermark passes the LAST of them they are all spent
+                # (any probe they could serve would be late) — wake
+                # then so the state is pruned/removed, not leaked
+                deadlines.append(max(ons))
             if deadlines:
                 state.setTimeoutTimestamp(
                     max(min(deadlines) // 1000 + 1, wm_us // 1000 + 1)

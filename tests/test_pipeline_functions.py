@@ -1218,6 +1218,21 @@ def test_dedup_paragraphs_line_mode(spark):
     assert out[3] == ("solo", 0)
 
 
+def test_dedup_paragraphs_regex_metachar_separator(spark):
+    """sep is a LITERAL, not a regex: '|' (regex alternation of empty
+    strings) and '.' (any char) must separate and reassemble exactly."""
+    df = spark.createDataFrame(
+        [(0, "a|b|a"), (1, "x.y.x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in text.dedup_paragraphs(df, sep="|").collect()}
+    assert out[0] == ("a|b", 1)
+    assert out[1] == ("x.y.x", 0)  # no '|' present: single segment
+    out2 = {r.doc_id: (r.text_clean, r.n_removed)
+            for r in text.dedup_paragraphs(df, sep=".").collect()}
+    assert out2[1] == ("x.y", 1)
+
+
 def test_dedup_paragraphs_unit_tokens_mode(spark):
     rows = [
         (0, "a b a b c d"),   # chunks [a b][a b][c d] -> one removed

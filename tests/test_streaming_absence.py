@@ -175,3 +175,23 @@ def test_streaming_not_next_matches_batch_closed_candidates(spark, tmp_path):
         for r in spark.table(sink).collect()
     )
     assert got == want
+
+
+def test_not_next_stream_rejects_colliding_columns(spark):
+    import pytest
+
+    from reflinkcep_spark.streaming import not_next_stream
+
+    # validation is eager (before any stream starts), so a plain
+    # frame with the colliding column exercises it
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("next_on"), "ts"
+    )
+    with pytest.raises(ValueError, match="next_on"):
+        not_next_stream(
+            ev,
+            left_filter="event_id > 0",
+            neg_filter="event_id < 0",
+            on="next_on",
+            by="user_id",
+        )
