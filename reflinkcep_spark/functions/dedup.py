@@ -732,6 +732,55 @@ def duplicate_clusters(
     )
 
 
+def canonical_docs(
+    members: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware canonicalization: for every duplicate cluster,
+    pick the member to KEEP by a quality signal instead of the
+    arbitrary lowest-id convention — the selection step of the
+    RefinedWeb/Dolma-style curation recipes, where the canonical copy
+    of a near-duplicate group should be the best-quality one (the
+    others are dropped or down-weighted downstream).
+
+    ``members`` is a cluster membership frame ``(id_col,
+    cluster_col)`` — e.g. :func:`duplicate_clusters` output — and
+    ``quality`` maps ``id_col`` to a totally-ordered ``quality_col``.
+    The winner per cluster is argmax(quality), ties broken by the
+    SMALLEST id (deterministic, engine-portable for any orderable
+    quality type).
+
+    Returns one row per cluster: ``(cluster_col, canonical_doc_id,
+    canonical_<quality_col>, n_members)``.
+
+    Scale shape: the argmax is a lexicographic struct MAX aggregate —
+    ``max(struct(quality, -id))`` — NOT a row_number window, so it is
+    partial-aggregatable (map-side combine) and costs one keyed
+    exchange on ``cluster_col``; the id-keyed join before it is the
+    only other exchange, and its left side is pair-graph-sized
+    (≪ corpus after LSH/capping), never the corpus itself.
+    """
+    j = members.join(quality, id_col)
+    best = F.max(
+        F.struct(
+            F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")
+        )
+    ).alias("best")
+    return (
+        j.groupBy(cluster_col)
+        .agg(best, F.count(F.lit(1)).alias("n_members"))
+        .select(
+            cluster_col,
+            (-F.col("best.nid")).alias("canonical_doc_id"),
+            F.col("best.q").alias(f"canonical_{quality_col}"),
+            "n_members",
+        )
+    )
+
+
 def winnow_pairs(
     df: DataFrame,
     threshold: float = 0.5,

@@ -482,6 +482,101 @@ def lm_quality(
     )
 
 
+def quality_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 2,
+    tail_ratio: tuple = (1, 2),
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020 §4.3): CCNet splits a crawl into three quality tiers by
+    comparing each document's LM perplexity against corpus-derived
+    cutoffs.  This is that shape with the external LM replaced by the
+    corpus's own n-gram statistics (:func:`lm_quality`'s log-free
+    score) and the tercile cutoffs replaced by exact mean-relative
+    thresholds, so the tier assignment is bit-stable across engines:
+
+    * ``head``   — doc mean n-gram df ≥ the corpus mean (typical,
+      well-phrased text under the corpus's own language model);
+    * ``tail``   — doc mean n-gram df < ``tail_ratio`` × the corpus
+      mean (default half: unusual phrasing — gibberish, boilerplate
+      noise, or genuinely novel content, which is why CCNet keeps
+      all three tiers on disk rather than deleting the tail);
+    * ``middle`` — everything between.
+
+    ``tail_ratio`` is an exact rational ``(num, den)`` so the cutoff
+    stays inside the integer cross-multiply — corpora whose df
+    distribution concentrates near the mean (tiny vocabularies) want
+    a fraction close to 1.
+
+    Every comparison is an integer cross-multiply in decimal(38,0)
+    (``Σbdf_doc · N_corpus  vs  Σbdf_corpus · n_doc`` — the Q11/DSIR
+    recipe), never a float divide, so the boundary cases agree with
+    any exact engine.  Documents with fewer than ``order`` tokens
+    have no n-grams and belong to no tier (absent, not defaulted).
+
+    Returns the tier summary ``(bucket, n_docs, n_<g>s)`` — one row
+    per non-empty tier.
+
+    Scale shape: identical to :func:`lm_quality` (explode once —
+    checkpointed, one vocabulary-keyed count with singleton elision,
+    one doc-keyed aggregate) plus ONE broadcast 1-row global
+    aggregate and a 3-group final fold; the corpus never shuffles for
+    the cutoffs.  Headroom: the cross-products stay below 1e38
+    (decimal(38,0), DuckDB HUGEINT) for any corpus under ~1e18 total
+    n-grams with per-doc Σbdf under ~1e18 — far beyond 100 TB.
+    """
+    if order < 2:
+        raise ValueError(f"quality_buckets needs order >= 2, got {order}")
+    t_num, t_den = (int(tail_ratio[0]), int(tail_ratio[1]))
+    if not (0 < t_num < t_den):
+        raise ValueError(
+            f"tail_ratio must be a fraction in (0, 1), got {tail_ratio}"
+        )
+    g = "bigram" if order == 2 else f"{order}gram"
+    bg = df.select(
+        F.col(id_col),
+        F.explode(ngrams(tokens(F.col(text_col)), order)).alias("bg"),
+    )
+    bg = bg.localCheckpoint(eager=False)
+    # Singleton elision, exactly as lm_quality: bdf == 1 ⇔ absent
+    # from the bdf >= 2 table.
+    cnt = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .filter(F.col("bdf") >= 2)
+    )
+    doc = (
+        bg.join(cnt, "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.sum(F.coalesce(F.col("bdf"), F.lit(1))).alias("sum_bdf"),
+        )
+    )
+    dec = "decimal(38,0)"
+    glob = doc.agg(
+        F.sum("n_bg").cast(dec).alias("__g_n"),
+        F.sum("sum_bdf").cast(dec).alias("__g_sum"),
+    )
+    lhs = F.col("sum_bdf").cast(dec) * F.col("__g_n")
+    rhs = F.col("__g_sum") * F.col("n_bg").cast(dec)
+    bucket = (
+        F.when(lhs >= rhs, F.lit("head"))
+        .when(lhs * F.lit(t_den) < rhs * F.lit(t_num), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        doc.crossJoin(F.broadcast(glob))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bg").alias(f"n_{g}s"),
+        )
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     sep: str = "\n",

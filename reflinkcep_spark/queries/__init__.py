@@ -28,9 +28,13 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                           paragraph dedup, zero-exchange per-doc fold)
 #   doc_importance_weights (pipeline.py — DSIR hashed-bigram importance
 #                           resampling, exact-integer ratio-of-means)
+#   dedup_canonical_quality (pipeline.py — quality-aware canonical-doc
+#                           selection per dup cluster, struct-MAX argmax)
+#   text_quality_buckets   (pipeline.py — CCNet head/middle/tail tiers
+#                           via exact decimal cross-multiply cutoffs)
 # Round-10 window arithmetic: 13 PLANNED_SITOUTS (2 rounds stale at
-# r10 — promote FIRST) + these 3 registrations + 50 r8-stale = 66
-# candidates for 50 slots → ~16 named sit-outs.
+# r10 — promote FIRST) + these 5 registrations + 50 r8-stale = 68
+# candidates for 50 slots → ~18 named sit-outs.
 #
 # Front of the driver's 50-entry check window (round 9 rotation),
 # executed exactly as pre-planned in round 8: FIRST the six 2-round-

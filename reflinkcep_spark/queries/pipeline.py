@@ -2134,6 +2134,127 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+# --- quality-aware canonicalization (PRE-STAGED for round 10) -----------
+#
+# dedup_canonical_quality is implemented and locally oracle-verified but
+# deliberately NOT registered this round: the round-9 window is full
+# (113 queries, 13 sit-outs already named — see queries/__init__.py).
+# Register it in the round-10 rotation.
+
+def dedup_canonical_quality(spark, sf_dir):
+    """Quality-aware canonical-doc selection: resolve the n-gram-
+    Jaccard pair graph into clusters (dedup_clusters' pipeline), then
+    keep the HIGHEST-QUALITY member of each cluster instead of the
+    lowest-id one — quality here is distinct-token count (vocabulary
+    richness: an exact integer both engines compute identically),
+    ties to the smallest id.  The selection step of RefinedWeb/Dolma-
+    style curation, where the canonical copy of a near-dup group
+    should be the best one, not the first-crawled one.
+    functions/dedup.py:canonical_docs — a lexicographic struct-MAX
+    aggregate (map-side combinable), not a row_number window."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    members = dedup.duplicate_clusters(pairs)
+    quality = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(text.tokens(F.col("text"))))
+        .cast("long")
+        .alias("n_types"),
+    )
+    return dedup.canonical_docs(members, quality, quality_col="n_types")
+
+
+# Same pipeline in SQL: the recursive-CTE transitive closure of
+# SQL_DEDUP_CLUSTERS plus a per-cluster argmax window.
+SQL_DEDUP_CANONICAL_QUALITY = rf"""
+WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, w) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.w
+),
+memb AS (
+  SELECT u AS doc_id, LEAST(u, MIN(w))::BIGINT AS cluster_id
+  FROM reach GROUP BY u
+),
+q AS (
+  SELECT doc_id,
+         len(list_distinct(list_filter(
+           string_split_regex(trim(text), '\s+'), x -> x <> '')))::BIGINT
+           AS n_types
+  FROM documents
+),
+r AS (
+  SELECT m.cluster_id, m.doc_id, q.n_types,
+         ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                            ORDER BY q.n_types DESC, m.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY m.cluster_id) AS n_members
+  FROM memb m JOIN q USING (doc_id)
+)
+SELECT cluster_id,
+       doc_id::BIGINT AS canonical_doc_id,
+       n_types AS canonical_n_types,
+       n_members::BIGINT AS n_members
+FROM r WHERE rn = 1
+"""
+
+
+# --- CCNet quality tiers (PRE-STAGED for round 10) ----------------------
+#
+# text_quality_buckets is implemented and locally oracle-verified but
+# deliberately NOT registered this round: the round-9 window is full
+# (113 queries, 13 sit-outs already named — see queries/__init__.py).
+# Register it in the round-10 rotation.
+
+def text_quality_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail quality tiers (Wenzek et al. 2020)
+    from the corpus's own bigram statistics: head = doc mean bigram df
+    ≥ corpus mean, tail = below 15/16 of the corpus mean, middle
+    between — every boundary an exact decimal(38,0) integer
+    cross-multiply, so tier assignment is bit-stable across engines.
+    The tail fraction is 15/16 rather than CCNet's wider cut because
+    the generator's tiny vocabulary concentrates every doc's mean
+    bigram df within ±14% of the corpus mean (measured at sf0.001 and
+    sf0.01) — at 1/2 the tail tier would be structurally empty here;
+    real corpora use the default.  functions/text.py:quality_buckets —
+    the lm_quality scale shape plus one broadcast 1-row global
+    aggregate; the corpus never shuffles for the cutoffs."""
+    return text.quality_buckets(_docs(spark, sf_dir), tail_ratio=(15, 16))
+
+
+# Same pipeline in SQL: per-doc exact integer sums, HUGEINT
+# cross-multiplies against the 1-row global sums.
+SQL_TEXT_QUALITY_BUCKETS = r"""
+WITH bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+    FROM documents
+  ), UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+),
+cnt AS (SELECT bg, COUNT(*) AS bdf FROM bg GROUP BY bg),
+doc AS (
+  SELECT doc_id, COUNT(*) AS n_bg, SUM(bdf)::HUGEINT AS sum_bdf
+  FROM bg JOIN cnt USING (bg)
+  GROUP BY doc_id
+),
+g AS (SELECT SUM(n_bg)::HUGEINT AS g_n, SUM(sum_bdf)::HUGEINT AS g_sum FROM doc)
+SELECT CASE WHEN sum_bdf * g_n >= g_sum * n_bg THEN 'head'
+            WHEN 16 * sum_bdf * g_n < 15 * g_sum * n_bg THEN 'tail'
+            ELSE 'middle' END AS bucket,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_bg)::BIGINT AS n_bigrams
+FROM doc, g
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

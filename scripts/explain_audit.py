@@ -89,6 +89,8 @@ AUDITED = [
     ("text_dedup_paragraphs", "paragraph dedup (pre-staged r10): per-doc split -> array_distinct -> join fold, zero exchanges, no Python"),
     ("cep_purchase_no_immediate_error", "notNext (pre-staged r10): union + ONE user-keyed window pass, no join, no Python"),
     ("doc_importance_weights", "DSIR (pre-staged r10): gram-bucket explode checkpointed, ONE bounded bucket agg (<= `buckets` rows) broadcast back, doc-keyed agg, exact-integer score"),
+    ("dedup_canonical_quality", "quality canonicalization (pre-staged r10): pair-graph CC reused, id-keyed quality join, per-cluster argmax as a struct-MAX aggregate (map-side combinable) — no row_number window"),
+    ("text_quality_buckets", "CCNet tiers (pre-staged r10): lm_quality shape (explode checkpointed, singleton-elided count join), 1-row global agg broadcast, 3-group fold — the corpus never shuffles for the cutoffs"),
 ]
 
 

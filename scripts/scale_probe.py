@@ -101,6 +101,8 @@ PROBES = [
     ("text_dedup_paragraphs", "documents"),
     ("cep_purchase_no_immediate_error", "events"),
     ("doc_importance_weights", "documents"),
+    ("dedup_canonical_quality", "documents"),
+    ("text_quality_buckets", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

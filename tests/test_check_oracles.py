@@ -72,10 +72,14 @@ def test_prestaged_round10_queries_match_oracles(spark):
         cep_purchase_no_immediate_error,
     )
     from reflinkcep_spark.queries.pipeline import (
+        SQL_DEDUP_CANONICAL_QUALITY,
         SQL_DOC_IMPORTANCE_WEIGHTS,
         SQL_TEXT_DEDUP_PARAGRAPHS,
+        SQL_TEXT_QUALITY_BUCKETS,
+        dedup_canonical_quality,
         doc_importance_weights,
         text_dedup_paragraphs,
+        text_quality_buckets,
     )
     from tests.conftest import SF_DIR
 
@@ -88,6 +92,8 @@ def test_prestaged_round10_queries_match_oracles(spark):
         (cep_purchase_no_immediate_error, SQL_PURCHASE_NO_IMMEDIATE_ERROR),
         (text_dedup_paragraphs, SQL_TEXT_DEDUP_PARAGRAPHS),
         (doc_importance_weights, SQL_DOC_IMPORTANCE_WEIGHTS),
+        (dedup_canonical_quality, SQL_DEDUP_CANONICAL_QUALITY),
+        (text_quality_buckets, SQL_TEXT_QUALITY_BUCKETS),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

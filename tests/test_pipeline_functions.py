@@ -1426,3 +1426,49 @@ def test_scrub_spans_contract(spark):
     assert out[1] == ("", 12)                          # fully scrubbed
     assert out[2] == (tail, 12)                        # span cut, tail kept
     assert out[3] == ("u0  u1\tu2 unrelated doc", 0)   # verbatim
+
+
+def test_canonical_docs_argmax_and_ties(spark):
+    """Per-cluster winner is argmax(quality) with ties to the SMALLEST
+    id; n_members counts the whole cluster; output is one row per
+    cluster."""
+    from reflinkcep_spark.functions import dedup
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        # cluster 1: doc 2 wins outright; cluster 10: tie -> doc 10
+        [(1, 5), (2, 9), (3, 7), (10, 4), (11, 4)],
+        "doc_id long, quality long",
+    )
+    out = {
+        r.cluster_id: r
+        for r in dedup.canonical_docs(members, quality).collect()
+    }
+    assert set(out) == {1, 10}
+    assert out[1].canonical_doc_id == 2
+    assert out[1].canonical_quality == 9
+    assert out[1].n_members == 3
+    assert out[10].canonical_doc_id == 10   # tie broken to smallest id
+    assert out[10].canonical_quality == 4
+    assert out[10].n_members == 2
+
+
+def test_quality_buckets_exact_boundaries(spark):
+    """Hand-computed corpus: global mean bigram df = 12/6 = 2.  doc 1
+    (avg 7/3) is head, doc 2 (avg 4/2 = 2.0) is head ON the >= boundary,
+    doc 3 (avg 1, exactly half the mean) is middle because the tail
+    test is STRICT (2*1*6 = 12 < 12 is false); a sub-2-token doc joins
+    no tier."""
+    from reflinkcep_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x y"), (4, "z")],
+        "doc_id long, text string",
+    )
+    out = {r.bucket: r for r in tx.quality_buckets(df).collect()}
+    assert set(out) == {"head", "middle"}
+    assert out["head"].n_docs == 2 and out["head"].n_bigrams == 5
+    assert out["middle"].n_docs == 1 and out["middle"].n_bigrams == 1
