@@ -2151,11 +2151,20 @@ def dedup_canonical_quality(spark, sf_dir):
     style curation, where the canonical copy of a near-dup group
     should be the best one, not the first-crawled one.
     functions/dedup.py:canonical_docs — a lexicographic struct-MAX
-    aggregate (map-side combinable), not a row_number window."""
+    aggregate (map-side combinable), not a row_number window.
+
+    Scale note: the quality projection is computed AFTER a semi join
+    against the membership frame (the dedup_scrub_spans victim-
+    isolation trick) — members are a tiny fraction of any real corpus,
+    so the non-member 99% is never tokenized for a score nobody
+    reads."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
-    members = dedup.duplicate_clusters(pairs)
-    quality = docs.select(
+    # Referenced twice (semi-join scope + the canonical join):
+    members = dedup.duplicate_clusters(pairs).localCheckpoint(eager=False)
+    quality = docs.join(
+        members.select("doc_id"), "doc_id", "left_semi"
+    ).select(
         "doc_id",
         F.size(F.array_distinct(text.tokens(F.col("text"))))
         .cast("long")
