@@ -21,7 +21,7 @@ so runs are reproducible.  No driver-side collection anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from reflinkcep_spark.functions.text import distinct_tokens
@@ -753,31 +753,84 @@ def canonical_docs(
     SMALLEST id (deterministic, engine-portable for any orderable
     quality type).
 
+    ``n_members`` counts the MEMBERSHIP frame: quality is left-joined,
+    so a member missing a quality row still counts toward cluster size
+    (it just cannot win the argmax).  A cluster with NO scored member
+    has no defined canonical — that raises at evaluation time rather
+    than silently dropping the cluster or emitting NULL.
+
     Returns one row per cluster: ``(cluster_col, canonical_doc_id,
     canonical_<quality_col>, n_members)``.
 
-    Scale shape: the argmax is a lexicographic struct MAX aggregate —
-    ``max(struct(quality, -id))`` — NOT a row_number window, so it is
-    partial-aggregatable (map-side combine) and costs one keyed
-    exchange on ``cluster_col``; the id-keyed join before it is the
-    only other exchange, and its left side is pair-graph-sized
-    (≪ corpus after LSH/capping), never the corpus itself.
+    Scale shape: for numeric ids the argmax is a lexicographic struct
+    MAX aggregate — ``max(struct(quality, -id))`` — NOT a row_number
+    window, so it is partial-aggregatable (map-side combine) and costs
+    one keyed exchange on ``cluster_col``; the id-keyed join before it
+    is the only other exchange, and its left side is pair-graph-sized
+    (≪ corpus after LSH/capping), never the corpus itself.  For
+    non-numeric ids (string/uuid — no order-reversing negation exists)
+    the tie-break falls back to a two-pass aggregate: max(quality) per
+    cluster, then min(id) among the maximal rows — one extra keyed
+    exchange + join, both still pair-graph-sized and map-side
+    combinable.
     """
-    j = members.join(quality, id_col)
-    best = F.max(
-        F.struct(
-            F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")
+    from pyspark.sql.types import NumericType
+
+    j = members.join(quality, id_col, "left")
+
+    def _fail(msg: str, otherwise: Column) -> Column:
+        return F.when(
+            otherwise.isNull(), F.raise_error(F.lit(msg))
+        ).otherwise(otherwise)
+
+    no_canonical = (
+        "canonical_docs: a cluster has no member with a quality row — "
+        "canonical selection is undefined; score every member (or "
+        "semi-join `members` down to the scored ids first)"
+    )
+    id_is_numeric = isinstance(members.schema[id_col].dataType, NumericType)
+    if id_is_numeric:
+        # Single-pass: max() skips the NULL structs of unscored
+        # members, count() still sees their rows.
+        best = F.max(
+            F.when(
+                F.col(quality_col).isNotNull(),
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("nid"),
+                ),
+            )
+        ).alias("best")
+        return (
+            j.groupBy(cluster_col)
+            .agg(best, F.count(F.lit(1)).alias("n_members"))
+            .select(
+                cluster_col,
+                _fail(no_canonical, -F.col("best.nid")).alias(
+                    "canonical_doc_id"
+                ),
+                F.col("best.q").alias(f"canonical_{quality_col}"),
+                "n_members",
+            )
         )
-    ).alias("best")
-    return (
-        j.groupBy(cluster_col)
-        .agg(best, F.count(F.lit(1)).alias("n_members"))
-        .select(
-            cluster_col,
-            (-F.col("best.nid")).alias("canonical_doc_id"),
-            F.col("best.q").alias(f"canonical_{quality_col}"),
-            "n_members",
-        )
+    # Two-pass tie-break for non-numeric ids: pass 1 finds the best
+    # quality per cluster (NULLs skipped) and the honest member count;
+    # pass 2 takes min(id) among the rows at that quality.
+    pass1 = j.groupBy(cluster_col).agg(
+        F.max(quality_col).alias("__best_q"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    winners = (
+        j.join(pass1.select(cluster_col, "__best_q"), cluster_col)
+        .filter(F.col(quality_col) == F.col("__best_q"))
+        .groupBy(cluster_col)
+        .agg(F.min(id_col).alias("__canonical"))
+    )
+    return pass1.join(winners, cluster_col, "left").select(
+        cluster_col,
+        _fail(no_canonical, F.col("__canonical")).alias("canonical_doc_id"),
+        F.col("__best_q").alias(f"canonical_{quality_col}"),
+        "n_members",
     )
 
 

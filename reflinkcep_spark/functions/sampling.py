@@ -20,6 +20,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 __all__ = [
     "md5_hash60",
@@ -204,6 +205,14 @@ def importance_weights(
     log-free trick as :func:`reflinkcep_spark.functions.text
     .lm_quality`.
 
+    Headroom: decimal(38,0) holds the products up to ~1e38 — a corpus
+    would need ≳1e19 total grams against a ≳1e19-gram document before
+    a product could overflow.  Past that, Spark's default
+    precision-loss mode turns the product NULL (where DuckDB's HUGEINT
+    raises), so rather than let ``keep`` silently coalesce to false,
+    the score column raises at evaluation time if either operand of
+    the division went NULL for a document that has grams.
+
     Hashing is the module's engine-portable md5 bucket (DSIR's own
     hashed n-gram variant quantizes exactly like this, ~10k buckets);
     ``buckets`` bounds the stats table regardless of corpus size.
@@ -235,7 +244,14 @@ def importance_weights(
         id_col, "__tgt", (md5_hash60(F.col("g")) % buckets).alias("b")
     )
     # Referenced twice (bucket stats + scoring join): compute once.
-    g = g.localCheckpoint(eager=False)
+    # persist, NOT localCheckpoint — checkpointing pins blocks to
+    # executor storage and destroys lineage, so on a real cluster an
+    # executor loss fails the stage; persist keeps the (deterministic)
+    # lineage and recomputes the lost blocks instead.  Blocks are
+    # LRU-evicted by the block manager once downstream actions finish
+    # (the returned frame is lazy, so there is no safe unpersist point
+    # inside this function).
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
     cnt = g.groupBy("b").agg(
         F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias("tgt_c"),
         F.count(F.lit(1)).alias("raw_c"),
@@ -248,7 +264,19 @@ def importance_weights(
     ag = (F.lit(int(alpha)) * F.col("n_grams")).cast(dec)
     num = (F.col("__sum_tgt") + ag) * (F.col("__raw_total") + ab)
     den = (F.col("__sum_raw") + ag) * (F.col("__tgt_total") + ab)
-    score = num.cast("double") / den.cast("double")
+    # Every scored row has n_grams ≥ 1, so a NULL operand here can
+    # only be decimal(38,0) overflow-to-NULL (precision-loss mode) —
+    # fail loudly like the DuckDB oracle's HUGEINT would, instead of
+    # letting `keep` silently coalesce to false past ~1e38.
+    score = F.when(
+        num.isNull() | den.isNull(),
+        F.raise_error(
+            F.lit(
+                "importance_weights: decimal(38,0) overflow in the "
+                "score product (corpus beyond ~1e38-gram headroom)"
+            )
+        ).cast("double"),
+    ).otherwise(num.cast("double") / den.cast("double"))
     scored = (
         g.join(F.broadcast(cnt), "b")
         .groupBy(id_col)

@@ -17,39 +17,20 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
-# Round-10 queue (implemented, locally oracle-verified at sf0.001 AND
-# sf0.01, pinned green by tests/test_check_oracles.py::
-# test_prestaged_round10_queries_match_oracles — registration is a
-# QUERIES/ORACLES-dict + _PRIORITY edit):
-#   cep_purchase_no_immediate_error (cep_queries.py — Flink notNext,
-#                                    strict negation via operators/
-#                                    absence.py:not_next)
-#   text_dedup_paragraphs  (pipeline.py — RefinedWeb intra-doc exact
-#                           paragraph dedup, zero-exchange per-doc fold)
-#   doc_importance_weights (pipeline.py — DSIR hashed-bigram importance
-#                           resampling, exact-integer ratio-of-means)
-#   dedup_canonical_quality (pipeline.py — quality-aware canonical-doc
-#                           selection per dup cluster, struct-MAX argmax)
-#   text_quality_buckets   (pipeline.py — CCNet head/middle/tail tiers
-#                           via exact decimal cross-multiply cutoffs)
-# Round-10 window arithmetic: 13 PLANNED_SITOUTS (2 rounds stale at
-# r10 — promote FIRST) + these 5 registrations + 50 r8-stale = 68
-# candidates for 50 slots → ~18 named sit-outs.
-#
-# Front of the driver's 50-entry check window (round 9 rotation),
-# executed exactly as pre-planned in round 8: FIRST the six 2-round-
-# stale sit-outs from the round-8 plan (r6-vintage rows — the only
-# staleness the audit flags), then the seven queries registered this
-# round (pre-staged + oracle-verified in round 8: dedup_substring_spans,
-# dedup_scrub_spans, dedup_semantic, cep_nested_funnel_relaxed,
-# q_product_profit, q_late_lines_by_status, q_part_supplier_counts —
-# never driver-checked), then 37 of the 50 queries whose latest green
-# rows are r7-vintage.  Window arithmetic: 113 registered queries,
-# 6 + 7 + 50 = 63 candidates for 50 slots, so THIRTEEN r7-green queries
-# sit out and go two rounds stale at round 10 — promote PLANNED_SITOUTS
-# FIRST in the round-10 rotation.  Before this rotation every promoted
-# query was verified green in its latest CORRECTNESS row (r6/r7) and
-# every demoted query green in CORRECTNESS_r08.json
+# Front of the driver's 50-entry check window (round 10 rotation),
+# executed exactly as pre-planned in round 9: FIRST the thirteen
+# 2-round-stale sit-outs from the round-9 plan (r7-vintage rows — the
+# only staleness the audit flagged), then the five queries registered
+# this round (pre-staged + oracle-verified in round 9:
+# cep_purchase_no_immediate_error, text_dedup_paragraphs,
+# doc_importance_weights, dedup_canonical_quality, text_quality_buckets
+# — never driver-checked), then 32 of the 50 queries whose latest green
+# rows are r8-vintage.  Window arithmetic: 118 registered queries,
+# 13 + 5 + 50 = 68 candidates for 50 slots, so EIGHTEEN r8-green
+# queries sit out and go two rounds stale at round 11 — promote
+# PLANNED_SITOUTS FIRST in the round-11 rotation.  Before this rotation
+# every promoted query was verified green in its latest CORRECTNESS row
+# (r7/r9) and every demoted query green in CORRECTNESS_r09.json
 # (scripts/window_audit.py run before and after).
 
 # Machine-readable sit-out plan: queries whose latest driver row is
@@ -57,10 +38,35 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 # 50-slot window can't hold every candidate.  scripts/window_audit.py
 # exits 0 only when observed staleness matches this plan exactly —
 # any unplanned-stale query (or a planned one that is stale-and-red)
-# is a rotation bug and exits nonzero.  Chosen round 9: the thirteen
-# simplest single-agg/scan relational shapes among the r7 set, each
-# green every round since registration.
+# is a rotation bug and exits nonzero.  Chosen round 10: the eighteen
+# simplest scan/agg shapes among the r8 set — ten pipeline stat/sample
+# scans, two text scans, six single-join relational/temporal shapes —
+# each green every round since registration; every heavy or
+# plan-sensitive r8 query (CEP, dedup, similarity, as-of/session/skew,
+# the two star-schema joins) stays in the window.
 PLANNED_SITOUTS = (
+    "doc_source_stats",
+    "doc_token_budget",
+    "doc_mixture_sample",
+    "doc_mixture_upsample",
+    "doc_split_assign",
+    "doc_global_shuffle",
+    "doc_vocab_coverage",
+    "doc_rolling_fingerprint",
+    "doc_chunk_overlap",
+    "doc_pii_scrub",
+    "text_repetition",
+    "text_language",
+    "q_balance_quartiles",
+    "q_events_props_json",
+    "q_events_sliding",
+    "q_local_supplier_volume",
+    "q_returned_item_customers",
+    "q_waiting_suppliers",
+)
+
+_PRIORITY = (
+    # 2-rounds-stale round-9 sit-outs (last row r7) — first, per plan
     "q_big_building_buyers",
     "q_scalar_functions",
     "q_orders_by_month",
@@ -74,65 +80,50 @@ PLANNED_SITOUTS = (
     "q_binational_volume",
     "q_top_supplier",
     "q_small_quantity_revenue",
-)
-
-_PRIORITY = (
-    # 2-rounds-stale round-8 sit-outs (last row r6) — first, per plan
-    "text_profile",
-    "doc_top_terms",
-    "doc_hash_sample",
-    "text_token_histogram",
-    "q_events_tumbling",
-    "q_running_order_totals",
-    # new in round 9 (never driver-checked; pre-staged round 8)
-    "dedup_substring_spans",
-    "dedup_scrub_spans",
-    "dedup_semantic",
-    "cep_nested_funnel_relaxed",
-    "q_product_profit",
-    "q_late_lines_by_status",
-    "q_part_supplier_counts",
-    # r7-stale: dedup/text/pipeline family
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "doc_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "doc_pack_ffd",
-    "doc_length_outliers",
-    "text_bigram_lift",
-    "text_lm_quality",
-    # r7-stale: CEP family
-    "cep_error_triples",
-    "cep_signup_to_purchase",
-    "cep_conversion_rate",
-    "cep_view_click_cycles",
-    "cep_spending_burst",
-    "cep_error_streaks_skip",
-    "cep_view_combos_ndrelaxed",
-    "cep_optional_click_prefix",
-    "cep_view_click_runs",
-    "cep_error_pairs_skippast",
-    "cep_high_purchase_chains",
-    "cep_error_then_purchase_grouped",
-    "cep_signup_any_purchase",
-    "cep_signup_abandoned",
-    # r7-stale: relational family (the PLANNED_SITOUTS thirteen
+    # new in round 10 (never driver-checked; pre-staged round 9)
+    "cep_purchase_no_immediate_error",
+    "text_dedup_paragraphs",
+    "doc_importance_weights",
+    "dedup_canonical_quality",
+    "text_quality_buckets",
+    # r8-stale: CEP family
+    "cep_high_purchases",
+    "cep_funnel_3step",
+    "cep_funnel_within",
+    "cep_error_runs",
+    "cep_purchase_then_error",
+    "cep_error_runs_skiptolast",
+    "cep_signup_purchase_skipfirst",
+    # r8-stale: dedup/similarity family
+    "dedup_clusters",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_embedding_neardup",
+    "multimodal_bytes",
+    # r8-stale: pipeline heavy shapes
+    "doc_curation_funnel",
+    "doc_decontam",
+    "doc_split_leakage",
+    "doc_winnow_robust",
+    "doc_pack_sequences",
+    # r8-stale: temporal family
+    "q_asof_last_click",
+    "q_asof_next_error",
+    "q_range_join_clicks",
+    "q_session_windows",
+    "q_skew_salted_events",
+    # r8-stale: relational family (the PLANNED_SITOUTS eighteen
     # deliberately absent — they sit out; see note above)
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "q_top_customers_per_nation",
-    "q_rollup_order_priority",
-    "q_cube_lineitem_flags",
-    "q_customers_without_orders",
-    "q_orders_without_items",
-    "q_parts_with_cheap_suppliers",
-    "q_grouping_sets",
-    "q_quantity_percentiles",
-    "q_above_nation_avg",
-    "q_pivot_status_priority",
-    "q_unpivot_balances",
+    "q1_pricing_summary",
+    "q6_revenue_delta",
+    "q_excess_inventory_suppliers",
+    "q_important_parts",
+    "q_min_cost_suppliers",
+    "q_nation_market_share",
+    "q_user_sessions",
 )
 
 

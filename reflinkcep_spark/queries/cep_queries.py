@@ -1307,12 +1307,10 @@ WHERE s.event_type = 'signup' AND b.nxt_type = 'error'
 """
 
 
-# --- strict negation / notNext (PRE-STAGED for round 10) ---------------
+# --- strict negation / notNext (registered round 10) --------------------
 #
-# cep_purchase_no_immediate_error is implemented and locally
-# oracle-verified but deliberately NOT registered this round: the
-# round-9 window is full (113 queries, 13 sit-outs already named — see
-# queries/__init__.py).  Register it in the round-10 rotation.
+# Pre-staged and oracle-verified in round 9; registered in the round-10
+# rotation per the plan in queries/__init__.py.
 
 def cep_purchase_no_immediate_error(spark, sf_dir):
     """Strict negation — Flink CEP's ``notNext``, completing the
@@ -1378,6 +1376,7 @@ QUERIES = {
     "cep_signup_any_purchase": cep_signup_any_purchase,
     "cep_signup_abandoned": cep_signup_abandoned,
     "cep_nested_funnel_relaxed": cep_nested_funnel_relaxed,
+    "cep_purchase_no_immediate_error": cep_purchase_no_immediate_error,
 }
 
 ORACLES = {
@@ -1403,4 +1402,5 @@ ORACLES = {
     "cep_signup_any_purchase": SQL_SIGNUP_ANY_PURCHASE,
     "cep_signup_abandoned": SQL_SIGNUP_ABANDONED,
     "cep_nested_funnel_relaxed": SQL_NESTED_FUNNEL_RELAXED,
+    "cep_purchase_no_immediate_error": SQL_PURCHASE_NO_IMMEDIATE_ERROR,
 }

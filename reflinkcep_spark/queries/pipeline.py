@@ -2014,12 +2014,10 @@ GROUP BY b.vec_id, b.cell
 """
 
 
-# --- DSIR importance weighting (PRE-STAGED for round 10) ----------------
+# --- DSIR importance weighting (registered round 10) --------------------
 #
-# doc_importance_weights is implemented and locally oracle-verified but
-# deliberately NOT registered this round: the round-9 window is full
-# (113 queries, 13 sit-outs already named — see queries/__init__.py).
-# Register it in the round-10 rotation.
+# Pre-staged and oracle-verified in round 9; registered in the round-10
+# rotation per the plan in queries/__init__.py.
 
 def doc_importance_weights(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023): hashed-bigram importance
@@ -2082,12 +2080,10 @@ FROM toks d LEFT JOIN scored s USING (doc_id)
 """
 
 
-# --- intra-document paragraph dedup (PRE-STAGED for round 10) -----------
+# --- intra-document paragraph dedup (registered round 10) ---------------
 #
-# text_dedup_paragraphs is implemented and locally oracle-verified but
-# deliberately NOT registered this round: the round-9 window is full
-# (113 queries, 13 sit-outs already named — see queries/__init__.py).
-# Register it in the round-10 rotation.
+# Pre-staged and oracle-verified in round 9; registered in the round-10
+# rotation per the plan in queries/__init__.py.
 
 def text_dedup_paragraphs(spark, sf_dir):
     """Intra-document repetition removal (RefinedWeb/MassiveText exact
@@ -2134,12 +2130,10 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
-# --- quality-aware canonicalization (PRE-STAGED for round 10) -----------
+# --- quality-aware canonicalization (registered round 10) ---------------
 #
-# dedup_canonical_quality is implemented and locally oracle-verified but
-# deliberately NOT registered this round: the round-9 window is full
-# (113 queries, 13 sit-outs already named — see queries/__init__.py).
-# Register it in the round-10 rotation.
+# Pre-staged and oracle-verified in round 9; registered in the round-10
+# rotation per the plan in queries/__init__.py.
 
 def dedup_canonical_quality(spark, sf_dir):
     """Quality-aware canonical-doc selection: resolve the n-gram-
@@ -2213,12 +2207,10 @@ FROM r WHERE rn = 1
 """
 
 
-# --- CCNet quality tiers (PRE-STAGED for round 10) ----------------------
+# --- CCNet quality tiers (registered round 10) --------------------------
 #
-# text_quality_buckets is implemented and locally oracle-verified but
-# deliberately NOT registered this round: the round-9 window is full
-# (113 queries, 13 sit-outs already named — see queries/__init__.py).
-# Register it in the round-10 rotation.
+# Pre-staged and oracle-verified in round 9; registered in the round-10
+# rotation per the plan in queries/__init__.py.
 
 def text_quality_buckets(spark, sf_dir):
     """CCNet-style head/middle/tail quality tiers (Wenzek et al. 2020)
@@ -2307,6 +2299,10 @@ QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_scrub_spans": dedup_scrub_spans,
     "dedup_semantic": dedup_semantic,
+    "doc_importance_weights": doc_importance_weights,
+    "text_dedup_paragraphs": text_dedup_paragraphs,
+    "dedup_canonical_quality": dedup_canonical_quality,
+    "text_quality_buckets": text_quality_buckets,
 }
 
 ORACLES = {
@@ -2355,4 +2351,8 @@ ORACLES = {
     # lazy: resolved by all_oracles() on first use (parquet read +
     # KMeans fit — same contract as sim_ann_ivf above).
     "dedup_semantic": _sql_dedup_semantic,
+    "doc_importance_weights": SQL_DOC_IMPORTANCE_WEIGHTS,
+    "text_dedup_paragraphs": SQL_TEXT_DEDUP_PARAGRAPHS,
+    "dedup_canonical_quality": SQL_DEDUP_CANONICAL_QUALITY,
+    "text_quality_buckets": SQL_TEXT_QUALITY_BUCKETS,
 }

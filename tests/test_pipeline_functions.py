@@ -1456,6 +1456,81 @@ def test_canonical_docs_argmax_and_ties(spark):
     assert out[10].n_members == 2
 
 
+def test_canonical_docs_unscored_member_counts_but_cannot_win(spark):
+    """A member missing from the quality frame still counts toward
+    n_members (quality is LEFT-joined) but never wins the argmax."""
+    from reflinkcep_spark.functions import dedup
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    quality = spark.createDataFrame(
+        # doc 3 unscored; doc 1 would lose to it on any default
+        [(1, 5), (2, 2)], "doc_id long, quality long"
+    )
+    row = dedup.canonical_docs(members, quality).collect()
+    assert len(row) == 1
+    assert row[0].canonical_doc_id == 1
+    assert row[0].canonical_quality == 5
+    assert row[0].n_members == 3
+
+
+def test_canonical_docs_all_unscored_cluster_raises(spark):
+    """A cluster with NO scored member has no defined canonical —
+    evaluation must raise, not drop the cluster or emit NULL."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from reflinkcep_spark.functions import dedup
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    quality = spark.createDataFrame(
+        [(99, 5)], "doc_id long, quality long"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as e:
+        dedup.canonical_docs(members, quality).collect()
+    assert "no member with a quality row" in str(e.value)
+
+
+def test_canonical_docs_string_ids_two_pass(spark):
+    """String/uuid ids take the two-pass tie-break (no numeric
+    negation): argmax(quality), ties to the lexicographically smallest
+    id, n_members from the membership frame, unscored-cluster raise."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from reflinkcep_spark.functions import dedup
+
+    members = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("x", 2), ("y", 2)],
+        "doc_id string, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        # cluster 1: tie at 9 between "c" and "b" -> "b"; "a" unscored
+        [("b", 9), ("c", 9), ("x", 3), ("y", 7)],
+        "doc_id string, quality long",
+    )
+    out = {
+        r.cluster_id: r
+        for r in dedup.canonical_docs(members, quality).collect()
+    }
+    assert out[1].canonical_doc_id == "b"
+    assert out[1].canonical_quality == 9
+    assert out[1].n_members == 3
+    assert out[2].canonical_doc_id == "y"
+    assert out[2].n_members == 2
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        dedup.canonical_docs(
+            members.filter(F.col("cluster_id") == 1),
+            quality.filter(F.col("doc_id") == "x"),
+        ).collect()
+
+
 def test_quality_buckets_exact_boundaries(spark):
     """Hand-computed corpus: global mean bigram df = 12/6 = 2.  doc 1
     (avg 7/3) is head, doc 2 (avg 4/2 = 2.0) is head ON the >= boundary,

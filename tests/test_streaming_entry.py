@@ -175,6 +175,27 @@ def test_streaming_entry_not_next_matches_batch_closed(spark, tmp_path):
     from reflinkcep_spark.sources import load_table
 
     ev = load_table(spark, SF_DIR, "events")
+
+    # not_next_stream's contract requires `on` (micros) unique per key,
+    # and the batch twin resolves "next" on event_id — ASSERT the order
+    # keys coincide (us strictly increasing in event_id order per user,
+    # which implies per-(user_id, us) uniqueness) instead of trusting
+    # the generator; a same-microsecond pair would make the streaming
+    # result silently diverge from the batch twin.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    order_violations = (
+        ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .withColumn("prev_us", F.lag("us").over(w))
+        .filter(F.col("prev_us").isNotNull() & (F.col("us") <= F.col("prev_us")))
+        .count()
+    )
+    assert order_violations == 0, (
+        "events.ts is not strictly increasing in event_id order per "
+        "user — stream (micros) and batch (event_id) 'next' diverge"
+    )
+
     max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
     wm_us = (max_us // 1000 - 30 * 60 * 1000) * 1000
     ev_us = {
