@@ -86,6 +86,11 @@ HEADLINE = [
     "q_product_profit",        # broadcast dims + conditional profit agg (Q9)
     "q_late_lines_by_status",  # join-filtered conditional counts (Q12)
     "q_part_supplier_counts",  # anti-join + distinct-pair count (Q16)
+    "cep_purchase_no_immediate_error",  # strict negation / notNext (union + one window pass)
+    "text_dedup_paragraphs",   # intra-doc paragraph dedup (zero-exchange fold)
+    "doc_importance_weights",  # DSIR resampling (bounded bucket stats broadcast)
+    "dedup_canonical_quality", # per-cluster quality argmax (struct-MAX agg)
+    "text_quality_buckets",    # CCNet tiers (1-row global stats broadcast)
     "calibration_cpu",         # fixed-work box-state calibration (no IO, no data)
 ]
 

@@ -38,6 +38,8 @@ __all__ = [
     "shingles",
     "duplicate_clusters",
     "contaminated_docs",
+    "contamination_matrix",
+    "canonical_docs",
     "winnow_pairs",
     "substring_spans",
     "scrub_spans",
@@ -614,6 +616,76 @@ def contaminated_docs(
         .join(bench, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
+def contamination_matrix(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_group_col: str = "source",
+    bench_group_col: str = "bench",
+    hashed: bool = False,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-(corpus source × benchmark) contamination MATRIX — the
+    release-audit view of :func:`contaminated_docs`: not just "which
+    documents overlap an eval set" but WHICH SOURCE leaked WHICH
+    benchmark, the table a dataset card publishes and the first
+    question asked when an eval score looks too good ("is the bump
+    from the new crawl snapshot?").
+
+    ``corpus`` carries ``corpus_group_col`` (e.g. crawl source),
+    ``benchmark`` carries ``bench_group_col`` (e.g. eval suite name).
+    Returns one row per (source, bench) pair with ≥ 1 shared word
+    n-gram: ``n_docs`` = distinct contaminated corpus documents, and
+    ``n_gram_hits`` = Σ over those documents of their distinct leaked
+    grams (each document's gram set counted once, matching
+    ``contaminated_docs``' per-doc counts — summable across cells).
+
+    Plan shape for 100 TB: identical to :func:`contaminated_docs` —
+    the benchmark side is (bench, gram)-distinct and BROADCAST (eval
+    suites are thousands of docs; the grouping multiplies the
+    broadcast only by suite count), the corpus streams through
+    scan → distinct-gram explode → broadcast join, and the single
+    shuffle is the (source, bench) aggregate.  The count-distinct of
+    doc ids rides that one exchange (Spark plans it as a two-level
+    partial aggregate, still map-side combinable on the first level).
+    ``hashed=True`` swaps string grams for xxhash64, as documented on
+    :func:`contaminated_docs`.
+    """
+    from reflinkcep_spark.functions.text import ngrams, tokens
+
+    def grams(df: DataFrame, group_col: str, out_group: str) -> DataFrame:
+        g = F.explode(
+            F.array_distinct(ngrams(tokens(F.col(text_col)), n))
+        ).alias("g")
+        out = df.select(
+            F.col(id_col).alias("doc_id"), F.col(group_col).alias(out_group), g
+        )
+        if hashed:
+            out = out.select(
+                "doc_id", out_group, F.xxhash64("g").alias("g")
+            )
+        return out
+
+    bench = (
+        grams(benchmark, bench_group_col, "bench")
+        .select("bench", "g")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    return (
+        grams(corpus, corpus_group_col, "source")
+        .join(bench, "g")
+        .groupBy("source", "bench")
+        .agg(
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        )
     )
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "md5_bucket",
     "assign_split",
     "token_budget_sample",
+    "mixture_token_rebalance",
     "importance_weights",
 ]
 
@@ -119,11 +120,31 @@ def token_budget_sample(
 
     if budget < 0:
         raise ValueError(f"budget must be non-negative, got {budget}")
+    return _hash_prefix_by_budget(
+        df, F.lit(int(budget)), n_shards, text_col, id_col, source_col
+    )
+
+
+def _hash_prefix_by_budget(
+    df: DataFrame,
+    budget: Column,
+    n_shards: int,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+) -> Column:
+    """The shared range-sharded prefix machinery of
+    :func:`token_budget_sample` and :func:`mixture_token_rebalance`.
+    ``budget`` is a Column resolvable against a frame that has a
+    ``source`` column — a constant for the flat sampler, a per-source
+    literal map lookup for the rebalancer."""
     if n_shards < 1:
         # A negative shard count would silently REVERSE the shard
         # order (negative ids ascend backwards through the hash
         # ranges) and return the wrong end of the prefix.
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from reflinkcep_spark.functions import text
+
     # 60-bit key space split into n_shards contiguous ranges; ceil so
     # shard ids stay < n_shards even when 2**60 % n_shards != 0.
     width = -(-(1 << 60) // n_shards)
@@ -151,7 +172,7 @@ def token_budget_sample(
         "source",
         "__shard",
         (F.sum("__tok").over(w_off) - F.col("__tok")).alias("__offset"),
-    ).filter(F.col("__offset") <= F.lit(budget))
+    ).filter(F.col("__offset") <= budget)
     w_in = (
         Window.partitionBy("source", "__shard")
         .orderBy("__ok", id_col)
@@ -162,9 +183,75 @@ def token_budget_sample(
         .withColumn(
             "cum_tok", F.col("__offset") + F.sum("n_tok").over(w_in)
         )
-        .filter(F.col("cum_tok") <= F.lit(budget))
+        .filter(F.col("cum_tok") <= budget)
         .select(id_col, "source", "n_tok", "cum_tok")
     )
+
+
+def mixture_token_rebalance(
+    df: DataFrame,
+    weights: Mapping[str, int],
+    budget: int,
+    *,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Token-count-EXACT mixture rebalancing: select, per source, the
+    deterministic md5-ordered document prefix whose cumulative token
+    count fits that source's share ``⌊budget·wₛ/Σw⌋`` of a total token
+    budget — the "rebalance the crawl to 60 % web / 30 % books / 10 %
+    code BY TOKENS" step of a training-mix recipe, which neither the
+    doc-fraction samplers nor the flat :func:`token_budget_sample`
+    (one budget for every source) can express.
+
+    ``weights`` are integers, so every per-source budget is an exact
+    floor division — no float share ever decides a document's fate,
+    and the same recipe reproduces bit-identically on any engine.
+    Sources absent from ``weights`` are excluded (weight 0); a listed
+    source whose corpus underfills its share simply contributes what
+    it has (the standard mixture-recipe behavior — upsample with
+    ``doc_mixture_upsample`` if repetition is wanted).
+
+    Scale shape: sources not in the recipe are filtered BEFORE the
+    text scan (predicate pushdown — a dropped source never tokenizes),
+    the per-source budget is a LITERAL map lookup (no join, no
+    broadcast), and everything else is :func:`token_budget_sample`'s
+    range-sharded prefix machinery: shard subtotals → driver-scale
+    offset frame → past-budget shards dropped before the detail
+    window → per-(source, shard) parallel cumulative sums.
+
+    Returns ``(doc_id, source, n_tok, cum_tok, src_budget)``, with
+    ``cum_tok ≤ src_budget`` on every row.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative, got {weights}")
+    total_w = sum(weights.values())
+    if total_w == 0:
+        raise ValueError("at least one weight must be positive")
+    budgets = {
+        s: int(budget) * int(w) // total_w for s, w in weights.items()
+    }
+    budget_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in budgets.items() for x in kv]
+        ),
+        F.col("source"),
+    )
+    out = _hash_prefix_by_budget(
+        df.filter(F.col(source_col).isin(list(weights))),
+        budget_col,
+        n_shards,
+        text_col,
+        id_col,
+        source_col,
+    )
+    return out.withColumn("src_budget", budget_col)
 
 
 def importance_weights(

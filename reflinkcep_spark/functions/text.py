@@ -29,6 +29,7 @@ __all__ = [
     "repetition_profile",
     "text_profile",
     "dedup_paragraphs",
+    "dedup_paragraphs_fuzzy",
     "pii_counts",
     "scrub_pii",
     "BPE_ISH_PATTERN",
@@ -610,37 +611,148 @@ def dedup_paragraphs(
     Returns (id_col, text_clean, n_removed) with one row per input
     document.
     """
-    import re as _re
-
-    c = F.col(text_col)
-    if unit_tokens is None:
-        # sep is a LITERAL separator (the docstring contract), but
-        # F.split takes a Java regex — escape it, or sep="|" would
-        # split between every character and sep="." on every one.
-        units = F.split(c, _re.escape(sep))
-        joiner = sep
-    else:
-        if unit_tokens < 1:
-            raise ValueError(f"unit_tokens must be >= 1, got {unit_tokens}")
-        toks = tokens(c)
-        n = F.size(toks)
-        # chunk starts 0, k, 2k, …; sequence(0, -1) would DESCEND, so
-        # the empty document needs an explicit empty-array branch
-        starts = F.when(n > 0, F.sequence(
-            F.lit(0), F.floor((n - F.lit(1)) / F.lit(unit_tokens)).cast("int")
-        )).otherwise(F.array().cast("array<int>"))
-        units = F.transform(
-            starts,
-            lambda i: F.array_join(
-                F.slice(toks, i * unit_tokens + 1, unit_tokens), " "
-            ),
-        )
-        joiner = " "
+    units, joiner = _split_units(F.col(text_col), sep, unit_tokens)
     kept = F.array_distinct(units)
     return df.select(
         F.col(id_col),
         F.array_join(kept, joiner).alias("text_clean"),
         (F.size(units) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def _split_units(
+    c: Column, sep: str, unit_tokens: int | None
+) -> tuple[Column, str]:
+    """The shared unit splitter of the intra-doc dedup pair: ``sep``
+    mode keeps segments verbatim; ``unit_tokens=k`` mode chunks the
+    whitespace token stream into k-token runs (single-space
+    normalized).  Returns (units array column, reassembly joiner)."""
+    import re as _re
+
+    if unit_tokens is None:
+        # sep is a LITERAL separator (the docstring contract), but
+        # F.split takes a Java regex — escape it.
+        return F.split(c, _re.escape(sep)), sep
+    if unit_tokens < 1:
+        raise ValueError(f"unit_tokens must be >= 1, got {unit_tokens}")
+    toks = tokens(c)
+    n = F.size(toks)
+    # chunk starts 0, k, 2k, …; sequence(0, -1) would DESCEND, so the
+    # empty document needs an explicit empty-array branch
+    starts = F.when(n > 0, F.sequence(
+        F.lit(0), F.floor((n - F.lit(1)) / F.lit(unit_tokens)).cast("int")
+    )).otherwise(F.array().cast("array<int>"))
+    units = F.transform(
+        starts,
+        lambda i: F.array_join(
+            F.slice(toks, i * unit_tokens + 1, unit_tokens), " "
+        ),
+    )
+    return units, " "
+
+
+def dedup_paragraphs_fuzzy(
+    df: DataFrame,
+    sep: str = "\n",
+    unit_tokens: int | None = None,
+    threshold: tuple[int, int] = (1, 2),
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-duplicate intra-document repetition removal — the fuzzy
+    sibling of :func:`dedup_paragraphs`, covering the case the exact
+    filter misses: boilerplate repeated inside a page with small
+    mutations (dates, counters, names swapped per section), the
+    Gopher (Rae et al. 2021) duplicate-line family extended from
+    equality to n-gram Jaccard, per the RefinedWeb/Dolma curation
+    recipes.
+
+    Within each document, unit j is dropped iff SOME EARLIER unit
+    i < j is near-duplicate: Jaccard over the units' distinct
+    ``shingle_n``-gram sets ≥ ``threshold`` (a ``(num, den)`` rational
+    compared by exact integer cross-multiply —
+    ``den·|A∩B| ≥ num·|A∪B|`` — so the boundary is bit-stable across
+    engines, the same trick as ``quality_buckets``).  "Any earlier
+    unit", not "earlier KEPT unit": unlike exact equality, near-dup
+    is not transitive, and the any-earlier rule is both the more
+    aggressive scrub and the one a set-based engine (or the SQL
+    oracle's plain i<j self-join) can express without a sequential
+    fold.  A unit shorter than ``shingle_n`` tokens contributes its
+    whole token run as a single shingle, so short exact repeats are
+    still caught (and an empty unit only ever matches another empty
+    unit).
+
+    Unit modes and reassembly are shared with :func:`dedup_paragraphs`
+    (``sep`` segments verbatim, or ``unit_tokens=k`` token runs).
+
+    Scale shape: ZERO exchanges — a narrow per-row fold, whole-stage
+    codegen end to end.  Per-row cost is O(P²·s) for P units of s
+    shingles (the i<j comparison matrix), so the cost driver is ROW
+    WIDTH SQUARED: fine for paragraph-scale P (a 1 000-paragraph page
+    is ~500k in-row set intersections, all row-local), and a
+    pathological single row can never stall a neighbour — but for
+    book-length inputs, chunk first or use the cross-doc MinHash path
+    (functions/dedup.py), which this operator complements, not
+    replaces.
+
+    Returns (id_col, text_clean, n_removed), one row per document.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(
+            f"threshold must be a rational in (0, 1], got {num}/{den}"
+        )
+    if shingle_n < 1:
+        raise ValueError(f"shingle_n must be >= 1, got {shingle_n}")
+    units, joiner = _split_units(F.col(text_col), sep, unit_tokens)
+
+    def _shingles(u: Column) -> Column:
+        ut = F.filter(F.split(F.trim(u), r"\s+"), lambda t: t != "")
+        return F.when(
+            F.size(ut) >= shingle_n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size(ut) - F.lit(shingle_n - 1)
+                    ),
+                    lambda i: F.array_join(F.slice(ut, i, shingle_n), " "),
+                )
+            ),
+        ).otherwise(F.array(F.array_join(ut, " ")))
+
+    def _near(a: Column, b: Column) -> Column:
+        return (
+            F.size(F.array_intersect(a, b)) * F.lit(int(den))
+            >= F.size(F.array_union(a, b)) * F.lit(int(num))
+        )
+
+    sh = F.col("__sh")
+    dup = F.transform(
+        sh,
+        lambda s, j: F.exists(
+            F.slice(sh, F.lit(1), j), lambda t: _near(t, s)
+        ),
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("__units"), F.col("__dup"), lambda u, d: F.when(~d, u)
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        df.select(F.col(id_col), units.alias("__units"))
+        .select(
+            id_col, "__units", F.transform(F.col("__units"), _shingles).alias("__sh")
+        )
+        .select(id_col, "__units", dup.alias("__dup"))
+        .select(
+            F.col(id_col),
+            F.array_join(kept, joiner).alias("text_clean"),
+            F.size(F.filter(F.col("__dup"), lambda d: d))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )
 
 

@@ -17,6 +17,21 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
+# Round-11 queue (implemented, locally oracle-verified at sf0.001 AND
+# sf0.01, pinned green by tests/test_check_oracles.py::
+# test_prestaged_round11_queries_match_oracles — registration is a
+# QUERIES/ORACLES-dict + _PRIORITY edit):
+#   text_dedup_paragraphs_fuzzy (pipeline.py — Gopher/RefinedWeb fuzzy
+#                           intra-doc unit dedup, zero-exchange in-row
+#                           i<j Jaccard fold)
+#   doc_contamination_matrix (pipeline.py — per-(source × benchmark)
+#                           leak matrix, broadcast bench grams)
+#   doc_mixture_rebalance  (pipeline.py — token-count-exact mixture
+#                           recipe, per-source floor-division budgets)
+# Round-11 window arithmetic: 18 PLANNED_SITOUTS (2 rounds stale at
+# r11 — promote FIRST) + these 3 registrations + 50 r9-stale = 71
+# candidates for 50 slots → ~21 named sit-outs.
+#
 # Front of the driver's 50-entry check window (round 10 rotation),
 # executed exactly as pre-planned in round 9: FIRST the thirteen
 # 2-round-stale sit-outs from the round-9 plan (r7-vintage rows — the

@@ -2256,6 +2256,183 @@ GROUP BY 1
 """
 
 
+# --- fuzzy intra-document paragraph dedup (PRE-STAGED for round 11) -----
+#
+# text_dedup_paragraphs_fuzzy is implemented and locally oracle-verified
+# but deliberately NOT registered this round: the round-10 window is
+# full (118 queries, 18 sit-outs already named — see
+# queries/__init__.py).  Register it in the round-11 rotation.
+
+def text_dedup_paragraphs_fuzzy(spark, sf_dir):
+    """NEAR-duplicate intra-doc unit removal (Gopher's duplicate-line
+    family extended from equality to n-gram Jaccard): inside each
+    document, drop every 4-token run whose bigram-shingle Jaccard
+    against an EARLIER run clears 1/3, and reassemble — the mutated-
+    boilerplate case the exact filter (text_dedup_paragraphs) misses.
+    functions/text.py:dedup_paragraphs_fuzzy — zero exchanges, exact
+    integer cross-multiply boundary.  As with the exact sibling, this
+    corpus has no newline structure, so the unit is fixed 4-token runs
+    and the threshold is low (the generator's tiny vocabulary makes
+    its within-doc near-dups share only 1-2 bigrams of 3); real
+    corpora use sep='\\n' and a 1/2-ish threshold."""
+    return text.dedup_paragraphs_fuzzy(
+        _docs(spark, sf_dir), unit_tokens=4, threshold=(1, 3), shingle_n=2
+    )
+
+
+# Same pipeline in SQL: 4-token chunks, per-chunk distinct bigram sets
+# (sub-2-token chunks fall back to the whole run), i<j self-join with
+# the cross-multiplied Jaccard test, survivors reassembled in order.
+SQL_TEXT_DEDUP_PARAGRAPHS_FUZZY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i, tk[i:i+3] AS u
+  FROM toks, UNNEST(generate_series(1, len(tk), 4)) AS s(i)
+),
+sh AS (
+  SELECT doc_id, i, array_to_string(u, ' ') AS chunk,
+         CASE WHEN len(u) >= 2
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(u) - 1),
+                     j -> u[j] || ' ' || u[j + 1]))
+              ELSE [array_to_string(u, ' ')]
+         END AS s
+  FROM ch
+),
+dup AS (
+  SELECT b.doc_id, b.i
+  FROM sh a JOIN sh b ON a.doc_id = b.doc_id AND a.i < b.i
+  WHERE 3 * len(list_intersect(a.s, b.s))
+        >= 1 * len(list_distinct(list_concat(a.s, b.s)))
+  GROUP BY b.doc_id, b.i
+),
+agg AS (
+  SELECT s.doc_id,
+         string_agg(s.chunk, ' ' ORDER BY s.i) FILTER (WHERE d.i IS NULL)
+           AS text_clean,
+         count(*) FILTER (WHERE d.i IS NOT NULL) AS n_removed
+  FROM sh s LEFT JOIN dup d USING (doc_id, i)
+  GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.n_removed, 0)::BIGINT AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --- per-source contamination matrix (PRE-STAGED for round 11) ----------
+#
+# doc_contamination_matrix is implemented and locally oracle-verified
+# but deliberately NOT registered this round: the round-10 window is
+# full (118 queries, 18 sit-outs already named — see
+# queries/__init__.py).  Register it in the round-11 rotation.
+
+def doc_contamination_matrix(spark, sf_dir):
+    """Per-(source × benchmark) contamination matrix: docs 0-24 stand
+    in as five eval suites (doc_id % 5), the rest of the corpus is the
+    training candidate grouped by its crawl source; each matrix cell
+    counts contaminated docs and leaked-gram hits.  The dataset-card
+    release audit — doc_decontam says WHICH documents to drop, this
+    says WHICH SOURCE leaked WHICH benchmark.  String grams so DuckDB
+    reproduces the join; production uses ``hashed=True``
+    (functions/dedup.py:contamination_matrix for the broadcast plan
+    shape)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 25).select(
+        "doc_id",
+        "text",
+        F.concat(F.lit("suite"), F.col("doc_id") % 5).alias("bench"),
+    )
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    return dedup.contamination_matrix(corpus, bench, n=4)
+
+
+SQL_DOC_CONTAMINATION_MATRIX = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) >= 4
+              THEN list_distinct(list_transform(range(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+3], ' ')))
+              ELSE []::VARCHAR[] END AS gs
+  FROM toks
+),
+bg AS (
+  SELECT DISTINCT 'suite' || (doc_id % 5)::VARCHAR AS bench, unnest(gs) AS gr
+  FROM g WHERE doc_id < 25
+),
+hits AS (
+  SELECT c.source, b.bench, c.doc_id
+  FROM (SELECT doc_id, source, unnest(gs) AS gr FROM g WHERE doc_id >= 25) c
+  JOIN bg b USING (gr)
+)
+SELECT source, bench,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_gram_hits
+FROM hits
+GROUP BY source, bench
+"""
+
+
+# --- token-exact mixture rebalancing (PRE-STAGED for round 11) ----------
+#
+# doc_mixture_rebalance is implemented and locally oracle-verified but
+# deliberately NOT registered this round: the round-10 window is full
+# (118 queries, 18 sit-outs already named — see queries/__init__.py).
+# Register it in the round-11 rotation.
+
+def doc_mixture_rebalance(spark, sf_dir):
+    """Token-count-exact mixture rebalancing: re-cut the corpus to a
+    5:3:2 token recipe across three named sources under a 2 000-token
+    total budget — per-source budgets are exact floor divisions, doc
+    selection is the frozen md5 prefix, sources outside the recipe
+    never tokenize (functions/sampling.py:mixture_token_rebalance for
+    the range-sharded prefix machinery and its 100 TB rationale)."""
+    from reflinkcep_spark.functions.sampling import mixture_token_rebalance
+
+    return mixture_token_rebalance(
+        _docs(spark, sf_dir),
+        {"src0": 5, "src1": 3, "src2": 2},
+        budget=2000,
+    )
+
+
+SQL_DOC_MIXTURE_REBALANCE = r"""
+WITH w AS (
+  SELECT * FROM (VALUES ('src0', 2000 * 5 // 10),
+                        ('src1', 2000 * 3 // 10),
+                        ('src2', 2000 * 2 // 10)) AS t(source, src_budget)
+),
+d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tok,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS ok
+  FROM documents
+  WHERE source IN (SELECT source FROM w)
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY ok, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM d
+)
+SELECT c.doc_id, c.source, c.n_tok, c.cum_tok::BIGINT AS cum_tok,
+       w.src_budget::BIGINT AS src_budget
+FROM c JOIN w USING (source)
+WHERE c.cum_tok <= w.src_budget
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -89,6 +89,7 @@ PROBES = [
     ("doc_winnow_robust", "documents"),
     ("q_returned_item_customers", "lineitem"),
     ("q_nation_market_share", "lineitem"),
+    ("q_min_cost_suppliers", "lineitem"),
     ("text_lm_quality", "documents"),
     ("doc_pack_ffd", "documents"),
     ("dedup_substring_spans", "documents"),
@@ -103,6 +104,9 @@ PROBES = [
     ("doc_importance_weights", "documents"),
     ("dedup_canonical_quality", "documents"),
     ("text_quality_buckets", "documents"),
+    ("text_dedup_paragraphs_fuzzy", "documents"),
+    ("doc_contamination_matrix", "documents"),
+    ("doc_mixture_rebalance", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

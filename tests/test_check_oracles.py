@@ -58,42 +58,34 @@ def test_int32_vs_int64_is_same_kind():
     assert compare("x", got, want) == []
 
 
-def test_prestaged_round10_queries_match_oracles(spark):
-    """The round-10 queue is written but not yet registered (round-9
+def test_prestaged_round11_queries_match_oracles(spark):
+    """The round-11 queue is written but not yet registered (round-10
     window full — see queries/__init__.py).  Keep every queued query
-    oracle-green at sf0.001 until the round-10 rotation registers them,
+    oracle-green at sf0.001 until the round-11 rotation registers them,
     so registration is a two-line edit, not a debugging session.
-    (The round-9 queue graduated into the registry and is now covered
+    (The round-10 queue graduated into the registry and is now covered
     by the full check_oracles replay.)"""
     import duckdb
 
-    from reflinkcep_spark.queries.cep_queries import (
-        SQL_PURCHASE_NO_IMMEDIATE_ERROR,
-        cep_purchase_no_immediate_error,
-    )
     from reflinkcep_spark.queries.pipeline import (
-        SQL_DEDUP_CANONICAL_QUALITY,
-        SQL_DOC_IMPORTANCE_WEIGHTS,
-        SQL_TEXT_DEDUP_PARAGRAPHS,
-        SQL_TEXT_QUALITY_BUCKETS,
-        dedup_canonical_quality,
-        doc_importance_weights,
-        text_dedup_paragraphs,
-        text_quality_buckets,
+        SQL_DOC_CONTAMINATION_MATRIX,
+        SQL_DOC_MIXTURE_REBALANCE,
+        SQL_TEXT_DEDUP_PARAGRAPHS_FUZZY,
+        doc_contamination_matrix,
+        doc_mixture_rebalance,
+        text_dedup_paragraphs_fuzzy,
     )
     from tests.conftest import SF_DIR
 
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents",):
         con.execute(
             f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
         )
     for fn, sql in (
-        (cep_purchase_no_immediate_error, SQL_PURCHASE_NO_IMMEDIATE_ERROR),
-        (text_dedup_paragraphs, SQL_TEXT_DEDUP_PARAGRAPHS),
-        (doc_importance_weights, SQL_DOC_IMPORTANCE_WEIGHTS),
-        (dedup_canonical_quality, SQL_DEDUP_CANONICAL_QUALITY),
-        (text_quality_buckets, SQL_TEXT_QUALITY_BUCKETS),
+        (text_dedup_paragraphs_fuzzy, SQL_TEXT_DEDUP_PARAGRAPHS_FUZZY),
+        (doc_contamination_matrix, SQL_DOC_CONTAMINATION_MATRIX),
+        (doc_mixture_rebalance, SQL_DOC_MIXTURE_REBALANCE),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

@@ -1067,6 +1067,94 @@ def test_token_budget_sample_matches_global_prefix_and_shard_invariant(spark):
     assert 101 in expected and expected[101][1] == 0
 
 
+def test_mixture_token_rebalance_exact_shares_and_exclusion(spark):
+    """Per-source budgets are exact floor divisions of the total; the
+    selection within each source is the same md5-order prefix as the
+    flat sampler; sources outside the recipe contribute nothing; bad
+    recipes raise."""
+    import hashlib
+
+    from reflinkcep_spark.functions.sampling import mixture_token_rebalance
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(2 + (i * 7) % 6)), f"s{i % 4}")
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    WEIGHTS, BUDGET = {"s0": 3, "s1": 2, "s2": 1}, 60
+    budgets = {s: BUDGET * w // 6 for s, w in WEIGHTS.items()}  # 30/20/10
+
+    def ok(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    by_src = {}
+    for doc_id, text_, src in rows:
+        if src in WEIGHTS:
+            by_src.setdefault(src, []).append((ok(doc_id), doc_id, text_))
+    for src, docs in by_src.items():
+        cum = 0
+        for _k, doc_id, text_ in sorted(docs):
+            n = len(text_.split())
+            cum += n
+            if cum > budgets[src]:
+                break
+            expected[doc_id] = (src, n, cum, budgets[src])
+
+    for n_shards in (1, 8):
+        got = {
+            r["doc_id"]: (r["source"], r["n_tok"], r["cum_tok"], r["src_budget"])
+            for r in mixture_token_rebalance(
+                df, WEIGHTS, BUDGET, n_shards=n_shards
+            ).collect()
+        }
+        assert got == expected, n_shards
+    assert expected
+    assert {s for s, *_ in expected.values()} == {"s0", "s1", "s2"}  # s3 absent
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_token_rebalance(df, {}, BUDGET)
+    with _pytest.raises(ValueError):
+        mixture_token_rebalance(df, {"s0": -1}, BUDGET)
+    with _pytest.raises(ValueError):
+        mixture_token_rebalance(df, {"s0": 0}, BUDGET)
+    with _pytest.raises(ValueError):
+        mixture_token_rebalance(df, WEIGHTS, -1)
+
+
+def test_contamination_matrix_planted_cells(spark):
+    """Planted source×bench overlaps land in exactly the right matrix
+    cells with the right doc and gram-hit counts; clean cells are
+    absent from the output."""
+    from reflinkcep_spark.functions import dedup
+
+    # bench suites: A = "a b c d e" (grams: abcd, bcde), B = "p q r s"
+    bench = spark.createDataFrame(
+        [(0, "a b c d e", "A"), (1, "p q r s", "B")],
+        "doc_id long, text string, bench string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # src x doc 10: contains both A-grams -> n_gram_hits 2
+            (10, "z a b c d e z", "x"),
+            # src x doc 11: one A-gram             -> n_gram_hits 1
+            (11, "a b c d zz zz zz", "x"),
+            # src y doc 12: the B-gram
+            (12, "zz p q r s zz", "y"),
+            # src y doc 13: clean
+            (13, "m n o t u v w", "y"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source"], r["bench"]): (r["n_docs"], r["n_gram_hits"])
+        for r in dedup.contamination_matrix(corpus, bench, n=4).collect()
+    }
+    assert out == {("x", "A"): (2, 3), ("y", "B"): (1, 1)}
+
+
 def test_substring_spans_planted_overlaps(spark):
     """Plant verbatim token runs inside otherwise-disjoint noise and
     assert substring_spans recovers each one with exact start positions
@@ -1249,6 +1337,76 @@ def test_dedup_paragraphs_unit_tokens_mode(spark):
     assert out[3] == ("a b a", 1)
     with pytest.raises(ValueError):
         text.dedup_paragraphs(df, unit_tokens=0)
+
+
+def test_dedup_paragraphs_fuzzy_line_mode(spark):
+    """NEAR-dup line removal: a line sharing >= threshold of its
+    bigram shingles with an EARLIER line drops even though it is not
+    equal; unrelated lines and sub-threshold overlaps survive."""
+    rows = [
+        # line 2 vs line 1: shingles {the cat, cat sat, sat here} vs
+        # {the cat, cat sat, sat there}: J = 2/4 = 1/2 >= 1/2 -> drop;
+        # line 3 shares nothing; line 4 is an exact repeat -> drop.
+        (0, "the cat sat here\nthe cat sat there\nother text entirely\nthe cat sat here"),
+        # "a b c d" vs "a b": J = 1/3 < 1/2 -> both kept; the second
+        # empty line near-dups the first ({''} vs {''} = 1).
+        (1, "a b\n\n\na b c d"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in text.dedup_paragraphs_fuzzy(df).collect()}
+    assert out[0] == ("the cat sat here\nother text entirely", 2)
+    assert out[1] == ("a b\n\na b c d", 1)
+    assert out[2] == ("", 0)
+
+
+def test_dedup_paragraphs_fuzzy_any_earlier_not_earlier_kept(spark):
+    """The documented any-earlier rule: near-dup is not transitive, so
+    a chain a~b, b~c, a!~c drops BOTH b (vs a) and c (vs b) — under an
+    earlier-KEPT rule c would survive.  Four-token lines, tau = 1/2:
+    J(a,b) = 2/4, J(b,c) = 2/4, J(a,c) = 1/5."""
+    df = spark.createDataFrame(
+        [(0, "p q r s\np q r t\nu q r t")], "doc_id long, text string"
+    )
+    out = text.dedup_paragraphs_fuzzy(df).collect()[0]
+    assert out.text_clean == "p q r s"
+    assert out.n_removed == 2
+
+
+def test_dedup_paragraphs_fuzzy_short_unit_fallback_and_validation(spark):
+    """A unit shorter than shingle_n contributes its whole token run
+    as one shingle: identical short units still drop, different ones
+    never match (J = 0); bad thresholds/shingle_n raise."""
+    df = spark.createDataFrame(
+        [(0, "x\ny\nx"), (1, "ab cd\nab ce")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in text.dedup_paragraphs_fuzzy(df).collect()}
+    assert out[0] == ("x\ny", 1)       # exact short repeat caught
+    # "ab cd" vs "ab ce": one shingle each, different -> kept
+    assert out[1] == ("ab cd\nab ce", 0)
+    with pytest.raises(ValueError):
+        text.dedup_paragraphs_fuzzy(df, threshold=(0, 2))
+    with pytest.raises(ValueError):
+        text.dedup_paragraphs_fuzzy(df, threshold=(3, 2))
+    with pytest.raises(ValueError):
+        text.dedup_paragraphs_fuzzy(df, shingle_n=0)
+
+
+def test_dedup_paragraphs_fuzzy_threshold_boundary_exact(spark):
+    """The >= boundary is an exact integer cross-multiply: J exactly
+    1/2 drops at tau = (1, 2) but survives tau strictly above it —
+    shingles {the cat, cat sat, sat here} vs {the cat, cat sat,
+    sat there} give J = 2/4 exactly."""
+    df = spark.createDataFrame(
+        [(0, "the cat sat here\nthe cat sat there")],
+        "doc_id long, text string",
+    )
+    at = text.dedup_paragraphs_fuzzy(df, threshold=(1, 2)).collect()[0]
+    above = text.dedup_paragraphs_fuzzy(df, threshold=(501, 1000)).collect()[0]
+    assert at.n_removed == 1
+    assert above.n_removed == 0
 
 
 def test_importance_weights_dsir_semantics(spark):
