@@ -597,26 +597,45 @@ def contaminated_docs(
     astronomically unlikely, and there are no false negatives).  Keep
     strings when an external oracle must reproduce the join.
     """
-    from reflinkcep_spark.functions.text import ngrams, tokens
-
-    def grams(df: DataFrame) -> DataFrame:
-        g = F.explode(
-            F.array_distinct(ngrams(tokens(F.col(text_col)), n))
-        ).alias("g")
-        out = df.select(F.col(id_col).alias("doc_id"), g)
-        if hashed:
-            out = out.select("doc_id", F.xxhash64("g").alias("g"))
-        return out
-
-    bench = grams(benchmark).select("g").distinct()
+    bench = _distinct_gram_rows(benchmark, n, text_col, id_col, hashed)
+    bench = bench.select("g").distinct()
     if broadcast_benchmark:
         bench = F.broadcast(bench)
     return (
-        grams(corpus)
+        _distinct_gram_rows(corpus, n, text_col, id_col, hashed)
         .join(bench, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
+
+
+def _distinct_gram_rows(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    hashed: bool,
+    group: tuple[str, str] | None = None,
+) -> DataFrame:
+    """The shared gram closure of :func:`contaminated_docs` and
+    :func:`contamination_matrix`: one row per (document, DISTINCT word
+    n-gram), gram optionally xxhash64'd to an 8-byte join key.
+    ``group=(in_col, out_col)`` carries a grouping column through.
+    Shared so the decontam filter and the release-audit matrix can
+    never disagree about what counts as a leaked gram."""
+    from reflinkcep_spark.functions.text import ngrams, tokens
+
+    g = F.explode(
+        F.array_distinct(ngrams(tokens(F.col(text_col)), n))
+    ).alias("g")
+    cols = [F.col(id_col).alias("doc_id")]
+    if group is not None:
+        cols.append(F.col(group[0]).alias(group[1]))
+    out = df.select(*cols, g)
+    if hashed:
+        keep = [c for c in out.columns if c != "g"]
+        out = out.select(*keep, F.xxhash64("g").alias("g"))
+    return out
 
 
 def contamination_matrix(
@@ -656,30 +675,21 @@ def contamination_matrix(
     ``hashed=True`` swaps string grams for xxhash64, as documented on
     :func:`contaminated_docs`.
     """
-    from reflinkcep_spark.functions.text import ngrams, tokens
-
-    def grams(df: DataFrame, group_col: str, out_group: str) -> DataFrame:
-        g = F.explode(
-            F.array_distinct(ngrams(tokens(F.col(text_col)), n))
-        ).alias("g")
-        out = df.select(
-            F.col(id_col).alias("doc_id"), F.col(group_col).alias(out_group), g
-        )
-        if hashed:
-            out = out.select(
-                "doc_id", out_group, F.xxhash64("g").alias("g")
-            )
-        return out
-
     bench = (
-        grams(benchmark, bench_group_col, "bench")
+        _distinct_gram_rows(
+            benchmark, n, text_col, id_col, hashed,
+            group=(bench_group_col, "bench"),
+        )
         .select("bench", "g")
         .distinct()
     )
     if broadcast_benchmark:
         bench = F.broadcast(bench)
     return (
-        grams(corpus, corpus_group_col, "source")
+        _distinct_gram_rows(
+            corpus, n, text_col, id_col, hashed,
+            group=(corpus_group_col, "source"),
+        )
         .join(bench, "g")
         .groupBy("source", "bench")
         .agg(
@@ -829,7 +839,10 @@ def canonical_docs(
     so a member missing a quality row still counts toward cluster size
     (it just cannot win the argmax).  A cluster with NO scored member
     has no defined canonical — that raises at evaluation time rather
-    than silently dropping the cluster or emitting NULL.
+    than silently dropping the cluster or emitting NULL; the guard is
+    attached to BOTH canonical columns, so it survives Catalyst column
+    pruning unless the caller drops every canonical column (keeping
+    only ``n_members`` — at which point no undefined value can flow).
 
     Returns one row per cluster: ``(cluster_col, canonical_doc_id,
     canonical_<quality_col>, n_members)``.
@@ -881,13 +894,20 @@ def canonical_docs(
                 _fail(no_canonical, -F.col("best.nid")).alias(
                     "canonical_doc_id"
                 ),
-                F.col("best.q").alias(f"canonical_{quality_col}"),
+                # guarded too: the raise must survive a caller pruning
+                # canonical_doc_id away
+                _fail(no_canonical, F.col("best.q")).alias(
+                    f"canonical_{quality_col}"
+                ),
                 "n_members",
             )
         )
     # Two-pass tie-break for non-numeric ids: pass 1 finds the best
     # quality per cluster (NULLs skipped) and the honest member count;
-    # pass 2 takes min(id) among the rows at that quality.
+    # pass 2 takes min(id) among the rows at that quality.  The joined
+    # frame feeds both passes — cut it (the module's lazy-checkpoint
+    # convention) or the id-keyed join and both input scans run twice.
+    j = j.localCheckpoint(eager=False)
     pass1 = j.groupBy(cluster_col).agg(
         F.max(quality_col).alias("__best_q"),
         F.count(F.lit(1)).alias("n_members"),
@@ -901,7 +921,9 @@ def canonical_docs(
     return pass1.join(winners, cluster_col, "left").select(
         cluster_col,
         _fail(no_canonical, F.col("__canonical")).alias("canonical_doc_id"),
-        F.col("__best_q").alias(f"canonical_{quality_col}"),
+        _fail(no_canonical, F.col("__best_q")).alias(
+            f"canonical_{quality_col}"
+        ),
         "n_members",
     )
 

@@ -20,7 +20,6 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 __all__ = [
     "md5_hash60",
@@ -132,7 +131,7 @@ def _hash_prefix_by_budget(
     text_col: str,
     id_col: str,
     source_col: str,
-) -> Column:
+) -> DataFrame:
     """The shared range-sharded prefix machinery of
     :func:`token_budget_sample` and :func:`mixture_token_rebalance`.
     ``budget`` is a Column resolvable against a frame that has a
@@ -209,7 +208,8 @@ def mixture_token_rebalance(
     ``weights`` are integers, so every per-source budget is an exact
     floor division — no float share ever decides a document's fate,
     and the same recipe reproduces bit-identically on any engine.
-    Sources absent from ``weights`` are excluded (weight 0); a listed
+    Sources absent from ``weights`` and sources listed with weight 0
+    are excluded identically (neither is ever scanned); a listed
     source whose corpus underfills its share simply contributes what
     it has (the standard mixture-recipe behavior — upsample with
     ``doc_mixture_upsample`` if repetition is wanted).
@@ -234,6 +234,10 @@ def mixture_token_rebalance(
     total_w = sum(weights.values())
     if total_w == 0:
         raise ValueError("at least one weight must be positive")
+    # weight 0 == absent: drop the source BEFORE the scan filter, or
+    # it would be tokenized for a 0 budget (and its zero-token docs
+    # would ride the prefix "for free", cum_tok 0 <= 0).
+    weights = {s: w for s, w in weights.items() if w > 0}
     budgets = {
         s: int(budget) * int(w) // total_w for s, w in weights.items()
     }
@@ -331,14 +335,22 @@ def importance_weights(
         id_col, "__tgt", (md5_hash60(F.col("g")) % buckets).alias("b")
     )
     # Referenced twice (bucket stats + scoring join): compute once.
-    # persist, NOT localCheckpoint — checkpointing pins blocks to
-    # executor storage and destroys lineage, so on a real cluster an
-    # executor loss fails the stage; persist keeps the (deterministic)
-    # lineage and recomputes the lost blocks instead.  Blocks are
-    # LRU-evicted by the block manager once downstream actions finish
-    # (the returned frame is lazy, so there is no safe unpersist point
-    # inside this function).
-    g = g.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint, NOT persist — persist was tried (round 10) and
+    # rejected empirically: DataFrame.persist registers the subtree
+    # with the session CacheManager, which then SILENTLY substitutes
+    # the cached relation into every later plan with a matching
+    # subtree — a second importance_weights() call on the same input
+    # reads InMemoryTableScan instead of recomputing (verified against
+    # a live session), corrupting any repeat-timing harness and
+    # leaking an entry the function has no safe point to unpersist
+    # (the returned frame is lazy).  localCheckpoint's blocks are
+    # scoped to this plan alone.  The accepted trade, here and at
+    # every other lazy-localCheckpoint site in this package: lineage
+    # is destroyed, so on a real cluster an executor loss during the
+    # consuming job fails the stage instead of recomputing — a
+    # retry-the-job cost, paid only on failure, vs a wrong-measurement
+    # + unbounded-cache cost paid on every reuse.
+    g = g.localCheckpoint(eager=False)
     cnt = g.groupBy("b").agg(
         F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias("tgt_c"),
         F.count(F.lit(1)).alias("raw_c"),

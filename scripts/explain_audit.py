@@ -88,7 +88,7 @@ AUDITED = [
     ("q_part_supplier_counts", "Q16 (registered r9): broadcast anti join for the supplier out-list, broadcast part dim, pair-distinct + count-distinct share keys"),
     ("text_dedup_paragraphs", "paragraph dedup (registered r10): per-doc split -> array_distinct -> join fold, zero exchanges, no Python"),
     ("cep_purchase_no_immediate_error", "notNext (registered r10): union + ONE user-keyed window pass, no join, no Python"),
-    ("doc_importance_weights", "DSIR (registered r10): gram-bucket explode persisted, ONE bounded bucket agg (<= `buckets` rows) broadcast back, doc-keyed agg, exact-integer score"),
+    ("doc_importance_weights", "DSIR (registered r10): gram-bucket explode checkpointed, ONE bounded bucket agg (<= `buckets` rows) broadcast back, doc-keyed agg, exact-integer score"),
     ("dedup_canonical_quality", "quality canonicalization (registered r10): pair-graph CC reused, id-keyed quality join, per-cluster argmax as a struct-MAX aggregate (map-side combinable) — no row_number window"),
     ("text_quality_buckets", "CCNet tiers (registered r10): lm_quality shape (explode checkpointed, singleton-elided count join), 1-row global agg broadcast, 3-group fold — the corpus never shuffles for the cutoffs"),
     ("text_dedup_paragraphs_fuzzy", "fuzzy paragraph dedup (pre-staged r11): per-doc shingle-set fold with in-row i<j Jaccard matrix, zero exchanges, no Python"),

@@ -1112,6 +1112,16 @@ def test_mixture_token_rebalance_exact_shares_and_exclusion(spark):
     assert expected
     assert {s for s, *_ in expected.values()} == {"s0", "s1", "s2"}  # s3 absent
 
+    # A weight-0 source is identical to an absent one: never selected,
+    # not even its zero-token docs (which would ride a 0 budget "for
+    # free" if the source reached the prefix machinery).
+    df0 = spark.createDataFrame(
+        [(0, "a b c", "s0"), (1, "", "s1"), (2, "x y", "s1")],
+        "doc_id long, text string, source string",
+    )
+    zed = mixture_token_rebalance(df0, {"s0": 1, "s1": 0}, 10).collect()
+    assert {r["source"] for r in zed} == {"s0"}
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
@@ -1651,6 +1661,21 @@ def test_canonical_docs_all_unscored_cluster_raises(spark):
     with pytest.raises((Py4JJavaError, SparkRuntimeException)) as e:
         dedup.canonical_docs(members, quality).collect()
     assert "no member with a quality row" in str(e.value)
+
+    # The guard is on BOTH canonical columns, so Catalyst pruning
+    # cannot defeat it when the caller keeps only one of them …
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        dedup.canonical_docs(members, quality).select(
+            "cluster_id", "canonical_quality"
+        ).collect()
+    # … while a projection keeping only the count (no undefined value
+    # can flow) is allowed through.
+    rows = (
+        dedup.canonical_docs(members, quality)
+        .select("cluster_id", "n_members")
+        .collect()
+    )
+    assert [(r.cluster_id, r.n_members) for r in rows] == [(1, 2)]
 
 
 def test_canonical_docs_string_ids_two_pass(spark):
