@@ -87,9 +87,6 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions already carry identical values; callers embedding this
     in a foreign session with different expectations must manage the
     conf themselves."""
-    import hashlib
-    import tempfile
-
     from pyspark.sql import functions as F
 
     # Same ts-generation defenses as sources/tables.py:load_table —
@@ -100,24 +97,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after this call doesn't depend on which generation was on disk.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    d = os.path.join(
-        tempfile.gettempdir(),
-        "stream_events_" + hashlib.md5(path.encode()).hexdigest()[:12],
-    )
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if os.path.lexists(link):
-        if (
-            not os.path.islink(link)
-            or not os.path.exists(link)
-            or os.readlink(link) != path
-        ):
-            os.remove(link)
-    if not os.path.lexists(link):
-        os.symlink(path, link)
-    stream = spark.readStream.schema(schema).parquet(d)
+    stream = _stream_table(spark, sf_dir, "events")
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         # Nanosecond BIGINT generation: rebuild the real timestamp with
@@ -133,6 +113,36 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-stream source over one sf_dir table, raw (no column
+    rewrites — ``_stream_events`` layers the ts defenses on top).  The
+    file stream source requires a DIRECTORY; the testdata tables are
+    single parquet files, so expose the file through a stable per-path
+    temp-directory symlink (see ``_stream_events``' docstring for the
+    lexists/islink defenses)."""
+    import hashlib
+    import tempfile
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_{table}_" + hashlib.md5(path.encode()).hexdigest()[:12],
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if os.path.lexists(link):
+        if (
+            not os.path.islink(link)
+            or not os.path.exists(link)
+            or os.readlink(link) != path
+        ):
+            os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(path, link)
+    return spark.readStream.schema(schema).parquet(d)
+
+
 def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Streaming counterpart of ``queries()``, pre-wired for the day
     the driver contract admits streaming entries (it does not today —
@@ -142,19 +152,17 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     starts it with ``.writeStream`` (memory sink +
     ``trigger(availableNow=True)`` in the tests).
 
-    The six entries cover every streaming execution path the repo has
-    (STREAMING_READY.md): the stateful NFA kernel, three windowed-
-    aggregation flavors, absence-via-timeout, and strict negation
-    (notNext) via watermark-final next-event candidates.  Each one's
-    batch twin is an oracled query with IDENTICAL arithmetic (exact
-    cent sums) — registered driver queries for the first five; the
-    sixth's twin (``cep_purchase_no_immediate_error``) is round-10
-    pre-staged, locally oracle-verified and suite-pinned, not yet
-    driver-checked.  The streaming check is "stream result == batch
-    twin (== oracle)": full equality for the kernel entry, and
-    equality on watermark-CLOSED windows/spans/candidates for the
-    windowed, absence, and notNext entries (append mode holds state
-    the final watermark never passes —
+    The seven entries cover every streaming execution path the repo
+    has (STREAMING_READY.md): the stateful NFA kernel, three windowed-
+    aggregation flavors, absence-via-timeout, strict negation (notNext)
+    via watermark-final next-event candidates, and streaming exact
+    dedup over the document feed (``dropDuplicates`` keyed state).
+    Each one's batch twin is a REGISTERED driver query with IDENTICAL
+    arithmetic (exact cent sums / md5 digests).  The streaming check is
+    "stream result == batch twin (== oracle)": full equality for the
+    kernel and dedup entries, and equality on watermark-CLOSED
+    windows/spans/candidates for the windowed, absence, and notNext
+    entries (append mode holds state the final watermark never passes —
     tests/test_streaming_entry.py pins all forms)."""
     from pyspark.sql import functions as F
 
@@ -269,6 +277,24 @@ context:
             F.col("next_on").alias("next_us"),
         )
 
+    def dedup_exact_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming exact dedup of the document feed: one row per
+        FIRST-seen content digest — the ingest-time dedup gate of a
+        continuously crawled corpus, batch twin ``dedup_exact_groups``
+        (equality on the digest SET: the stream keeps the first
+        arrival, whose doc_id depends on arrival order, so only the
+        content digest is emitted).  Built on Structured Streaming's
+        native ``dropDuplicates`` keyed state: state size is one entry
+        per DISTINCT digest — inherent to whole-history exact dedup —
+        held in the state store (RocksDB-backed on a real cluster);
+        when the dup horizon is bounded in event time, production uses
+        ``dropDuplicatesWithinWatermark`` so state ages out instead."""
+        return (
+            _stream_table(spark, sf_dir, "documents")
+            .select(F.md5(F.col("text")).alias("text_hash"))
+            .dropDuplicates(["text_hash"])
+        )
+
     return {
         "cep_signup_to_purchase_stream": cep_signup_to_purchase_stream,
         "q_events_tumbling_stream": q_events_tumbling_stream,
@@ -276,4 +302,5 @@ context:
         "q_session_windows_stream": q_session_windows_stream,
         "cep_signup_abandoned_stream": cep_signup_abandoned_stream,
         "cep_purchase_no_immediate_error_stream": cep_purchase_no_immediate_error_stream,
+        "dedup_exact_docs_stream": dedup_exact_docs_stream,
     }

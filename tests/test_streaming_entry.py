@@ -158,6 +158,38 @@ def test_streaming_entries_match_batch_twins_on_closed_state(spark, tmp_path):
         assert got == want and got, sname
 
 
+def test_streaming_entry_dedup_exact_matches_batch(spark, tmp_path):
+    """The seventh entry (streaming exact dedup via native
+    dropDuplicates): the emitted digest multiset equals the batch
+    twin's (dedup_exact_groups) digest set EXACTLY — one row per
+    distinct content digest, no duplicates, nothing withheld (no
+    watermark: every batch of an availableNow run flushes its
+    first-seen digests in append mode)."""
+    import __spark_entry__ as entrymod
+
+    from reflinkcep_spark.queries.pipeline import dedup_exact_groups
+
+    out = entrymod.queries_streaming()["dedup_exact_docs_stream"](
+        spark, SF_DIR
+    )
+    assert out.isStreaming
+    sink = f"entry_dedup_exact_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup_exact"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["text_hash"] for r in spark.table(sink).collect())
+    want = sorted(
+        r["text_hash"] for r in dedup_exact_groups(spark, SF_DIR).collect()
+    )
+    assert got == want and got
+
+
 def test_streaming_entry_not_next_matches_batch_closed(spark, tmp_path):
     """The round-9 sixth entry (strict negation / notNext): equals the
     batch twin ``cep_purchase_no_immediate_error`` (round-10 queue) on
