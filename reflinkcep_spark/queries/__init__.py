@@ -17,49 +17,70 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
-# Round-11 queue (implemented, locally oracle-verified at sf0.001 AND
-# sf0.01, pinned green by tests/test_check_oracles.py::
-# test_prestaged_round11_queries_match_oracles — registration is a
-# QUERIES/ORACLES-dict + _PRIORITY edit):
-#   text_dedup_paragraphs_fuzzy (pipeline.py — Gopher/RefinedWeb fuzzy
-#                           intra-doc unit dedup, zero-exchange in-row
-#                           i<j Jaccard fold)
-#   doc_contamination_matrix (pipeline.py — per-(source × benchmark)
-#                           leak matrix, broadcast bench grams)
-#   doc_mixture_rebalance  (pipeline.py — token-count-exact mixture
-#                           recipe, per-source floor-division budgets)
-# Round-11 window arithmetic: 18 PLANNED_SITOUTS (2 rounds stale at
-# r11 — promote FIRST) + these 3 registrations + 50 r9-stale = 71
-# candidates for 50 slots → ~21 named sit-outs.
+# Round-12 queue: pre-stage 3-5 ops during round 11 (URL/domain-
+# canonical dedup, cross-document near-dup paragraph removal, per-
+# source quality-tier calibration -- see VERDICT r10 item 6); pin them
+# with tests/test_check_oracles.py the way the r10/r11 queues were.
+# Round-12 window arithmetic: 21 PLANNED_SITOUTS (r9 rows, 2 rounds
+# stale at r12 -- promote FIRST) + the r12 registrations + 50 r10-stale
+# = 71+ candidates for 50 slots -> ~24 named sit-outs from the r10 set.
 #
-# Front of the driver's 50-entry check window (round 10 rotation),
-# executed exactly as pre-planned in round 9: FIRST the thirteen
-# 2-round-stale sit-outs from the round-9 plan (r7-vintage rows — the
-# only staleness the audit flagged), then the five queries registered
-# this round (pre-staged + oracle-verified in round 9:
-# cep_purchase_no_immediate_error, text_dedup_paragraphs,
-# doc_importance_weights, dedup_canonical_quality, text_quality_buckets
-# — never driver-checked), then 32 of the 50 queries whose latest green
-# rows are r8-vintage.  Window arithmetic: 118 registered queries,
-# 13 + 5 + 50 = 68 candidates for 50 slots, so EIGHTEEN r8-green
-# queries sit out and go two rounds stale at round 11 — promote
-# PLANNED_SITOUTS FIRST in the round-11 rotation.  Before this rotation
-# every promoted query was verified green in its latest CORRECTNESS row
-# (r7/r9) and every demoted query green in CORRECTNESS_r09.json
-# (scripts/window_audit.py run before and after).
+# Front of the driver's 50-entry check window (round 11 rotation),
+# executed exactly as pre-planned in round 10: FIRST the eighteen
+# 2-round-stale sit-outs from the round-10 plan (r8-vintage rows -- the
+# only staleness the audit flagged), then the three queries registered
+# this round (pre-staged + oracle-verified in round 10:
+# text_dedup_paragraphs_fuzzy, doc_contamination_matrix,
+# doc_mixture_rebalance -- never driver-checked), then 29 of the 50
+# queries whose latest green rows are r9-vintage.  Window arithmetic:
+# 121 registered queries, 18 + 3 + 50 = 71 candidates for 50 slots, so
+# TWENTY-ONE r9-green queries sit out and go two rounds stale at round
+# 12 -- promote PLANNED_SITOUTS FIRST in the round-12 rotation.  Before
+# this rotation every promoted query was verified green in its latest
+# CORRECTNESS row (r8/r9) and every demoted query green in
+# CORRECTNESS_r10.json (scripts/window_audit.py run before and after).
 
 # Machine-readable sit-out plan: queries whose latest driver row is
-# EXPECTED to be ≥2 rounds stale at the NEXT driver run, because the
-# 50-slot window can't hold every candidate.  scripts/window_audit.py
-# exits 0 only when observed staleness matches this plan exactly —
-# any unplanned-stale query (or a planned one that is stale-and-red)
-# is a rotation bug and exits nonzero.  Chosen round 10: the eighteen
-# simplest scan/agg shapes among the r8 set — ten pipeline stat/sample
-# scans, two text scans, six single-join relational/temporal shapes —
-# each green every round since registration; every heavy or
-# plan-sensitive r8 query (CEP, dedup, similarity, as-of/session/skew,
-# the two star-schema joins) stays in the window.
+# EXPECTED to be exactly 2 rounds stale at the NEXT driver run, because
+# the 50-slot window can't hold every candidate.
+# scripts/window_audit.py exits 0 only when observed staleness matches
+# this plan exactly -- any unplanned-stale query, any planned one that
+# is stale-and-red, or ANY row more than 2 rounds stale (planned or
+# not -- the hard ceiling added round 11) is a rotation bug and exits
+# nonzero.  Chosen round 11: the twenty-one simplest scan/agg shapes
+# among the r9 set -- thirteen single-join/agg relational+temporal
+# shapes, three document stat/sample scans, three text profile scans,
+# one shuffle-free fingerprint fold, one rollup agg; each green every
+# round since registration.  Every heavy or plan-sensitive r9 query
+# (all fifteen CEP rows, all eight dedup rows, FFD packing, the
+# LM-quality scan, cube/grouping-sets/pivot/unpivot) stays in the
+# window.
 PLANNED_SITOUTS = (
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q_above_nation_avg",
+    "q_customers_without_orders",
+    "q_late_lines_by_status",
+    "q_orders_without_items",
+    "q_part_supplier_counts",
+    "q_parts_with_cheap_suppliers",
+    "q_product_profit",
+    "q_quantity_percentiles",
+    "q_running_order_totals",
+    "q_top_customers_per_nation",
+    "q_rollup_order_priority",
+    "q_events_tumbling",
+    "doc_hash_sample",
+    "doc_top_terms",
+    "doc_length_outliers",
+    "doc_winnow_fingerprints",
+    "text_profile",
+    "text_token_histogram",
+    "text_bigram_lift",
+)
+
+_PRIORITY = (
+    # 2-rounds-stale round-10 sit-outs (last row r8) -- first, per plan
     "doc_source_stats",
     "doc_token_budget",
     "doc_mixture_sample",
@@ -78,67 +99,42 @@ PLANNED_SITOUTS = (
     "q_local_supplier_volume",
     "q_returned_item_customers",
     "q_waiting_suppliers",
-)
-
-_PRIORITY = (
-    # 2-rounds-stale round-9 sit-outs (last row r7) — first, per plan
-    "q_big_building_buyers",
-    "q_scalar_functions",
-    "q_orders_by_month",
-    "q_distinct_counts",
-    "q_late_ship_priority",
-    "q_order_count_distribution",
-    "q_promo_revenue_share",
-    "q_large_quantity_orders",
-    "q_segment_opportunity",
-    "q_disjunctive_revenue",
-    "q_binational_volume",
-    "q_top_supplier",
-    "q_small_quantity_revenue",
-    # new in round 10 (never driver-checked; pre-staged round 9)
-    "cep_purchase_no_immediate_error",
-    "text_dedup_paragraphs",
-    "doc_importance_weights",
-    "dedup_canonical_quality",
-    "text_quality_buckets",
-    # r8-stale: CEP family
-    "cep_high_purchases",
-    "cep_funnel_3step",
-    "cep_funnel_within",
-    "cep_error_runs",
-    "cep_purchase_then_error",
-    "cep_error_runs_skiptolast",
-    "cep_signup_purchase_skipfirst",
-    # r8-stale: dedup/similarity family
-    "dedup_clusters",
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_embedding_neardup",
-    "multimodal_bytes",
-    # r8-stale: pipeline heavy shapes
-    "doc_curation_funnel",
-    "doc_decontam",
-    "doc_split_leakage",
-    "doc_winnow_robust",
-    "doc_pack_sequences",
-    # r8-stale: temporal family
-    "q_asof_last_click",
-    "q_asof_next_error",
-    "q_range_join_clicks",
-    "q_session_windows",
-    "q_skew_salted_events",
-    # r8-stale: relational family (the PLANNED_SITOUTS eighteen
-    # deliberately absent — they sit out; see note above)
-    "q1_pricing_summary",
-    "q6_revenue_delta",
-    "q_excess_inventory_suppliers",
-    "q_important_parts",
-    "q_min_cost_suppliers",
-    "q_nation_market_share",
-    "q_user_sessions",
+    # new in round 11 (never driver-checked; pre-staged round 10)
+    "text_dedup_paragraphs_fuzzy",
+    "doc_contamination_matrix",
+    "doc_mixture_rebalance",
+    # r9-stale: CEP family (all fifteen)
+    "cep_conversion_rate",
+    "cep_error_pairs_skippast",
+    "cep_error_streaks_skip",
+    "cep_error_then_purchase_grouped",
+    "cep_error_triples",
+    "cep_high_purchase_chains",
+    "cep_nested_funnel_relaxed",
+    "cep_optional_click_prefix",
+    "cep_signup_abandoned",
+    "cep_signup_any_purchase",
+    "cep_signup_to_purchase",
+    "cep_spending_burst",
+    "cep_view_click_cycles",
+    "cep_view_click_runs",
+    "cep_view_combos_ndrelaxed",
+    # r9-stale: dedup family (all eight)
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_scrub_spans",
+    "dedup_semantic",
+    "dedup_simhash",
+    "dedup_substring_spans",
+    "dedup_winnow_pairs",
+    # r9-stale: heavy/plan-sensitive pipeline + relational keepers
+    "doc_pack_ffd",
+    "text_lm_quality",
+    "q_cube_lineitem_flags",
+    "q_grouping_sets",
+    "q_pivot_status_priority",
+    "q_unpivot_balances",
 )
 
 

@@ -2256,12 +2256,11 @@ GROUP BY 1
 """
 
 
-# --- fuzzy intra-document paragraph dedup (PRE-STAGED for round 11) -----
+# --- fuzzy intra-document paragraph dedup (registered round 11) -----
 #
-# text_dedup_paragraphs_fuzzy is implemented and locally oracle-verified
-# but deliberately NOT registered this round: the round-10 window is
-# full (118 queries, 18 sit-outs already named — see
-# queries/__init__.py).  Register it in the round-11 rotation.
+# text_dedup_paragraphs_fuzzy was pre-staged in round 10 and REGISTERED in the
+# round-11 rotation (QUERIES/ORACLES below; window plan in
+# queries/__init__.py).
 
 def text_dedup_paragraphs_fuzzy(spark, sf_dir):
     """NEAR-duplicate intra-doc unit removal (Gopher's duplicate-line
@@ -2325,12 +2324,11 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
-# --- per-source contamination matrix (PRE-STAGED for round 11) ----------
+# --- per-source contamination matrix (registered round 11) ----------
 #
-# doc_contamination_matrix is implemented and locally oracle-verified
-# but deliberately NOT registered this round: the round-10 window is
-# full (118 queries, 18 sit-outs already named — see
-# queries/__init__.py).  Register it in the round-11 rotation.
+# doc_contamination_matrix was pre-staged in round 10 and REGISTERED in the
+# round-11 rotation (QUERIES/ORACLES below; window plan in
+# queries/__init__.py).
 
 def doc_contamination_matrix(spark, sf_dir):
     """Per-(source × benchmark) contamination matrix: docs 0-24 stand
@@ -2383,12 +2381,11 @@ GROUP BY source, bench
 """
 
 
-# --- token-exact mixture rebalancing (PRE-STAGED for round 11) ----------
+# --- token-exact mixture rebalancing (registered round 11) ----------
 #
-# doc_mixture_rebalance is implemented and locally oracle-verified but
-# deliberately NOT registered this round: the round-10 window is full
-# (118 queries, 18 sit-outs already named — see queries/__init__.py).
-# Register it in the round-11 rotation.
+# doc_mixture_rebalance was pre-staged in round 10 and REGISTERED in the
+# round-11 rotation (QUERIES/ORACLES below; window plan in
+# queries/__init__.py).
 
 def doc_mixture_rebalance(spark, sf_dir):
     """Token-count-exact mixture rebalancing: re-cut the corpus to a
@@ -2480,6 +2477,9 @@ QUERIES = {
     "text_dedup_paragraphs": text_dedup_paragraphs,
     "dedup_canonical_quality": dedup_canonical_quality,
     "text_quality_buckets": text_quality_buckets,
+    "text_dedup_paragraphs_fuzzy": text_dedup_paragraphs_fuzzy,
+    "doc_contamination_matrix": doc_contamination_matrix,
+    "doc_mixture_rebalance": doc_mixture_rebalance,
 }
 
 ORACLES = {
@@ -2532,4 +2532,7 @@ ORACLES = {
     "text_dedup_paragraphs": SQL_TEXT_DEDUP_PARAGRAPHS,
     "dedup_canonical_quality": SQL_DEDUP_CANONICAL_QUALITY,
     "text_quality_buckets": SQL_TEXT_QUALITY_BUCKETS,
+    "text_dedup_paragraphs_fuzzy": SQL_TEXT_DEDUP_PARAGRAPHS_FUZZY,
+    "doc_contamination_matrix": SQL_DOC_CONTAMINATION_MATRIX,
+    "doc_mixture_rebalance": SQL_DOC_MIXTURE_REBALANCE,
 }

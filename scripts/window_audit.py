@@ -9,11 +9,17 @@ old — the two states the per-round `_PRIORITY` rotation exists to
 prevent (see queries/__init__.py).
 
 Staleness is judged against the machine-readable sit-out plan
-(`queries/__init__.py:PLANNED_SITOUTS`): a ≥2-rounds-stale query that
+(`queries/__init__.py:PLANNED_SITOUTS`): a 2-rounds-stale query that
 is IN the plan and green is expected (the 50-slot window can't hold
 every candidate); one NOT in the plan — or planned but red — is a
-rotation bug.  Exit 0 iff observed staleness matches the plan exactly,
-so "nonzero exit" always means "act", never "expected noise".
+rotation bug.  Additionally (round 11, VERDICT r10 item 3) there is a
+HARD CEILING: any row more than 2 rounds stale fails the audit even
+when planned — with a 50-slot window over ~121 queries an exact
+round-robin keeps every row ≤2 rounds stale, so exceeding that means
+the rotation has drifted, and the answer is to promote or retire, not
+to plan deeper staleness.  Exit 0 iff observed staleness matches the
+plan exactly, so "nonzero exit" always means "act", never "expected
+noise".
 
 Run before AND after editing `_PRIORITY`:
     python3 scripts/window_audit.py
@@ -69,12 +75,18 @@ def classify(names, rounds, planned_sitouts, window=WINDOW):
             status = "rows-only"
         if not ok and row.get("err") != "no_oracle":
             red.append(name)
-        if age > 1 and i >= window:
+        if age > 2:
+            # hard ceiling: no plan excuses >2 rounds of staleness
+            # (exact round-robin over the window never exceeds 2)
+            stale.append(name)
+        elif age > 1 and i >= window:
             # planned sit-outs must still be green — a stale AND red
             # row is a real regression no plan excuses
             (stale if name not in planned_sitouts or not ok else planned).append(name)
         flag = ""
-        if age > 1:
+        if age > 2:
+            flag = f"  <-- {age} rounds stale: EXCEEDS HARD CEILING (2)"
+        elif age > 1:
             if i < window:
                 flag = f"  <-- {age} rounds stale"
             elif name in planned_sitouts and ok:

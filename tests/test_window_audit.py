@@ -68,6 +68,28 @@ def test_planned_but_red_still_exits_two():
     assert "d" in rep["stale"] and "d" in rep["red"]
 
 
+def test_hard_ceiling_fails_even_when_planned():
+    # Round-11 hard ceiling (VERDICT r10 item 3): >2 rounds stale is a
+    # failure NO plan excuses — "d" last green r5 with latest r8 (age
+    # 3), in the plan and green, must still exit 2.
+    names = ["a", "b", "d"]
+    rounds = _rounds({"a": GREEN, "b": GREEN}, {}, {}, {"d": GREEN})
+    rep = window_audit.classify(names, rounds, ("d",), window=2)
+    assert rep["exit"] == 2
+    assert rep["stale"] == ["d"] and rep["planned"] == []
+
+
+def test_hard_ceiling_applies_inside_window_too():
+    # An age-3 row sitting INSIDE the window (about to be re-checked)
+    # still means the rotation let it slip past the ceiling twice —
+    # flag it rather than silently absorb the drift.
+    names = ["d", "a", "b"]
+    rounds = _rounds({"a": GREEN, "b": GREEN}, {}, {}, {"d": GREEN})
+    rep = window_audit.classify(names, rounds, (), window=2)
+    assert rep["exit"] == 2
+    assert rep["stale"] == ["d"]
+
+
 def test_planned_sitout_inside_window_is_a_plan_bug():
     names = ["a", "b", "c"]
     rounds = _rounds({"a": GREEN, "b": GREEN, "c": GREEN})
