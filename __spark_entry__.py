@@ -152,11 +152,13 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     starts it with ``.writeStream`` (memory sink +
     ``trigger(availableNow=True)`` in the tests).
 
-    The seven entries cover every streaming execution path the repo
-    has (STREAMING_READY.md): the stateful NFA kernel, three windowed-
-    aggregation flavors, absence-via-timeout, strict negation (notNext)
-    via watermark-final next-event candidates, and streaming exact
-    dedup over the document feed (``dropDuplicates`` keyed state).
+    The eight entries cover every streaming execution path the repo
+    has (STREAMING_READY.md): the stateful NFA kernel (plain and
+    span-bounded — ``within`` doubles as the run-state bound), three
+    windowed-aggregation flavors, absence-via-timeout, strict negation
+    (notNext) via watermark-final next-event candidates, and streaming
+    exact dedup over the document feed (``dropDuplicates`` keyed
+    state).
     Each one's batch twin is a REGISTERED driver query with IDENTICAL
     arithmetic (exact cent sums / md5 digests).  The streaming check is
     "stream result == batch twin (== oracle)": full equality for the
@@ -277,6 +279,40 @@ context:
             F.col("next_on").alias("next_us"),
         )
 
+    def cep_funnel_within_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming twin of ``cep_funnel_within`` — the flagship
+        beyond-reference CEP feature (``within``, cep/runtime.py) on
+        the surface users would actually run it on: a live stream,
+        where the span bound is not just match semantics but THE state
+        bound that stops a hot key's relaxed-pattern run-set from
+        growing with stream lifetime (streaming/cep.py prunes expired
+        runs on every feed).  Same YAML, same ``within=100``, same
+        output columns as the batch driver query; the test suite pins
+        full equality (kernel entries need no watermark closure —
+        ``event_id`` order, no event time)."""
+        from reflinkcep_spark.cep.query import Query
+        from reflinkcep_spark.queries.cep_queries import FUNNEL_YAML
+        from reflinkcep_spark.session import ensure_package_shipped
+        from reflinkcep_spark.streaming import match_pattern_stream
+
+        ensure_package_shipped(spark)
+        stream = _stream_events(spark, sf_dir).select(
+            "user_id", "event_id", "event_type", "value"
+        )
+        out = match_pattern_stream(
+            stream,
+            Query.from_yaml(FUNNEL_YAML),
+            order_by="event_id",
+            partition_by="user_id",
+            within=100,
+        )
+        return out.select(
+            "user_id",
+            F.element_at(F.col("reg"), 1)["event_id"].alias("signup_id"),
+            F.element_at(F.col("buy"), 1)["event_id"].alias("purchase_id"),
+            F.element_at(F.col("err"), 1)["event_id"].alias("error_id"),
+        )
+
     def dedup_exact_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming exact dedup of the document feed: one row per
         FIRST-seen content digest — the ingest-time dedup gate of a
@@ -302,5 +338,6 @@ context:
         "q_session_windows_stream": q_session_windows_stream,
         "cep_signup_abandoned_stream": cep_signup_abandoned_stream,
         "cep_purchase_no_immediate_error_stream": cep_purchase_no_immediate_error_stream,
+        "cep_funnel_within_stream": cep_funnel_within_stream,
         "dedup_exact_docs_stream": dedup_exact_docs_stream,
     }

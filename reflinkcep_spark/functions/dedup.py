@@ -660,9 +660,15 @@ def contamination_matrix(
     ``benchmark`` carries ``bench_group_col`` (e.g. eval suite name).
     Returns one row per (source, bench) pair with ≥ 1 shared word
     n-gram: ``n_docs`` = distinct contaminated corpus documents, and
-    ``n_gram_hits`` = Σ over those documents of their distinct leaked
-    grams (each document's gram set counted once, matching
-    ``contaminated_docs``' per-doc counts — summable across cells).
+    ``n_gram_hits`` = Σ over those documents of their distinct grams
+    leaked into THAT benchmark (each document's gram set counted once
+    per cell).  Within one benchmark column the cells are summable —
+    a source's ``n_gram_hits`` against bench *b* equals what
+    :func:`contaminated_docs` run against *b* alone would total.
+    Across benchmarks they are NOT: a gram shared by several eval
+    suites is counted once per (bench) cell it leaked into, so a
+    cross-bench row sum can exceed the union-benchmark per-doc
+    distinct-gram total ``contaminated_docs`` would report.
 
     Plan shape for 100 TB: identical to :func:`contaminated_docs` —
     the benchmark side is (bench, gram)-distinct and BROADCAST (eval

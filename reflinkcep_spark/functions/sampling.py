@@ -208,10 +208,13 @@ def mixture_token_rebalance(
     ``weights`` are integers, so every per-source budget is an exact
     floor division — no float share ever decides a document's fate,
     and the same recipe reproduces bit-identically on any engine.
-    Sources absent from ``weights`` and sources listed with weight 0
-    are excluded identically (neither is ever scanned); a listed
-    source whose corpus underfills its share simply contributes what
-    it has (the standard mixture-recipe behavior — upsample with
+    Sources absent from ``weights``, sources listed with weight 0,
+    and sources whose positive weight FLOORS to a 0-token share
+    (``budget·wₛ // Σw == 0``) are excluded identically (none is ever
+    scanned — a source allotted zero tokens gets zero documents, not
+    a free ride for its zero-token documents); a listed source whose
+    corpus underfills its share simply contributes what it has (the
+    standard mixture-recipe behavior — upsample with
     ``doc_mixture_upsample`` if repetition is wanted).
 
     Scale shape: sources not in the recipe are filtered BEFORE the
@@ -241,6 +244,15 @@ def mixture_token_rebalance(
     budgets = {
         s: int(budget) * int(w) // total_w for s, w in weights.items()
     }
+    # A POSITIVE weight whose share floors to 0 (budget·w // Σw == 0)
+    # is the same exclusion: without this, the source passes the scan
+    # filter and its zero-token documents ride the prefix "for free"
+    # (cum_tok 0 <= 0) — the exact edge the weight-0 pre-filter above
+    # guards against, resurfacing through small budgets.  A floored-
+    # to-zero share means "this source gets no tokens", so it gets no
+    # documents either (zero-token ones included).
+    budgets = {s: b for s, b in budgets.items() if b > 0}
+    weights = {s: w for s, w in weights.items() if s in budgets}
     budget_col = F.element_at(
         F.create_map(
             *[F.lit(x) for kv in budgets.items() for x in kv]

@@ -1122,6 +1122,18 @@ def test_mixture_token_rebalance_exact_shares_and_exclusion(spark):
     zed = mixture_token_rebalance(df0, {"s0": 1, "s1": 0}, 10).collect()
     assert {r["source"] for r in zed} == {"s0"}
 
+    # A POSITIVE weight whose share floors to 0 tokens (budget·w//Σw
+    # == 0) is the same exclusion (round-10 ADVICE): with budget 10
+    # and weights 99:1, s1's share is 10*1//100 == 0, so s1's
+    # zero-token doc must NOT be selected for free (cum_tok 0 <= 0).
+    floored = mixture_token_rebalance(df0, {"s0": 99, "s1": 1}, 10).collect()
+    assert {r["source"] for r in floored} == {"s0"}
+    # ...and a budget that floors EVERY share to 0 selects nothing
+    # (schema intact, no create_map()-of-nothing crash).
+    empty = mixture_token_rebalance(df0, {"s0": 99, "s1": 1}, 0)
+    assert empty.columns == ["doc_id", "source", "n_tok", "cum_tok", "src_budget"]
+    assert empty.count() == 0
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

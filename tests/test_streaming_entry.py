@@ -190,6 +190,39 @@ def test_streaming_entry_dedup_exact_matches_batch(spark, tmp_path):
     assert got == want and got
 
 
+def test_streaming_entry_funnel_within_matches_batch(spark, tmp_path):
+    """The eighth entry (round 11): the span-bounded 3-step funnel —
+    ``within`` is the flagship beyond-reference CEP feature, and on a
+    stream it doubles as the run-state bound.  Kernel entries need no
+    watermark closure (event_id order, no event time), so the match
+    set equals the batch driver query ``cep_funnel_within`` EXACTLY —
+    which also pins the streaming kernel's span pruning against the
+    batch fast path's emission-equivalent span filter on real data."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries_streaming()["cep_funnel_within_stream"](spark, SF_DIR)
+    assert out.isStreaming
+    sink = f"entry_funnel_within_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel_within"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"], r["error_id"])
+        for r in spark.table(sink).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"], r["error_id"])
+        for r in entrymod.queries()["cep_funnel_within"](spark, SF_DIR).collect()
+    )
+    assert got == want and got
+
+
 def test_streaming_entry_not_next_matches_batch_closed(spark, tmp_path):
     """The round-9 sixth entry (strict negation / notNext): equals the
     batch twin ``cep_purchase_no_immediate_error`` (round-10 queue) on
