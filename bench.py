@@ -2,9 +2,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <scale factor>}
+Prints ONE compact JSON line (integer milliseconds — sized to fit the
+driver's 2000-char stdout-tail capture; see the emission comment in
+main()):
+    {"metric": "headline_queries_total_ms", "value": <total ms>,
+     "unit": "ms", "queries": {name: ms, ...}, "calib_ms": <ms>,
+     "sf": <scale factor>}
+and writes the full seconds-precision record to bench_detail.json.
 
 Each query is materialized through the noop sink (full computation, no
 driver-side collect).  The mix covers every execution path: pure-scan
@@ -21,6 +25,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Round-11 retirements from the headline (rows stay REGISTERED driver
+# queries, correctness-gated every rotation — they only leave the
+# bench headline): six trivially-cheap sub-second scan/fold shapes
+# each duplicated by a heavier headline row (text_repetition ~
+# text_profile; doc_mixture_upsample ~ doc_mixture_rebalance +
+# doc_token_budget; doc_chunk_overlap ~ doc_pack_sequences;
+# doc_vocab_coverage ~ doc_top_terms; doc_split_assign ~
+# doc_global_shuffle; doc_winnow_fingerprints ~ doc_winnow_robust).
+# Sub-second rows carry no timing signal anyway (±30 % single-run
+# noise, NOTES_r09/r10), and the freed ~170 chars keep the one-line
+# summary inside the driver's 2000-char tail capture with room for
+# future registrations.
 HEADLINE = [
     "q1_pricing_summary",      # scan + partial agg
     "q3_top_orders",           # 3-way join + agg + top-k
@@ -40,21 +56,15 @@ HEADLINE = [
     "text_profile",            # higher-order-function text analysis
     "doc_top_terms",           # tf/df join + per-doc top-k window
     "q_events_sliding",        # overlapping-window aggregation
-    "text_repetition",         # shuffle-free repetition filters
     "doc_decontam",            # broadcast n-gram decontamination join
     "cep_signup_abandoned",    # absence pattern (union + window)
     "q_grouping_sets",         # one-pass grouping-sets aggregation
     "sim_ann_ivf",             # IVF ANN (bounded quantizer fit + probe)
     "doc_pack_sequences",      # concat-and-chunk packing (sharded prefix sum)
     "doc_pii_scrub",           # regex audit + redaction (codegen projection)
-    "doc_mixture_upsample",    # epoch upsampling (narrow explode expansion)
     "q_range_join_clicks",     # bucketed range join (no nested loop)
     "doc_curation_funnel",     # 6-stage curation attrition report
-    "doc_chunk_overlap",       # overlapping token-window chunking
-    "doc_vocab_coverage",      # top-k vocab via distributed sort-limit
     "doc_global_shuffle",      # deterministic sharded shuffle (per-shard windows)
-    "doc_split_assign",        # frozen split assignment + release audit
-    "doc_winnow_fingerprints", # shuffle-free winnowing (array-domain selection)
     "q_late_ship_priority",    # semi join with non-equi residual (Q4)
     "q_order_count_distribution",  # outer-join count distribution (Q13)
     "q_promo_revenue_share",   # broadcast dim join + conditional agg (Q14)
@@ -91,6 +101,9 @@ HEADLINE = [
     "doc_importance_weights",  # DSIR resampling (bounded bucket stats broadcast)
     "dedup_canonical_quality", # per-cluster quality argmax (struct-MAX agg)
     "text_quality_buckets",    # CCNet tiers (1-row global stats broadcast)
+    "text_dedup_paragraphs_fuzzy",  # fuzzy intra-doc unit dedup (in-row i<j Jaccard fold)
+    "doc_contamination_matrix",     # per-(source x bench) leak matrix (broadcast grams)
+    "doc_mixture_rebalance",        # token-exact mixture recipe (range-sharded prefix sums)
     "calibration_cpu",         # fixed-work box-state calibration (no IO, no data)
 ]
 
@@ -218,18 +231,43 @@ def main() -> int:
     # stay comparable to rounds that predate it.
     calibration = timings.pop("calibration_cpu", None)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "calibration_sec": calibration,
-                "sf": sf,
-            }
-        )
+
+    # The driver records only the LAST ~2000 chars of stdout and
+    # json-parses the final line (BENCH_r10.json came back
+    # `parsed: null` because 69 seconds-float rows with default
+    # separators outgrew that window and the line's head was cut).
+    # So the one stdout line is COMPACT: integer milliseconds, no
+    # whitespace — 69 rows ≈ 1.8 kB, measured against the 2000-char
+    # capture (assert rail at 1.9 kB).  Full seconds-precision detail goes to
+    # bench_detail.json for local tooling (drift_normalize reads
+    # either format).  If the row count grows this line past ~1.9 kB,
+    # retire trivial sub-second scan rows from HEADLINE rather than
+    # shortening names — cross-round drift comparison keys on names.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "calibration_sec": calibration,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {
+        "metric": "headline_queries_total_ms",
+        "value": int(round(total * 1000)),
+        "unit": "ms",
+        "queries": {k: int(round(v * 1000)) for k, v in timings.items()},
+        "calib_ms": None if calibration is None else int(round(calibration * 1000)),
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1900, (
+        f"summary line {len(line)} chars — exceeds the driver's 2000-char "
+        "tail capture budget; retire trivial HEADLINE rows (see comment)"
     )
+    print(line)
     spark.stop()
     return 0
 

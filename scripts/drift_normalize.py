@@ -28,7 +28,15 @@ MIN_ABS_SEC = 0.3  # ignore movers below this absolute time (noise)
 def load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
-    return d.get("parsed", d)
+    d = d.get("parsed", d)
+    if d.get("unit") == "ms":
+        # round-11+ compact format (integer milliseconds, `calib_ms`)
+        # — normalize to the seconds schema the comparisons use
+        d = dict(d)
+        d["queries"] = {k: v / 1000.0 for k, v in d["queries"].items()}
+        if d.get("calib_ms") is not None:
+            d["calibration_sec"] = d["calib_ms"] / 1000.0
+    return d
 
 
 def main() -> int:
