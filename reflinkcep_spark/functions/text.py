@@ -528,6 +528,42 @@ def quality_buckets(
     (decimal(38,0), DuckDB HUGEINT) for any corpus under ~1e18 total
     n-grams with per-doc Σbdf under ~1e18 — far beyond 100 TB.
     """
+    g = "bigram" if order == 2 else f"{order}gram"
+    doc = quality_bucket_docs(
+        df, text_col=text_col, id_col=id_col, order=order,
+        tail_ratio=tail_ratio,
+    )
+    return doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bg").alias(f"n_{g}s"),
+    )
+
+
+def quality_bucket_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 2,
+    tail_ratio: tuple = (1, 2),
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Per-document tier assignment behind :func:`quality_buckets`
+    (same exact-integer cross-multiply contract — see its docstring;
+    factored out in round 11 so :func:`quality_tier_calibration` can
+    reuse the pipeline without re-deriving the cutoffs).
+
+    Returns one row per document with ≥ 1 n-gram:
+    ``(*carry_cols, id_col, bucket, n_bg)``.  ``carry_cols`` are
+    passthrough document attributes (e.g. ``source``) carried through
+    the document aggregate as extra grouping keys — functionally
+    dependent on ``id_col``, so the groups are unchanged and the join
+    back to the input that a separate lookup would need is avoided.
+
+    Scale shape: as documented on :func:`quality_buckets` — explode
+    once (lazily checkpointed), one vocabulary-keyed count with
+    singleton elision, one doc-keyed aggregate, ONE broadcast 1-row
+    global aggregate; the corpus never shuffles for the cutoffs.
+    """
     if order < 2:
         raise ValueError(f"quality_buckets needs order >= 2, got {order}")
     t_num, t_den = (int(tail_ratio[0]), int(tail_ratio[1]))
@@ -535,8 +571,9 @@ def quality_buckets(
         raise ValueError(
             f"tail_ratio must be a fraction in (0, 1), got {tail_ratio}"
         )
-    g = "bigram" if order == 2 else f"{order}gram"
+    carry = [F.col(c) for c in carry_cols]
     bg = df.select(
+        *carry,
         F.col(id_col),
         F.explode(ngrams(tokens(F.col(text_col)), order)).alias("bg"),
     )
@@ -550,7 +587,7 @@ def quality_buckets(
     )
     doc = (
         bg.join(cnt, "bg", "left")
-        .groupBy(id_col)
+        .groupBy(*carry_cols, id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bg"),
             F.sum(F.coalesce(F.col("bdf"), F.lit(1))).alias("sum_bdf"),
@@ -568,12 +605,80 @@ def quality_buckets(
         .when(lhs * F.lit(t_den) < rhs * F.lit(t_num), F.lit("tail"))
         .otherwise(F.lit("middle"))
     )
+    return doc.crossJoin(F.broadcast(glob)).select(
+        *carry_cols, id_col, bucket.alias("bucket"), F.col("n_bg")
+    )
+
+
+def quality_tier_calibration(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 2,
+    tail_ratio: tuple = (1, 2),
+) -> DataFrame:
+    """Per-source quality-tier calibration: how each source's tier
+    mix compares to the corpus — the dataset-card table behind "is
+    the new crawl snapshot dragging the tail tier?" and the input to
+    per-source quality quotas.  Tiers come from the CORPUS-level
+    cutoffs (:func:`quality_bucket_docs` — one global ruler), so the
+    per-source rows are directly comparable; a per-source cutoff
+    would define away exactly the skew this measures.
+
+    Returns one row per (group, bucket) with ≥ 1 document:
+    ``(group_col, bucket, n_docs, share_ppm, lift_ppm)`` where
+    ``share_ppm = ⌊10⁶·n_docs / n_group⌋`` (the tier's share within
+    the source) and ``lift_ppm = ⌊10⁶·n_docs·n_all / (n_group·
+    n_bucket)⌋`` (share relative to the tier's corpus-wide share;
+    1_000_000 = exactly proportional).  Both are exact INTEGRAL
+    divisions (SQL ``div``) on decimal(38,0) operands — never a float
+    divide, whose scale-capped rounding could differ from an exact
+    engine's floor by one — so the table hashes identically on any
+    exact engine (the ``text_bigram_lift`` determinism recipe; all
+    quantities positive, so truncation ≡ floor).
+
+    Scale shape: :func:`quality_bucket_docs`' pipeline (the group
+    column rides the doc aggregate as a dependent grouping key — no
+    extra join), then a (group, bucket)-keyed count, a group-keyed
+    count, a 3-row bucket count and a 1-row total — the last two
+    broadcast; at most ``3·|sources|`` output rows.
+    """
+    docs = quality_bucket_docs(
+        df, text_col=text_col, id_col=id_col, order=order,
+        tail_ratio=tail_ratio, carry_cols=(group_col,),
+    )
+    cell = docs.groupBy(group_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # one row per group / per bucket / overall — derived from the
+    # cell table, so the doc pipeline runs once
+    cell = cell.localCheckpoint(eager=False)
+    grp = cell.groupBy(group_col).agg(F.sum("n_docs").alias("n_group"))
+    bkt = cell.groupBy("bucket").agg(F.sum("n_docs").alias("n_bucket"))
+    tot = cell.agg(F.sum("n_docs").alias("n_all"))
+    dec = "CAST({} AS DECIMAL(38,0))"
+    m, nd, ng, nb, na = (
+        dec.format(1_000_000),
+        dec.format("n_docs"),
+        dec.format("n_group"),
+        dec.format("n_bucket"),
+        dec.format("n_all"),
+    )
     return (
-        doc.crossJoin(F.broadcast(glob))
-        .groupBy(bucket.alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_bg").alias(f"n_{g}s"),
+        cell.join(grp, group_col)
+        .join(F.broadcast(bkt), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "bucket",
+            "n_docs",
+            F.expr(f"({m} * {nd}) div {ng}")
+            .cast("long")
+            .alias("share_ppm"),
+            F.expr(f"({m} * {nd} * {na}) div ({ng} * {nb})")
+            .cast("long")
+            .alias("lift_ppm"),
         )
     )
 
@@ -617,6 +722,100 @@ def dedup_paragraphs(
         F.col(id_col),
         F.array_join(kept, joiner).alias("text_clean"),
         (F.size(units) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def dedup_paragraphs_global(
+    df: DataFrame,
+    sep: str = "\n",
+    unit_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-document paragraph/line dedup — the corpus-wide sibling
+    of :func:`dedup_paragraphs` and the other half of the
+    RefinedWeb / CCNet recipe: a paragraph that appears in MANY
+    documents (cookie banners, licence footers, navigation blocks,
+    syndicated ledes) keeps exactly ONE occurrence in the whole
+    corpus — its first, by ``(doc_id, position)`` — and every other
+    occurrence in every other document is removed before the
+    survivors are reassembled in original order.  CCNet runs exactly
+    this as per-paragraph hash dedup across each snapshot; intra-doc
+    dedup cannot see it because each document contains the paragraph
+    once.
+
+    Unit modes and reassembly are shared with :func:`dedup_paragraphs`
+    (``sep`` segments verbatim, or ``unit_tokens=k`` whitespace
+    chunks, single-space normalized).  Canonical order is the
+    lexicographic ``(doc_id, position)`` MIN — ids must be orderable;
+    with numeric ids that is "earliest document wins", the recipes'
+    usual arbitrary-but-deterministic choice.  Documents that lose
+    every unit (and empty documents) are kept with
+    ``text_clean = ''``.
+
+    Returns ``(id_col, text_clean, n_removed)``, one row per input
+    document.
+
+    Scale shape — three keyed exchanges over the unit-occurrence
+    table, none corpus²:
+
+    1. unit-keyed ``MIN(struct(doc_id, pos))`` — map-side combinable,
+       so a boilerplate unit occurring 10⁸ times partial-aggregates
+       to one candidate per map partition BEFORE the shuffle;
+    2. unit-keyed join of occurrences against that first-occurrence
+       table (both sides hash-partitioned on the unit; the same hot
+       unit is the classic AQE skew-join case and splits cleanly
+       because the dimension side is one row per unit);
+    3. doc-keyed reassembly (collect + in-row sort + join), the same
+       shape as every reassembly in this module.
+
+    The unit STRING itself is the shuffle key; for long paragraphs a
+    production run would key on ``xxhash64(unit)`` instead — kept as
+    the raw string here so the oracle comparison stays exact, the
+    same trade documented on the md5/xxhash64 sketch twins.
+    """
+    units, joiner = _split_units(F.col(text_col), sep, unit_tokens)
+    occ = df.select(
+        F.col(id_col), F.posexplode(units).alias("pos", "unit")
+    )
+    first = occ.groupBy("unit").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
+    )
+    kept_flag = (
+        (F.col(id_col) == F.col("__first")[id_col])
+        & (F.col("pos") == F.col("__first")["pos"])
+    ).alias("__kept")
+    marked = occ.join(first, "unit").select(
+        id_col, "pos", "unit", kept_flag
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__kept"), F.struct(F.col("pos"), F.col("unit"))
+                )
+            )
+        ).alias("__kept_units"),
+        F.sum(F.when(F.col("__kept"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    # empty documents never reach posexplode — restore them via the
+    # pruning-friendly id-only left join (same contract as the
+    # intra-doc oracle's COALESCE branch)
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.array_join(
+                    F.transform("__kept_units", lambda s: s["unit"]), joiner
+                ),
+                F.lit(""),
+            ).alias("text_clean"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
     )
 
 

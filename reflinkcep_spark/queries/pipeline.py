@@ -2430,6 +2430,222 @@ WHERE c.cum_tok <= w.src_budget
 """
 
 
+# --- URL-canonical dedup (PRE-STAGED for round 12) -----------------------
+#
+# dedup_url_canonical is implemented and locally oracle-verified but
+# deliberately NOT registered this round: the round-11 window is full
+# (121 queries, 21 sit-outs named — see queries/__init__.py).
+# Register it in the round-12 rotation.
+
+def dedup_url_canonical(spark, sf_dir):
+    """URL-level dedup groups (functions/web.py — RefinedWeb's first
+    dedup stage).  The documents table has no URL column, so the query
+    derives a deterministic raw URL per document IN-QUERY — the same
+    string algebra on both engines, so the oracle checks the builder
+    AND the canonicalizer — with every alias class the canonicalizer
+    handles exercised by construction: scheme case/http-vs-https
+    (doc_id%2), optional WWW. (doc_id%3), host case (doc_id%5),
+    default ports (doc_id%4 picks :80/:443), trailing slash
+    (doc_id%5), tracking params + a fragment on odd ids, and
+    query-parameter order flipped by doc_id%2.  The resource identity
+    is (source, 7·doc_id mod 200), so groups have >1 member at every
+    SF and dedup does real work.  Scale shape: codegen projection +
+    ONE map-side-combinable keyed aggregate (see dedup_by_url)."""
+    from reflinkcep_spark.functions import web
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    k = (did * 7) % 200
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("http://")).otherwise(F.lit("HTTPS://")),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(did % 4 == 0,
+               F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")))
+         .otherwise(F.lit("")),
+        F.lit("/Docs/"), k.cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("?id="), k.cast("string"),
+                     F.lit("&utm_campaign=c"), (did % 7).cast("string"),
+                     F.lit("&v=2")),
+        ).otherwise(
+            F.concat(F.lit("?v=2&id="), k.cast("string"), F.lit("&ref=feed"))
+        ),
+        F.when(did % 3 == 1, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return web.dedup_by_url(d.select(did, url.alias("url")))
+
+
+# The oracle rebuilds the same raw URL and canonicalizes it with
+# DuckDB's regex/list functions — an independent implementation of the
+# same normalization contract (web.canonical_url's docstring).
+SQL_DEDUP_URL_CANONICAL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+         || '.Example.COM'
+         || (CASE WHEN doc_id % 4 = 0
+                  THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                  ELSE '' END)
+         || '/Docs/' || (doc_id * 7) % 200
+         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN '?id=' || (doc_id * 7) % 200
+                       || '&utm_campaign=c' || doc_id % 7 || '&v=2'
+                  ELSE '?v=2&id=' || (doc_id * 7) % 200 || '&ref=feed' END)
+         || (CASE WHEN doc_id % 3 = 1 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS u
+  FROM raw
+),
+split_up AS (
+  SELECT doc_id,
+         regexp_replace(u, '\?.*$', '') AS hostpath,
+         regexp_extract(u, '\?(.*)$', 1) AS rawq
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(
+             lower(regexp_extract(hostpath, '^([^/]*)', 1)),
+             '^www\.', ''), ':(80|443)$', '')
+         || regexp_replace(
+             regexp_extract(hostpath, '^[^/]*(/.*)$', 1), '/+$', '')
+         || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+  FROM (
+    SELECT doc_id, hostpath,
+           array_to_string(list_sort(list_filter(
+             string_split(rawq, '&'),
+             x -> x <> '' AND NOT list_contains(
+               ['utm_source','utm_medium','utm_campaign','utm_term',
+                'utm_content','utm_id','gclid','fbclid','msclkid',
+                'mc_cid','mc_eid','ref','referrer','igshid'],
+               lower(regexp_extract(x, '^([^=]*)', 1))))), '&') AS q
+    FROM split_up
+  )
+)
+SELECT canonical_url, MIN(doc_id)::BIGINT AS canonical_doc_id,
+       (COUNT(*) - 1)::BIGINT AS n_dups
+FROM canon GROUP BY 1
+"""
+
+
+# --- cross-document paragraph dedup (PRE-STAGED for round 12) ------------
+#
+# text_dedup_paragraphs_global is implemented and locally
+# oracle-verified but deliberately NOT registered this round (window
+# full — see above).  Register it in the round-12 rotation.
+
+def text_dedup_paragraphs_global(spark, sf_dir):
+    """CROSS-document unit dedup (functions/text.py
+    dedup_paragraphs_global — CCNet's per-snapshot paragraph-hash
+    dedup): every 4-token run keeps only its corpus-wide FIRST
+    occurrence by (doc_id, position); all later occurrences in any
+    document are scrubbed and survivors reassembled in order.  The
+    inter-document sibling of the registered intra-doc pair
+    (text_dedup_paragraphs / _fuzzy).  Scale shape: three keyed
+    exchanges over the unit-occurrence table (combinable MIN argmin,
+    unit-keyed semi-style join, doc-keyed reassembly) — see the
+    operator docstring."""
+    return text.dedup_paragraphs_global(_docs(spark, sf_dir), unit_tokens=4)
+
+
+SQL_TEXT_DEDUP_PARAGRAPHS_GLOBAL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i, array_to_string(tk[i:i+3], ' ') AS chunk
+  FROM toks, UNNEST(generate_series(1, len(tk), 4)) AS u(i)
+),
+r AS (
+  SELECT doc_id, i, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rn
+  FROM ch
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(chunk, ' ' ORDER BY i) FILTER (WHERE rn = 1) AS text_clean,
+         count(*) FILTER (WHERE rn > 1) AS n_removed
+  FROM r GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.n_removed, 0)::BIGINT AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --- per-source quality-tier calibration (PRE-STAGED for round 12) -------
+#
+# doc_quality_calibration is implemented and locally oracle-verified
+# but deliberately NOT registered this round (window full — see
+# above).  Register it in the round-12 rotation.
+
+def doc_quality_calibration(spark, sf_dir):
+    """Per-source CCNet-tier calibration (functions/text.py
+    quality_tier_calibration): each source's head/middle/tail mix
+    against the CORPUS-level cutoffs, with exact-integer ppm share and
+    lift — the dataset-card table behind per-source quality quotas.
+    Same 15/16 tail ratio as the registered text_quality_buckets (the
+    synthetic corpus's df concentration — see that query's docstring).
+    Scale shape: the quality_buckets pipeline (source rides the doc
+    aggregate as a dependent grouping key) plus cell/group/bucket/total
+    folds over the TIER TABLE, not the corpus."""
+    return text.quality_tier_calibration(
+        _docs(spark, sf_dir), tail_ratio=(15, 16)
+    )
+
+
+SQL_DOC_QUALITY_CALIBRATION = r"""
+WITH bg AS (
+  SELECT source, doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM (
+    SELECT source, doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+    FROM documents
+  ), UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+),
+cnt AS (SELECT bg, COUNT(*) AS bdf FROM bg GROUP BY bg),
+doc AS (
+  SELECT source, doc_id, COUNT(*) AS n_bg, SUM(bdf)::HUGEINT AS sum_bdf
+  FROM bg JOIN cnt USING (bg)
+  GROUP BY 1, 2
+),
+g AS (SELECT SUM(n_bg)::HUGEINT AS g_n, SUM(sum_bdf)::HUGEINT AS g_sum FROM doc),
+tiers AS (
+  SELECT source,
+         CASE WHEN sum_bdf * g_n >= g_sum * n_bg THEN 'head'
+              WHEN 16 * sum_bdf * g_n < 15 * g_sum * n_bg THEN 'tail'
+              ELSE 'middle' END AS bucket
+  FROM doc, g
+),
+cell AS (SELECT source, bucket, COUNT(*)::BIGINT AS n_docs FROM tiers GROUP BY 1, 2),
+grp AS (SELECT source, SUM(n_docs)::HUGEINT AS n_group FROM cell GROUP BY 1),
+bkt AS (SELECT bucket, SUM(n_docs)::HUGEINT AS n_bucket FROM cell GROUP BY 1),
+tot AS (SELECT SUM(n_docs)::HUGEINT AS n_all FROM cell)
+SELECT c.source, c.bucket, c.n_docs,
+       ((1000000::HUGEINT * c.n_docs) // g1.n_group)::BIGINT AS share_ppm,
+       ((1000000::HUGEINT * c.n_docs * t.n_all)
+         // (g1.n_group * b.n_bucket))::BIGINT AS lift_ppm
+FROM cell c
+JOIN grp g1 USING (source)
+JOIN bkt b USING (bucket)
+CROSS JOIN tot t
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

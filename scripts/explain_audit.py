@@ -91,9 +91,12 @@ AUDITED = [
     ("doc_importance_weights", "DSIR (registered r10): gram-bucket explode checkpointed, ONE bounded bucket agg (<= `buckets` rows) broadcast back, doc-keyed agg, exact-integer score"),
     ("dedup_canonical_quality", "quality canonicalization (registered r10): pair-graph CC reused, id-keyed quality join, per-cluster argmax as a struct-MAX aggregate (map-side combinable) — no row_number window"),
     ("text_quality_buckets", "CCNet tiers (registered r10): lm_quality shape (explode checkpointed, singleton-elided count join), 1-row global agg broadcast, 3-group fold — the corpus never shuffles for the cutoffs"),
-    ("text_dedup_paragraphs_fuzzy", "fuzzy paragraph dedup (pre-staged r11): per-doc shingle-set fold with in-row i<j Jaccard matrix, zero exchanges, no Python"),
-    ("doc_contamination_matrix", "contamination matrix (pre-staged r11): bench (suite, gram) set distinct + broadcast, corpus streams through the gram join, ONE (source, bench) keyed agg"),
-    ("doc_mixture_rebalance", "mixture rebalance (pre-staged r11): recipe-filtered scan (pushdown), literal per-source budget map, token_budget_sample's sharded prefix — shard offsets tiny + broadcast"),
+    ("text_dedup_paragraphs_fuzzy", "fuzzy paragraph dedup (registered r11): per-doc shingle-set fold with in-row i<j Jaccard matrix, zero exchanges, no Python"),
+    ("doc_contamination_matrix", "contamination matrix (registered r11): bench (suite, gram) set distinct + broadcast, corpus streams through the gram join, ONE (source, bench) keyed agg"),
+    ("doc_mixture_rebalance", "mixture rebalance (registered r11): recipe-filtered scan (pushdown), literal per-source budget map, token_budget_sample's sharded prefix — shard offsets tiny + broadcast"),
+    ("dedup_url_canonical", "URL dedup (pre-staged r12): canonicalization is a codegen projection on the scan, ONE map-side-combinable canonical_url-keyed agg, no UDF, no join"),
+    ("text_dedup_paragraphs_global", "cross-doc unit dedup (pre-staged r12): posexplode, combinable MIN(struct) argmin per unit, unit-keyed join back, doc-keyed reassembly — 3 keyed exchanges over the unit-occurrence table, no Python"),
+    ("doc_quality_calibration", "per-source tier calibration (pre-staged r12): quality_buckets pipeline with source riding the doc agg as a dependent key, then cell/group/bucket/total folds over the TIER table (bucket + total broadcast)"),
 ]
 
 

@@ -58,22 +58,22 @@ def test_int32_vs_int64_is_same_kind():
     assert compare("x", got, want) == []
 
 
-def test_prestaged_round11_queries_match_oracles(spark):
-    """The round-11 queue is written but not yet registered (round-10
+def test_prestaged_round12_queries_match_oracles(spark):
+    """The round-12 queue is written but not yet registered (round-11
     window full — see queries/__init__.py).  Keep every queued query
-    oracle-green at sf0.001 until the round-11 rotation registers them,
+    oracle-green at sf0.001 until the round-12 rotation registers them,
     so registration is a two-line edit, not a debugging session.
-    (The round-10 queue graduated into the registry and is now covered
+    (The round-11 queue graduated into the registry and is now covered
     by the full check_oracles replay.)"""
     import duckdb
 
     from reflinkcep_spark.queries.pipeline import (
-        SQL_DOC_CONTAMINATION_MATRIX,
-        SQL_DOC_MIXTURE_REBALANCE,
-        SQL_TEXT_DEDUP_PARAGRAPHS_FUZZY,
-        doc_contamination_matrix,
-        doc_mixture_rebalance,
-        text_dedup_paragraphs_fuzzy,
+        SQL_DEDUP_URL_CANONICAL,
+        SQL_DOC_QUALITY_CALIBRATION,
+        SQL_TEXT_DEDUP_PARAGRAPHS_GLOBAL,
+        dedup_url_canonical,
+        doc_quality_calibration,
+        text_dedup_paragraphs_global,
     )
     from tests.conftest import SF_DIR
 
@@ -83,9 +83,9 @@ def test_prestaged_round11_queries_match_oracles(spark):
             f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
         )
     for fn, sql in (
-        (text_dedup_paragraphs_fuzzy, SQL_TEXT_DEDUP_PARAGRAPHS_FUZZY),
-        (doc_contamination_matrix, SQL_DOC_CONTAMINATION_MATRIX),
-        (doc_mixture_rebalance, SQL_DOC_MIXTURE_REBALANCE),
+        (dedup_url_canonical, SQL_DEDUP_URL_CANONICAL),
+        (text_dedup_paragraphs_global, SQL_TEXT_DEDUP_PARAGRAPHS_GLOBAL),
+        (doc_quality_calibration, SQL_DOC_QUALITY_CALIBRATION),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

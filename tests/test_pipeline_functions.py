@@ -1361,6 +1361,105 @@ def test_dedup_paragraphs_unit_tokens_mode(spark):
         text.dedup_paragraphs(df, unit_tokens=0)
 
 
+def test_dedup_paragraphs_global_unit_tokens_mode(spark):
+    """Cross-document unit dedup: a unit keeps ONLY its corpus-wide
+    first occurrence by (doc_id, pos); later occurrences vanish from
+    every document, including repeats inside the first document's
+    successors; empty docs survive with ''."""
+    rows = [
+        (0, "a b c d"),   # both units first -> untouched
+        (1, "a b x y"),   # 'a b' first seen in doc 0 -> removed here
+        (2, "c d c d"),   # BOTH occurrences lose to doc 0's 'c d'
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in text.dedup_paragraphs_global(df, unit_tokens=2).collect()}
+    assert out[0] == ("a b c d", 0)
+    assert out[1] == ("x y", 1)
+    assert out[2] == ("", 2)
+    assert out[3] == ("", 0)
+
+
+def test_dedup_paragraphs_global_sep_mode_first_doc_wins(spark):
+    """sep mode: segments verbatim; the canonical occurrence is the
+    lexicographically smallest (doc_id, pos) — a duplicate WITHIN the
+    first-seeing document keeps only its first position too."""
+    rows = [
+        (0, "p\nq"),
+        (1, "p\nr"),       # 'p' lost to doc 0
+        (2, "q\nq\ns"),    # both 'q's lost to doc 0
+        (3, "t\nt"),       # intra-doc dup of a fresh segment: pos 0 wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in text.dedup_paragraphs_global(df).collect()}
+    assert out[0] == ("p\nq", 0)
+    assert out[1] == ("r", 1)
+    assert out[2] == ("s", 2)
+    assert out[3] == ("t", 1)
+
+
+def test_quality_tier_calibration_exact_ppm(spark):
+    """Hand-computed corpus (the quality_buckets boundary corpus with
+    sources): cells, exact share_ppm = ⌊1e6·n_docs/n_group⌋ and
+    lift_ppm = ⌊1e6·n_docs·n_all/(n_group·n_bucket)⌋; the tier-less
+    sub-2-token doc joins no cell and no total."""
+    from reflinkcep_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b a b", "s1"), (2, "a b c", "s1"),
+         (3, "x y", "s2"), (4, "z", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source, r.bucket): r
+           for r in tx.quality_tier_calibration(df).collect()}
+    assert set(out) == {("s1", "head"), ("s2", "middle")}
+    assert out[("s1", "head")].n_docs == 2
+    assert out[("s1", "head")].share_ppm == 1_000_000
+    # lift: (1e6 * 2 * 3) // (2 * 2) — n_all counts only tiered docs
+    assert out[("s1", "head")].lift_ppm == 1_500_000
+    assert out[("s2", "middle")].n_docs == 1
+    assert out[("s2", "middle")].share_ppm == 1_000_000
+    assert out[("s2", "middle")].lift_ppm == 3_000_000
+
+
+def test_quality_tier_calibration_consistent_with_buckets(spark):
+    """On real testdata the calibration cells re-aggregate exactly to
+    the quality_buckets summary (same cutoffs, same tiers) and every
+    bucket's docs-weighted mean lift is 1e6 by construction (up to the
+    per-cell floor)."""
+    from reflinkcep_spark.functions import text as tx
+    from tests.conftest import SF_DIR
+
+    from reflinkcep_spark.queries.pipeline import _docs
+
+    docs = _docs(spark, SF_DIR)
+    cal = tx.quality_tier_calibration(docs, tail_ratio=(15, 16)).collect()
+    summary = {r.bucket: r.n_docs
+               for r in tx.quality_buckets(docs, tail_ratio=(15, 16)).collect()}
+    by_bucket = {}
+    by_source = {}
+    for r in cal:
+        by_bucket[r.bucket] = by_bucket.get(r.bucket, 0) + r.n_docs
+        by_source[r.source] = by_source.get(r.source, 0) + r.n_docs
+    assert by_bucket == summary
+    # exact arithmetic re-check: both ppm columns are pure integer
+    # floor-divisions of the cell/group/bucket/total counts
+    n_all = sum(summary.values())
+    for r in cal:
+        n_group, n_bucket = by_source[r.source], by_bucket[r.bucket]
+        assert r.share_ppm == 1_000_000 * r.n_docs // n_group, r
+        assert r.lift_ppm == (
+            1_000_000 * r.n_docs * n_all // (n_group * n_bucket)
+        ), r
+    # per-source shares sum back to ~1e6 (each floor shaves < 1)
+    for src, n_group in by_source.items():
+        ssum = sum(r.share_ppm for r in cal if r.source == src)
+        n_cells = sum(1 for r in cal if r.source == src)
+        assert 1_000_000 - n_cells < ssum <= 1_000_000, src
+
+
 def test_dedup_paragraphs_fuzzy_line_mode(spark):
     """NEAR-dup line removal: a line sharing >= threshold of its
     bigram shingles with an EARLIER line drops even though it is not
