@@ -152,15 +152,18 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     starts it with ``.writeStream`` (memory sink +
     ``trigger(availableNow=True)`` in the tests).
 
-    The eight entries cover every streaming execution path the repo
+    The nine entries cover every streaming execution path the repo
     has (STREAMING_READY.md): the stateful NFA kernel (plain and
     span-bounded — ``within`` doubles as the run-state bound), three
     windowed-aggregation flavors, absence-via-timeout, strict negation
     (notNext) via watermark-final next-event candidates, and streaming
-    exact dedup over the document feed (``dropDuplicates`` keyed
-    state).
+    exact/URL dedup over the document feed (``dropDuplicates`` keyed
+    state over a content digest / a canonical URL).
     Each one's batch twin is a REGISTERED driver query with IDENTICAL
-    arithmetic (exact cent sums / md5 digests).  The streaming check is
+    arithmetic (exact cent sums / md5 digests / canonical URLs) —
+    except ``dedup_url_canonical_stream``, whose twin is the round-12
+    pre-staged ``dedup_url_canonical`` (oracle-verified + suite-pinned,
+    registration queued).  The streaming check is
     "stream result == batch twin (== oracle)": full equality for the
     kernel and dedup entries, and equality on watermark-CLOSED
     windows/spans/candidates for the windowed, absence, and notNext
@@ -331,6 +334,31 @@ context:
             .dropDuplicates(["text_hash"])
         )
 
+    def dedup_url_canonical_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming URL-level dedup: one row per FIRST-seen canonical
+        URL — the production ingest gate of a continuous crawl, where
+        URL dedup runs BEFORE fetch/extraction precisely because it
+        needs nothing but the URL string.  Canonicalization
+        (functions/web.py canonical_url) is a stateless codegen
+        projection, so the stream twin is native ``dropDuplicates``
+        keyed state on the canonical form; the raw-URL builder is
+        shared with the batch driver query (pipeline._raw_url), and
+        the batch twin is ``dedup_url_canonical``'s canonical-URL set
+        (the stream keeps the first arrival, whose doc_id depends on
+        arrival order, so only the canonical URL is emitted — the
+        dedup_exact_docs_stream determinism recipe).  State is one
+        entry per distinct resource; a bounded-horizon production run
+        uses ``dropDuplicatesWithinWatermark``."""
+        from reflinkcep_spark.functions import web
+        from reflinkcep_spark.queries.pipeline import _raw_url
+
+        return (
+            _stream_table(spark, sf_dir, "documents")
+            .select("doc_id", "source")
+            .select(web.canonical_url(_raw_url()).alias("canonical_url"))
+            .dropDuplicates(["canonical_url"])
+        )
+
     return {
         "cep_signup_to_purchase_stream": cep_signup_to_purchase_stream,
         "q_events_tumbling_stream": q_events_tumbling_stream,
@@ -340,4 +368,5 @@ context:
         "cep_purchase_no_immediate_error_stream": cep_purchase_no_immediate_error_stream,
         "cep_funnel_within_stream": cep_funnel_within_stream,
         "dedup_exact_docs_stream": dedup_exact_docs_stream,
+        "dedup_url_canonical_stream": dedup_url_canonical_stream,
     }

@@ -17,10 +17,20 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
-# Round-12 queue: pre-stage 3-5 ops during round 11 (URL/domain-
-# canonical dedup, cross-document near-dup paragraph removal, per-
-# source quality-tier calibration -- see VERDICT r10 item 6); pin them
-# with tests/test_check_oracles.py the way the r10/r11 queues were.
+# Round-12 queue (implemented, locally oracle-verified at sf0.001 AND
+# sf0.01, pinned by tests/test_check_oracles.py::
+# test_prestaged_round12_queries_match_oracles -- registration is a
+# QUERIES/ORACLES-dict + _PRIORITY edit):
+#   dedup_url_canonical    (pipeline.py + functions/web.py -- RefinedWeb
+#                           URL-level dedup: canonical_url codegen
+#                           projection + ONE combinable keyed agg;
+#                           streaming twin already wired)
+#   text_dedup_paragraphs_global (pipeline.py + functions/text.py --
+#                           CCNet cross-document unit dedup, 3 keyed
+#                           exchanges over the unit-occurrence table)
+#   doc_quality_calibration (pipeline.py + functions/text.py -- per-
+#                           source CCNet-tier mix vs corpus cutoffs,
+#                           exact-integer ppm share and lift)
 # Round-12 window arithmetic: 21 PLANNED_SITOUTS (r9 rows, 2 rounds
 # stale at r12 -- promote FIRST) + the r12 registrations + 50 r10-stale
 # = 71+ candidates for 50 slots -> ~24 named sit-outs from the r10 set.

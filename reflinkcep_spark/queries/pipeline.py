@@ -2454,9 +2454,17 @@ def dedup_url_canonical(spark, sf_dir):
     from reflinkcep_spark.functions import web
 
     d = _docs(spark, sf_dir)
+    return web.dedup_by_url(d.select("doc_id", _raw_url().alias("url")))
+
+
+def _raw_url():
+    """The deterministic raw-URL builder shared by the batch driver
+    query above and the streaming twin (__spark_entry__.py
+    dedup_url_canonical_stream) — one definition so the two surfaces
+    canonicalize the same strings."""
     did = F.col("doc_id")
     k = (did * 7) % 200
-    url = F.concat(
+    return F.concat(
         F.when(did % 2 == 0, F.lit("http://")).otherwise(F.lit("HTTPS://")),
         F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
         F.when(did % 5 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
@@ -2476,7 +2484,6 @@ def dedup_url_canonical(spark, sf_dir):
         ),
         F.when(did % 3 == 1, F.lit("#sec")).otherwise(F.lit("")),
     )
-    return web.dedup_by_url(d.select(did, url.alias("url")))
 
 
 # The oracle rebuilds the same raw URL and canonicalizes it with

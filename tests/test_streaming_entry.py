@@ -223,6 +223,38 @@ def test_streaming_entry_funnel_within_matches_batch(spark, tmp_path):
     assert got == want and got
 
 
+def test_streaming_entry_url_dedup_matches_batch(spark, tmp_path):
+    """The ninth entry (round 11): streaming URL-level dedup — the
+    emitted canonical-URL multiset equals the round-12 pre-staged
+    batch twin's canonical-URL set EXACTLY (one row per distinct
+    resource, no duplicates, nothing withheld; no watermark), which
+    also pins the shared raw-URL builder and canonical_url projection
+    across the batch and streaming surfaces."""
+    import __spark_entry__ as entrymod
+
+    from reflinkcep_spark.queries.pipeline import dedup_url_canonical
+
+    out = entrymod.queries_streaming()["dedup_url_canonical_stream"](
+        spark, SF_DIR
+    )
+    assert out.isStreaming
+    sink = f"entry_url_dedup_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_url_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["canonical_url"] for r in spark.table(sink).collect())
+    want = sorted(
+        r["canonical_url"] for r in dedup_url_canonical(spark, SF_DIR).collect()
+    )
+    assert got == want and got
+
+
 def test_streaming_entry_not_next_matches_batch_closed(spark, tmp_path):
     """The round-9 sixth entry (strict negation / notNext): equals the
     batch twin ``cep_purchase_no_immediate_error`` (round-10 queue) on
