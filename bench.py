@@ -237,8 +237,10 @@ def main() -> int:
     # `parsed: null` because 69 seconds-float rows with default
     # separators outgrew that window and the line's head was cut).
     # So the one stdout line is COMPACT: integer milliseconds, no
-    # whitespace — 69 rows ≈ 1.8 kB, measured against the 2000-char
-    # capture (assert rail at 1.9 kB).  Full seconds-precision detail goes to
+    # whitespace — 66 timed rows (67 HEADLINE entries minus the popped
+    # calibration row) ≈ 1.83 kB measured against the 2000-char
+    # capture (assert rail at 1.9 kB; ~75 chars ≈ 2 rows of headroom,
+    # less if several rows cross into 5-digit milliseconds).  Full seconds-precision detail goes to
     # bench_detail.json for local tooling (drift_normalize reads
     # either format).  If the row count grows this line past ~1.9 kB,
     # retire trivial sub-second scan rows from HEADLINE rather than

@@ -253,12 +253,20 @@ def mixture_token_rebalance(
     # documents either (zero-token ones included).
     budgets = {s: b for s, b in budgets.items() if b > 0}
     weights = {s: w for s, w in weights.items() if s in budgets}
-    budget_col = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in budgets.items() for x in kv]
-        ),
-        F.col("source"),
-    )
+    if budgets:
+        # cast: F.lit(int) types by magnitude (int vs bigint), and the
+        # degenerate branch below must match — src_budget is ALWAYS long
+        budget_col = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in budgets.items() for x in kv]
+            ),
+            F.col("source"),
+        ).cast("long")
+    else:
+        # every share floored to 0: an argless create_map() would type
+        # as map<string,string> and flip src_budget's dtype to STRING
+        # on this one degenerate path — keep the schema stable instead
+        budget_col = F.lit(None).cast("long")
     out = _hash_prefix_by_budget(
         df.filter(F.col(source_col).isin(list(weights))),
         budget_col,

@@ -746,12 +746,18 @@ def dedup_paragraphs_global(
 
     Unit modes and reassembly are shared with :func:`dedup_paragraphs`
     (``sep`` segments verbatim, or ``unit_tokens=k`` whitespace
-    chunks, single-space normalized).  Canonical order is the
-    lexicographic ``(doc_id, position)`` MIN — ids must be orderable;
-    with numeric ids that is "earliest document wins", the recipes'
-    usual arbitrary-but-deterministic choice.  Documents that lose
-    every unit (and empty documents) are kept with
-    ``text_clean = ''``.
+    chunks, single-space normalized) — with ONE cross-doc difference:
+    EMPTY segments are exempt.  Intra-doc they dedup like any other
+    (a doc's own blank-line runs are repetition); corpus-wide they
+    are document STRUCTURE, and letting the corpus-first blank line
+    win would strip the blank-line structure of every later document
+    and mark empty documents as "removed" content.  So empty units
+    are always kept and never counted in ``n_removed``.  Canonical
+    order for non-empty units is the lexicographic
+    ``(doc_id, position)`` MIN — ids must be orderable; with numeric
+    ids that is "earliest document wins", the recipes' usual
+    arbitrary-but-deterministic choice.  Documents that lose every
+    unit (and empty documents) are kept with ``text_clean = ''``.
 
     Returns ``(id_col, text_clean, n_removed)``, one row per input
     document.
@@ -782,8 +788,11 @@ def dedup_paragraphs_global(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
     )
     kept_flag = (
-        (F.col(id_col) == F.col("__first")[id_col])
-        & (F.col("pos") == F.col("__first")["pos"])
+        (F.col("unit") == "")  # structure, not content — see docstring
+        | (
+            (F.col(id_col) == F.col("__first")[id_col])
+            & (F.col("pos") == F.col("__first")["pos"])
+        )
     ).alias("__kept")
     marked = occ.join(first, "unit").select(
         id_col, "pos", "unit", kept_flag

@@ -2445,8 +2445,10 @@ def dedup_url_canonical(spark, sf_dir):
     AND the canonicalizer — with every alias class the canonicalizer
     handles exercised by construction: scheme case/http-vs-https
     (doc_id%2), optional WWW. (doc_id%3), host case (doc_id%5),
-    default ports (doc_id%4 picks :80/:443), trailing slash
-    (doc_id%5), tracking params + a fragment on odd ids, and
+    BOTH default ports (:80 on doc_id%8==0, :443 on doc_id%8==4 —
+    disjoint residues so each branch is reachable), trailing slash
+    (doc_id%5), tracking params on even ids / a `ref` param and a
+    fragment on other residues (doc_id%2, doc_id%3==1), and
     query-parameter order flipped by doc_id%2.  The resource identity
     is (source, 7·doc_id mod 200), so groups have >1 member at every
     SF and dedup does real work.  Scale shape: codegen projection +
@@ -2469,8 +2471,8 @@ def _raw_url():
         F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
         F.when(did % 5 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
         F.lit(".Example.COM"),
-        F.when(did % 4 == 0,
-               F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")))
+        F.when(did % 8 == 0, F.lit(":80"))
+         .when(did % 8 == 4, F.lit(":443"))
          .otherwise(F.lit("")),
         F.lit("/Docs/"), k.cast("string"),
         F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
@@ -2496,8 +2498,8 @@ WITH raw AS (
          || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
          || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
          || '.Example.COM'
-         || (CASE WHEN doc_id % 4 = 0
-                  THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         || (CASE WHEN doc_id % 8 = 0 THEN ':80'
+                  WHEN doc_id % 8 = 4 THEN ':443'
                   ELSE '' END)
          || '/Docs/' || (doc_id * 7) % 200
          || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)

@@ -28,7 +28,17 @@ MIN_ABS_SEC = 0.3  # ignore movers below this absolute time (noise)
 def load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
-    d = d.get("parsed", d)
+    # "parsed" may be present-but-null (the driver's truncated-tail
+    # case, e.g. BENCH_r10.json) — fall back to the record itself,
+    # and fail with a sentence instead of a KeyError/AttributeError
+    # when neither form carries a bench line.
+    d = d.get("parsed") or d
+    if not isinstance(d, dict) or "queries" not in d:
+        raise SystemExit(
+            f"{path}: no parsed bench line (driver 'parsed' is null and "
+            "the record itself has no 'queries' map) — re-run bench.py "
+            "or pick a round whose BENCH file parsed"
+        )
     if d.get("unit") == "ms":
         # round-11+ compact format (integer milliseconds, `calib_ms`)
         # — normalize to the seconds schema the comparisons use

@@ -1129,9 +1129,11 @@ def test_mixture_token_rebalance_exact_shares_and_exclusion(spark):
     floored = mixture_token_rebalance(df0, {"s0": 99, "s1": 1}, 10).collect()
     assert {r["source"] for r in floored} == {"s0"}
     # ...and a budget that floors EVERY share to 0 selects nothing
-    # (schema intact, no create_map()-of-nothing crash).
+    # with the SAME schema (an argless create_map() would flip
+    # src_budget to map<string,string>-derived STRING).
     empty = mixture_token_rebalance(df0, {"s0": 99, "s1": 1}, 0)
     assert empty.columns == ["doc_id", "source", "n_tok", "cum_tok", "src_budget"]
+    assert dict(empty.dtypes)["src_budget"] == "bigint"
     assert empty.count() == 0
 
     import pytest as _pytest
@@ -1386,18 +1388,22 @@ def test_dedup_paragraphs_global_sep_mode_first_doc_wins(spark):
     lexicographically smallest (doc_id, pos) — a duplicate WITHIN the
     first-seeing document keeps only its first position too."""
     rows = [
-        (0, "p\nq"),
+        (0, "p\n\nq"),     # contains a blank segment
         (1, "p\nr"),       # 'p' lost to doc 0
         (2, "q\nq\ns"),    # both 'q's lost to doc 0
         (3, "t\nt"),       # intra-doc dup of a fresh segment: pos 0 wins
+        (4, "u\n\nv"),     # blank segments are STRUCTURE: never deduped
+        (5, ""),           # empty doc: kept, nothing counted removed
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: (r.text_clean, r.n_removed)
            for r in text.dedup_paragraphs_global(df).collect()}
-    assert out[0] == ("p\nq", 0)
+    assert out[0] == ("p\n\nq", 0)
     assert out[1] == ("r", 1)
     assert out[2] == ("s", 2)
     assert out[3] == ("t", 1)
+    assert out[4] == ("u\n\nv", 0)
+    assert out[5] == ("", 0)
 
 
 def test_quality_tier_calibration_exact_ppm(spark):
