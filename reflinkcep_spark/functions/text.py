@@ -828,6 +828,161 @@ def dedup_paragraphs_global(
     )
 
 
+def _unit_shingles(u: Column, shingle_n: int) -> Column:
+    """Distinct ``shingle_n``-gram shingle set of one unit's token run
+    (the similarity alphabet of the fuzzy dedup pair).  A unit shorter
+    than ``shingle_n`` tokens contributes its whole run as a single
+    shingle, so short exact repeats are still caught — and an empty
+    unit only ever matches another empty unit."""
+    ut = F.filter(F.split(F.trim(u), r"\s+"), lambda t: t != "")
+    return F.when(
+        F.size(ut) >= shingle_n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ut) - F.lit(shingle_n - 1)),
+                lambda i: F.array_join(F.slice(ut, i, shingle_n), " "),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(ut, " ")))
+
+
+def dedup_paragraphs_global_fuzzy(
+    df: DataFrame,
+    sep: str = "\n",
+    unit_tokens: int | None = None,
+    threshold: tuple[int, int] = (1, 2),
+    shingle_n: int = 2,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-document NEAR-duplicate paragraph/line removal — the
+    remaining cell of the paragraph-dedup 2×2 (intra/cross ×
+    exact/fuzzy): syndicated boilerplate repeated ACROSS pages with
+    small mutations (dates, bylines, counters swapped per site),
+    which the cross-doc exact pass misses and the intra-doc fuzzy
+    pass cannot see.  A unit occurrence is removed iff SOME earlier
+    occurrence — ``(doc_id, pos)`` lexicographic, corpus-wide, same
+    document included, so this SUBSUMES the intra-doc any-earlier
+    rule — is near-duplicate: Jaccard over distinct ``shingle_n``-gram
+    sets ≥ ``threshold``, the same exact ``den·|A∩B| ≥ num·|A∪B|``
+    cross-multiply as :func:`dedup_paragraphs_fuzzy`.  Survivors are
+    reassembled in original order; empty units are exempt structure,
+    exactly as :func:`dedup_paragraphs_global`.
+
+    All-pairs across a corpus is corpus², so candidates come from a
+    shingle-keyed INVERTED INDEX with an ABSOLUTE posting cap:
+    shingles occurring in more than ``max_df`` unit occurrences are
+    dropped from the index (the :func:`reflinkcep_spark.functions
+    .dedup.ngram_jaccard_pairs` recall-for-cost trade — a unit ALL of
+    whose shingles are that hot never generates candidates; raise the
+    cap to trade cost for recall).  The cap is absolute, not a corpus
+    fraction, so replication probes measure like for like.
+
+    Scale shape — keyed exchanges over unit/posting tables only,
+    never corpus²: one combinable posting count (hot-shingle
+    detection), one anti join dropping hot postings, one shingle-
+    keyed self-join whose per-shingle fan-out is ≤ ``max_df``² by
+    construction (each side carries the unit's small shingle array,
+    ~``unit_tokens`` entries, so verification happens in the join
+    projection — no lookup joins), one distinct over removed
+    occurrences, one occurrence-keyed mark join, one doc-keyed
+    reassembly.  A same-pair match via several shared shingles
+    collapses in the removed-distinct, not in a pair-level dedup.
+
+    Returns ``(id_col, text_clean, n_removed)``, one row per input
+    document.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(
+            f"threshold must be a rational in (0, 1], got {num}/{den}"
+        )
+    if shingle_n < 1:
+        raise ValueError(f"shingle_n must be >= 1, got {shingle_n}")
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    units, joiner = _split_units(F.col(text_col), sep, unit_tokens)
+    occ = df.select(
+        F.col(id_col), F.posexplode(units).alias("pos", "unit")
+    )
+    post = (
+        occ.filter(F.col("unit") != "")  # empty units: structure, exempt
+        .select(
+            id_col,
+            "pos",
+            _unit_shingles(F.col("unit"), shingle_n).alias("__sh"),
+        )
+        .select(id_col, "pos", "__sh", F.explode("__sh").alias("__g"))
+    )
+    hot = (
+        post.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__g")
+    )
+    cold = post.join(hot, "__g", "left_anti")
+    a = cold.select(
+        F.col("__g"),
+        F.col(id_col).alias("__ida"),
+        F.col("pos").alias("__posa"),
+        F.col("__sh").alias("__sha"),
+    )
+    b = cold.select(
+        F.col("__g"),
+        F.col(id_col).alias("__idb"),
+        F.col("pos").alias("__posb"),
+        F.col("__sh").alias("__shb"),
+    )
+    earlier = (F.col("__ida") < F.col("__idb")) | (
+        (F.col("__ida") == F.col("__idb")) & (F.col("__posa") < F.col("__posb"))
+    )
+    near = (
+        F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+        * F.lit(int(den))
+        >= F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+        * F.lit(int(num))
+    )
+    removed = (
+        a.join(b, "__g")
+        .filter(earlier & near)
+        .select(F.col("__idb").alias(id_col), F.col("__posb").alias("pos"))
+        .distinct()
+        .withColumn("__removed", F.lit(True))
+    )
+    agg = (
+        occ.join(removed, [id_col, "pos"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__removed").isNull(),
+                        F.struct(F.col("pos"), F.col("unit")),
+                    )
+                )
+            ).alias("__kept_units"),
+            F.sum(F.when(F.col("__removed").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.array_join(
+                    F.transform("__kept_units", lambda s: s["unit"]), joiner
+                ),
+                F.lit(""),
+            ).alias("text_clean"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
 def _split_units(
     c: Column, sep: str, unit_tokens: int | None
 ) -> tuple[Column, str]:
@@ -916,18 +1071,7 @@ def dedup_paragraphs_fuzzy(
     units, joiner = _split_units(F.col(text_col), sep, unit_tokens)
 
     def _shingles(u: Column) -> Column:
-        ut = F.filter(F.split(F.trim(u), r"\s+"), lambda t: t != "")
-        return F.when(
-            F.size(ut) >= shingle_n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.size(ut) - F.lit(shingle_n - 1)
-                    ),
-                    lambda i: F.array_join(F.slice(ut, i, shingle_n), " "),
-                )
-            ),
-        ).otherwise(F.array(F.array_join(ut, " ")))
+        return _unit_shingles(u, shingle_n)
 
     def _near(a: Column, b: Column) -> Column:
         return (

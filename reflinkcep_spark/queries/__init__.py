@@ -31,6 +31,12 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #   doc_quality_calibration (pipeline.py + functions/text.py -- per-
 #                           source CCNet-tier mix vs corpus cutoffs,
 #                           exact-integer ppm share and lift)
+#   text_dedup_xdoc_fuzzy  (pipeline.py + functions/text.py -- CROSS-
+#                           document NEAR-dup unit removal, capped
+#                           shingle posting index; short name: the
+#                           bench line has a 1.9 kB rail)
+# Round-12 window arithmetic with FOUR registrations: 21 sit-outs +
+# 4 new + 50 r10-stale = 75 candidates for 50 slots -> 25 sit-outs.
 # Round-12 window arithmetic: 21 PLANNED_SITOUTS (r9 rows, 2 rounds
 # stale at r12 -- promote FIRST) + the r12 registrations + 50 r10-stale
 # = 71+ candidates for 50 slots -> ~24 named sit-outs from the r10 set.

@@ -2596,6 +2596,78 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+# --- cross-document NEAR-dup paragraph removal (PRE-STAGED for r12) ------
+#
+# text_dedup_xdoc_fuzzy is implemented and locally oracle-verified but
+# deliberately NOT registered this round (window full — see above).
+# Register it in the round-12 rotation.  (Short name by design: the
+# bench summary line has a 1.9 kB rail — bench.py:~28.)
+
+def text_dedup_xdoc_fuzzy(spark, sf_dir):
+    """CROSS-document NEAR-dup unit removal (functions/text.py
+    dedup_paragraphs_global_fuzzy) — the last cell of the paragraph-
+    dedup 2×2: syndicated near-boilerplate across pages.  Same 4-token
+    units / bigram shingles / exact 1/3 Jaccard cross-multiply as the
+    registered intra-doc fuzzy pass; candidates from a shingle-keyed
+    inverted index with an ABSOLUTE 64-posting cap (the
+    ngram_jaccard recall-for-cost trade — at this corpus's sf0.01 df
+    profile nothing is hot, so the gate exercises the full verify
+    path).  Scale shape: capped posting self-join + occurrence
+    distinct + mark/reassembly — see the operator docstring."""
+    return text.dedup_paragraphs_global_fuzzy(
+        _docs(spark, sf_dir), unit_tokens=4, threshold=(1, 3),
+        shingle_n=2, max_df=64,
+    )
+
+
+SQL_TEXT_DEDUP_XDOC_FUZZY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i, tk[i:i+3] AS u
+  FROM toks, UNNEST(generate_series(1, len(tk), 4)) AS s(i)
+),
+sh AS (
+  SELECT doc_id, i, array_to_string(u, ' ') AS chunk,
+         CASE WHEN len(u) >= 2
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(u) - 1),
+                     j -> u[j] || ' ' || u[j + 1]))
+              ELSE [array_to_string(u, ' ')]
+         END AS s
+  FROM ch
+),
+post AS (SELECT doc_id, i, s, unnest(s) AS g FROM sh),
+cold AS (
+  SELECT * FROM post
+  WHERE g NOT IN (SELECT g FROM post GROUP BY g HAVING COUNT(*) > 64)
+),
+dup AS (
+  SELECT b.doc_id, b.i
+  FROM cold a JOIN cold b ON a.g = b.g
+       AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.i < b.i))
+  WHERE 3 * len(list_intersect(a.s, b.s))
+        >= 1 * len(list_distinct(list_concat(a.s, b.s)))
+  GROUP BY b.doc_id, b.i
+),
+agg AS (
+  SELECT s.doc_id,
+         string_agg(s.chunk, ' ' ORDER BY s.i) FILTER (WHERE d.i IS NULL)
+           AS text_clean,
+         count(*) FILTER (WHERE d.i IS NOT NULL) AS n_removed
+  FROM sh s LEFT JOIN dup d USING (doc_id, i)
+  GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.n_removed, 0)::BIGINT AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --- per-source quality-tier calibration (PRE-STAGED for round 12) -------
 #
 # doc_quality_calibration is implemented and locally oracle-verified

@@ -97,6 +97,7 @@ AUDITED = [
     ("dedup_url_canonical", "URL dedup (pre-staged r12): canonicalization is a codegen projection on the scan, ONE map-side-combinable canonical_url-keyed agg, no UDF, no join"),
     ("text_dedup_paragraphs_global", "cross-doc unit dedup (pre-staged r12): posexplode, combinable MIN(struct) argmin per unit, unit-keyed join back, doc-keyed reassembly — 3 keyed exchanges over the unit-occurrence table, no Python"),
     ("doc_quality_calibration", "per-source tier calibration (pre-staged r12): quality_buckets pipeline with source riding the doc agg as a dependent key, then cell/group/bucket/total folds over the TIER table (bucket + total broadcast)"),
+    ("text_dedup_xdoc_fuzzy", "cross-doc NEAR-dup unit removal (pre-staged r12): capped shingle posting index, per-shingle fan-out <= cap^2, verify in the join projection, occurrence distinct + mark + reassembly, no Python"),
 ]
 
 

@@ -111,6 +111,7 @@ PROBES = [
     ("dedup_url_canonical", "documents"),
     ("text_dedup_paragraphs_global", "documents"),
     ("doc_quality_calibration", "documents"),
+    ("text_dedup_xdoc_fuzzy", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

@@ -71,9 +71,11 @@ def test_prestaged_round12_queries_match_oracles(spark):
         SQL_DEDUP_URL_CANONICAL,
         SQL_DOC_QUALITY_CALIBRATION,
         SQL_TEXT_DEDUP_PARAGRAPHS_GLOBAL,
+        SQL_TEXT_DEDUP_XDOC_FUZZY,
         dedup_url_canonical,
         doc_quality_calibration,
         text_dedup_paragraphs_global,
+        text_dedup_xdoc_fuzzy,
     )
     from tests.conftest import SF_DIR
 
@@ -85,6 +87,7 @@ def test_prestaged_round12_queries_match_oracles(spark):
     for fn, sql in (
         (dedup_url_canonical, SQL_DEDUP_URL_CANONICAL),
         (text_dedup_paragraphs_global, SQL_TEXT_DEDUP_PARAGRAPHS_GLOBAL),
+        (text_dedup_xdoc_fuzzy, SQL_TEXT_DEDUP_XDOC_FUZZY),
         (doc_quality_calibration, SQL_DOC_QUALITY_CALIBRATION),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())

@@ -1406,6 +1406,52 @@ def test_dedup_paragraphs_global_sep_mode_first_doc_wins(spark):
     assert out[5] == ("", 0)
 
 
+def test_dedup_paragraphs_global_fuzzy_cross_doc(spark):
+    """Cross-doc NEAR-dup removal: a later unit sharing >= 1/2 of its
+    bigram shingles with ANY earlier occurrence (other doc or same
+    doc) is removed; unrelated units survive; a unit whose every
+    shingle is capped out of the index is never a candidate."""
+    rows = [
+        (0, "a b c d"),    # shingles {ab, bc, cd}
+        (1, "a b c x"),    # {ab, bc, cx}: inter 2, union 4 -> removed
+        (2, "p q r s"),    # disjoint: kept
+        (3, "a b c d"),    # exact repeat of doc 0: removed
+        (4, ""),           # empty doc kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in text.dedup_paragraphs_global_fuzzy(
+               df, unit_tokens=4, threshold=(1, 2)).collect()}
+    assert out[0] == ("a b c d", 0)
+    assert out[1] == ("", 1)
+    assert out[2] == ("p q r s", 0)
+    assert out[3] == ("", 1)
+    assert out[4] == ("", 0)
+    # max_df=1 makes EVERY shared shingle hot -> no candidates at all
+    out_capped = {r.doc_id: r.n_removed
+                  for r in text.dedup_paragraphs_global_fuzzy(
+                      df, unit_tokens=4, threshold=(1, 2), max_df=1
+                  ).collect()}
+    assert all(v == 0 for v in out_capped.values())
+    # sep mode: blank segments are exempt structure, same as the
+    # exact cross-doc pass
+    df2 = spark.createDataFrame(
+        [(0, "x y\n\nz"), (1, "u v\n\nw")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: (r.text_clean, r.n_removed)
+            for r in text.dedup_paragraphs_global_fuzzy(df2).collect()}
+    assert out2[0] == ("x y\n\nz", 0)
+    assert out2[1] == ("u v\n\nw", 0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text.dedup_paragraphs_global_fuzzy(df, threshold=(0, 2))
+    with _pytest.raises(ValueError):
+        text.dedup_paragraphs_global_fuzzy(df, max_df=0)
+    with _pytest.raises(ValueError):
+        text.dedup_paragraphs_global_fuzzy(df, shingle_n=0)
+
+
 def test_quality_tier_calibration_exact_ppm(spark):
     """Hand-computed corpus (the quality_buckets boundary corpus with
     sources): cells, exact share_ppm = ⌊1e6·n_docs/n_group⌋ and
