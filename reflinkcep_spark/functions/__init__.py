@@ -13,6 +13,7 @@ from reflinkcep_spark.functions import (
     sampling,
     similarity,
     text,
+    web,
 )
 
-__all__ = ["dedup", "multimodal", "sampling", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "sampling", "similarity", "text", "web"]
