@@ -35,11 +35,13 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                           document NEAR-dup unit removal, capped
 #                           shingle posting index; short name: the
 #                           bench line has a 1.9 kB rail)
-# Round-12 window arithmetic with FOUR registrations: 21 sit-outs +
-# 4 new + 50 r10-stale = 75 candidates for 50 slots -> 25 sit-outs.
-# Round-12 window arithmetic: 21 PLANNED_SITOUTS (r9 rows, 2 rounds
-# stale at r12 -- promote FIRST) + the r12 registrations + 50 r10-stale
-# = 71+ candidates for 50 slots -> ~24 named sit-outs from the r10 set.
+#   sim_ann_pq             (pipeline.py + functions/similarity.py --
+#                           product-quantization ANN with asymmetric
+#                           distance, codebooks as plan literals)
+# Round-12 window arithmetic with FIVE registrations: 21
+# PLANNED_SITOUTS (r9 rows, 2 rounds stale at r12 -- promote FIRST) +
+# 5 new + 50 r10-stale = 76 candidates for 50 slots -> 26 named
+# sit-outs from the r10 set.
 #
 # Front of the driver's 50-entry check window (round 11 rotation),
 # executed exactly as pre-planned in round 10: FIRST the eighteen

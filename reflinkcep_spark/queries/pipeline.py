@@ -2668,6 +2668,123 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+# --- product-quantization ANN (PRE-STAGED for round 12) ------------------
+#
+# sim_ann_pq is implemented and locally oracle-verified but
+# deliberately NOT registered this round (window full — see above).
+# Register it in the round-12 rotation.
+
+def sim_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance
+    (functions/similarity.py pq_ann_topk — Jégou et al. 2011 / FAISS
+    IndexPQ): 64 float dims → 16 one-byte codes (16× payload cut;
+    the synthetic corpus's distance concentration wants the finer
+    16-subspace grid — see the recall test's measurement note),
+    query-time ranking over codes without decoding.  The per-subspace KMeans fit is
+    deterministic (seeded, id-ordered bounded sample), so the whole
+    pipeline — fit, encode, ADC, top-k — carries a DuckDB oracle with
+    recomputed codebooks embedded as literals (_sql_sim_ann_pq); code
+    agreement with the oracle checks encode AND scoring bit-for-bit.
+    Full-scan ADC by design (the cosine_topk shape over 32× smaller
+    payload); IVF-cell composition is the documented next step."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    out = similarity.pq_ann_topk(embs, queries, k=5, m_sub=16, ksub=16)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id", "adc"
+    )
+
+
+def _sql_sim_ann_pq(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for the full PQ/ADC pipeline: recompute the
+    IDENTICAL per-subspace codebooks offline (numpy k-means++/Lloyd,
+    seed 42+m, id-ordered sample — similarity._fit_pq_codebooks) and
+    embed them as one nested literal; encoding (argmin over
+    sub-centroids, ties to the lower code) and ADC (subspaces folded
+    left-to-right, dimensions folded left-to-right inside each) are
+    re-expressed in SQL with the same fold order bit-for-bit.  Lazy
+    like _sql_sim_ann_ivf: reads parquet + pays the KMeans fits only
+    when oracle_sql() is built."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    m_sub, ksub = 16, 16
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    order = np.argsort(np.array(tbl.column("vec_id").to_pylist()), kind="stable")
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)[order][
+        : 256 * ksub
+    ]
+    dim = X.shape[1]
+    dsub = dim // m_sub
+    books = [
+        similarity._fit_centroids(X[:, m * dsub : (m + 1) * dsub], ksub, 42 + m)
+        for m in range(m_sub)
+    ]
+    cb = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in ctr) + "]" for ctr in book
+            )
+            + "]"
+            for book in books
+        )
+        + "]"
+    )
+    # squared distance of subvector m of `vec` to sub-centroid kk
+    # (both 0-based), exact left-to-right fold — `vec` is a SQL
+    # identifier spliced in so the same expression serves encode (v)
+    # and ADC (qv)
+    def _subsq(vec: str, kk: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dsub + 1}), "
+            f"j -> ({vec}[m * {dsub} + j] - CB[m + 1][({kk}) + 1][j]) "
+            f"* ({vec}[m * {dsub} + j] - CB[m + 1][({kk}) + 1][j]))), "
+            f"(a, b) -> a + b)"
+        )
+
+    encode = (
+        f"list_transform(range(0, {m_sub}), m -> "
+        f"list_transform(list_sort(list_transform(range(0, {ksub}), "
+        f"kk -> {{'d': {_subsq('v', 'kk')}, 'k': kk}})), s -> s.k)[1])"
+    )
+    adc = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(0, {m_sub}), "
+        f"m -> {_subsq('qv', 'code[m + 1]')})), (a, b) -> a + b)"
+    )
+    return f"""
+WITH cbt AS (SELECT {cb} AS CB),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+enc AS (
+  SELECT vec_id AS neighbor_id, {encode} AS code FROM c, cbt
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.neighbor_id, {adc} AS adc
+  FROM enc e, q, cbt
+  WHERE e.neighbor_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, neighbor_id, ROUND(adc, 6) AS adc
+FROM r WHERE rnk <= 5
+"""
+
+
 # --- per-source quality-tier calibration (PRE-STAGED for round 12) -------
 #
 # doc_quality_calibration is implemented and locally oracle-verified

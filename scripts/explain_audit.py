@@ -98,6 +98,7 @@ AUDITED = [
     ("text_dedup_paragraphs_global", "cross-doc unit dedup (pre-staged r12): posexplode, combinable MIN(struct) argmin per unit, unit-keyed join back, doc-keyed reassembly — 3 keyed exchanges over the unit-occurrence table, no Python"),
     ("doc_quality_calibration", "per-source tier calibration (pre-staged r12): quality_buckets pipeline with source riding the doc agg as a dependent key, then cell/group/bucket/total folds over the TIER table (bucket + total broadcast)"),
     ("text_dedup_xdoc_fuzzy", "cross-doc NEAR-dup unit removal (pre-staged r12): capped shingle posting index, per-shingle fan-out <= cap^2, verify in the join projection, occurrence distinct + mark + reassembly, no Python"),
+    ("sim_ann_pq", "PQ/ADC ANN (pre-staged r12): codebook literal, encode = codegen argmin projection, broadcast query side, ADC in the join projection, one window top-k — no UDF, no lookup joins"),
 ]
 
 

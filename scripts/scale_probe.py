@@ -112,6 +112,7 @@ PROBES = [
     ("text_dedup_paragraphs_global", "documents"),
     ("doc_quality_calibration", "documents"),
     ("text_dedup_xdoc_fuzzy", "documents"),
+    ("sim_ann_pq", "embeddings"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

@@ -72,15 +72,17 @@ def test_prestaged_round12_queries_match_oracles(spark):
         SQL_DOC_QUALITY_CALIBRATION,
         SQL_TEXT_DEDUP_PARAGRAPHS_GLOBAL,
         SQL_TEXT_DEDUP_XDOC_FUZZY,
+        _sql_sim_ann_pq,
         dedup_url_canonical,
         doc_quality_calibration,
+        sim_ann_pq,
         text_dedup_paragraphs_global,
         text_dedup_xdoc_fuzzy,
     )
     from tests.conftest import SF_DIR
 
     con = duckdb.connect()
-    for t in ("documents",):
+    for t in ("documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
         )
@@ -89,6 +91,10 @@ def test_prestaged_round12_queries_match_oracles(spark):
         (text_dedup_paragraphs_global, SQL_TEXT_DEDUP_PARAGRAPHS_GLOBAL),
         (text_dedup_xdoc_fuzzy, SQL_TEXT_DEDUP_XDOC_FUZZY),
         (doc_quality_calibration, SQL_DOC_QUALITY_CALIBRATION),
+        # lazy oracle: codebooks must be refit for THIS sf_dir (the
+        # registered form resolves the default oracle SF via the env,
+        # exactly like sim_ann_ivf)
+        (sim_ann_pq, _sql_sim_ann_pq(SF_DIR)),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

@@ -80,6 +80,48 @@ def test_ivf_recall_against_exact_topk(spark, embs):
         assert -1.0 <= r["sim"] <= 1.0
 
 
+def test_pq_adc_recall_and_exactness(spark, embs):
+    """PQ/ADC ranks by APPROXIMATE squared L2, so the gate compares
+    against the exact squared-L2 top-k (not cosine — PQ quantizes the
+    metric it ranks by): top-5 overlap must clear the floor, the ADC
+    value must be a genuine non-negative distance, and encoding must
+    be deterministic across invocations (seeded fit on an id-ordered
+    sample)."""
+    import numpy as np
+
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    exact_set = set()
+    for qi in np.where(ids < 8)[0]:
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        # ties to the smaller id, like the operator
+        order = np.lexsort((ids, d))
+        exact_set.update((int(ids[qi]), int(ids[j])) for j in order[:5])
+
+    queries = embs.filter(F.col("vec_id") < 8)
+    pq1 = similarity.pq_ann_topk(embs, queries, k=5, m_sub=16, ksub=16)
+    got1 = {(r["query_id"], r["neighbor_id"]) for r in pq1.collect()}
+    # Near-random 64-dim vectors are PQ-adversarial: NN distances
+    # concentrate (all pairs nearly equidistant), so quantization
+    # error swamps the tiny rank-deciding differences — measured
+    # recall 0.25 at m=16/ksub=16 (vs 0.175 at 8/16, 0.275 at 8/64).
+    # Real embedding corpora have the cluster structure PQ exploits;
+    # CORRECTNESS of encode+ADC is pinned exactly by the DuckDB
+    # oracle, so this gate only guards against gross rank breakage.
+    assert len(got1 & exact_set) / len(exact_set) >= 0.15
+    for r in pq1.collect():
+        assert r["adc"] >= 0.0
+    # determinism: a second fit+encode+rank pass is identical
+    pq2 = similarity.pq_ann_topk(embs, queries, k=5, m_sub=16, ksub=16)
+    assert sorted(map(tuple, pq1.collect())) == sorted(map(tuple, pq2.collect()))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.pq_ann_topk(embs, queries, m_sub=7)  # 64 % 7 != 0
+
+
 def test_multimodal_fake_decoder_plumbing(spark, docs):
     payloads = docs.select(
         F.col("doc_id").alias("item_id"), F.encode("text", "UTF-8").alias("payload")
