@@ -83,6 +83,72 @@ def test_dedup_by_url_groups(spark):
     assert got == {"h.io/a?x=1": (1, 2), "h.io/b": (4, 0)}
 
 
+def test_canonical_url_idempotent_and_alias_invariant(spark):
+    """Two properties over 300 seeded random URLs, checked in ONE
+    Spark pass each (not per-example — Arrow round-trips dominate
+    otherwise):
+
+    * idempotence: canonical(canonical(u)) == canonical(u) — the
+      canonical form is a fixed point, so re-canonicalizing an
+      already-deduped feed is a no-op;
+    * alias invariance: every member of a URL's alias class (scheme
+      added/flipped, one www., a default port, trailing slashes, a
+      fragment, tracking params injected at random positions, real
+      params shuffled) canonicalizes to the base's canonical form.
+    """
+    import random
+
+    rng = random.Random(20260815)
+    hosts = ["example.com", "News.Example.org", "a.b.io", "x-y.net:8080"]
+    paths = ["", "/", "/a", "/a/B/c", "/p%20q"]
+    params = [[], ["id=7"], ["a=1", "b=2"], ["z=", "flag"]]
+    bases = []
+    for _ in range(300):
+        h = rng.choice(hosts)
+        p = rng.choice(paths)
+        q = list(rng.choice(params))
+        rng.shuffle(q)
+        bases.append(h + p + (("?" + "&".join(q)) if q else ""))
+
+    def alias(u):
+        h, sep, rest = u.partition("/")
+        q_at = u.find("?")
+        pre, q = (u, "") if q_at < 0 else (u[:q_at], u[q_at + 1:])
+        qparts = [x for x in q.split("&") if x]
+        rng.shuffle(qparts)
+        for t in rng.sample(
+            ["utm_source=x", "fbclid=abc", "REF=feed"], rng.randint(0, 3)
+        ):
+            qparts.insert(rng.randint(0, len(qparts)), t)
+        host_path = pre
+        if ":8080" not in host_path.split("/")[0] and rng.random() < 0.5:
+            hp = host_path.split("/", 1)
+            hp[0] += rng.choice([":80", ":443"])
+            host_path = "/".join(hp)
+        if rng.random() < 0.5 and "/" in host_path:
+            host_path = host_path.rstrip("/") + "/" * rng.randint(1, 3)
+        out = (
+            rng.choice(["", "http://", "HTTPS://", "https://"])
+            + rng.choice(["", "www.", "WWW."])
+            + (host_path[0].upper() + host_path[1:] if rng.random() < 0.5 else host_path)
+            + (("?" + "&".join(qparts)) if qparts else "")
+            + rng.choice(["", "#frag", "#a#b"])
+        )
+        return out
+
+    rows = [(i, b, alias(b)) for i, b in enumerate(bases)]
+    df = spark.createDataFrame(rows, "i long, base string, aliased string")
+    out = df.select(
+        "i",
+        web.canonical_url("base").alias("c1"),
+        web.canonical_url(web.canonical_url("base")).alias("c2"),
+        web.canonical_url("aliased").alias("ca"),
+    ).collect()
+    for r in out:
+        assert r["c2"] == r["c1"], (r["i"], r["c1"], r["c2"])
+        assert r["ca"] == r["c1"], (r["i"], rows[r["i"]], r["c1"], r["ca"])
+
+
 def test_dedup_by_url_plan_is_one_aggregate(spark):
     """The canonicalization must stay a codegen projection: exactly one
     exchange (the group-by), no UDF, no join in the plan."""
