@@ -51,6 +51,18 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _sq_dist_expr(a, b):
+    """Squared L2 distance of two double arrays as a sequential
+    left-to-right fold — the exact fold order every IVF/PQ oracle
+    mirrors with list_reduce; shared so a fold tweak can never drift
+    between the centroid-assignment and ADC paths."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
@@ -206,6 +218,25 @@ def _fit_centroids(X, n_cells: int, seed: int, iters: int = 25):
     return centers
 
 
+def _fit_sample(c: DataFrame, max_rows: int, vec_col: str, id_col: str):
+    """The quantizer-fit sampling contract shared by the IVF coarse
+    quantizer and the PQ codebooks: a BOUNDED, id-ordered sample
+    collected once through Arrow.  The id-ordered prefix is
+    deterministic under ANY partitioning (repartitioned input, AQE,
+    retries) — a bare limit() is not — so fitted centers are
+    reproducible, including by an external oracle.  TakeOrdered =
+    scan + per-partition heap of max_rows: one cheap pass at any
+    scale.  Returns the sample as a float64 numpy matrix."""
+    import numpy as np
+
+    sample = (
+        c.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__id")
+        .limit(max_rows)
+    )
+    return np.array(sample.toPandas()["__v"].tolist(), dtype=np.float64)
+
+
 def _fit_cell_centers(
     c: DataFrame,
     n_cells: int,
@@ -216,26 +247,15 @@ def _fit_cell_centers(
     id_col: str,
 ) -> list[list[float]]:
     """The shared coarse-quantizer front end of :func:`ivf_ann_topk`
-    and :func:`semantic_dedup`: fit KMeans centers on a BOUNDED,
-    order-canonical sample (default 256 rows per cell, the standard
-    IVF training budget), collected once through Arrow and fit with
-    vectorized numpy Lloyd's on the driver — a coarse quantizer needs
-    a sample, not the corpus.  The id-ordered prefix is deterministic
-    under ANY partitioning (repartitioned input, AQE, retries) — a
-    bare limit() is not — so the fitted centroids are reproducible,
-    including by an external oracle.  TakeOrdered = scan + per-
-    partition heap of max_fit_rows: one cheap pass at any scale."""
-    import numpy as np
-
+    and :func:`semantic_dedup`: fit KMeans centers on the bounded,
+    order-canonical :func:`_fit_sample` (default 256 rows per cell,
+    the standard IVF training budget) with vectorized numpy Lloyd's
+    on the driver — a coarse quantizer needs a sample, not the
+    corpus."""
     if max_fit_rows is None:
         max_fit_rows = 256 * n_cells
     fit_input = c.sample(fit_sample, seed=seed) if fit_sample else c
-    sample = (
-        fit_input.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .orderBy("__id")
-        .limit(max_fit_rows)
-    )
-    X = np.array(sample.toPandas()["__v"].tolist(), dtype=np.float64)
+    X = _fit_sample(fit_input, max_fit_rows, vec_col, id_col)
     return [[float(x) for x in ctr] for ctr in _fit_centroids(X, n_cells, seed)]
 
 
@@ -246,13 +266,7 @@ def _nearest_cells_expr(centers: list[list[float]]):
     instead of thousands, so plan analysis/codegen time collapses —
     and assignment is JVM-side expression work, no join."""
     cent_arr = F.lit(centers)
-
-    def _sq_dist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    _sq_dist = _sq_dist_expr
 
     def _nearest_cells(vec, n):
         ranked = F.array_sort(
@@ -348,16 +362,13 @@ def _fit_pq_codebooks(
     ``m_sub × ksub × (dim/m_sub)`` floats — e.g. 8×16×8 = 1 KiB of
     codebook for 64-dim vectors, the whole "index" a broadcastable
     literal."""
-    import numpy as np
-
+    if m_sub < 1:
+        raise ValueError(f"m_sub must be >= 1, got {m_sub}")
     if max_fit_rows is None:
         max_fit_rows = 256 * ksub
-    sample = (
-        c.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .orderBy("__id")
-        .limit(max_fit_rows)
-    )
-    X = np.array(sample.toPandas()["__v"].tolist(), dtype=np.float64)
+    X = _fit_sample(c, max_fit_rows, vec_col, id_col)
+    if X.size == 0:
+        raise ValueError("cannot fit PQ codebooks on an empty corpus")
     dim = X.shape[1]
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -421,14 +432,13 @@ def pq_ann_topk(
         c, m_sub, ksub, seed, max_fit_rows, vec_col, id_col
     )
     dsub = len(books[0][0])
+    # a sample smaller than ksub yields fewer centroids — the code
+    # range must follow the CODEBOOK, not the requested ksub, or
+    # zip_with null-pads and the null-distance struct wins the argmin
+    # (the _nearest_cells_expr len(centers) rule)
+    ksub_actual = len(books[0])
     cb = F.lit(books)
-
-    def _sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    _sq = _sq_dist_expr
 
     def _sub(vec, m):
         # m is 0-based (int or Column); slice() start is 1-based
@@ -441,7 +451,7 @@ def pq_ann_topk(
                 F.array_sort(
                     F.zip_with(
                         F.element_at(cb, m + 1),
-                        F.sequence(F.lit(0), F.lit(ksub - 1)),
+                        F.sequence(F.lit(0), F.lit(ksub_actual - 1)),
                         lambda ctr, kk: F.struct(
                             _sq(_sub(vec, m), ctr).alias("d"),
                             kk.alias("k"),

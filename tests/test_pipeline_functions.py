@@ -101,8 +101,10 @@ def test_pq_adc_recall_and_exactness(spark, embs):
         exact_set.update((int(ids[qi]), int(ids[j])) for j in order[:5])
 
     queries = embs.filter(F.col("vec_id") < 8)
-    pq1 = similarity.pq_ann_topk(embs, queries, k=5, m_sub=16, ksub=16)
-    got1 = {(r["query_id"], r["neighbor_id"]) for r in pq1.collect()}
+    rows1 = similarity.pq_ann_topk(
+        embs, queries, k=5, m_sub=16, ksub=16
+    ).collect()
+    got1 = {(r["query_id"], r["neighbor_id"]) for r in rows1}
     # Near-random 64-dim vectors are PQ-adversarial: NN distances
     # concentrate (all pairs nearly equidistant), so quantization
     # error swamps the tiny rank-deciding differences — measured
@@ -111,15 +113,28 @@ def test_pq_adc_recall_and_exactness(spark, embs):
     # CORRECTNESS of encode+ADC is pinned exactly by the DuckDB
     # oracle, so this gate only guards against gross rank breakage.
     assert len(got1 & exact_set) / len(exact_set) >= 0.15
-    for r in pq1.collect():
-        assert r["adc"] >= 0.0
+    assert all(r["adc"] >= 0.0 for r in rows1)
     # determinism: a second fit+encode+rank pass is identical
-    pq2 = similarity.pq_ann_topk(embs, queries, k=5, m_sub=16, ksub=16)
-    assert sorted(map(tuple, pq1.collect())) == sorted(map(tuple, pq2.collect()))
+    rows2 = similarity.pq_ann_topk(
+        embs, queries, k=5, m_sub=16, ksub=16
+    ).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+
+    # a corpus SMALLER than ksub fits fewer centroids; the code range
+    # must follow the codebook, not the requested ksub (regression:
+    # zip_with null-padding let the null-distance struct win argmin
+    # and the out-of-range code blew up element_at in the ADC)
+    tiny = embs.filter(F.col("vec_id") < 4)
+    small = similarity.pq_ann_topk(
+        tiny, tiny, k=2, m_sub=2, ksub=16
+    ).collect()
+    assert small and all(r["adc"] >= 0.0 for r in small)
 
     import pytest as _pytest
     with _pytest.raises(ValueError):
         similarity.pq_ann_topk(embs, queries, m_sub=7)  # 64 % 7 != 0
+    with _pytest.raises(ValueError, match="empty corpus"):
+        similarity.pq_ann_topk(embs.filter(F.lit(False)), queries)
 
 
 def test_multimodal_fake_decoder_plumbing(spark, docs):

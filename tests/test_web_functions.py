@@ -111,7 +111,6 @@ def test_canonical_url_idempotent_and_alias_invariant(spark):
         bases.append(h + p + (("?" + "&".join(q)) if q else ""))
 
     def alias(u):
-        h, sep, rest = u.partition("/")
         q_at = u.find("?")
         pre, q = (u, "") if q_at < 0 else (u[:q_at], u[q_at + 1:])
         qparts = [x for x in q.split("&") if x]
