@@ -12,8 +12,9 @@ from reflinkcep_spark.functions import (
     multimodal,
     sampling,
     similarity,
+    sketch,
     text,
     web,
 )
 
-__all__ = ["dedup", "multimodal", "sampling", "similarity", "text", "web"]
+__all__ = ["dedup", "multimodal", "sampling", "similarity", "sketch", "text", "web"]

@@ -29,6 +29,7 @@ __all__ = [
     "ivf_ann_topk",
     "embedding_neardup_pairs",
     "semantic_dedup",
+    "kmeans_fixedpoint",
 ]
 
 
@@ -664,4 +665,116 @@ def semantic_dedup(
             F.col("m.dup_of").alias("dup_of"),
             F.col("m.dup_of").isNull().alias("keep"),
         )
+    )
+
+
+def kmeans_fixedpoint(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column in FIXED-POINT
+    arithmetic — the iterative-algorithm pattern (assign → recenter →
+    reassign) expressed as a declarative DataFrame chain, with every
+    step bit-reproducible across engines.
+
+    Floating-point Lloyd is NOT portable: centroid means are
+    summation-order-dependent, so two engines (or two shuffles) can
+    flip an argmin on a near-tie.  Here each vector is quantized once
+    to integers (``floor(v · scale)`` — floor, not round: the engines'
+    half-way rules differ), distances are exact integer sums of
+    squares, centroid updates are exact floor divisions (the
+    ``(s - pmod(s, n)) / n`` identity, since ``//`` truncates toward
+    zero in both engines), and argmin ties break toward the lower
+    cluster id via struct-min ordering.  Initialization is the
+    quantized vectors of ids ``0..k-1`` — deterministic, no RNG.
+
+    Semantics: ``iters`` assignment rounds with a recenter between
+    consecutive rounds (so ``iters=2`` is assign → update → assign).
+    A cluster that captures no vectors in a round simply drops out of
+    the next round's centroid set — identically on every engine, and
+    documented rather than papered over (k-means++ style reseeding is
+    RNG territory).  Returns one row per surviving cluster:
+    (cluster, n_vecs, inertia), inertia the exact integer sum of
+    squared quantized distances of the final assignment.
+
+    Scale shape per iteration: ONE broadcast of ≤ k centroid rows
+    against the corpus (a map-side crossJoin — the corpus never
+    shuffles to be assigned), one min-struct aggregate keyed on the
+    vector id (map-side combinable to a single row per vector), and
+    one (cluster, dim) re-aggregation whose output is k·d cells
+    regardless of corpus size.  That is the canonical 1000-executor
+    k-means plan; ``iters`` is a small constant so lineage stays
+    shallow (no checkpoint needed).
+
+    Overflow rails: |coord| ≤ C after quantization gives per-row
+    distance ≤ d·(2C)² and corpus inertia ≤ N·d·(2C)² — with C ~ 10⁴,
+    d = 64, that holds to N ~ 10⁹ rows per int64; raise ``scale``
+    only with the rail in mind.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    q = _as_double(df, vec_col).select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.transform(F.col(vec_col), lambda x: F.floor(x * F.lit(float(scale)))).alias("q"),
+    )
+    cent = q.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cluster"), F.col("q").alias("c")
+    )
+
+    def _sq_int(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    assigned = None
+    for it in range(iters):
+        assigned = (
+            q.crossJoin(F.broadcast(cent))
+            .select(
+                "vid",
+                # min over (d, cluster, q): (d, cluster) is unique per
+                # candidate row, so q merely rides along to the update
+                # step without a second join.
+                F.struct(
+                    _sq_int(F.col("q"), F.col("c")).alias("d"),
+                    F.col("cluster").alias("cluster"),
+                    F.col("q").alias("q"),
+                ).alias("dcq"),
+            )
+            .groupBy("vid")
+            .agg(F.min("dcq").alias("dcq"))
+        )
+        if it < iters - 1:
+            sums = (
+                assigned.select(
+                    F.col("dcq.cluster").alias("cluster"),
+                    F.posexplode(F.col("dcq.q")).alias("dim", "val"),
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            )
+            cent = (
+                sums.withColumn(
+                    "cv",
+                    ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long"),
+                )
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                        lambda t: t["cv"],
+                    ).alias("c")
+                )
+            )
+    return assigned.groupBy(F.col("dcq.cluster").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("dcq.d")).alias("inertia"),
     )

@@ -1,0 +1,249 @@
+"""Mergeable sketches for corpus statistics at 100 TB scale.
+
+Two sketches whose *registers* — not just their final estimates — are
+exact integers reproducible bit-for-bit by any engine that shares the
+hash (the frozen md5 of the rest of this repo):
+
+* :func:`hll_registers` — HyperLogLog register table (Flajolet et al.
+  2007).  The distinct-token count of a 100 TB corpus is the first
+  number every dataset card reports, and computing it exactly costs a
+  corpus-wide shuffle on the token.  HLL replaces that with a
+  fixed-size register vector per group that merges with ``MAX`` —
+  embarrassingly map-side-combinable, and register tables from
+  disjoint shards/sources roll up without rescanning (the per-source
+  rows and the corpus ``(all)`` row in the output are the SAME
+  aggregate at two grouping levels, which is the mergeability claim
+  made checkable).
+* :func:`bloom_bits` / :func:`bloom_gate` — Bloom-filter membership
+  gate (Bloom 1970), here instantiated as benchmark decontamination:
+  the *other* scale regime from ``dedup.contaminated_docs``.  The
+  semi-join decontam broadcasts the benchmark gram SET (fine for eval
+  suites, linear in distinct grams); the Bloom gate broadcasts a
+  fixed ``m``-bit array regardless of how many grams went in — the
+  right shape when the "seen" side is itself huge (a prior crawl's
+  gram inventory, a URL blocklist of billions).  The price is a
+  deterministic false-positive rate; there are NO false negatives,
+  so as a *pre*-filter it never lets contamination through.
+
+Both engines (Spark and the DuckDB oracle) compute the same md5-derived
+buckets, registers, and bit positions, so outputs — including any Bloom
+false positives — match exactly.  No approximation ambiguity hides in
+the gate: the sketch itself is deterministic; only its *interpretation*
+(the cardinality estimate, the FP rate) is approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_registers", "bloom_bits", "bloom_gate"]
+
+# 15 hex chars = 60 bits: fits a signed 64-bit integer in BOTH engines
+# (DuckDB's ('0x'||…)::BIGINT and Spark's conv(…, 16, 10) cast), the
+# same frozen idiom as sampling.py's md5 order keys.
+_VALUE_HEX = 15
+_VALUE_BITS = 4 * _VALUE_HEX
+
+
+def _hex_slice(col: Column, start: int, length: int) -> Column:
+    """``length`` hex chars of md5(col) starting at 1-based ``start``,
+    as a non-negative BIGINT (length ≤ 15 so the sign bit stays 0)."""
+    if length > _VALUE_HEX:
+        raise ValueError(f"hex slice longer than {_VALUE_HEX} overflows BIGINT")
+    return F.conv(F.substring(F.md5(col), start, length), 16, 10).cast("long")
+
+
+def hll_registers(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    buckets: int = 64,
+    rollup_label: str = "(all)",
+) -> DataFrame:
+    """HyperLogLog register table over the word tokens of ``text_col``,
+    per ``group_col`` AND rolled up to one corpus-level group
+    (``rollup_label``) — (group, bucket, register, n_tokens), all
+    BIGINT.
+
+    Register construction (the classical split-hash form): bucket =
+    md5 hex chars 16-17 mod ``buckets`` (disjoint from the value
+    bits), value = hex chars 1-15 (60 bits), register = number of
+    leading zeros of the 60-bit value + 1 (i.e. ``61 - bitlength``,
+    with the probability-2⁻⁶⁰ all-zero value pinned to 61 explicitly).
+    The estimate is then the textbook ``α·m²/Σ2^-Mj`` downstream; this
+    operator deliberately emits the REGISTERS, not the estimate — the
+    float harmonic sum is summation-order-dependent across engines,
+    while the register table is exact, and registers are what a
+    warehouse stores anyway (they keep merging; an estimate doesn't).
+
+    Token rows are NOT deduplicated first: a register is a ``MAX`` over
+    hash ranks, so duplicate tokens cannot change it — the whole reason
+    HLL beats exact COUNT(DISTINCT) at scale is that no distinct
+    shuffle ever happens.  ``n_tokens`` counts token INSTANCES hashed
+    into the bucket (a load diagnostic, order-independent).
+
+    Scale shape: scan → token explode → ONE map-side-combinable MAX/
+    COUNT aggregate over ≤ (groups+1)·``buckets`` cells (the rollup
+    level rides the same shuffle via grouping sets, not a second
+    scan).  Output is O(groups·buckets) regardless of corpus size.
+    Buckets a group never hashed into are absent rather than emitted
+    as zero rows — at 64 buckets and thousands of tokens per group
+    every bucket is occupied in practice, and absence is reproduced
+    identically by any engine sharing the hash.
+    """
+    from reflinkcep_spark.functions.text import tokens
+
+    if buckets < 1 or buckets > 256 * 256:
+        raise ValueError(f"buckets must be in [1, 65536], got {buckets}")
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    zero_hex = "0" * _VALUE_HEX
+    reg = (
+        F.when(
+            F.substring(F.md5("t"), 1, _VALUE_HEX) == F.lit(zero_hex),
+            F.lit(_VALUE_BITS + 1),
+        )
+        .otherwise(
+            _VALUE_BITS + 1 - F.length(F.conv(F.substring(F.md5("t"), 1, _VALUE_HEX), 16, 2))
+        )
+        .cast("long")
+    )
+    hashed = tok.select(
+        "grp",
+        (_hex_slice(F.col("t"), _VALUE_HEX + 1, 4) % buckets).alias("bucket"),
+        reg.alias("r"),
+    )
+    # Grouping sets would do this in one pass; the DataFrame API route
+    # (union of two groupBys over the same cached-narrow input) keeps
+    # the plan readable and AQE still map-side-combines both arms.
+    per_group = hashed.groupBy("grp", "bucket")
+    roll = hashed.groupBy("bucket")
+    agg = [
+        F.max("r").alias("register"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    ]
+    out = per_group.agg(*agg).unionByName(
+        roll.agg(*agg).withColumn("grp", F.lit(rollup_label))
+    )
+    return out.select(
+        F.col("grp").alias(group_col), "bucket", "register", "n_tokens"
+    )
+
+
+def bloom_bits(
+    grams: DataFrame,
+    gram_col: str = "g",
+    m_bits: int = 4096,
+    word_bits: int = 32,
+) -> DataFrame:
+    """Build an ``m_bits``-wide Bloom filter from the values of
+    ``gram_col`` as (w, bits) words — w = bit-position // word_bits,
+    bits = OR of 1 << (position % word_bits).
+
+    Two hash functions per value, from disjoint md5 hex slices (chars
+    1-15 and 17-31) mod ``m_bits`` — independent enough for the
+    classical FP bound ``(1-e^{-2n/m})²`` and, more importantly here,
+    reproducible by any engine with md5.  ``word_bits`` ≤ 32 keeps
+    every mask positive in a signed 64-bit container, sidestepping
+    engine disagreements about shifts into the sign bit.
+
+    ONE map-side-combinable BIT_OR aggregate over ≤ m_bits/word_bits
+    cells; words no gram hashed into are absent (callers must treat a
+    missing word as 0 — :func:`bloom_gate` does).
+    """
+    if m_bits % word_bits != 0:
+        raise ValueError(f"m_bits {m_bits} must be a multiple of word_bits {word_bits}")
+    if not (1 <= word_bits <= 32):
+        raise ValueError(f"word_bits must be in [1, 32], got {word_bits}")
+    g = F.col(gram_col)
+    rows = grams.select(
+        F.explode(
+            F.array(
+                _hex_slice(g, 1, _VALUE_HEX) % m_bits,
+                _hex_slice(g, _VALUE_HEX + 2, _VALUE_HEX) % m_bits,
+            )
+        ).alias("p")
+    )
+    return (
+        # positions are non-negative, so p % w == floor-mod and
+        # (p - p%w)/w is the exact word index; the shift amount must be
+        # an expression (pyspark's classic shiftleft only takes literal
+        # numBits), hence F.expr over the named column.
+        rows.select(
+            ((F.col("p") - F.pmod("p", F.lit(word_bits))) / word_bits)
+            .cast("long")
+            .alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, {word_bits}) AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_gate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    m_bits: int = 4096,
+    word_bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter decontamination gate: corpus documents whose word
+    ``n``-grams hit the Bloom filter built from ``benchmark``'s
+    ``n``-grams — (doc_id, n_flagged_grams), flagged docs only.
+
+    Same gram closure as ``dedup.contaminated_docs`` (shared
+    ``_distinct_gram_rows``), different membership machinery: the
+    benchmark side collapses to a FIXED-SIZE bit array (m_bits/
+    word_bits words) broadcast twice — once per hash — so probe cost
+    is two broadcast-hash-joins on a ≤128-row build side and the
+    corpus never shuffles until the final per-doc count.  A gram is
+    flagged iff BOTH its bits are set; per-doc counts therefore
+    include the filter's deterministic false positives, identically
+    on any engine sharing md5 (the registered query's oracle checks
+    FP-for-FP).  No false negatives: every truly-leaked gram is
+    counted (property-tested against the exact semi-join).
+
+    Use this shape when the "seen" side outgrows a broadcastable set
+    — the m_bits knob trades broadcast size against FP rate
+    independently of how many grams went in.
+    """
+    from reflinkcep_spark.functions.dedup import _distinct_gram_rows
+
+    bench_grams = _distinct_gram_rows(benchmark, n, text_col, id_col, hashed=False)
+    bloom = F.broadcast(
+        bloom_bits(bench_grams.select("g").distinct(), "g", m_bits, word_bits)
+    )
+    probe = _distinct_gram_rows(corpus, n, text_col, id_col, hashed=False).select(
+        "doc_id",
+        (_hex_slice(F.col("g"), 1, _VALUE_HEX) % m_bits).alias("p1"),
+        (_hex_slice(F.col("g"), _VALUE_HEX + 2, _VALUE_HEX) % m_bits).alias("p2"),
+    )
+
+    def _word(p: Column) -> Column:
+        return ((p - F.pmod(p, F.lit(word_bits))) / word_bits).cast("long")
+
+    def _mask(p_name: str) -> Column:
+        return F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p_name}, {word_bits}) AS INT))"
+        )
+
+    b1 = bloom.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    b2 = bloom.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
+    hit = (
+        probe.withColumn("w1", _word(F.col("p1")))
+        .withColumn("w2", _word(F.col("p2")))
+        .join(b1, "w1")  # inner: a missing word is 0 bits — cannot match
+        .join(b2, "w2")
+        .filter(
+            (F.col("bits1").bitwiseAND(_mask("p1")) != 0)
+            & (F.col("bits2").bitwiseAND(_mask("p2")) != 0)
+        )
+    )
+    return hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_flagged_grams"))

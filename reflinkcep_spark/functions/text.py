@@ -32,6 +32,7 @@ __all__ = [
     "dedup_paragraphs_fuzzy",
     "pii_counts",
     "scrub_pii",
+    "merge_spans",
     "BPE_ISH_PATTERN",
     "PII_PATTERNS",
     "STOPWORDS",
@@ -1119,4 +1120,66 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         punct_count(c).alias("n_punct"),
         quality_score(c).alias("quality"),
         fingerprint_md5(c).alias("fingerprint"),
+    )
+
+
+def merge_spans(spans: Column) -> Column:
+    """Union of half-open integer intervals — consolidate annotation
+    spans (array<struct<s, e>>) into their minimal disjoint cover,
+    sorted by start.
+
+    The Dolma-style attribute pipeline emits one span list per tagger
+    (PII hits, quality slices, scrub targets); before any text surgery
+    the spans must be unioned, or overlapping edits double-fire.  Two
+    spans merge iff they overlap OR touch (``s <= cur_e`` under
+    half-open [s, e) — [0,5) + [5,8) = [0,8)); ties sort by (s, e).
+
+    Scale shape: a per-row ``array_sort`` + ``aggregate`` fold — ZERO
+    exchanges, whole-stage codegen, O(P log P) per row for P spans.
+    The SQL-engine equivalent is the gaps-and-islands window idiom
+    (running MAX(e) partition-wide); the in-row fold avoids even that
+    per-doc window shuffle, because a span list lives inside its row.
+
+    Idempotent (merging a merged list is the identity) and
+    order-insensitive (input permutation cannot change the output) —
+    both property-tested.
+    """
+    acc_t = (
+        "STRUCT<arr: ARRAY<STRUCT<s: BIGINT, e: BIGINT>>, cs: BIGINT, ce: BIGINT>"
+    )
+    init = F.expr(
+        "CAST(struct(CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>), "
+        f"CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)) AS {acc_t})"
+    )
+    # ce = -1 flags "no open interval yet"; valid spans require e >= s >= 0.
+    return F.aggregate(
+        F.array_sort(spans),
+        init,
+        lambda acc, sp: F.when(
+            acc["ce"] < 0,
+            F.struct(acc["arr"].alias("arr"), sp["s"].alias("cs"), sp["e"].alias("ce")),
+        )
+        .when(
+            sp["s"] <= acc["ce"],
+            F.struct(
+                acc["arr"].alias("arr"),
+                acc["cs"].alias("cs"),
+                F.greatest(acc["ce"], sp["e"]).alias("ce"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(
+                    acc["arr"],
+                    F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+                ).alias("arr"),
+                sp["s"].alias("cs"),
+                sp["e"].alias("ce"),
+            )
+        ),
+        lambda acc: F.when(acc["ce"] < 0, acc["arr"]).otherwise(
+            F.concat(
+                acc["arr"], F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e")))
+            )
+        ),
     )

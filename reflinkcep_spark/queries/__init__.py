@@ -43,6 +43,33 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 # 5 new + 50 r10-stale = 76 candidates for 50 slots -> 26 named
 # sit-outs from the r10 set.
 #
+# Round-13 queue (implemented, locally oracle-verified at sf0.001 AND
+# sf0.01, pinned by tests/test_check_oracles.py::
+# test_prestaged_round13_queries_match_oracles):
+#   doc_hll_registers   (pipeline.py + functions/sketch.py -- exact-
+#                        integer HyperLogLog register table per source
+#                        + '(all)' rollup; mergeability asserted in
+#                        tests/test_pipeline_functions.py)
+#   doc_bloom_decontam  (pipeline.py + functions/sketch.py -- Bloom-
+#                        filter decontamination gate, fixed-size
+#                        broadcast; FP-for-FP oracle match, no-false-
+#                        negative property vs the exact semi-join)
+#   doc_span_merge      (pipeline.py + functions/text.py:merge_spans
+#                        -- annotation-span interval union as a zero-
+#                        exchange in-row fold; oracle is the gaps-and-
+#                        islands window idiom)
+#   sim_kmeans          (pipeline.py + functions/similarity.py:
+#                        kmeans_fixedpoint -- distributed Lloyd in
+#                        fixed-point arithmetic, k=8 x 2 rounds,
+#                        broadcast-assign / re-aggregate, bit-stable
+#                        across engines)
+# Registering all four in round 13 puts the registry at 126 + 4 = 130;
+# with the 50-slot window and the hard 2-round staleness ceiling the
+# capacity bound is 3 x 50 = 150 registered queries, so rotation
+# stays feasible (130/3 = 43.3 average slots per round) but the
+# margin is now 20 -- prefer retiring a near-duplicate cheap scan
+# shape per future addition past round 13.
+#
 # Front of the driver's 50-entry check window (round 11 rotation),
 # executed exactly as pre-planned in round 10: FIRST the eighteen
 # 2-round-stale sit-outs from the round-10 plan (r8-vintage rows -- the

@@ -2844,6 +2844,248 @@ CROSS JOIN tot t
 """
 
 
+# --- round-13 queue (PRE-STAGED; see queries/__init__.py) ----------------
+#
+# Four operators implemented and locally oracle-verified but NOT
+# registered: the round-12 rotation is already planned at 5
+# registrations + 26 sit-outs (window arithmetic in
+# queries/__init__.py).  Register these in round 13.  Pinned by
+# tests/test_check_oracles.py::test_prestaged_round13_queries_match_oracles.
+
+def doc_hll_registers(spark, sf_dir):
+    """HyperLogLog distinct-token register table per source PLUS the
+    corpus-level '(all)' rollup — the mergeable-sketch answer to "how
+    many distinct tokens does each crawl source contribute?", the
+    dataset-card number that costs a corpus-wide distinct shuffle to
+    compute exactly.  Registers (max hash rank per md5-derived bucket)
+    are exact integers both engines reproduce bit-for-bit; the float
+    harmonic estimate is deliberately left downstream
+    (functions/sketch.py:hll_registers for why).  Mergeability is
+    checkable in the output itself: every '(all)' register equals the
+    MAX of the per-source registers in its bucket."""
+    from reflinkcep_spark.functions import sketch
+
+    return sketch.hll_registers(_docs(spark, sf_dir), buckets=64)
+
+
+SQL_DOC_HLL_REGISTERS = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+h AS (
+  SELECT source,
+         ('0x' || substr(md5(t), 16, 4))::BIGINT % 64 AS bucket,
+         CASE WHEN substr(md5(t), 1, 15) = repeat('0', 15) THEN 61
+              ELSE 61 - length(bin(('0x' || substr(md5(t), 1, 15))::BIGINT))
+         END AS r
+  FROM tok
+)
+SELECT COALESCE(source, '(all)') AS source, bucket,
+       MAX(r)::BIGINT AS register, COUNT(*)::BIGINT AS n_tokens
+FROM h
+GROUP BY GROUPING SETS ((source, bucket), (bucket))
+"""
+
+
+def doc_bloom_decontam(spark, sf_dir):
+    """Bloom-filter decontamination gate — doc_decontam's fixed-size-
+    broadcast sibling (functions/sketch.py:bloom_gate): docs 0-24 are
+    the eval suite, their 3-gram Bloom filter (4096 bits, two md5
+    hashes) gates the rest of the corpus.  Flag counts INCLUDE the
+    filter's deterministic false positives, which the oracle
+    reproduces FP-for-FP (both engines hash with md5); the
+    no-false-negative guarantee vs the exact semi-join is
+    property-tested in tests/test_pipeline_functions.py."""
+    from reflinkcep_spark.functions import sketch
+
+    docs = _docs(spark, sf_dir)
+    return sketch.bloom_gate(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        n=3,
+        m_bits=4096,
+    )
+
+
+SQL_DOC_BLOOM_DECONTAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' ')))
+              ELSE []::VARCHAR[] END AS gs
+  FROM toks
+),
+bg AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id < 25),
+bloom AS (
+  SELECT p // 32 AS w, bit_or(1::BIGINT << (p % 32)) AS bits
+  FROM (
+    SELECT unnest([('0x' || substr(md5(gr),  1, 15))::BIGINT % 4096,
+                   ('0x' || substr(md5(gr), 17, 15))::BIGINT % 4096]) AS p
+    FROM bg
+  )
+  GROUP BY 1
+),
+probe AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gr),  1, 15))::BIGINT % 4096 AS p1,
+         ('0x' || substr(md5(gr), 17, 15))::BIGINT % 4096 AS p2
+  FROM (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id >= 25)
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_flagged_grams
+FROM probe
+JOIN bloom b1 ON b1.w = probe.p1 // 32
+JOIN bloom b2 ON b2.w = probe.p2 // 32
+WHERE (b1.bits & (1::BIGINT << (probe.p1 % 32))) <> 0
+  AND (b2.bits & (1::BIGINT << (probe.p2 % 32))) <> 0
+GROUP BY doc_id
+"""
+
+
+def doc_span_merge(spark, sf_dir):
+    """Annotation-span consolidation (functions/text.py:merge_spans):
+    union each document's tagger spans into their minimal disjoint
+    cover and report raw/merged counts plus covered chars.  The
+    documents table carries no span column, so spans are derived
+    deterministically IN-QUERY from doc_id — the same arithmetic on
+    both engines, the dedup_url_canonical convention — with density
+    chosen so overlap, touching (half-open [s,e) — touching MERGES),
+    containment, and disjointness all occur: doc i gets doc_id%20
+    spans, span j = [s, s+3+((doc_id+j)%29)) at s=(doc_id·7+j·13)%997.
+    Spark merges with a ZERO-exchange in-row fold; the oracle is the
+    classic gaps-and-islands window over the exploded spans — the
+    fold is checked against the idiom it replaces."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 != 0)
+    spans = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("doc_id") % 20 - 1),
+        lambda j: F.struct(
+            ((F.col("doc_id") * 7 + j * 13) % 997).alias("s"),
+            ((F.col("doc_id") * 7 + j * 13) % 997 + 3 + (F.col("doc_id") + j) % 29).alias(
+                "e"
+            ),
+        ),
+    )
+    merged = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 20).alias("n_spans"),
+        text.merge_spans(spans).alias("m"),
+    )
+    return merged.select(
+        "doc_id",
+        "n_spans",
+        F.size("m").cast("long").alias("n_merged"),
+        F.aggregate(
+            "m", F.lit(0).cast("long"), lambda acc, sp: acc + sp["e"] - sp["s"]
+        ).alias("covered_chars"),
+    )
+
+
+SQL_DOC_SPAN_MERGE = r"""
+WITH sp AS (
+  SELECT doc_id,
+         (doc_id * 7 + j * 13) % 997 AS s,
+         (doc_id * 7 + j * 13) % 997 + 3 + (doc_id + j) % 29 AS e
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0),
+       UNNEST(range(0, doc_id % 20)) AS u(j)
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s <= MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_island
+  FROM sp
+),
+islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me
+  FROM islands GROUP BY doc_id, island
+)
+SELECT doc_id, (doc_id % 20)::BIGINT AS n_spans,
+       COUNT(*)::BIGINT AS n_merged,
+       SUM(me - ms)::BIGINT AS covered_chars
+FROM merged GROUP BY doc_id
+"""
+
+
+def sim_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 2 assignment rounds) over the
+    embeddings table in fixed-point arithmetic — the iterative
+    refinement algorithm the brief's "custom operators" clause asks
+    for, expressed as a declarative broadcast-assign / re-aggregate
+    chain that is bit-identical across engines
+    (functions/similarity.py:kmeans_fixedpoint: why floats can't be,
+    and the 10⁹-row overflow rail).  Output is the final assignment's
+    per-cluster size and exact integer inertia."""
+    return similarity.kmeans_fixedpoint(
+        _embs(spark, sf_dir), k=8, iters=2, scale=10_000
+    )
+
+
+SQL_SIM_KMEANS = r"""
+WITH q AS (
+  -- CAST to DOUBLE first: a bare 10000.0 literal is DECIMAL in DuckDB
+  -- and FLOAT*DECIMAL arithmetic ran in float32, flipping one floor()
+  -- at sf0.001 (vec 183 dim 7, 282.99998… → 283).
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cluster, q AS c FROM q WHERE vec_id < 8),
+d1 AS (
+  SELECT v.vec_id, v.q, c.cluster,
+         list_sum(list_transform(range(1, len(v.q) + 1),
+                  i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS d
+  FROM q v CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, q, cluster, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM d1
+),
+m1 AS (SELECT vec_id, q, cluster FROM a1 WHERE rn = 1),
+s1 AS (
+  SELECT cluster, dim, SUM(val)::BIGINT AS s, COUNT(*) AS n
+  FROM (SELECT cluster, u.dim AS dim, q[u.dim] AS val
+        FROM m1, UNNEST(range(1, len(q) + 1)) AS u(dim))
+  GROUP BY cluster, dim
+),
+c1 AS (
+  SELECT cluster,
+         list((s - ((s % n + n) % n)) // n ORDER BY dim) AS c
+  FROM s1 GROUP BY cluster
+),
+d2 AS (
+  SELECT v.vec_id, c.cluster,
+         list_sum(list_transform(range(1, len(v.q) + 1),
+                  i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS d
+  FROM q v CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cluster, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM d2
+)
+SELECT cluster, COUNT(*)::BIGINT AS n_vecs, SUM(d)::BIGINT AS inertia
+FROM a2 WHERE rn = 1
+GROUP BY cluster
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -113,6 +113,11 @@ PROBES = [
     ("doc_quality_calibration", "documents"),
     ("text_dedup_xdoc_fuzzy", "documents"),
     ("sim_ann_pq", "embeddings"),
+    # round-13 queue (pre-staged round 11)
+    ("doc_hll_registers", "documents"),
+    ("doc_bloom_decontam", "documents"),
+    ("doc_span_merge", "documents"),
+    ("sim_kmeans", "embeddings"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

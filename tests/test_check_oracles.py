@@ -100,3 +100,40 @@ def test_prestaged_round12_queries_match_oracles(spark):
         want = check_oracles.normalize(con.execute(sql).fetchdf())
         assert len(got) > 0
         assert compare(fn.__name__, got, want) == []
+
+
+def test_prestaged_round13_queries_match_oracles(spark):
+    """Round-13 queue: written + oracle-verified now, registration
+    deferred (the round-12 rotation is already planned at 5
+    registrations + 26 sit-outs — see queries/__init__.py).  Pin every
+    queued query oracle-green at sf0.001 so round-13 registration is a
+    dict edit, not a debugging session."""
+    import duckdb
+
+    from reflinkcep_spark.queries.pipeline import (
+        SQL_DOC_BLOOM_DECONTAM,
+        SQL_DOC_HLL_REGISTERS,
+        SQL_DOC_SPAN_MERGE,
+        SQL_SIM_KMEANS,
+        doc_bloom_decontam,
+        doc_hll_registers,
+        doc_span_merge,
+        sim_kmeans,
+    )
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
+        )
+    for fn, sql in (
+        (doc_hll_registers, SQL_DOC_HLL_REGISTERS),
+        (doc_bloom_decontam, SQL_DOC_BLOOM_DECONTAM),
+        (doc_span_merge, SQL_DOC_SPAN_MERGE),
+        (sim_kmeans, SQL_SIM_KMEANS),
+    ):
+        got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
+        want = check_oracles.normalize(con.execute(sql).fetchdf())
+        assert len(got) > 0
+        assert compare(fn.__name__, got, want) == []

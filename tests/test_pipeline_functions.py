@@ -1950,3 +1950,184 @@ def test_quality_buckets_exact_boundaries(spark):
     assert set(out) == {"head", "middle"}
     assert out["head"].n_docs == 2 and out["head"].n_bigrams == 5
     assert out["middle"].n_docs == 1 and out["middle"].n_bigrams == 1
+
+
+# --- round-13 queue: sketches, span merge, fixed-point k-means ---------
+
+
+def test_bloom_gate_no_false_negatives(spark, docs):
+    """Every doc the EXACT semi-join flags is flagged by the Bloom
+    gate, with at least as many flagged grams (Bloom adds FPs, never
+    drops a true hit)."""
+    from reflinkcep_spark.functions import sketch
+
+    bench = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    exact = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in dedup.contaminated_docs(corpus, bench, n=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged_grams"]
+        for r in sketch.bloom_gate(corpus, bench, n=3, m_bits=4096).collect()
+    }
+    assert set(exact) <= set(bloom)
+    assert all(bloom[d] >= n for d, n in exact.items())
+
+
+def test_bloom_gate_tiny_filter_still_no_false_negatives(spark, docs):
+    """Even a saturated 64-bit filter (maximal FP rate) keeps the
+    no-false-negative guarantee — the property is structural, not a
+    sizing accident."""
+    from reflinkcep_spark.functions import sketch
+
+    bench = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25).limit(50)
+    exact = {r["doc_id"] for r in dedup.contaminated_docs(corpus, bench, n=3).collect()}
+    bloom = {
+        r["doc_id"]
+        for r in sketch.bloom_gate(corpus, bench, n=3, m_bits=64, word_bits=32).collect()
+    }
+    assert exact <= bloom
+
+
+def test_bloom_validation():
+    from reflinkcep_spark.functions import sketch
+
+    with pytest.raises(ValueError, match="multiple"):
+        sketch.bloom_bits(None, m_bits=100, word_bits=32)
+    with pytest.raises(ValueError, match="word_bits"):
+        sketch.bloom_bits(None, m_bits=64, word_bits=33)
+    with pytest.raises(ValueError, match="buckets"):
+        sketch.hll_registers(None, buckets=0)
+
+
+def test_hll_rollup_is_max_of_sources(spark, docs):
+    """The '(all)' rows ARE the per-source rows max-merged — the
+    mergeability claim of the register table, checked on real data —
+    and n_tokens is conserved across the rollup."""
+    from reflinkcep_spark.functions import sketch
+
+    rows = sketch.hll_registers(docs, buckets=64).collect()
+    per_src: dict[int, list] = {}
+    alls = {}
+    for r in rows:
+        assert 1 <= r["register"] <= 61
+        if r["source"] == "(all)":
+            alls[r["bucket"]] = (r["register"], r["n_tokens"])
+        else:
+            per_src.setdefault(r["bucket"], []).append((r["register"], r["n_tokens"]))
+    assert set(alls) == set(per_src)
+    for b, pairs in per_src.items():
+        assert alls[b][0] == max(p[0] for p in pairs)
+        assert alls[b][1] == sum(p[1] for p in pairs)
+
+
+def test_merge_spans_semantics(spark):
+    """Half-open union semantics: overlap merges, touching merges,
+    containment collapses, disjoint stays; empty in, empty out."""
+    cases = [
+        ([(1, 4), (4, 6), (5, 9), (20, 25)], [(1, 9), (20, 25)]),
+        ([(0, 10), (2, 3)], [(0, 10)]),
+        ([(5, 6), (0, 1), (2, 3)], [(0, 1), (2, 3), (5, 6)]),
+        ([], []),
+        ([(7, 7)], [(7, 7)]),  # degenerate zero-width span survives
+    ]
+    df = spark.createDataFrame(
+        [(i, sp) for i, (sp, _) in enumerate(cases)],
+        "id long, sp array<struct<s:long,e:long>>",
+    )
+    got = {
+        r["id"]: [(x["s"], x["e"]) for x in r["m"]]
+        for r in df.select("id", text.merge_spans(F.col("sp")).alias("m")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]} != {want}"
+
+
+def test_merge_spans_idempotent_and_order_insensitive(spark):
+    """merge(merge(x)) == merge(x) and merge(perm(x)) == merge(x) on
+    seeded random span soups, against a Python reference union."""
+    import random
+
+    rng = random.Random(1311)
+    rows = []
+    for i in range(200):
+        n = rng.randrange(0, 12)
+        sp = []
+        for _ in range(n):
+            s = rng.randrange(0, 60)
+            sp.append((s, s + rng.randrange(0, 15)))
+        perm = sp[:]
+        rng.shuffle(perm)
+        rows.append((i, sp, perm))
+
+    def ref_union(sp):
+        out = []
+        for s, e in sorted(sp):
+            if out and s <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        return out
+
+    df = spark.createDataFrame(
+        rows,
+        "id long, sp array<struct<s:long,e:long>>, perm array<struct<s:long,e:long>>",
+    )
+    m = text.merge_spans(F.col("sp"))
+    got = df.select(
+        "id",
+        m.alias("once"),
+        text.merge_spans(m).alias("twice"),
+        text.merge_spans(F.col("perm")).alias("permuted"),
+    ).collect()
+    for r in got:
+        once = [(x["s"], x["e"]) for x in r["once"]]
+        assert once == [(x["s"], x["e"]) for x in r["twice"]]
+        assert once == [(x["s"], x["e"]) for x in r["permuted"]]
+        assert once == ref_union(rows[r["id"]][1])
+
+
+def test_kmeans_fixedpoint_contract(spark, embs):
+    """Final clusters come from the init ids, sizes sum to the corpus,
+    and a single-round run reproduces a brute-force Python assignment
+    on the same quantized integers (same floor/tie rules)."""
+    out = {r["cluster"]: r for r in similarity.kmeans_fixedpoint(embs, k=8, iters=1).collect()}
+    n = embs.count()
+    assert set(out) <= set(range(8))
+    assert sum(r["n_vecs"] for r in out.values()) == n
+
+    import math
+
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * 10_000.0) for x in r["embedding"]]
+        for r in embs.collect()
+    }
+    cents = {i: vecs[i] for i in range(8)}
+    sizes: dict[int, int] = {}
+    inertia: dict[int, int] = {}
+    for q in vecs.values():
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(q, c)), cl) for cl, c in cents.items()
+        )
+        sizes[best[1]] = sizes.get(best[1], 0) + 1
+        inertia[best[1]] = inertia.get(best[1], 0) + best[0]
+    assert {c: r["n_vecs"] for c, r in out.items()} == sizes
+    assert {c: r["inertia"] for c, r in out.items()} == inertia
+
+
+def test_kmeans_fixedpoint_fewer_vectors_than_k(spark):
+    """k larger than the corpus: init simply yields one centroid per
+    vector; every vector lands in its own cluster at distance 0."""
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, [0.9, -0.4]), (2, [-0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.kmeans_fixedpoint(df, k=8, iters=2).collect()
+    assert {r["cluster"] for r in rows} == {0, 1, 2}
+    assert all(r["n_vecs"] == 1 and r["inertia"] == 0 for r in rows)
+    with pytest.raises(ValueError, match="k must"):
+        similarity.kmeans_fixedpoint(df, k=0)
+    with pytest.raises(ValueError, match="iters"):
+        similarity.kmeans_fixedpoint(df, k=2, iters=0)
