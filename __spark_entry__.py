@@ -152,20 +152,24 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     starts it with ``.writeStream`` (memory sink +
     ``trigger(availableNow=True)`` in the tests).
 
-    The nine entries cover every streaming execution path the repo
+    The ten entries cover every streaming execution path the repo
     has (STREAMING_READY.md): the stateful NFA kernel (plain and
     span-bounded — ``within`` doubles as the run-state bound), three
     windowed-aggregation flavors, absence-via-timeout, strict negation
-    (notNext) via watermark-final next-event candidates, and streaming
+    (notNext) via watermark-final next-event candidates, streaming
     exact/URL dedup over the document feed (``dropDuplicates`` keyed
-    state over a content digest / a canonical URL).
+    state over a content digest / a canonical URL), and a STATELESS
+    ingest gate (Bloom decontamination as a plan-literal in-row
+    projection — no state, no watermark).
     Each one's batch twin is a REGISTERED driver query with IDENTICAL
     arithmetic (exact cent sums / md5 digests / canonical URLs) —
-    except ``dedup_url_canonical_stream``, whose twin is the round-12
-    pre-staged ``dedup_url_canonical`` (oracle-verified + suite-pinned,
-    registration queued).  The streaming check is
+    except ``dedup_url_canonical_stream`` and
+    ``doc_bloom_decontam_stream``, whose twins are the queue-staged
+    ``dedup_url_canonical`` (round 12) and ``doc_bloom_decontam``
+    (round 13) — oracle-verified + suite-pinned, registration queued.
+    The streaming check is
     "stream result == batch twin (== oracle)": full equality for the
-    kernel and dedup entries, and equality on watermark-CLOSED
+    kernel, dedup, and gate entries, and equality on watermark-CLOSED
     windows/spans/candidates for the windowed, absence, and notNext
     entries (append mode holds state the final watermark never passes —
     tests/test_streaming_entry.py pins all forms)."""
@@ -359,6 +363,35 @@ context:
             .dropDuplicates(["canonical_url"])
         )
 
+    def doc_bloom_decontam_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming ingest-time decontamination gate (round-13 queue
+        twin ``doc_bloom_decontam``): the benchmark's Bloom filter is
+        materialized ONCE as a ≤128-word plan literal
+        (functions/sketch.py bloom_literal — the centroid-literal
+        recipe), then every arriving document is gated by a STATELESS
+        in-row projection (bloom_gate_inline): gram set, two md5
+        positions, word lookup, bit test — zero exchanges, zero
+        streaming state, no watermark.  That is the production shape:
+        contamination gating belongs at ingest, before any stateful
+        stage sees the row, and a fixed-size literal is the only form
+        of "seen set" a per-row gate can carry.  Equality vs the batch
+        twin is EXACT (same grams, same bits, FP-for-FP)."""
+        from reflinkcep_spark.functions import sketch
+        from reflinkcep_spark.functions.text import ngrams, tokens
+        from reflinkcep_spark.queries.pipeline import _docs
+
+        bench = _docs(spark, sf_dir).filter(F.col("doc_id") < 25)
+        words = sketch.bloom_literal(
+            bench.select(
+                F.explode(F.array_distinct(ngrams(tokens(F.col("text")), 3))).alias("g")
+            ).distinct(),
+            m_bits=4096,
+        )
+        stream = _stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") >= 25
+        )
+        return sketch.bloom_gate_inline(stream, words, n=3)
+
     return {
         "cep_signup_to_purchase_stream": cep_signup_to_purchase_stream,
         "q_events_tumbling_stream": q_events_tumbling_stream,
@@ -369,4 +402,5 @@ context:
         "cep_funnel_within_stream": cep_funnel_within_stream,
         "dedup_exact_docs_stream": dedup_exact_docs_stream,
         "dedup_url_canonical_stream": dedup_url_canonical_stream,
+        "doc_bloom_decontam_stream": doc_bloom_decontam_stream,
     }

@@ -37,7 +37,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "bloom_bits", "bloom_gate"]
+__all__ = [
+    "hll_registers",
+    "bloom_bits",
+    "bloom_gate",
+    "bloom_literal",
+    "bloom_gate_inline",
+]
 
 # 15 hex chars = 60 bits: fits a signed 64-bit integer in BOTH engines
 # (DuckDB's ('0x'||…)::BIGINT and Spark's conv(…, 16, 10) cast), the
@@ -247,3 +253,77 @@ def bloom_gate(
         )
     )
     return hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+
+
+def bloom_literal(
+    grams: DataFrame,
+    gram_col: str = "g",
+    m_bits: int = 4096,
+    word_bits: int = 32,
+) -> list[int]:
+    """Materialize :func:`bloom_bits` as a dense Python word list
+    (absent words zero-filled) — a BOUNDED driver action (≤
+    m_bits/word_bits rows, 128 for the defaults), the centroid-literal
+    recipe from ``similarity.semantic_dedup``: the filter becomes a
+    plan literal so downstream membership tests are pure projections.
+    This is how the gate rides a STREAM — a stateless in-row test
+    needs the bits in the plan, not in a join."""
+    words = [0] * (m_bits // word_bits)
+    for row in bloom_bits(grams, gram_col, m_bits, word_bits).collect():
+        words[int(row["w"])] = int(row["bits"])
+    return words
+
+
+def bloom_gate_inline(
+    df: DataFrame,
+    words: list[int],
+    n: int = 3,
+    word_bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`bloom_gate` with the filter inlined as an array literal —
+    per-document flagged-gram counts computed entirely IN-ROW: gram
+    set, two hash positions, word lookup (``element_at`` into the
+    literal), and bit test all happen inside one whole-stage-codegen
+    projection.  ZERO exchanges, ZERO state: the shape of an
+    ingest-time contamination gate on a document STREAM (each
+    micro-batch row is gated the moment it arrives) — and on batch, of
+    a gate fused into the scan.
+
+    Equivalent to the join form by construction (same gram closure,
+    same md5 positions, same bits — pinned by a test); use the join
+    form when the filter is built in the same job, this form when the
+    bits are precomputed (:func:`bloom_literal`) or must ride a
+    stream.  Returns (doc_id, n_flagged_grams), flagged docs only.
+    """
+    from reflinkcep_spark.functions.text import ngrams, tokens
+
+    m_bits = len(words) * word_bits
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    # masks as a literal lookup: pyspark's shiftleft wants a LITERAL
+    # shift amount, and inside F.filter's lambda there is no column
+    # name for an F.expr workaround — a 2^i table is also one codegen
+    # array access instead of a shift.
+    lit_pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(word_bits)])
+
+    def _hit(g: Column) -> Column:
+        def _bit(start: int) -> Column:
+            p = _hex_slice(g, start, _VALUE_HEX) % m_bits
+            word = F.element_at(
+                lit_words,
+                ((p - F.pmod(p, F.lit(word_bits))) / word_bits).cast("int") + 1,
+            )
+            mask = F.element_at(lit_pow2, F.pmod(p, F.lit(word_bits)).cast("int") + 1)
+            return word.bitwiseAND(mask) != 0
+
+        return _bit(1) & _bit(_VALUE_HEX + 2)
+
+    grams = F.array_distinct(ngrams(tokens(F.col(text_col)), n))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.filter(grams, _hit)).cast("long").alias("n_flagged_grams"),
+        )
+        .filter(F.col("n_flagged_grams") > 0)
+    )

@@ -2131,3 +2131,29 @@ def test_kmeans_fixedpoint_fewer_vectors_than_k(spark):
         similarity.kmeans_fixedpoint(df, k=0)
     with pytest.raises(ValueError, match="iters"):
         similarity.kmeans_fixedpoint(df, k=2, iters=0)
+
+
+def test_bloom_gate_inline_equals_join_form(spark, docs):
+    """The plan-literal in-row gate (the streaming shape) and the
+    broadcast-join gate are the same function — identical flagged
+    docs AND counts, FP-for-FP."""
+    from reflinkcep_spark.functions import sketch
+
+    bench = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    bench_grams = (
+        bench.select(
+            F.explode(F.array_distinct(text.ngrams(text.tokens(F.col("text")), 3))).alias("g")
+        ).distinct()
+    )
+    words = sketch.bloom_literal(bench_grams, m_bits=4096)
+    assert len(words) == 128 and any(words)
+    inline = {
+        (r["doc_id"], r["n_flagged_grams"])
+        for r in sketch.bloom_gate_inline(corpus, words, n=3).collect()
+    }
+    join = {
+        (r["doc_id"], r["n_flagged_grams"])
+        for r in sketch.bloom_gate(corpus, bench, n=3, m_bits=4096).collect()
+    }
+    assert inline == join and inline

@@ -323,3 +323,35 @@ def test_streaming_entry_not_next_matches_batch_closed(spark, tmp_path):
         if r["next_event_id"] is not None and ev_us[r["next_event_id"]] <= wm_us
     )
     assert got == want and got
+
+
+def test_streaming_entry_bloom_gate_matches_batch(spark, tmp_path):
+    """The tenth entry (round 11): the STATELESS ingest decontamination
+    gate — Bloom bits inlined as a plan literal, per-row projection,
+    no state, no watermark — equals the round-13 pre-staged batch twin
+    ``doc_bloom_decontam`` EXACTLY, false positives included (both
+    surfaces hash with md5 into the same 4096 bits)."""
+    import __spark_entry__ as entrymod
+
+    from reflinkcep_spark.queries.pipeline import doc_bloom_decontam
+
+    out = entrymod.queries_streaming()["doc_bloom_decontam_stream"](spark, SF_DIR)
+    assert out.isStreaming
+    sink = f"entry_bloom_gate_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom_gate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["doc_id"], r["n_flagged_grams"]) for r in spark.table(sink).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_flagged_grams"])
+        for r in doc_bloom_decontam(spark, SF_DIR).collect()
+    )
+    assert got == want and got
