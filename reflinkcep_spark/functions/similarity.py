@@ -701,14 +701,16 @@ def kmeans_fixedpoint(
     (cluster, n_vecs, inertia), inertia the exact integer sum of
     squared quantized distances of the final assignment.
 
-    Scale shape per iteration: ONE broadcast of ≤ k centroid rows
-    against the corpus (a map-side crossJoin — the corpus never
-    shuffles to be assigned), one min-struct aggregate keyed on the
-    vector id (map-side combinable to a single row per vector), and
-    one (cluster, dim) re-aggregation whose output is k·d cells
-    regardless of corpus size.  That is the canonical 1000-executor
-    k-means plan; ``iters`` is a small constant so lineage stays
-    shallow (no checkpoint needed).
+    Scale shape per iteration: the ≤ k centroids collapse to ONE
+    broadcast row holding the whole centroid array, and assignment is
+    an IN-ROW ``array_min`` argmin over that literal-like array — no
+    per-candidate row expansion, no aggregate keyed on the vector id,
+    NO corpus-sized exchange anywhere.  The only shuffles are the
+    (cluster, dim) recenter aggregation (map-side partial aggregation
+    reduces each partition to ≤ k·d cells before the exchange) and
+    the final ≤ k-row stats aggregate.  That is the canonical
+    1000-executor k-means plan; ``iters`` is a small constant so
+    lineage stays shallow (no checkpoint needed).
 
     Overflow rails: |coord| ≤ C after quantization gives per-row
     distance ≤ d·(2C)² and corpus inertia ≤ N·d·(2C)² — with C ~ 10⁴,
@@ -736,27 +738,28 @@ def kmeans_fixedpoint(
 
     assigned = None
     for it in range(iters):
-        assigned = (
-            q.crossJoin(F.broadcast(cent))
-            .select(
-                "vid",
-                # min over (d, cluster, q): (d, cluster) is unique per
-                # candidate row, so q merely rides along to the update
-                # step without a second join.
-                F.struct(
-                    _sq_int(F.col("q"), F.col("c")).alias("d"),
-                    F.col("cluster").alias("cluster"),
-                    F.col("q").alias("q"),
-                ).alias("dcq"),
-            )
-            .groupBy("vid")
-            .agg(F.min("dcq").alias("dcq"))
+        # all centroids as ONE broadcast row; argmin is an in-row
+        # array_min over (d, cluster) structs — lexicographic struct
+        # ordering gives the distance-then-lowest-cluster tie-break.
+        cents_row = cent.agg(F.collect_list(F.struct("cluster", "c")).alias("cents"))
+        assigned = q.crossJoin(F.broadcast(cents_row)).select(
+            "vid",
+            "q",
+            F.array_min(
+                F.transform(
+                    "cents",
+                    lambda ct: F.struct(
+                        _sq_int(F.col("q"), ct["c"]).alias("d"),
+                        ct["cluster"].alias("cluster"),
+                    ),
+                )
+            ).alias("dc"),
         )
         if it < iters - 1:
             sums = (
                 assigned.select(
-                    F.col("dcq.cluster").alias("cluster"),
-                    F.posexplode(F.col("dcq.q")).alias("dim", "val"),
+                    F.col("dc.cluster").alias("cluster"),
+                    F.posexplode(F.col("q")).alias("dim", "val"),
                 )
                 .groupBy("cluster", "dim")
                 .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -774,7 +777,7 @@ def kmeans_fixedpoint(
                     ).alias("c")
                 )
             )
-    return assigned.groupBy(F.col("dcq.cluster").alias("cluster")).agg(
+    return assigned.groupBy(F.col("dc.cluster").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.sum(F.col("dcq.d")).alias("inertia"),
+        F.sum(F.col("dc.d")).alias("inertia"),
     )

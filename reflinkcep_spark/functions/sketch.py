@@ -90,13 +90,14 @@ def hll_registers(
     into the bucket (a load diagnostic, order-independent).
 
     Scale shape: scan → token explode → ONE map-side-combinable MAX/
-    COUNT aggregate over ≤ (groups+1)·``buckets`` cells (the rollup
-    level rides the same shuffle via grouping sets, not a second
-    scan).  Output is O(groups·buckets) regardless of corpus size.
-    Buckets a group never hashed into are absent rather than emitted
-    as zero rows — at 64 buckets and thousands of tokens per group
-    every bucket is occupied in practice, and absence is reproduced
-    identically by any engine sharing the hash.
+    COUNT aggregate over ≤ (groups+1)·``buckets`` cells — the rollup
+    level rides the same pass via ``groupingSets`` (a union of two
+    groupBys would tokenize the corpus twice).  Output is
+    O(groups·buckets) regardless of corpus size.  Buckets a group
+    never hashed into are absent rather than emitted as zero rows —
+    at 64 buckets and thousands of tokens per group every bucket is
+    occupied in practice, and absence is reproduced identically by
+    any engine sharing the hash.
     """
     from reflinkcep_spark.functions.text import tokens
 
@@ -122,20 +123,20 @@ def hll_registers(
         (_hex_slice(F.col("t"), _VALUE_HEX + 1, 4) % buckets).alias("bucket"),
         reg.alias("r"),
     )
-    # Grouping sets would do this in one pass; the DataFrame API route
-    # (union of two groupBys over the same cached-narrow input) keeps
-    # the plan readable and AQE still map-side-combines both arms.
-    per_group = hashed.groupBy("grp", "bucket")
-    roll = hashed.groupBy("bucket")
-    agg = [
+    out = hashed.groupingSets([["grp", "bucket"], ["bucket"]], "grp", "bucket").agg(
         F.max("r").alias("register"),
         F.count(F.lit(1)).alias("n_tokens"),
-    ]
-    out = per_group.agg(*agg).unionByName(
-        roll.agg(*agg).withColumn("grp", F.lit(rollup_label))
+        # the GROUPING indicator, not a NULL test: a NULL group value
+        # in the data must not be conflated with the rollup level.
+        F.grouping("grp").alias("_roll"),
     )
     return out.select(
-        F.col("grp").alias(group_col), "bucket", "register", "n_tokens"
+        F.when(F.col("_roll") == 1, F.lit(rollup_label))
+        .otherwise(F.col("grp"))
+        .alias(group_col),
+        "bucket",
+        "register",
+        "n_tokens",
     )
 
 

@@ -99,10 +99,10 @@ AUDITED = [
     ("doc_quality_calibration", "per-source tier calibration (pre-staged r12): quality_buckets pipeline with source riding the doc agg as a dependent key, then cell/group/bucket/total folds over the TIER table (bucket + total broadcast)"),
     ("text_dedup_xdoc_fuzzy", "cross-doc NEAR-dup unit removal (pre-staged r12): capped shingle posting index, per-shingle fan-out <= cap^2, verify in the join projection, occurrence distinct + mark + reassembly, no Python"),
     ("sim_ann_pq", "PQ/ADC ANN (pre-staged r12): codebook literal, encode = codegen argmin projection, broadcast query side, ADC in the join projection, one window top-k — no UDF, no lookup joins"),
-    ("doc_hll_registers", "HLL register sketch (pre-staged r13): token explode, md5 bucket/rank projection, TWO max/count aggs (per-source + rollup) over <= (groups+1)*64 cells — output size independent of corpus"),
+    ("doc_hll_registers", "HLL register sketch (pre-staged r13): token explode, md5 bucket/rank projection, ONE groupingSets max/count agg (per-source + rollup in the same pass — a union would tokenize twice) over <= (groups+1)*64 cells; output size independent of corpus"),
     ("doc_bloom_decontam", "Bloom decontamination gate (pre-staged r13): bench grams -> <=128-word bit_or agg broadcast TWICE (one per hash), corpus streams through two broadcast joins + bit tests, ONE doc-keyed count agg"),
     ("doc_span_merge", "annotation span union (pre-staged r13): derived spans + array_sort + aggregate fold, ZERO exchanges — the gaps-and-islands window without the window"),
-    ("sim_kmeans", "fixed-point Lloyd k-means (pre-staged r13): per round ONE broadcast of <=k centroids, min-struct agg keyed on vec id, (cluster,dim) re-agg to k*d cells; corpus never shuffles to be assigned"),
+    ("sim_kmeans", "fixed-point Lloyd k-means (pre-staged r13): per round the <=k centroids collapse to ONE broadcast row, assignment is an in-row array_min argmin (NO corpus-sized exchange anywhere); only the map-side-combinable (cluster,dim) recenter agg and the <=k-row stats agg shuffle"),
 ]
 
 
