@@ -33,6 +33,7 @@ __all__ = [
     "pii_counts",
     "scrub_pii",
     "merge_spans",
+    "tfidf_topk",
     "BPE_ISH_PATTERN",
     "PII_PATTERNS",
     "STOPWORDS",
@@ -1182,4 +1183,137 @@ def merge_spans(spans: Column) -> Column:
                 acc["arr"], F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e")))
             )
         ),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 10,
+    shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-rational tf·idf ranked retrieval: top-``k`` documents per
+    query, scored ``Σ_t tf(d,t) · N/df(t)`` — the classical keyword
+    search primitive (the BM25 family's ancestor), kept EXACT instead
+    of floating: per query the common denominator is ``Π df(t)``, so
+    the numerator ``N · Σ_t tf·(Π_{t'≠t} df)`` is an integer, ranking
+    within a query needs the numerator alone (the denominator is
+    query-constant), and no ``log``/float ever enters — the DSIR
+    recipe (no cross-engine ``ln()`` drift), here taken all the way to
+    the rank.  Smoothed/log idf variants reweight but rarely reorder
+    at these df spreads; what matters for the oracle contract is that
+    this ranking is bit-stable.
+
+    Query terms absent from the corpus are ignored (inner df join);
+    a query whose terms are all absent produces no rows.  Duplicate
+    terms within a query are rejected (they would double-count tf).
+
+    Scale shape: the token explode is filtered to the query vocabulary
+    IMMEDIATELY (a literal ``isin`` — at 100 TB this is the difference
+    between shuffling the corpus's tokens and shuffling its query-term
+    hits), one (doc, term) tf aggregate, df/weights computed on the
+    tiny (query, term) frame and BROADCAST back, then a TWO-PHASE
+    top-k: rank within (query, doc_id mod ``shards``) shards first,
+    then rank the ≤ queries·shards·k survivors — a single window
+    partitioned only by query_id would funnel every scored document
+    of a query through one task.  Phase 1 keeps the global top-k
+    exactly (every global winner wins its shard).
+
+    Overflow rail: the numerator is computed in decimal(38,0) and
+    must fit BIGINT for the exact-integer output contract — it raises
+    (like the oracle's HUGEINT→BIGINT cast would error) rather than
+    silently nulling.  ``N·tf·df^(|Q|-1)`` stays under 2⁶³ up to
+    ~3·10⁵-doc corpora for 3-term queries; widen the output to
+    decimal for more.
+
+    Returns (query_id, rank, doc_id, tfidf_num, tfidf_den), rank 1..k
+    by (score desc, doc_id asc).
+    """
+    from pyspark.sql import Window
+
+    for qid, ts in queries.items():
+        if not ts:
+            raise ValueError(f"query {qid} has no terms")
+        if len(set(ts)) != len(ts):
+            raise ValueError(f"query {qid} has duplicate terms")
+    spark = df.sparkSession
+    terms = spark.createDataFrame(
+        [(int(qid), t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id long, term string",
+    )
+    vocab = sorted({t for ts in queries.values() for t in ts})
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term").isin(vocab))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # Referenced twice (df derivation + the scoring join): compute the
+    # corpus-side explode+aggregate once (the lm_quality recipe).
+    tf = tf.localCheckpoint(eager=False)
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tdf = terms.join(dft, "term")
+    one = F.lit(1).cast("decimal(38,0)")
+    den = tdf.groupBy("query_id").agg(
+        F.aggregate(
+            F.collect_list(F.col("df").cast("decimal(38,0)")),
+            one,
+            lambda a, x: (a * x).cast("decimal(38,0)"),
+        ).alias("den")
+    )
+    # den is ≤ |queries| rows; broadcast so the tiny weight frame never
+    # sort-merge-joins.
+    wt = tdf.join(F.broadcast(den), "query_id").select(
+        "query_id",
+        "term",
+        # den is divisible by df by construction, so the decimal
+        # quotient is integral and the (38,0) cast exact.
+        (F.col("den") / F.col("df")).cast("decimal(38,0)").alias("wt"),
+        "den",
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(wt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("wt")).alias("s"),
+            F.min("den").alias("den"),  # query-constant; min is just "the value"
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("s") * F.col("n_docs")).cast("decimal(38,0)").alias("num"),
+            "den",
+        )
+    )
+    w1 = Window.partitionBy("query_id", F.pmod("doc_id", F.lit(shards))).orderBy(
+        F.col("num").desc(), "doc_id"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("num").desc(), "doc_id")
+    out = (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+    def _long_or_raise(c, name):
+        as_long = c.cast("long")
+        return F.when(
+            as_long.isNull() & c.isNotNull(),
+            F.raise_error(f"{name} overflows BIGINT — widen the output type"),
+        ).otherwise(as_long)
+
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        _long_or_raise(F.col("num"), "tfidf_num").alias("tfidf_num"),
+        _long_or_raise(F.col("den"), "tfidf_den").alias("tfidf_den"),
     )

@@ -61,13 +61,17 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #   sim_kmeans          (pipeline.py + functions/similarity.py:
 #                        kmeans_fixedpoint -- distributed Lloyd in
 #                        fixed-point arithmetic, k=8 x 2 rounds,
-#                        broadcast-assign / re-aggregate, bit-stable
-#                        across engines)
-# Registering all four in round 13 puts the registry at 126 + 4 = 130;
+#                        one-row centroid broadcast + in-row argmin,
+#                        bit-stable across engines)
+#   text_tfidf_search   (pipeline.py + functions/text.py:tfidf_topk --
+#                        exact-rational tf-idf ranked retrieval, the
+#                        'search' primitive next to the ANN family;
+#                        integer scoring end to end, two-phase top-k)
+# Registering all five in round 13 puts the registry at 126 + 5 = 131;
 # with the 50-slot window and the hard 2-round staleness ceiling the
 # capacity bound is 3 x 50 = 150 registered queries, so rotation
-# stays feasible (130/3 = 43.3 average slots per round) but the
-# margin is now 20 -- prefer retiring a near-duplicate cheap scan
+# stays feasible (131/3 = 43.7 average slots per round) but the
+# margin is now 19 -- prefer retiring a near-duplicate cheap scan
 # shape per future addition past round 13.
 #
 # Front of the driver's 50-entry check window (round 11 rotation),

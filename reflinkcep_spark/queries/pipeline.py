@@ -3086,6 +3086,80 @@ GROUP BY cluster
 """
 
 
+# The retrieval queries are module-level so the Spark query and the
+# SQL oracle are generated from ONE term list (the _raw_url recipe:
+# shared construction, independently re-expressed arithmetic).
+TFIDF_QUERIES = {
+    0: ("stream", "window", "join"),
+    1: ("hash", "merge", "sort"),
+    2: ("customer", "order", "value"),
+}
+
+
+def text_tfidf_search(spark, sf_dir):
+    """Exact-rational tf·idf ranked retrieval
+    (functions/text.py:tfidf_topk): top-10 documents for three 3-term
+    keyword queries over the corpus vocabulary, scored
+    ``N·Σ tf·Π_{other} df`` over the query-constant denominator
+    ``Π df`` — integer end to end, so the RANKING (not just the
+    score) is bit-stable across engines; no log/float idf drift can
+    flip a rank.  The missing 'search' primitive next to the ANN
+    family: inverted-index retrieval where the vocabulary filter hits
+    the token explode immediately and top-k is TWO-PHASE (shard ranks
+    then final rank) instead of one window funneling every scored doc
+    of a query through a single task."""
+    return text.tfidf_topk(_docs(spark, sf_dir), TFIDF_QUERIES, k=10, shards=32)
+
+
+def _sql_text_tfidf_search() -> str:
+    vals = ",".join(
+        f"({qid}, '{t}')"
+        for qid, ts in sorted(TFIDF_QUERIES.items())
+        for t in ts
+    )
+    return rf"""
+WITH q(query_id, term) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+  FROM tok WHERE term IN (SELECT term FROM q)
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+tdf AS (SELECT q.query_id, q.term, d.df FROM q JOIN dft d USING (term)),
+den AS (
+  SELECT query_id, list_reduce(list(df::HUGEINT), (a, b) -> a * b) AS den
+  FROM tdf GROUP BY 1
+),
+wt AS (
+  SELECT t.query_id, t.term, d.den // t.df AS wt, d.den
+  FROM tdf t JOIN den d USING (query_id)
+),
+n AS (SELECT COUNT(*)::HUGEINT AS n_docs FROM documents),
+sc AS (
+  SELECT w.query_id, f.doc_id,
+         SUM(f.tf * w.wt)::HUGEINT * MAX(n.n_docs) AS num,
+         MIN(w.den) AS den
+  FROM tf f JOIN wt w USING (term) CROSS JOIN n
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, num, den,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY num DESC, doc_id) AS rank
+  FROM sc
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id,
+       num::BIGINT AS tfidf_num, den::BIGINT AS tfidf_den
+FROM r WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

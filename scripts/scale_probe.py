@@ -118,6 +118,7 @@ PROBES = [
     ("doc_bloom_decontam", "documents"),
     ("doc_span_merge", "documents"),
     ("sim_kmeans", "embeddings"),
+    ("text_tfidf_search", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

@@ -115,10 +115,12 @@ def test_prestaged_round13_queries_match_oracles(spark):
         SQL_DOC_HLL_REGISTERS,
         SQL_DOC_SPAN_MERGE,
         SQL_SIM_KMEANS,
+        _sql_text_tfidf_search,
         doc_bloom_decontam,
         doc_hll_registers,
         doc_span_merge,
         sim_kmeans,
+        text_tfidf_search,
     )
     from tests.conftest import SF_DIR
 
@@ -132,6 +134,7 @@ def test_prestaged_round13_queries_match_oracles(spark):
         (doc_bloom_decontam, SQL_DOC_BLOOM_DECONTAM),
         (doc_span_merge, SQL_DOC_SPAN_MERGE),
         (sim_kmeans, SQL_SIM_KMEANS),
+        (text_tfidf_search, _sql_text_tfidf_search()),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

@@ -2157,3 +2157,61 @@ def test_bloom_gate_inline_equals_join_form(spark, docs):
         for r in sketch.bloom_gate(corpus, bench, n=3, m_bits=4096).collect()
     }
     assert inline == join and inline
+
+
+def test_tfidf_topk_two_phase_equals_single_window(spark, docs):
+    """The sharded two-phase top-k is an optimization, not a semantics
+    change: shards=1 (one global window) and shards=32 produce the
+    same ranked rows."""
+    from reflinkcep_spark.queries.pipeline import TFIDF_QUERIES
+
+    a = sorted(map(tuple, text.tfidf_topk(docs, TFIDF_QUERIES, k=10, shards=1).collect()))
+    b = sorted(map(tuple, text.tfidf_topk(docs, TFIDF_QUERIES, k=10, shards=32).collect()))
+    assert a == b and len(a) == 30
+
+
+def test_tfidf_topk_absent_terms_and_validation(spark, docs):
+    """A term missing from the corpus is ignored (score falls back to
+    the present terms); a query with ONLY absent terms yields no rows;
+    duplicate/empty term lists are rejected."""
+    import pytest as _pytest
+
+    rows = text.tfidf_topk(
+        docs, {7: ("stream", "zzz_not_a_token"), 8: ("zzz_not_a_token",)}, k=5
+    ).collect()
+    assert {r["query_id"] for r in rows} == {7}
+    # single present term: score = tf * N / df; den == df
+    one_term = text.tfidf_topk(docs, {1: ("stream",)}, k=5).collect()
+    n = docs.count()
+    for r in one_term:
+        assert r["tfidf_num"] % n == 0 and r["tfidf_den"] > 0
+    with _pytest.raises(ValueError, match="duplicate"):
+        text.tfidf_topk(docs, {0: ("a", "a")})
+    with _pytest.raises(ValueError, match="no terms"):
+        text.tfidf_topk(docs, {0: ()})
+
+
+def test_tfidf_topk_ranking_matches_bruteforce(spark, docs):
+    """Rank order reproduces a pure-Python tf·idf on the same integer
+    arithmetic (same tie rules), checked on one query."""
+    from collections import Counter
+
+    terms = ("stream", "window", "join")
+    got = [
+        (r["rank"], r["doc_id"], r["tfidf_num"])
+        for r in sorted(
+            text.tfidf_topk(docs, {0: terms}, k=10).collect(), key=lambda r: r["rank"]
+        )
+    ]
+    texts = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    n = len(texts)
+    tf = {d: Counter(t for t in toks if t in terms) for d, toks in texts.items()}
+    df = {t: sum(1 for c in tf.values() if c[t] > 0) for t in terms}
+    den = 1
+    for t in terms:
+        den *= df[t]
+    scores = {
+        d: n * sum(c[t] * (den // df[t]) for t in terms) for d, c in tf.items() if c
+    }
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(i + 1, d, s) for i, (d, s) in enumerate(want)]
