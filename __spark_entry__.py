@@ -377,14 +377,18 @@ context:
         of "seen set" a per-row gate can carry.  Equality vs the batch
         twin is EXACT (same grams, same bits, FP-for-FP)."""
         from reflinkcep_spark.functions import sketch
-        from reflinkcep_spark.functions.text import ngrams, tokens
+        from reflinkcep_spark.functions.dedup import _distinct_gram_rows
         from reflinkcep_spark.queries.pipeline import _docs
 
         bench = _docs(spark, sf_dir).filter(F.col("doc_id") < 25)
+        # the SHARED gram closure (dedup._distinct_gram_rows), not a
+        # hand copy: the batch twin builds its filter through the same
+        # function, so the two surfaces cannot disagree about what
+        # counts as a gram.
         words = sketch.bloom_literal(
-            bench.select(
-                F.explode(F.array_distinct(ngrams(tokens(F.col("text")), 3))).alias("g")
-            ).distinct(),
+            _distinct_gram_rows(bench, 3, "text", "doc_id", hashed=False)
+            .select("g")
+            .distinct(),
             m_bits=4096,
         )
         stream = _stream_table(spark, sf_dir, "documents").filter(

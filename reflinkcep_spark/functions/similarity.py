@@ -742,18 +742,37 @@ def kmeans_fixedpoint(
         # array_min over (d, cluster) structs — lexicographic struct
         # ordering gives the distance-then-lowest-cluster tie-break.
         cents_row = cent.agg(F.collect_list(F.struct("cluster", "c")).alias("cents"))
-        assigned = q.crossJoin(F.broadcast(cents_row)).select(
-            "vid",
-            "q",
-            F.array_min(
-                F.transform(
-                    "cents",
-                    lambda ct: F.struct(
-                        _sq_int(F.col("q"), ct["c"]).alias("d"),
-                        ct["cluster"].alias("cluster"),
+        best = F.array_min(
+            F.transform(
+                "cents",
+                lambda ct: F.struct(
+                    _sq_int(F.col("q"), ct["c"]).alias("d"),
+                    ct["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        # Stage the argmin once, THEN guard: dc is NULL exactly when
+        # the centroid set is empty — no id in 0..k-1 existed (the
+        # init contract) — and the staged projection keeps the guard
+        # from duplicating the fold per row.  Fail loudly in-plan
+        # instead of emitting one NULL-cluster garbage row.
+        assigned = (
+            q.crossJoin(F.broadcast(cents_row))
+            .select("vid", "q", best.alias("dc"))
+            .select(
+                "vid",
+                "q",
+                F.when(
+                    F.col("dc").isNull(),
+                    F.raise_error(
+                        "kmeans_fixedpoint: empty centroid set — the "
+                        f"deterministic init takes ids 0..k-1 ({id_col} < "
+                        f"{k}) and none exist in the input"
                     ),
                 )
-            ).alias("dc"),
+                .otherwise(F.col("dc"))
+                .alias("dc"),
+            )
         )
         if it < iters - 1:
             sums = (

@@ -60,6 +60,31 @@ def _hex_slice(col: Column, start: int, length: int) -> Column:
     return F.conv(F.substring(F.md5(col), start, length), 16, 10).cast("long")
 
 
+def _check_bloom_geometry(m_bits: int, word_bits: int) -> None:
+    # word_bits range first: the multiple-of check divides by it.
+    if not (1 <= word_bits <= 32):
+        raise ValueError(f"word_bits must be in [1, 32], got {word_bits}")
+    if m_bits % word_bits != 0:
+        raise ValueError(f"m_bits {m_bits} must be a multiple of word_bits {word_bits}")
+
+
+def _word_of(p: Column, word_bits: int) -> Column:
+    """Word index of bit position ``p`` (non-negative, so the
+    pmod-subtract form is exact floor division)."""
+    return ((p - F.pmod(p, F.lit(word_bits))) / word_bits).cast("long")
+
+
+def _mask_of(p: Column, word_bits: int) -> Column:
+    """Single-bit mask for position ``p`` as a 2^i literal-array lookup
+    — pyspark's classic shiftleft takes only a LITERAL shift count, and
+    inside higher-order-function lambdas there is no column name for an
+    F.expr workaround, so ONE mask formulation serves every call site
+    (builder, join gate, inline gate) and the FP-for-FP equivalence
+    between them cannot drift."""
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(word_bits)])
+    return F.element_at(pow2, F.pmod(p, F.lit(word_bits)).cast("int") + 1)
+
+
 def hll_registers(
     df: DataFrame,
     text_col: str = "text",
@@ -73,8 +98,9 @@ def hll_registers(
     BIGINT.
 
     Register construction (the classical split-hash form): bucket =
-    md5 hex chars 16-17 mod ``buckets`` (disjoint from the value
-    bits), value = hex chars 1-15 (60 bits), register = number of
+    md5 hex chars 16-19 mod ``buckets`` (a 16-bit slice — hence the
+    65536-bucket ceiling — disjoint from the value bits), value =
+    hex chars 1-15 (60 bits), register = number of
     leading zeros of the 60-bit value + 1 (i.e. ``61 - bitlength``,
     with the probability-2⁻⁶⁰ all-zero value pinned to 61 explicitly).
     The estimate is then the textbook ``α·m²/Σ2^-Mj`` downstream; this
@@ -161,10 +187,7 @@ def bloom_bits(
     cells; words no gram hashed into are absent (callers must treat a
     missing word as 0 — :func:`bloom_gate` does).
     """
-    if m_bits % word_bits != 0:
-        raise ValueError(f"m_bits {m_bits} must be a multiple of word_bits {word_bits}")
-    if not (1 <= word_bits <= 32):
-        raise ValueError(f"word_bits must be in [1, 32], got {word_bits}")
+    _check_bloom_geometry(m_bits, word_bits)
     g = F.col(gram_col)
     rows = grams.select(
         F.explode(
@@ -175,17 +198,9 @@ def bloom_bits(
         ).alias("p")
     )
     return (
-        # positions are non-negative, so p % w == floor-mod and
-        # (p - p%w)/w is the exact word index; the shift amount must be
-        # an expression (pyspark's classic shiftleft only takes literal
-        # numBits), hence F.expr over the named column.
         rows.select(
-            ((F.col("p") - F.pmod("p", F.lit(word_bits))) / word_bits)
-            .cast("long")
-            .alias("w"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, {word_bits}) AS INT))"
-            ).alias("m"),
+            _word_of(F.col("p"), word_bits).alias("w"),
+            _mask_of(F.col("p"), word_bits).alias("m"),
         )
         .groupBy("w")
         .agg(F.bit_or("m").alias("bits"))
@@ -233,24 +248,16 @@ def bloom_gate(
         (_hex_slice(F.col("g"), _VALUE_HEX + 2, _VALUE_HEX) % m_bits).alias("p2"),
     )
 
-    def _word(p: Column) -> Column:
-        return ((p - F.pmod(p, F.lit(word_bits))) / word_bits).cast("long")
-
-    def _mask(p_name: str) -> Column:
-        return F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p_name}, {word_bits}) AS INT))"
-        )
-
     b1 = bloom.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
     b2 = bloom.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
     hit = (
-        probe.withColumn("w1", _word(F.col("p1")))
-        .withColumn("w2", _word(F.col("p2")))
+        probe.withColumn("w1", _word_of(F.col("p1"), word_bits))
+        .withColumn("w2", _word_of(F.col("p2"), word_bits))
         .join(b1, "w1")  # inner: a missing word is 0 bits — cannot match
         .join(b2, "w2")
         .filter(
-            (F.col("bits1").bitwiseAND(_mask("p1")) != 0)
-            & (F.col("bits2").bitwiseAND(_mask("p2")) != 0)
+            (F.col("bits1").bitwiseAND(_mask_of(F.col("p1"), word_bits)) != 0)
+            & (F.col("bits2").bitwiseAND(_mask_of(F.col("p2"), word_bits)) != 0)
         )
     )
     return hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_flagged_grams"))
@@ -300,23 +307,15 @@ def bloom_gate_inline(
     """
     from reflinkcep_spark.functions.text import ngrams, tokens
 
+    _check_bloom_geometry(len(words) * word_bits, word_bits)
     m_bits = len(words) * word_bits
     lit_words = F.array(*[F.lit(w).cast("long") for w in words])
-    # masks as a literal lookup: pyspark's shiftleft wants a LITERAL
-    # shift amount, and inside F.filter's lambda there is no column
-    # name for an F.expr workaround — a 2^i table is also one codegen
-    # array access instead of a shift.
-    lit_pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(word_bits)])
 
     def _hit(g: Column) -> Column:
         def _bit(start: int) -> Column:
             p = _hex_slice(g, start, _VALUE_HEX) % m_bits
-            word = F.element_at(
-                lit_words,
-                ((p - F.pmod(p, F.lit(word_bits))) / word_bits).cast("int") + 1,
-            )
-            mask = F.element_at(lit_pow2, F.pmod(p, F.lit(word_bits)).cast("int") + 1)
-            return word.bitwiseAND(mask) != 0
+            word = F.element_at(lit_words, _word_of(p, word_bits).cast("int") + 1)
+            return word.bitwiseAND(_mask_of(p, word_bits)) != 0
 
         return _bit(1) & _bit(_VALUE_HEX + 2)
 

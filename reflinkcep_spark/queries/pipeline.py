@@ -2883,8 +2883,8 @@ h AS (
          END AS r
   FROM tok
 )
-SELECT COALESCE(source, '(all)') AS source, bucket,
-       MAX(r)::BIGINT AS register, COUNT(*)::BIGINT AS n_tokens
+SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+       bucket, MAX(r)::BIGINT AS register, COUNT(*)::BIGINT AS n_tokens
 FROM h
 GROUP BY GROUPING SETS ((source, bucket), (bucket))
 """

@@ -1982,7 +1982,9 @@ def test_bloom_gate_tiny_filter_still_no_false_negatives(spark, docs):
     from reflinkcep_spark.functions import sketch
 
     bench = docs.filter(F.col("doc_id") < 25)
-    corpus = docs.filter(F.col("doc_id") >= 25).limit(50)
+    # deterministic subset: an unordered limit() can materialize
+    # different rows per action, decoupling the two sides.
+    corpus = docs.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 75))
     exact = {r["doc_id"] for r in dedup.contaminated_docs(corpus, bench, n=3).collect()}
     bloom = {
         r["doc_id"]
@@ -1996,8 +1998,12 @@ def test_bloom_validation():
 
     with pytest.raises(ValueError, match="multiple"):
         sketch.bloom_bits(None, m_bits=100, word_bits=32)
-    with pytest.raises(ValueError, match="word_bits"):
-        sketch.bloom_bits(None, m_bits=64, word_bits=33)
+    # 66 IS a multiple of 33, so this reaches the range guard (64/33
+    # would satisfy the 'multiple' branch's message regex by accident)
+    with pytest.raises(ValueError, match=r"word_bits must be in \[1, 32\]"):
+        sketch.bloom_bits(None, m_bits=66, word_bits=33)
+    with pytest.raises(ValueError, match=r"word_bits must be in \[1, 32\]"):
+        sketch.bloom_bits(None, m_bits=0, word_bits=0)
     with pytest.raises(ValueError, match="buckets"):
         sketch.hll_registers(None, buckets=0)
 
