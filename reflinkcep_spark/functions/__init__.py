@@ -13,8 +13,18 @@ from reflinkcep_spark.functions import (
     sampling,
     similarity,
     sketch,
+    snapshot,
     text,
     web,
 )
 
-__all__ = ["dedup", "multimodal", "sampling", "similarity", "sketch", "text", "web"]
+__all__ = [
+    "dedup",
+    "multimodal",
+    "sampling",
+    "similarity",
+    "sketch",
+    "snapshot",
+    "text",
+    "web",
+]

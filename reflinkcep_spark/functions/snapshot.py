@@ -1,0 +1,79 @@
+"""Snapshot reconciliation for continuously refreshed corpora.
+
+A crawled corpus is not static: every snapshot adds pages, drops dead
+ones, and re-fetches changed ones.  The ingest pipeline's first
+question at refresh time is the DELTA — what must be re-processed
+(added/changed) and what must be tombstoned (removed) — because
+re-running dedup/quality/packing over the unchanged 99 % is the cost
+that makes naive refreshes infeasible at 100 TB.
+
+:func:`snapshot_diff` is that delta as one declarative operator: a
+single keyed full-outer join over (id, content digest), emitting only
+the changed rows.  Digests are computed in the scan projection, so
+the join exchange carries ~40 bytes per document instead of the
+document — the difference between reconciling metadata and shuffling
+two corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["snapshot_diff"]
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+    carry_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """CDC-style snapshot delta: one row per document that is
+    ``added`` (in ``new`` only), ``removed`` (in ``old`` only), or
+    ``changed`` (both sides, digest differs).  Unchanged documents —
+    the overwhelming majority of a refresh — are dropped: the output
+    is the delta, not the corpus.
+
+    Both inputs carry (id_col, digest_col, *carry_cols); the digest is
+    whatever content identity the caller trusts (md5 of the text, a
+    canonical-URL + digest pair, …) — computing it upstream in the
+    scan projection is what keeps the join narrow.  ``carry_cols``
+    ride through via COALESCE(new, old), so added/changed rows report
+    the new snapshot's metadata and removed rows the old one's.
+
+    Scale shape: ONE keyed full-outer join on the id — inherent to
+    reconciliation (both sides must meet per id; at scale it is a
+    sort-merge join over ~40-byte rows) — then a codegen status
+    projection and delta filter.  No window, no Python, output
+    proportional to the CHANGE RATE, not the corpus.
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.col(digest_col).alias("_od"),
+        *[F.col(c).alias(f"_o_{c}") for c in carry_cols],
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.col(digest_col).alias("_nd"),
+        *[F.col(c).alias(f"_n_{c}") for c in carry_cols],
+    )
+    status: Column = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        o.join(n, "_id", "full_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            *[
+                F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+                for c in carry_cols
+            ],
+            status.alias("status"),
+        )
+        .filter(F.col("status").isNotNull())
+    )

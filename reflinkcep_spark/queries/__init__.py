@@ -67,6 +67,15 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        exact-rational tf-idf ranked retrieval, the
 #                        'search' primitive next to the ANN family;
 #                        integer scoring end to end, two-phase top-k)
+# Round-14 seed (implemented, locally oracle-verified at sf0.001 AND
+# sf0.01, pinned by tests/test_check_oracles.py::
+# test_prestaged_round14_queries_match_oracles):
+#   doc_snapshot_diff   (pipeline.py + functions/snapshot.py -- CDC
+#                        snapshot reconciliation: ONE full-outer id
+#                        join over scan-projected digests, delta-only
+#                        output; pair its registration with a
+#                        retirement per the capacity note below)
+#
 # Registering all five in round 13 puts the registry at 126 + 5 = 131;
 # with the 50-slot window and the hard 2-round staleness ceiling the
 # capacity bound is 3 x 50 = 150 registered queries, so rotation

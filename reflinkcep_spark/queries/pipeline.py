@@ -3086,6 +3086,61 @@ GROUP BY cluster
 """
 
 
+# --- round-14 seed (PRE-STAGED; see queries/__init__.py) -----------------
+
+def doc_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot reconciliation
+    (functions/snapshot.py:snapshot_diff): the delta between two crawl
+    snapshots — added / removed / changed documents only, the
+    re-process worklist of a corpus refresh.  The documents table is
+    one snapshot, so the two sides are derived IN-QUERY with the same
+    arithmetic on both engines (the dedup_url_canonical convention):
+    the OLD snapshot omits doc_id % 7 == 3 (those become 'added'),
+    the NEW omits doc_id % 5 == 2 ('removed'), and doc_id % 11 == 0
+    re-fetches with a revision suffix ('changed' when present on both
+    sides).  Digests (md5) are computed in the scan projection so the
+    ONE full-outer id join carries ~40-byte rows, never documents."""
+    from reflinkcep_spark.functions import snapshot
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 2).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    return snapshot.snapshot_diff(old, new)
+
+
+SQL_DOC_SNAPSHOT_DIFF = r"""
+WITH o AS (
+  SELECT doc_id, source, md5(text) AS d
+  FROM documents WHERE doc_id % 7 <> 3
+),
+n AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END) AS d
+  FROM documents WHERE doc_id % 5 <> 2
+)
+SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+       COALESCE(n.source, o.source) AS source,
+       CASE WHEN o.d IS NULL THEN 'added'
+            WHEN n.d IS NULL THEN 'removed'
+            WHEN o.d <> n.d THEN 'changed' END AS status
+FROM o FULL OUTER JOIN n USING (doc_id)
+WHERE CASE WHEN o.d IS NULL THEN 'added'
+           WHEN n.d IS NULL THEN 'removed'
+           WHEN o.d <> n.d THEN 'changed' END IS NOT NULL
+"""
+
+
 # The retrieval queries are module-level so the Spark query and the
 # SQL oracle are generated from ONE term list (the _raw_url recipe:
 # shared construction, independently re-expressed arithmetic).

@@ -119,6 +119,8 @@ PROBES = [
     ("doc_span_merge", "documents"),
     ("sim_kmeans", "embeddings"),
     ("text_tfidf_search", "documents"),
+    # round-14 seed (pre-staged round 11)
+    ("doc_snapshot_diff", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

@@ -140,3 +140,25 @@ def test_prestaged_round13_queries_match_oracles(spark):
         want = check_oracles.normalize(con.execute(sql).fetchdf())
         assert len(got) > 0
         assert compare(fn.__name__, got, want) == []
+
+
+def test_prestaged_round14_queries_match_oracles(spark):
+    """Round-14 seed queue (the registration-capacity note in
+    queries/__init__.py applies: pair future registrations with
+    retirements).  Same contract as the round-12/13 pins."""
+    import duckdb
+
+    from reflinkcep_spark.queries.pipeline import (
+        SQL_DOC_SNAPSHOT_DIFF,
+        doc_snapshot_diff,
+    )
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS FROM '{os.path.join(SF_DIR, 'documents.parquet')}'"
+    )
+    got = check_oracles.normalize(doc_snapshot_diff(spark, SF_DIR).toPandas())
+    want = check_oracles.normalize(con.execute(SQL_DOC_SNAPSHOT_DIFF).fetchdf())
+    assert len(got) > 0
+    assert compare("doc_snapshot_diff", got, want) == []
