@@ -152,21 +152,23 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     starts it with ``.writeStream`` (memory sink +
     ``trigger(availableNow=True)`` in the tests).
 
-    The ten entries cover every streaming execution path the repo
+    The eleven entries cover every streaming execution path the repo
     has (STREAMING_READY.md): the stateful NFA kernel (plain and
     span-bounded — ``within`` doubles as the run-state bound), three
     windowed-aggregation flavors, absence-via-timeout, strict negation
     (notNext) via watermark-final next-event candidates, streaming
     exact/URL dedup over the document feed (``dropDuplicates`` keyed
-    state over a content digest / a canonical URL), and a STATELESS
+    state over a content digest / a canonical URL), a STATELESS
     ingest gate (Bloom decontamination as a plan-literal in-row
-    projection — no state, no watermark).
+    projection — no state, no watermark), and a FIXED-SIZE-state
+    sketch aggregate (per-source HLL registers, complete mode).
     Each one's batch twin is a REGISTERED driver query with IDENTICAL
     arithmetic (exact cent sums / md5 digests / canonical URLs) —
-    except ``dedup_url_canonical_stream`` and
-    ``doc_bloom_decontam_stream``, whose twins are the queue-staged
-    ``dedup_url_canonical`` (round 12) and ``doc_bloom_decontam``
-    (round 13) — oracle-verified + suite-pinned, registration queued.
+    except ``dedup_url_canonical_stream``, ``doc_bloom_decontam_stream``,
+    and ``doc_hll_registers_stream``, whose twins are the queue-staged
+    ``dedup_url_canonical`` (round 12), ``doc_bloom_decontam``, and
+    ``doc_hll_registers`` (round 13) — oracle-verified + suite-pinned,
+    registration queued.
     The streaming check is
     "stream result == batch twin (== oracle)": full equality for the
     kernel, dedup, and gate entries, and equality on watermark-CLOSED
@@ -396,6 +398,25 @@ context:
         )
         return sketch.bloom_gate_inline(stream, words, n=3)
 
+    def doc_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming corpus-statistics sketch (round-13 queue twin
+        ``doc_hll_registers``): per-source HyperLogLog registers over
+        the document stream — the aggregation whose STATE IS FIXED-SIZE
+        (≤ sources·64 cells) no matter how long the stream runs, which
+        is the whole reason to sketch a stream instead of counting it.
+        Single-level grouping (Structured Streaming allows one
+        aggregation, no grouping sets; the corpus rollup is a
+        downstream MAX-merge — sketch mergeability doing its job);
+        COMPLETE output mode, no watermark.  Shares the
+        bucket/rank projection with the batch form
+        (sketch._hll_hashed), equality vs the batch twin's per-source
+        rows is EXACT."""
+        from reflinkcep_spark.functions import sketch
+
+        return sketch.hll_registers_single(
+            _stream_table(spark, sf_dir, "documents"), buckets=64
+        )
+
     return {
         "cep_signup_to_purchase_stream": cep_signup_to_purchase_stream,
         "q_events_tumbling_stream": q_events_tumbling_stream,
@@ -407,4 +428,5 @@ context:
         "dedup_exact_docs_stream": dedup_exact_docs_stream,
         "dedup_url_canonical_stream": dedup_url_canonical_stream,
         "doc_bloom_decontam_stream": doc_bloom_decontam_stream,
+        "doc_hll_registers_stream": doc_hll_registers_stream,
     }

@@ -9,6 +9,7 @@ Python.
 
 from reflinkcep_spark.functions import (
     dedup,
+    graph,
     multimodal,
     sampling,
     similarity,
@@ -20,6 +21,7 @@ from reflinkcep_spark.functions import (
 
 __all__ = [
     "dedup",
+    "graph",
     "multimodal",
     "sampling",
     "similarity",

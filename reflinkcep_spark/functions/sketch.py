@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hll_registers",
+    "hll_registers_single",
     "bloom_bits",
     "bloom_gate",
     "bloom_literal",
@@ -125,6 +126,30 @@ def hll_registers(
     occupied in practice, and absence is reproduced identically by
     any engine sharing the hash.
     """
+    hashed = _hll_hashed(df, text_col, group_col, buckets)
+    out = hashed.groupingSets([["grp", "bucket"], ["bucket"]], "grp", "bucket").agg(
+        F.max("r").alias("register"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        # the GROUPING indicator, not a NULL test: a NULL group value
+        # in the data must not be conflated with the rollup level.
+        F.grouping("grp").alias("_roll"),
+    )
+    return out.select(
+        F.when(F.col("_roll") == 1, F.lit(rollup_label))
+        .otherwise(F.col("grp"))
+        .alias(group_col),
+        "bucket",
+        "register",
+        "n_tokens",
+    )
+
+
+def _hll_hashed(
+    df: DataFrame, text_col: str, group_col: str, buckets: int
+) -> DataFrame:
+    """The shared (grp, bucket, r) projection of both HLL forms —
+    batch groupingSets rollup and streaming single-level — so the two
+    surfaces can never disagree about bucket/rank construction."""
     from reflinkcep_spark.functions.text import tokens
 
     if buckets < 1 or buckets > 256 * 256:
@@ -140,29 +165,46 @@ def hll_registers(
             F.lit(_VALUE_BITS + 1),
         )
         .otherwise(
-            _VALUE_BITS + 1 - F.length(F.conv(F.substring(F.md5("t"), 1, _VALUE_HEX), 16, 2))
+            _VALUE_BITS + 1
+            - F.length(F.conv(F.substring(F.md5("t"), 1, _VALUE_HEX), 16, 2))
         )
         .cast("long")
     )
-    hashed = tok.select(
+    return tok.select(
         "grp",
         (_hex_slice(F.col("t"), _VALUE_HEX + 1, 4) % buckets).alias("bucket"),
         reg.alias("r"),
     )
-    out = hashed.groupingSets([["grp", "bucket"], ["bucket"]], "grp", "bucket").agg(
-        F.max("r").alias("register"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        # the GROUPING indicator, not a NULL test: a NULL group value
-        # in the data must not be conflated with the rollup level.
-        F.grouping("grp").alias("_roll"),
-    )
-    return out.select(
-        F.when(F.col("_roll") == 1, F.lit(rollup_label))
-        .otherwise(F.col("grp"))
-        .alias(group_col),
-        "bucket",
-        "register",
-        "n_tokens",
+
+
+def hll_registers_single(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    buckets: int = 64,
+) -> DataFrame:
+    """:func:`hll_registers` without the rollup level: per-group
+    registers only, one plain MAX/COUNT aggregate — the STREAMING form.
+    Structured Streaming allows a single aggregation per query (no
+    grouping sets), and on a stream the rollup belongs downstream
+    anyway: registers merge with MAX, so any consumer can fold the
+    per-source rows into a corpus row without re-reading the stream —
+    which is the entire reason to sketch a stream instead of counting
+    it.  State is FIXED-SIZE (≤ groups·buckets cells no matter how
+    long the stream runs) — the sketch family is what makes unbounded-
+    stream corpus statistics possible at all.  Shares
+    ``_hll_hashed`` with the batch form, so bucket/rank construction
+    cannot drift between surfaces."""
+    return (
+        _hll_hashed(df, text_col, group_col, buckets)
+        .groupBy("grp", "bucket")
+        .agg(
+            F.max("r").alias("register"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "bucket", "register", "n_tokens"
+        )
     )
 
 

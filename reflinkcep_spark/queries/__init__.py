@@ -75,6 +75,10 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        join over scan-projected digests, delta-only
 #                        output; pair its registration with a
 #                        retirement per the capacity note below)
+#   doc_link_pagerank   (pipeline.py + functions/graph.py -- scaled-
+#                        integer PageRank over a derived link graph,
+#                        the second fixed-point iterative algorithm;
+#                        same pairing note)
 #
 # Registering all five in round 13 puts the registry at 126 + 5 = 131;
 # with the 50-slot window and the hard 2-round staleness ceiling the

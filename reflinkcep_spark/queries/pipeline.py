@@ -3141,6 +3141,81 @@ WHERE CASE WHEN o.d IS NULL THEN 'added'
 """
 
 
+def doc_link_pagerank(spark, sf_dir):
+    """Scaled-integer PageRank over a derived document link graph
+    (functions/graph.py:pagerank_fixedpoint) — the second flagship
+    iterative algorithm next to sim_kmeans, in the same fixed-point
+    discipline: float PageRank's in-mass sums are summation-order-
+    dependent, so ranks here are integer mass units with exact floor
+    divisions at every step and the oracle reproduces them bit-for-
+    bit.  The documents table has no link column, so edges are
+    derived IN-QUERY (the dedup_url_canonical convention): doc u gets
+    u % 5 out-links, link j pointing at (u·13 + j·7) mod N — dangling
+    nodes (u % 5 == 0), converging hubs, and self-loops all occur by
+    construction.  Two damped rounds (85/100), mass 10¹²; output is
+    every node's final rank."""
+    from reflinkcep_spark.functions import graph
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    nc = docs.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges = (
+        docs.crossJoin(F.broadcast(nc))
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), F.col("doc_id") % 5 - 1),
+                    lambda j: (F.col("doc_id") * 13 + j * 7) % F.col("n_nodes"),
+                )
+            ).alias("dst"),
+        )
+    )
+    return graph.pagerank_fixedpoint(docs, edges, iters=2, id_col="doc_id")
+
+
+SQL_DOC_LINK_PAGERANK = r"""
+WITH nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 13 + j * 7) % nn.n AS dst
+  FROM documents, nn, UNNEST(range(0, doc_id % 5)) AS u(j)
+),
+deg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+base AS (
+  SELECT doc_id AS id, (1000000000000 // nn.n)::BIGINT AS base
+  FROM documents, nn
+),
+p0 AS (SELECT id, base AS pr FROM base),
+c1 AS (
+  SELECT p.id AS src, (p.pr // d.outdeg)::BIGINT AS contrib
+  FROM p0 p JOIN deg d ON p.id = d.src
+),
+m1 AS (
+  SELECT e.dst, SUM(c.contrib)::BIGINT AS inmass
+  FROM e JOIN c1 c USING (src) GROUP BY 1
+),
+p1 AS (
+  SELECT b.id,
+         ((15 * b.base) // 100 + (85 * COALESCE(m.inmass, 0)) // 100)::BIGINT AS pr
+  FROM base b LEFT JOIN m1 m ON b.id = m.dst
+),
+c2 AS (
+  SELECT p.id AS src, (p.pr // d.outdeg)::BIGINT AS contrib
+  FROM p1 p JOIN deg d ON p.id = d.src
+),
+m2 AS (
+  SELECT e.dst, SUM(c.contrib)::BIGINT AS inmass
+  FROM e JOIN c2 c USING (src) GROUP BY 1
+),
+p2 AS (
+  SELECT b.id,
+         ((15 * b.base) // 100 + (85 * COALESCE(m.inmass, 0)) // 100)::BIGINT AS pr
+  FROM base b LEFT JOIN m2 m ON b.id = m.dst
+)
+SELECT id AS doc_id, pr FROM p2
+"""
+
+
 # The retrieval queries are module-level so the Spark query and the
 # SQL oracle are generated from ONE term list (the _raw_url recipe:
 # shared construction, independently re-expressed arithmetic).

@@ -121,6 +121,7 @@ PROBES = [
     ("text_tfidf_search", "documents"),
     # round-14 seed (pre-staged round 11)
     ("doc_snapshot_diff", "documents"),
+    ("doc_link_pagerank", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

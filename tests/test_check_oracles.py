@@ -149,7 +149,9 @@ def test_prestaged_round14_queries_match_oracles(spark):
     import duckdb
 
     from reflinkcep_spark.queries.pipeline import (
+        SQL_DOC_LINK_PAGERANK,
         SQL_DOC_SNAPSHOT_DIFF,
+        doc_link_pagerank,
         doc_snapshot_diff,
     )
     from tests.conftest import SF_DIR
@@ -158,7 +160,11 @@ def test_prestaged_round14_queries_match_oracles(spark):
     con.execute(
         f"CREATE VIEW documents AS FROM '{os.path.join(SF_DIR, 'documents.parquet')}'"
     )
-    got = check_oracles.normalize(doc_snapshot_diff(spark, SF_DIR).toPandas())
-    want = check_oracles.normalize(con.execute(SQL_DOC_SNAPSHOT_DIFF).fetchdf())
-    assert len(got) > 0
-    assert compare("doc_snapshot_diff", got, want) == []
+    for fn, sql in (
+        (doc_snapshot_diff, SQL_DOC_SNAPSHOT_DIFF),
+        (doc_link_pagerank, SQL_DOC_LINK_PAGERANK),
+    ):
+        got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
+        want = check_oracles.normalize(con.execute(sql).fetchdf())
+        assert len(got) > 0
+        assert compare(fn.__name__, got, want) == []

@@ -2278,3 +2278,39 @@ def test_snapshot_diff_statuses(spark):
         3: ("s3", "removed"),
         4: ("s4", "added"),
     }  # doc 2 unchanged -> absent
+
+
+def test_pagerank_fixedpoint_matches_python_reference(spark):
+    """Rank vector reproduces a pure-Python fixed-point PageRank on a
+    hand-built graph with a hub, a dangling node, parallel edges, and
+    a self-loop — same integer floor rules, bit-equal."""
+    from reflinkcep_spark.functions import graph
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 2), (4, 2), (4, 2)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["id"]: r["pr"]
+        for r in graph.pagerank_fixedpoint(
+            nodes, edges, iters=3, mass=10**9
+        ).collect()
+    }
+
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = 10**9 // 5
+    pr = {i: base for i in range(5)}
+    for _ in range(3):
+        contrib = {s: pr[s] // d for s, d in outdeg.items()}
+        inmass = {}
+        for s, d in edge_list:
+            inmass[d] = inmass.get(d, 0) + contrib[s]
+        pr = {i: (15 * base) // 100 + (85 * inmass.get(i, 0)) // 100 for i in range(5)}
+    assert got == pr
+    # mass only leaks (flooring + the dangling node 3): never exceeds budget
+    assert sum(got.values()) <= 10**9
+    with pytest.raises(ValueError, match="damping"):
+        graph.pagerank_fixedpoint(nodes, edges, damping=(100, 100))
+    with pytest.raises(ValueError, match="iters"):
+        graph.pagerank_fixedpoint(nodes, edges, iters=0)

@@ -355,3 +355,35 @@ def test_streaming_entry_bloom_gate_matches_batch(spark, tmp_path):
         for r in doc_bloom_decontam(spark, SF_DIR).collect()
     )
     assert got == want and got
+
+
+def test_streaming_entry_hll_registers_matches_batch(spark, tmp_path):
+    """The eleventh entry (round 11): per-source HLL registers over
+    the document stream — fixed-size state, complete output mode —
+    equal the batch twin ``doc_hll_registers``' per-source rows
+    EXACTLY (the batch '(all)' rollup stays downstream: streaming
+    allows one aggregation, and max-merge mergeability makes the
+    rollup a consumer-side fold, which is the sketch's point)."""
+    import __spark_entry__ as entrymod
+
+    from reflinkcep_spark.queries.pipeline import doc_hll_registers
+
+    out = entrymod.queries_streaming()["doc_hll_registers_stream"](spark, SF_DIR)
+    assert out.isStreaming
+    sink = f"entry_hll_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table(sink).collect())
+    want = sorted(
+        (r["source"], r["bucket"], r["register"], r["n_tokens"])
+        for r in doc_hll_registers(spark, SF_DIR).collect()
+        if r["source"] != "(all)"
+    )
+    assert got == want and got
