@@ -58,14 +58,24 @@ def pagerank_fixedpoint(
     (functions/dedup.py) — noted rather than speculatively added.
 
     Overflow rail: ranks are bounded by ``mass`` (mass only ever
-    leaks), and per-node in-mass sums are ≤ mass, so int64 holds for
-    any ``mass`` ≤ ~9·10¹⁸ regardless of graph size.
+    leaks) and per-node in-mass sums are ≤ mass, but the damped mix
+    MULTIPLIES by the rational's terms before dividing — the binding
+    bound is ``mass · max(d_num, d_den−d_num) < 2⁶³``, enforced with
+    a ValueError (Spark's non-ANSI arithmetic would wrap silently
+    where the oracle's BIGINT raises — exactly the cross-engine
+    divergence this module exists to rule out).  The default
+    ``mass=10¹²`` sits five orders of magnitude inside it.
     """
     d_num, d_den = damping
     if not (0 < d_num < d_den):
         raise ValueError(f"damping must be a rational in (0, 1), got {d_num}/{d_den}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if mass <= 0 or mass > (2**63 - 1) // max(d_num, d_den - d_num):
+        raise ValueError(
+            f"mass {mass} overflows the damped mix: need 0 < mass <= "
+            f"{(2**63 - 1) // max(d_num, d_den - d_num)} for damping {d_num}/{d_den}"
+        )
     n = nodes.select(F.col(id_col).alias("id"))
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))

@@ -49,20 +49,28 @@ def snapshot_diff(
     projection and delta filter.  No window, no Python, output
     proportional to the CHANGE RATE, not the corpus.
     """
+    # Presence is tracked by explicit markers, NOT by digest
+    # nullability: a row whose digest is genuinely NULL (md5(NULL),
+    # a failed fetch) must still count as present, or it would be
+    # misclassified added/removed.  Digest comparison is null-safe
+    # for the same reason (NULL digest vs value = changed; NULL vs
+    # NULL = unchanged).
     o = old.select(
         F.col(id_col).alias("_id"),
         F.col(digest_col).alias("_od"),
+        F.lit(True).alias("_o_present"),
         *[F.col(c).alias(f"_o_{c}") for c in carry_cols],
     )
     n = new.select(
         F.col(id_col).alias("_id"),
         F.col(digest_col).alias("_nd"),
+        F.lit(True).alias("_n_present"),
         *[F.col(c).alias(f"_n_{c}") for c in carry_cols],
     )
     status: Column = (
-        F.when(F.col("_od").isNull(), F.lit("added"))
-        .when(F.col("_nd").isNull(), F.lit("removed"))
-        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        F.when(F.col("_o_present").isNull(), F.lit("added"))
+        .when(F.col("_n_present").isNull(), F.lit("removed"))
+        .when(~F.col("_od").eqNullSafe(F.col("_nd")), F.lit("changed"))
         .otherwise(F.lit(None).cast("string"))
     )
     return (

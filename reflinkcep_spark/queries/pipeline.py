@@ -3119,6 +3119,10 @@ def doc_snapshot_diff(spark, sf_dir):
     return snapshot.snapshot_diff(old, new)
 
 
+# The oracle detects presence via digest nullability, which is valid
+# for THIS query (md5 of never-NULL text); snapshot_diff itself uses
+# explicit presence markers so genuinely-NULL digests (failed fetches)
+# classify correctly — tests/test_pipeline_functions.py pins that.
 SQL_DOC_SNAPSHOT_DIFF = r"""
 WITH o AS (
   SELECT doc_id, source, md5(text) AS d

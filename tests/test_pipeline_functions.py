@@ -2314,3 +2314,32 @@ def test_pagerank_fixedpoint_matches_python_reference(spark):
         graph.pagerank_fixedpoint(nodes, edges, damping=(100, 100))
     with pytest.raises(ValueError, match="iters"):
         graph.pagerank_fixedpoint(nodes, edges, iters=0)
+
+
+def test_snapshot_diff_null_digests_use_presence_not_nullness(spark):
+    """A NULL digest (failed fetch, md5(NULL)) is still a PRESENT row:
+    NULL-old vs value-new is 'changed' (not 'added'), NULL-old absent-
+    new is 'removed' (not 'added'), NULL-vs-NULL is unchanged."""
+    from reflinkcep_spark.functions import snapshot
+
+    old = spark.createDataFrame(
+        [(1, "s", None), (2, "s", None), (3, "s", None)],
+        "doc_id long, source string, digest string",
+    )
+    new = spark.createDataFrame(
+        [(1, "s", "abc"), (3, "s", None)],
+        "doc_id long, source string, digest string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot.snapshot_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "removed"}  # 3: NULL==NULL -> unchanged
+
+
+def test_pagerank_mass_overflow_rail(spark):
+    from reflinkcep_spark.functions import graph
+
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="overflows the damped mix"):
+        graph.pagerank_fixedpoint(nodes, edges, mass=5 * 10**17)
+    with pytest.raises(ValueError, match="overflows the damped mix"):
+        graph.pagerank_fixedpoint(nodes, edges, mass=0)
