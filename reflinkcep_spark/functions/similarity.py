@@ -30,6 +30,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "semantic_dedup",
     "kmeans_fixedpoint",
+    "random_projection_int",
 ]
 
 
@@ -800,3 +801,61 @@ def kmeans_fixedpoint(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(F.col("dc.d")).alias("inertia"),
     )
+
+
+def random_projection_int(
+    df: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    scale_vec: int = 10_000,
+    scale_plane: int = 1_000,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection in INTEGER arithmetic —
+    embedding compression (``dim`` → ``out_dim``) as an exact,
+    engine-portable projection: the Gaussian planes are the
+    deterministic ``_hyperplanes`` set quantized to integers
+    (``floor(x·scale_plane)``), vectors quantize like the rest of the
+    fixed-point family (``floor(v·scale_vec)`` — floor, because the
+    engines' half-way rules differ), and each output coordinate is an
+    exact integer dot product.  Distance ORDER is approximately
+    preserved per JL (property-tested via rank correlation); the
+    VALUES are exactly reproducible anywhere, which float projections
+    are not.
+
+    Output is LONG format — (id, dim, proj), one row per output
+    coordinate — so the exact integers survive any engine's hashing
+    of scalar columns (an array column would ride engine-specific
+    array semantics).
+
+    Scale shape: a pure per-row codegen projection (the 16 dot
+    products inline as literal-array ``zip_with`` folds) followed by
+    ``posexplode`` — ZERO exchanges, scales with the scan.  Overflow
+    rail: |proj| ≤ dim·scale_vec·scale_plane·max|v|·max|g| — with the
+    defaults and unit-ish embeddings, ~10⁹, five orders inside int64.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    import math as _math
+
+    planes = _hyperplanes(dim, out_dim, seed)
+    iplanes = [[_math.floor(x * scale_plane) for x in p] for p in planes]
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale_vec))),
+    )
+    staged = df.select(F.col(id_col).alias("id"), q.alias("__q"))
+
+    def _proj(plane: list[int]):
+        return F.aggregate(
+            F.zip_with(F.col("__q"), F.lit(plane), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    return staged.select(
+        "id",
+        F.posexplode(F.array(*[_proj(p) for p in iplanes])).alias("dim", "proj"),
+    ).select(F.col("id").alias(id_col), F.col("dim").cast("long").alias("dim"), "proj")

@@ -79,6 +79,11 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        integer PageRank over a derived link graph,
 #                        the second fixed-point iterative algorithm;
 #                        same pairing note)
+#   sim_jl_project      (pipeline.py + functions/similarity.py --
+#                        integer Johnson-Lindenstrauss 64->16
+#                        embedding compression, exact long-format
+#                        output, zero-exchange projection; same
+#                        pairing note)
 #
 # Registering all five in round 13 puts the registry at 126 + 5 = 131;
 # with the 50-slot window and the hard 2-round staleness ceiling the

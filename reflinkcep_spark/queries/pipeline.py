@@ -3220,6 +3220,45 @@ SELECT id AS doc_id, pr FROM p2
 """
 
 
+def sim_jl_project(spark, sf_dir):
+    """Integer Johnson–Lindenstrauss projection of the embedding table
+    (functions/similarity.py:random_projection_int): 64 → 16
+    dimensions, planes and vectors both floor-quantized so every
+    output coordinate is an exact integer dot product — embedding
+    COMPRESSION as a zero-exchange codegen projection (the 16×
+    payload cut that makes a 100 TB embedding corpus joinable), with
+    values any engine reproduces bit-for-bit where float projections
+    cannot.  Long-format output (vec_id, dim, proj); JL distance-
+    order preservation is property-tested, exactness is the
+    oracle's job."""
+    return similarity.random_projection_int(_embs(spark, sf_dir))
+
+
+def _sql_sim_jl_project() -> str:
+    import math as _math
+
+    from reflinkcep_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 16, 7)
+    ip = [[_math.floor(x * 1_000) for x in p] for p in planes]
+    rows = ",".join(
+        f"({j}, {str(ip[j]).replace(' ', '')}::BIGINT[])" for j in range(16)
+    )
+    return f"""
+WITH planes(dim, p) AS (VALUES {rows}),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+  FROM embeddings
+)
+SELECT q.vec_id, planes.dim::BIGINT AS dim,
+       list_sum(list_transform(range(1, len(q.q) + 1),
+                i -> q.q[i] * planes.p[i]))::BIGINT AS proj
+FROM q CROSS JOIN planes
+"""
+
+
 # The retrieval queries are module-level so the Spark query and the
 # SQL oracle are generated from ONE term list (the _raw_url recipe:
 # shared construction, independently re-expressed arithmetic).

@@ -122,6 +122,7 @@ PROBES = [
     # round-14 seed (pre-staged round 11)
     ("doc_snapshot_diff", "documents"),
     ("doc_link_pagerank", "documents"),
+    ("sim_jl_project", "embeddings"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

@@ -151,18 +151,22 @@ def test_prestaged_round14_queries_match_oracles(spark):
     from reflinkcep_spark.queries.pipeline import (
         SQL_DOC_LINK_PAGERANK,
         SQL_DOC_SNAPSHOT_DIFF,
+        _sql_sim_jl_project,
         doc_link_pagerank,
         doc_snapshot_diff,
+        sim_jl_project,
     )
     from tests.conftest import SF_DIR
 
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS FROM '{os.path.join(SF_DIR, 'documents.parquet')}'"
-    )
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
+        )
     for fn, sql in (
         (doc_snapshot_diff, SQL_DOC_SNAPSHOT_DIFF),
         (doc_link_pagerank, SQL_DOC_LINK_PAGERANK),
+        (sim_jl_project, _sql_sim_jl_project()),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

@@ -2343,3 +2343,48 @@ def test_pagerank_mass_overflow_rail(spark):
         graph.pagerank_fixedpoint(nodes, edges, mass=5 * 10**17)
     with pytest.raises(ValueError, match="overflows the damped mix"):
         graph.pagerank_fixedpoint(nodes, edges, mass=0)
+
+
+def test_random_projection_preserves_distance_order(spark, embs):
+    """JL sanity: 64→16 integer projection keeps pairwise distance
+    ORDER above chance.  The synthetic corpus is the same
+    quantization-adversarial regime the PQ recall test documents:
+    random 64-dim vectors concentrate pairwise distances into a
+    narrow band, so rank order is noise-dominated and a 4× JL
+    compression measures ρ ≈ 0.3 here (ρ > 0.15 is ~4σ above the
+    null at 780 pairs — the gate is against GROSS breakage, e.g. a
+    plane/quantization regression zeroing the signal; exactness is
+    the oracle's job, and real clustered embeddings would score far
+    higher)."""
+    from collections import defaultdict
+
+    sample = embs.filter(F.col("vec_id") < 40)
+    proj = defaultdict(dict)
+    for r in similarity.random_projection_int(sample).collect():
+        proj[r["vec_id"]][r["dim"]] = r["proj"]
+    orig = {r["vec_id"]: list(r["embedding"]) for r in sample.collect()}
+    ids = sorted(orig)
+    assert all(len(proj[i]) == 16 for i in ids)
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    od = [d2(orig[a], orig[b]) for a, b in pairs]
+    pd_ = [d2([proj[a][j] for j in range(16)], [proj[b][j] for j in range(16)]) for a, b in pairs]
+
+    def ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        rk = [0] * len(xs)
+        for pos, i in enumerate(order):
+            rk[i] = pos
+        return rk
+    ro, rp = ranks(od), ranks(pd_)
+    n = len(ro)
+    mean = (n - 1) / 2
+    cov = sum((a - mean) * (b - mean) for a, b in zip(ro, rp))
+    var = sum((a - mean) ** 2 for a in ro)
+    rho = cov / var
+    assert rho > 0.15, rho
+    with pytest.raises(ValueError, match="out_dim"):
+        similarity.random_projection_int(sample, out_dim=0)
