@@ -69,6 +69,15 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
+def _quantize_fixed(vec, scale: int):
+    """Fixed-point quantization shared by every integer-arithmetic
+    operator (k-means, JL projection): floor, not round — the engines'
+    half-way rules differ — over the double-cast coordinates.  Shared
+    so a quantization-policy tweak can never drift between operators
+    (the _sq_dist_expr rationale)."""
+    return F.transform(vec, lambda x: F.floor(x * F.lit(float(scale))))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -724,7 +733,7 @@ def kmeans_fixedpoint(
         raise ValueError(f"iters must be >= 1, got {iters}")
     q = _as_double(df, vec_col).select(
         F.col(id_col).cast("long").alias("vid"),
-        F.transform(F.col(vec_col), lambda x: F.floor(x * F.lit(float(scale)))).alias("q"),
+        _quantize_fixed(F.col(vec_col), scale).alias("q"),
     )
     cent = q.filter(F.col("vid") < k).select(
         F.col("vid").alias("cluster"), F.col("q").alias("c")
@@ -838,15 +847,26 @@ def random_projection_int(
     """
     if out_dim < 1:
         raise ValueError(f"out_dim must be >= 1, got {out_dim}")
-    import math as _math
-
     planes = _hyperplanes(dim, out_dim, seed)
-    iplanes = [[_math.floor(x * scale_plane) for x in p] for p in planes]
-    q = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.floor(x * F.lit(float(scale_vec))),
-    )
+    iplanes = [[math.floor(x * scale_plane) for x in p] for p in planes]
+    q = _quantize_fixed(F.col(vec_col).cast("array<double>"), scale_vec)
     staged = df.select(F.col(id_col).alias("id"), q.alias("__q"))
+    # zip_with NULL-pads a length mismatch and a NULL vector folds to
+    # NULL projections — fail loudly in-plan instead (the
+    # kmeans_fixedpoint guard discipline); staged projection so the
+    # guard doesn't duplicate the quantize transform per use.
+    staged = staged.select(
+        "id",
+        F.when(
+            F.col("__q").isNull() | (F.size("__q") != dim),
+            F.raise_error(
+                f"random_projection_int: embedding must be a non-NULL "
+                f"{dim}-element array (got a NULL or mis-sized vector)"
+            ),
+        )
+        .otherwise(F.col("__q"))
+        .alias("__q"),
+    )
 
     def _proj(plane: list[int]):
         return F.aggregate(
