@@ -51,6 +51,7 @@ from pyspark.sql.types import (
 __all__ = [
     "binary_metadata",
     "extract_features",
+    "wav_roundtrip_stats",
     "resize_images",
     "sample_frames",
     "FEATURE_SCHEMA",
@@ -487,3 +488,66 @@ def sample_frames(
 
     src = df.select(F.col(id_col).alias("item_id"), F.col(payload_col))
     return src.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def wav_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched WAV decode with an end-to-end integer contract:
+    per row, synthesize deterministic 16-bit PCM from the id
+    (``s_i = (id·31 + i·17) mod 8192 − 4096``, rate
+    ``8000 + (id mod 4)·4000`` Hz, ``500 + id mod 300`` frames),
+    containerize with the stdlib ``wave`` WRITER (a real RIFF
+    encoder), decode the bytes back with :func:`_decode_wav` (the real
+    reader used by ``extract_features``), and emit integer stats of
+    what the DECODER saw — (id, frame_rate, n_frames, peak_abs,
+    sum_abs).
+
+    The point: an external oracle can recompute every output from the
+    generation FORMULA without touching bytes, so the full
+    synthesize → RIFF → parse → stats round trip is value-checked,
+    not rows-only — any header-layout, sample-width, channel-fold, or
+    endianness regression in the decode path breaks equality.  A
+    failed round trip raises rather than emitting zeros (unlike
+    ``extract_features``' zeros-for-undecodable contract, this
+    operator's inputs are valid by construction).
+
+    Scale shape: ``mapInPandas`` over the id column only — per-row
+    CPU-bound codec work, Arrow-batched, embarrassingly parallel,
+    ZERO exchanges; exactly the multimodal decode pattern (the codec
+    is the cost, never the shuffle).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                did = int(raw_id)
+                rate = 8000 + (did % 4) * 4000
+                n = 500 + did % 300
+                idx = np.arange(n, dtype=np.int64)
+                samples = ((did * 31 + idx * 17) % 8192 - 4096).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    wf.writeframes(samples.tobytes())
+                dec = _decode_wav(buf.getvalue())
+                if dec is None:
+                    raise ValueError(f"WAV round trip failed for id {did}")
+                pcm, fr = dec
+                a = np.abs(pcm.astype(np.int64))
+                rows.append((did, fr, len(pcm), int(a.max()), int(a.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_rate", "n_frames", "peak_abs", "sum_abs"],
+            )
+
+    return df.select(id_col).mapInPandas(
+        run,
+        f"{id_col} long, frame_rate long, n_frames long, peak_abs long, sum_abs long",
+    )

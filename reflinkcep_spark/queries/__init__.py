@@ -84,6 +84,12 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        embedding compression, exact long-format
 #                        output, zero-exchange projection; same
 #                        pairing note)
+#   multimodal_wav_stats (pipeline.py + functions/multimodal.py --
+#                        end-to-end WAV decode with an oracle: PCM
+#                        synthesized from doc_id, real RIFF write +
+#                        real wave-reader parse in mapInPandas,
+#                        integer stats DuckDB recomputes from the
+#                        formula; same pairing note)
 #
 # Registering all five in round 13 puts the registry at 126 + 5 = 131;
 # with the 50-slot window and the hard 2-round staleness ceiling the

@@ -3259,6 +3259,33 @@ FROM q CROSS JOIN planes
 """
 
 
+def multimodal_wav_stats(spark, sf_dir):
+    """End-to-end WAV decode with an ORACLE
+    (functions/multimodal.py:wav_roundtrip_stats): per document,
+    deterministic PCM is synthesized from doc_id, written through the
+    stdlib RIFF encoder, parsed back by the repo's real WAV reader
+    inside Arrow-batched ``mapInPandas``, and reduced to integer
+    stats — which DuckDB recomputes from the generation formula
+    without touching a byte.  Deepens the multimodal family beyond
+    byte sniffing: the decode PATH (header layout, sample width,
+    channel fold, endianness) is value-checked, not rows-only."""
+    return multimodal.wav_roundtrip_stats(_docs(spark, sf_dir).select("doc_id"))
+
+
+SQL_MULTIMODAL_WAV_STATS = r"""
+SELECT doc_id,
+       (8000 + (doc_id % 4) * 4000)::BIGINT AS frame_rate,
+       (500 + doc_id % 300)::BIGINT AS n_frames,
+       list_max(list_transform(range(0, 500 + doc_id % 300),
+                i -> abs((doc_id * 31 + i * 17) % 8192 - 4096)))::BIGINT
+         AS peak_abs,
+       list_sum(list_transform(range(0, 500 + doc_id % 300),
+                i -> abs((doc_id * 31 + i * 17) % 8192 - 4096)))::BIGINT
+         AS sum_abs
+FROM documents
+"""
+
+
 # The retrieval queries are module-level so the Spark query and the
 # SQL oracle are generated from ONE term list (the _raw_url recipe:
 # shared construction, independently re-expressed arithmetic).

@@ -123,6 +123,7 @@ PROBES = [
     ("doc_snapshot_diff", "documents"),
     ("doc_link_pagerank", "documents"),
     ("sim_jl_project", "embeddings"),
+    ("multimodal_wav_stats", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key
