@@ -526,6 +526,12 @@ def wav_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for raw_id in pdf[id_col]:
                 did = int(raw_id)
+                if did < 0:
+                    # Python % floors, SQL % keeps the dividend's sign:
+                    # the generation formulas only agree for ids >= 0,
+                    # so reject rather than silently diverge from any
+                    # external recomputation of the contract.
+                    raise ValueError(f"ids must be non-negative, got {did}")
                 rate = 8000 + (did % 4) * 4000
                 n = 500 + did % 300
                 idx = np.arange(n, dtype=np.int64)
