@@ -2388,3 +2388,43 @@ def test_random_projection_preserves_distance_order(spark, embs):
     assert rho > 0.15, rho
     with pytest.raises(ValueError, match="out_dim"):
         similarity.random_projection_int(sample, out_dim=0)
+
+
+def test_snapshot_diff_random_scenarios_match_reference(spark):
+    """Seeded random reconciliation scenarios (overlapping id spaces,
+    NULL digests, changed/unchanged mixes) against a pure-Python
+    reference of the presence-marker semantics."""
+    import random
+
+    from reflinkcep_spark.functions import snapshot
+
+    rng = random.Random(1411)
+    digests = [None, "a", "b", "c"]
+    old_rows, new_rows, expected = [], [], {}
+    for did in range(300):
+        in_old = rng.random() < 0.8
+        in_new = rng.random() < 0.8
+        od = rng.choice(digests)
+        nd = rng.choice(digests)
+        if in_old:
+            old_rows.append((did, f"s{did % 3}", od))
+        if in_new:
+            new_rows.append((did, f"n{did % 3}", nd))
+        if in_old and in_new:
+            if od != nd:
+                expected[did] = (f"n{did % 3}", "changed")
+        elif in_new:
+            expected[did] = (f"n{did % 3}", "added")
+        elif in_old:
+            expected[did] = (f"s{did % 3}", "removed")
+    schema = "doc_id long, source string, digest string"
+    got = {
+        r["doc_id"]: (r["source"], r["status"])
+        for r in snapshot.snapshot_diff(
+            spark.createDataFrame(old_rows, schema),
+            spark.createDataFrame(new_rows, schema),
+        ).collect()
+    }
+    assert got == expected and any(
+        v[1] == "changed" for v in expected.values()
+    ) and any(v[1] == "removed" for v in expected.values())
