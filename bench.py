@@ -67,15 +67,10 @@ HEADLINE = [
     "doc_global_shuffle",      # deterministic sharded shuffle (per-shard windows)
     "q_late_ship_priority",    # semi join with non-equi residual (Q4)
     "q_order_count_distribution",  # outer-join count distribution (Q13)
-    "q_promo_revenue_share",   # broadcast dim join + conditional agg (Q14)
     "q_large_quantity_orders", # agg-filter broadcast-back (Q18)
-    "q_segment_opportunity",   # exact-cents threshold + anti join (Q22)
-    "q_disjunctive_revenue",   # OR-of-ANDs pushed into both scans (Q19)
     "dedup_winnow_pairs",      # winnow-fingerprint inverted index
     "q_binational_volume",     # dual-role dimension join (Q7)
     "cep_conversion_rate",     # CEP matches consumed relationally
-    "q_top_supplier",          # max-of-aggregate selection (Q15)
-    "q_small_quantity_revenue",  # fact joined to own aggregate (Q17)
     "text_bigram_lift",        # collocation mining (exact-integer lift)
     "cep_spending_burst_bucketed",  # same NFA query over a bucketed log (0 exchanges)
     "q_waiting_suppliers",     # semi+anti self-join decorrelation (Q21)
@@ -94,8 +89,6 @@ HEADLINE = [
     "dedup_semantic",          # SemDeDup (IVF cells, in-cell witness fold)
     "cep_nested_funnel_relaxed",  # nested-right combine (window fast path)
     "q_product_profit",        # broadcast dims + conditional profit agg (Q9)
-    "q_late_lines_by_status",  # join-filtered conditional counts (Q12)
-    "q_part_supplier_counts",  # anti-join + distinct-pair count (Q16)
     "cep_purchase_no_immediate_error",  # strict negation / notNext (union + one window pass)
     "text_dedup_paragraphs",   # intra-doc paragraph dedup (zero-exchange fold)
     "doc_importance_weights",  # DSIR resampling (bounded bucket stats broadcast)
@@ -104,6 +97,11 @@ HEADLINE = [
     "text_dedup_paragraphs_fuzzy",  # fuzzy intra-doc unit dedup (in-row i<j Jaccard fold)
     "doc_contamination_matrix",     # per-(source x bench) leak matrix (broadcast grams)
     "doc_mixture_rebalance",        # token-exact mixture recipe (range-sharded prefix sums)
+    "dedup_url_canonical",     # URL-canonical dedup (codegen projection + one agg)
+    "text_dedup_paragraphs_global",  # CCNet cross-doc unit dedup (occurrence table)
+    "doc_quality_calibration", # per-source tier mix vs corpus cutoffs (ppm lift)
+    "text_dedup_xdoc_fuzzy",   # cross-doc NEAR-dup units (capped posting index)
+    "sim_ann_pq",              # product-quantization ANN (ADC over codes)
     "calibration_cpu",         # fixed-work box-state calibration (no IO, no data)
 ]
 
@@ -237,10 +235,13 @@ def main() -> int:
     # `parsed: null` because 69 seconds-float rows with default
     # separators outgrew that window and the line's head was cut).
     # So the one stdout line is COMPACT: integer milliseconds, no
-    # whitespace — 66 timed rows (67 HEADLINE entries minus the popped
-    # calibration row) ≈ 1.83 kB measured against the 2000-char
-    # capture (assert rail at 1.9 kB; ~75 chars ≈ 2 rows of headroom,
-    # less if several rows cross into 5-digit milliseconds).  Full seconds-precision detail goes to
+    # whitespace — 64 timed rows (65 HEADLINE entries minus the popped
+    # calibration row) ≈ 1.77 kB measured against the 2000-char
+    # capture (assert rail at 1.9 kB; round 12 retired seven rows —
+    # the two registry-retired queries plus five sub-second TPC-H
+    # scan/agg shapes (Q14/Q15/Q17/Q19/Q22, all still registered and
+    # oracle-gated) — to make room for the five round-12
+    # registrations).  Full seconds-precision detail goes to
     # bench_detail.json for local tooling (drift_normalize reads
     # either format).  If the row count grows this line past ~1.9 kB,
     # retire trivial sub-second scan rows from HEADLINE rather than

@@ -751,9 +751,14 @@ def duplicate_clusters(
     linear in ``rounds`` while the returned frame is still
     computed-on-first-action, keeping the no-eager-work contract.
 
-    Cost model at scale: 3 keyed shuffles per round over the PAIR
-    graph (edges ≪ corpus after capping/LSH), independent of corpus
-    size — the corpus itself is never shuffled.
+    Cost model at scale: a handful of keyed shuffles per round — the
+    neighbor edge-join + map-combined min-agg, the label merge join,
+    and the jump self-join, each side re-exchanged because checkpointed
+    RDDs carry unknown partitioning (see the PLANS.md
+    ``dedup_clusters_one_round`` entry for the audited per-round
+    counters) — ALL over PAIR-graph-sized frames (edges ≪ corpus after
+    capping/LSH), independent of corpus size: the corpus itself is
+    never shuffled.
     """
     # The symmetric edge list references `pairs` twice (forward +
     # swapped); checkpoint the pair pipeline FIRST so it executes once

@@ -134,8 +134,22 @@ def hll_registers(
         # in the data must not be conflated with the rollup level.
         F.grouping("grp").alias("_roll"),
     )
+    # The indicator is folded into the label column (the output schema
+    # stays engine-portable), which assumes no REAL group is literally
+    # named ``rollup_label`` — otherwise its rows would be
+    # indistinguishable from the corpus rollup downstream.  The
+    # assumption is enforced in-plan, not just documented: a data-level
+    # collision raises instead of silently aliasing two levels.
     return out.select(
-        F.when(F.col("_roll") == 1, F.lit(rollup_label))
+        F.when(
+            (F.col("_roll") == 0) & (F.col("grp") == F.lit(rollup_label)),
+            F.raise_error(
+                f"hll_registers: group value collides with rollup_label "
+                f"{rollup_label!r} — pass a rollup_label no real "
+                f"{group_col} uses"
+            ),
+        )
+        .when(F.col("_roll") == 1, F.lit(rollup_label))
         .otherwise(F.col("grp"))
         .alias(group_col),
         "bucket",

@@ -1152,9 +1152,21 @@ def merge_spans(spans: Column) -> Column:
         "CAST(struct(CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>), "
         f"CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)) AS {acc_t})"
     )
-    # ce = -1 flags "no open interval yet"; valid spans require e >= s >= 0.
+    # ce = -1 flags "no open interval yet", which makes the fold
+    # DEPEND on the stated domain (0 <= s <= e): a negative-coordinate
+    # span would read as "no open interval" and silently corrupt the
+    # union.  So the precondition is enforced in-plan (the kmeans/JL
+    # guard discipline), not just stated: any span with s < 0 or
+    # e < s raises before the fold ever runs.
+    checked = F.when(
+        F.exists(spans, lambda sp: (sp["s"] < 0) | (sp["e"] < sp["s"])),
+        F.raise_error(
+            "merge_spans: spans must satisfy 0 <= s <= e (half-open "
+            "[s, e) integer intervals)"
+        ),
+    ).otherwise(F.array_sort(spans))
     return F.aggregate(
-        F.array_sort(spans),
+        checked,
         init,
         lambda acc, sp: F.when(
             acc["ce"] < 0,
@@ -1266,6 +1278,21 @@ def tfidf_topk(
             lambda a, x: (a * x).cast("decimal(38,0)"),
         ).alias("den")
     )
+    # Overflow rail, stage 1 of 2: every decimal input above is
+    # non-null (inner joins over non-null df counts), so a NULL decimal
+    # RESULT can only mean the (38,0) arithmetic itself overflowed —
+    # non-ANSI Spark nulls instead of raising, and a NULL den would
+    # otherwise sail through the BIGINT-cast guard at the end (which
+    # only fires on non-null decimals that don't fit a long).
+    def _dec_or_raise(c, name):
+        return F.when(
+            c.isNull(),
+            F.raise_error(
+                f"{name} overflows DECIMAL(38,0) — fewer/rarer query "
+                "terms or a wider scoring type required"
+            ),
+        ).otherwise(c)
+
     # den is ≤ |queries| rows; broadcast so the tiny weight frame never
     # sort-merge-joins.
     wt = tdf.join(F.broadcast(den), "query_id").select(
@@ -1273,7 +1300,9 @@ def tfidf_topk(
         "term",
         # den is divisible by df by construction, so the decimal
         # quotient is integral and the (38,0) cast exact.
-        (F.col("den") / F.col("df")).cast("decimal(38,0)").alias("wt"),
+        (_dec_or_raise(F.col("den"), "tfidf den = prod(df)") / F.col("df"))
+        .cast("decimal(38,0)")
+        .alias("wt"),
         "den",
     )
     n_docs = df.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_docs"))
@@ -1288,7 +1317,12 @@ def tfidf_topk(
         .select(
             "query_id",
             "doc_id",
-            (F.col("s") * F.col("n_docs")).cast("decimal(38,0)").alias("num"),
+            # Overflow rail, stage 2: s (decimal sum) and s·n_docs both
+            # null only on (38,0) overflow — raise, don't rank garbage.
+            _dec_or_raise(
+                (F.col("s") * F.col("n_docs")).cast("decimal(38,0)"),
+                "tfidf num = sum(tf·wt)·n_docs",
+            ).alias("num"),
             "den",
         )
     )

@@ -17,31 +17,16 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
-# Round-12 queue (implemented, locally oracle-verified at sf0.001 AND
-# sf0.01, pinned by tests/test_check_oracles.py::
-# test_prestaged_round12_queries_match_oracles -- registration is a
-# QUERIES/ORACLES-dict + _PRIORITY edit):
-#   dedup_url_canonical    (pipeline.py + functions/web.py -- RefinedWeb
-#                           URL-level dedup: canonical_url codegen
-#                           projection + ONE combinable keyed agg;
-#                           streaming twin already wired)
-#   text_dedup_paragraphs_global (pipeline.py + functions/text.py --
-#                           CCNet cross-document unit dedup, 3 keyed
-#                           exchanges over the unit-occurrence table)
-#   doc_quality_calibration (pipeline.py + functions/text.py -- per-
-#                           source CCNet-tier mix vs corpus cutoffs,
-#                           exact-integer ppm share and lift)
-#   text_dedup_xdoc_fuzzy  (pipeline.py + functions/text.py -- CROSS-
-#                           document NEAR-dup unit removal, capped
-#                           shingle posting index; short name: the
-#                           bench line has a 1.9 kB rail)
-#   sim_ann_pq             (pipeline.py + functions/similarity.py --
-#                           product-quantization ANN with asymmetric
-#                           distance, codebooks as plan literals)
-# Round-12 window arithmetic with FIVE registrations: 21
-# PLANNED_SITOUTS (r9 rows, 2 rounds stale at r12 -- promote FIRST) +
-# 5 new + 50 r10-stale = 76 candidates for 50 slots -> 26 named
-# sit-outs from the r10 set.
+# Round-12 queue: REGISTERED this round (dedup_url_canonical,
+# text_dedup_paragraphs_global, doc_quality_calibration,
+# text_dedup_xdoc_fuzzy, sim_ann_pq) -- all pre-staged + oracle-green
+# since round 11; now covered by the full check_oracles replay.
+# Round-12 window arithmetic with five registrations AND the first six
+# retirements (see RETIRED below): registry 121 + 5 - 6 = 120.
+# Candidates: 16 surviving r9-stale PLANNED_SITOUTS (promote FIRST) +
+# 5 new + 49 surviving r10-stale = 70 for 50 slots -> 20 named
+# sit-outs from the r10 set (the cheapest scan/agg shapes, all green
+# every round since registration).
 #
 # Round-13 queue (implemented, locally oracle-verified at sf0.001 AND
 # sf0.01, pinned by tests/test_check_oracles.py::
@@ -91,27 +76,66 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        integer stats DuckDB recomputes from the
 #                        formula; same pairing note)
 #
-# Registering all five in round 13 puts the registry at 126 + 5 = 131;
+# Registering all five in round 13 puts the registry at 120 + 5 = 125;
 # with the 50-slot window and the hard 2-round staleness ceiling the
 # capacity bound is 3 x 50 = 150 registered queries, so rotation
-# stays feasible (131/3 = 43.7 average slots per round) but the
-# margin is now 19 -- prefer retiring a near-duplicate cheap scan
-# shape per future addition past round 13.
+# stays feasible (125/3 = 41.7 average slots per round) with margin
+# 25 -- maintained by the retire-a-near-duplicate-shape-per-addition
+# policy started round 12 (see RETIRED below).
 #
-# Front of the driver's 50-entry check window (round 11 rotation),
-# executed exactly as pre-planned in round 10: FIRST the eighteen
-# 2-round-stale sit-outs from the round-10 plan (r8-vintage rows -- the
-# only staleness the audit flagged), then the three queries registered
-# this round (pre-staged + oracle-verified in round 10:
-# text_dedup_paragraphs_fuzzy, doc_contamination_matrix,
-# doc_mixture_rebalance -- never driver-checked), then 29 of the 50
-# queries whose latest green rows are r9-vintage.  Window arithmetic:
-# 121 registered queries, 18 + 3 + 50 = 71 candidates for 50 slots, so
-# TWENTY-ONE r9-green queries sit out and go two rounds stale at round
-# 12 -- promote PLANNED_SITOUTS FIRST in the round-12 rotation.  Before
-# this rotation every promoted query was verified green in its latest
-# CORRECTNESS row (r8/r9) and every demoted query green in
-# CORRECTNESS_r10.json (scripts/window_audit.py run before and after).
+# Retired queries (round 12 onward): removed from the driver contract
+# (queries()/oracle_sql()) to keep rotation capacity margin >= 25, but
+# the functions and their oracle SQL stay in the modules and every one
+# is still VALUE-checked against DuckDB by pytest
+# (tests/test_retired_queries.py), so operator coverage is unchanged --
+# the slot is what's reclaimed, not the check.  Chosen round 12: six
+# near-duplicate cheap scan/agg shapes whose plan shape is exercised by
+# a registered sibling:
+#   q_events_tumbling      -- same one-shuffle F.window() agg plan as
+#                             the registered q_events_sliding; batch fn
+#                             also pinned by the streaming twin's
+#                             batch-equality test (test_streaming_entry)
+#   q_asof_next_error      -- forward as-of: same union+window single-
+#                             shuffle asof_join plan as the registered
+#                             q_asof_last_click; direction covered by
+#                             tests/test_asof.py::test_asof_forward_direction
+#   q_late_lines_by_status -- join + conditional-sum agg; shape covered
+#                             by q1_pricing_summary / q_promo_revenue_share
+#   q_part_supplier_counts -- anti-join (q_customers_without_orders) +
+#                             count_distinct (q_distinct_counts) combo
+#   doc_hash_sample        -- md5-bucket deterministic sampling; the
+#                             same bucket trick rides inside the
+#                             registered doc_split_leakage
+#   text_token_histogram   -- token-count bucket agg; near-dup of
+#                             text_profile stats; also unit-tested
+#                             directly (test_token_histogram_buckets)
+RETIRED = (
+    "q_events_tumbling",
+    "q_asof_next_error",
+    "q_late_lines_by_status",
+    "q_part_supplier_counts",
+    "doc_hash_sample",
+    "text_token_histogram",
+)
+
+# Front of the driver's 50-entry check window (round 12 rotation),
+# executed exactly as pre-planned in round 11: FIRST the sixteen
+# surviving 2-round-stale sit-outs from the round-11 plan (r9-vintage
+# rows; five of the original 21 were retired instead of promoted --
+# see RETIRED), then the five queries registered this round
+# (pre-staged + oracle-verified in round 11: dedup_url_canonical,
+# text_dedup_paragraphs_global, doc_quality_calibration,
+# text_dedup_xdoc_fuzzy, sim_ann_pq -- never driver-checked), then 29
+# of the 49 surviving queries whose latest green rows are r10-vintage
+# (every heavy / plan-sensitive shape: all CEP rows, dedup_clusters +
+# the md5 sketch twins, the sim_* family, multimodal, sessions/asof/
+# range/skew, decontam, packing).  Window arithmetic: 120 registered
+# queries, 16 + 5 + 49 = 70 candidates for 50 slots, so TWENTY
+# r10-green cheap scan/agg shapes sit out and go two rounds stale at
+# round 12 -- promote PLANNED_SITOUTS FIRST in the round-13 rotation.
+# Before this rotation every promoted query was verified green in its
+# latest CORRECTNESS row (r9/r10) and every demoted query green in
+# CORRECTNESS_r11.json (scripts/window_audit.py run before and after).
 
 # Machine-readable sit-out plan: queries whose latest driver row is
 # EXPECTED to be exactly 2 rounds stale at the NEXT driver run, because
@@ -120,98 +144,99 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 # this plan exactly -- any unplanned-stale query, any planned one that
 # is stale-and-red, or ANY row more than 2 rounds stale (planned or
 # not -- the hard ceiling added round 11) is a rotation bug and exits
-# nonzero.  Chosen round 11: the twenty-one simplest scan/agg shapes
-# among the r9 set -- thirteen single-join/agg relational+temporal
-# shapes, three document stat/sample scans, three text profile scans,
-# one shuffle-free fingerprint fold, one rollup agg; each green every
-# round since registration.  Every heavy or plan-sensitive r9 query
-# (all fifteen CEP rows, all eight dedup rows, FFD packing, the
-# LM-quality scan, cube/grouping-sets/pivot/unpivot) stays in the
-# window.
+# nonzero.  Chosen round 12: the twenty simplest r10-green scan/agg
+# shapes -- eighteen single-join/agg/window relational shapes, the
+# scalar-function scan, and one of the two session variants
+# (q_user_sessions; q_session_windows stays in the window); each green
+# every round since registration.  Every heavy or plan-sensitive r10
+# query (all eight CEP rows, dedup_clusters, the md5 sketch twins, the
+# sim_* family, multimodal, decontam, packing, winnow-robust,
+# range/asof/skew) stays in the window.
 PLANNED_SITOUTS = (
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "q_above_nation_avg",
-    "q_customers_without_orders",
-    "q_late_lines_by_status",
-    "q_orders_without_items",
-    "q_part_supplier_counts",
-    "q_parts_with_cheap_suppliers",
-    "q_product_profit",
-    "q_quantity_percentiles",
-    "q_running_order_totals",
-    "q_top_customers_per_nation",
-    "q_rollup_order_priority",
-    "q_events_tumbling",
-    "doc_hash_sample",
-    "doc_top_terms",
-    "doc_length_outliers",
-    "doc_winnow_fingerprints",
-    "text_profile",
-    "text_token_histogram",
-    "text_bigram_lift",
+    "q1_pricing_summary",
+    "q6_revenue_delta",
+    "q_big_building_buyers",
+    "q_scalar_functions",
+    "q_orders_by_month",
+    "q_distinct_counts",
+    "q_late_ship_priority",
+    "q_order_count_distribution",
+    "q_promo_revenue_share",
+    "q_large_quantity_orders",
+    "q_segment_opportunity",
+    "q_disjunctive_revenue",
+    "q_binational_volume",
+    "q_top_supplier",
+    "q_small_quantity_revenue",
+    "q_excess_inventory_suppliers",
+    "q_nation_market_share",
+    "q_min_cost_suppliers",
+    "q_important_parts",
+    "q_user_sessions",
 )
 
 _PRIORITY = (
-    # 2-rounds-stale round-10 sit-outs (last row r8) -- first, per plan
-    "doc_source_stats",
-    "doc_token_budget",
-    "doc_mixture_sample",
-    "doc_mixture_upsample",
-    "doc_split_assign",
-    "doc_global_shuffle",
-    "doc_vocab_coverage",
-    "doc_rolling_fingerprint",
-    "doc_chunk_overlap",
-    "doc_pii_scrub",
-    "text_repetition",
-    "text_language",
-    "q_balance_quartiles",
-    "q_events_props_json",
-    "q_events_sliding",
-    "q_local_supplier_volume",
-    "q_returned_item_customers",
-    "q_waiting_suppliers",
-    # new in round 11 (never driver-checked; pre-staged round 10)
-    "text_dedup_paragraphs_fuzzy",
-    "doc_contamination_matrix",
-    "doc_mixture_rebalance",
-    # r9-stale: CEP family (all fifteen)
-    "cep_conversion_rate",
-    "cep_error_pairs_skippast",
-    "cep_error_streaks_skip",
-    "cep_error_then_purchase_grouped",
-    "cep_error_triples",
-    "cep_high_purchase_chains",
-    "cep_nested_funnel_relaxed",
-    "cep_optional_click_prefix",
-    "cep_signup_abandoned",
-    "cep_signup_any_purchase",
-    "cep_signup_to_purchase",
-    "cep_spending_burst",
-    "cep_view_click_cycles",
-    "cep_view_click_runs",
-    "cep_view_combos_ndrelaxed",
-    # r9-stale: dedup family (all eight)
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_scrub_spans",
-    "dedup_semantic",
-    "dedup_simhash",
-    "dedup_substring_spans",
-    "dedup_winnow_pairs",
-    # r9-stale: heavy/plan-sensitive pipeline + relational keepers
-    "doc_pack_ffd",
-    "text_lm_quality",
-    "q_cube_lineitem_flags",
-    "q_grouping_sets",
-    "q_pivot_status_priority",
-    "q_unpivot_balances",
+    # 2-rounds-stale round-11 sit-outs (last row r9) -- first, per plan
+    # (16 of the 21: the other five were retired, see RETIRED)
+    "text_profile",
+    "doc_winnow_fingerprints",
+    "doc_top_terms",
+    "doc_length_outliers",
+    "text_bigram_lift",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q_top_customers_per_nation",
+    "q_rollup_order_priority",
+    "q_customers_without_orders",
+    "q_orders_without_items",
+    "q_parts_with_cheap_suppliers",
+    "q_quantity_percentiles",
+    "q_above_nation_avg",
+    "q_running_order_totals",
+    "q_product_profit",
+    # new in round 12 (never driver-checked; pre-staged round 11)
+    "dedup_url_canonical",
+    "text_dedup_paragraphs_global",
+    "doc_quality_calibration",
+    "text_dedup_xdoc_fuzzy",
+    "sim_ann_pq",
+    # r10-stale: heavy / plan-sensitive keepers
+    "dedup_clusters",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "doc_winnow_robust",
+    "doc_decontam",
+    "doc_pack_sequences",
+    "doc_curation_funnel",
+    "doc_split_leakage",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_embedding_neardup",
+    "multimodal_bytes",
+    "doc_importance_weights",
+    "text_dedup_paragraphs",
+    "dedup_canonical_quality",
+    "text_quality_buckets",
+    "q_range_join_clicks",
+    "q_session_windows",
+    "q_asof_last_click",
+    "q_skew_salted_events",
+    # r10-stale: CEP family (all eight)
+    "cep_high_purchases",
+    "cep_funnel_3step",
+    "cep_funnel_within",
+    "cep_error_runs",
+    "cep_purchase_then_error",
+    "cep_error_runs_skiptolast",
+    "cep_signup_purchase_skipfirst",
+    "cep_purchase_no_immediate_error",
 )
 
 
 def _ordered(merged):
+    for name in RETIRED:
+        merged.pop(name, None)
     out = {name: merged[name] for name in _PRIORITY if name in merged}
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out

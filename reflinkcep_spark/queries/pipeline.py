@@ -86,6 +86,18 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs, check_convergence=True)
 
 
+def dedup_clusters_one_round(spark, sf_dir):
+    """Audit-only variant (NOT registered): dedup_clusters with
+    rounds=1, so PLANS.md records the exact physical shape of ONE
+    pointer-jumping round — the unit the scale claim multiplies.  The
+    registered query's 4-round plan is this shape repeated behind lazy
+    localCheckpoint truncation points (functions/dedup.py:709), so
+    auditing the unit is the honest per-round counter record; the full
+    unrolled plan would bury the counters in checkpoint boilerplate."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3)
+    return dedup.duplicate_clusters(pairs, rounds=1)
+
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD}),
 edges AS (
@@ -3410,6 +3422,12 @@ QUERIES = {
     "text_dedup_paragraphs_fuzzy": text_dedup_paragraphs_fuzzy,
     "doc_contamination_matrix": doc_contamination_matrix,
     "doc_mixture_rebalance": doc_mixture_rebalance,
+    # registered round 12 (pre-staged + oracle-verified round 11)
+    "dedup_url_canonical": dedup_url_canonical,
+    "text_dedup_paragraphs_global": text_dedup_paragraphs_global,
+    "doc_quality_calibration": doc_quality_calibration,
+    "text_dedup_xdoc_fuzzy": text_dedup_xdoc_fuzzy,
+    "sim_ann_pq": sim_ann_pq,
 }
 
 ORACLES = {
@@ -3465,4 +3483,12 @@ ORACLES = {
     "text_dedup_paragraphs_fuzzy": SQL_TEXT_DEDUP_PARAGRAPHS_FUZZY,
     "doc_contamination_matrix": SQL_DOC_CONTAMINATION_MATRIX,
     "doc_mixture_rebalance": SQL_DOC_MIXTURE_REBALANCE,
+    # registered round 12 (pre-staged + oracle-verified round 11)
+    "dedup_url_canonical": SQL_DEDUP_URL_CANONICAL,
+    "text_dedup_paragraphs_global": SQL_TEXT_DEDUP_PARAGRAPHS_GLOBAL,
+    "doc_quality_calibration": SQL_DOC_QUALITY_CALIBRATION,
+    "text_dedup_xdoc_fuzzy": SQL_TEXT_DEDUP_XDOC_FUZZY,
+    # lazy: resolved by all_oracles() on first use (parquet read +
+    # PQ codebook fit — same contract as sim_ann_ivf above).
+    "sim_ann_pq": _sql_sim_ann_pq,
 }

@@ -58,56 +58,13 @@ def test_int32_vs_int64_is_same_kind():
     assert compare("x", got, want) == []
 
 
-def test_prestaged_round12_queries_match_oracles(spark):
-    """The round-12 queue is written but not yet registered (round-11
-    window full — see queries/__init__.py).  Keep every queued query
-    oracle-green at sf0.001 until the round-12 rotation registers them,
-    so registration is a two-line edit, not a debugging session.
-    (The round-11 queue graduated into the registry and is now covered
-    by the full check_oracles replay.)"""
-    import duckdb
-
-    from reflinkcep_spark.queries.pipeline import (
-        SQL_DEDUP_URL_CANONICAL,
-        SQL_DOC_QUALITY_CALIBRATION,
-        SQL_TEXT_DEDUP_PARAGRAPHS_GLOBAL,
-        SQL_TEXT_DEDUP_XDOC_FUZZY,
-        _sql_sim_ann_pq,
-        dedup_url_canonical,
-        doc_quality_calibration,
-        sim_ann_pq,
-        text_dedup_paragraphs_global,
-        text_dedup_xdoc_fuzzy,
-    )
-    from tests.conftest import SF_DIR
-
-    con = duckdb.connect()
-    for t in ("documents", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
-        )
-    for fn, sql in (
-        (dedup_url_canonical, SQL_DEDUP_URL_CANONICAL),
-        (text_dedup_paragraphs_global, SQL_TEXT_DEDUP_PARAGRAPHS_GLOBAL),
-        (text_dedup_xdoc_fuzzy, SQL_TEXT_DEDUP_XDOC_FUZZY),
-        (doc_quality_calibration, SQL_DOC_QUALITY_CALIBRATION),
-        # lazy oracle: codebooks must be refit for THIS sf_dir (the
-        # registered form resolves the default oracle SF via the env,
-        # exactly like sim_ann_ivf)
-        (sim_ann_pq, _sql_sim_ann_pq(SF_DIR)),
-    ):
-        got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
-        want = check_oracles.normalize(con.execute(sql).fetchdf())
-        assert len(got) > 0
-        assert compare(fn.__name__, got, want) == []
-
-
 def test_prestaged_round13_queries_match_oracles(spark):
-    """Round-13 queue: written + oracle-verified now, registration
-    deferred (the round-12 rotation is already planned at 5
-    registrations + 26 sit-outs — see queries/__init__.py).  Pin every
-    queued query oracle-green at sf0.001 so round-13 registration is a
-    dict edit, not a debugging session."""
+    """Round-13 queue: written + oracle-verified, registration deferred
+    (the round-12 rotation registered its own five-query queue — see
+    queries/__init__.py; that queue graduated into the registry and is
+    now covered by the full check_oracles replay).  Pin every queued
+    query oracle-green at sf0.001 so round-13 registration is a dict
+    edit, not a debugging session."""
     import duckdb
 
     from reflinkcep_spark.queries.pipeline import (

@@ -2051,6 +2051,40 @@ def test_merge_spans_semantics(spark):
         assert got[i] == want, f"case {i}: {got[i]} != {want}"
 
 
+def test_merge_spans_rejects_invalid_spans(spark):
+    """The fold's ce = -1 'no open interval' sentinel depends on the
+    0 <= s <= e domain, so the precondition is enforced in-plan: a
+    negative start or an e < s span raises instead of silently
+    corrupting the union."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    for bad in ([(-2, 3)], [(0, 4), (6, 5)]):
+        df = spark.createDataFrame(
+            [(0, bad)], "id long, sp array<struct<s:long,e:long>>"
+        )
+        with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as ei:
+            df.select(text.merge_spans(F.col("sp")).alias("m")).collect()
+        assert "merge_spans" in str(ei.value)
+
+
+def test_hll_rollup_label_collision_raises(spark):
+    """A real group literally named like the rollup label would be
+    indistinguishable from the corpus rollup — the in-plan guard
+    raises instead of aliasing the two levels."""
+    import pytest
+
+    from reflinkcep_spark.functions import sketch
+
+    df = spark.createDataFrame(
+        [("(all)", "alpha beta"), ("web", "gamma")], "source string, text string"
+    )
+    with pytest.raises(Exception) as ei:
+        sketch.hll_registers(df, buckets=4).collect()
+    assert "rollup_label" in str(ei.value)
+
+
 def test_merge_spans_idempotent_and_order_insensitive(spark):
     """merge(merge(x)) == merge(x) and merge(perm(x)) == merge(x) on
     seeded random span soups, against a Python reference union."""

@@ -87,6 +87,13 @@ def test_streaming_entries_match_batch_twins_on_closed_state(spark, tmp_path):
 
     qs = entrymod.queries_streaming()
     batch = entrymod.queries()
+    # q_events_tumbling was RETIRED from the driver contract in round
+    # 12 (near-dup of q_events_sliding's plan shape) but its function
+    # stays in the module precisely so this batch-equality pin keeps
+    # covering the streaming twin.
+    from reflinkcep_spark.queries.temporal import q_events_tumbling
+
+    batch.setdefault("q_events_tumbling", q_events_tumbling)
     ev = load_table(spark, SF_DIR, "events")
     # Spark tracks event-time stats in MILLISECONDS: the final
     # watermark is floor(max_us / 1000) − delay_ms.  Compute the
