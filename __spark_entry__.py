@@ -152,16 +152,17 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     starts it with ``.writeStream`` (memory sink +
     ``trigger(availableNow=True)`` in the tests).
 
-    The eleven entries cover every streaming execution path the repo
+    The twelve entries cover every streaming execution path the repo
     has (STREAMING_READY.md): the stateful NFA kernel (plain and
     span-bounded — ``within`` doubles as the run-state bound), three
     windowed-aggregation flavors, absence-via-timeout, strict negation
     (notNext) via watermark-final next-event candidates, streaming
     exact/URL dedup over the document feed (``dropDuplicates`` keyed
-    state over a content digest / a canonical URL), a STATELESS
-    ingest gate (Bloom decontamination as a plan-literal in-row
-    projection — no state, no watermark), and a FIXED-SIZE-state
-    sketch aggregate (per-source HLL registers, complete mode).
+    state over a content digest / a canonical URL), STATELESS ingest
+    projections (Bloom decontamination as a plan-literal in-row gate;
+    annotation-span consolidation as a zero-state per-row fold — no
+    state, no watermark for either), and a FIXED-SIZE-state sketch
+    aggregate (per-source HLL registers, complete mode).
     Each one's batch twin is a REGISTERED driver query with IDENTICAL
     arithmetic (exact cent sums / md5 digests / canonical URLs) —
     except ``dedup_url_canonical_stream``, ``doc_bloom_decontam_stream``,
@@ -417,6 +418,28 @@ context:
             _stream_table(spark, sf_dir, "documents"), buckets=64
         )
 
+    def doc_span_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming annotation-span consolidation (round-13 queue twin
+        ``doc_span_merge``): Dolma-style attribute merging is exactly
+        an INGEST-time operation — each document arrives with its
+        taggers' span lists and must carry one consolidated cover into
+        the corpus — and ``merge_spans`` (functions/text.py) is a
+        zero-exchange in-row fold, so the streaming twin is a STATELESS
+        per-row projection: no state store, no watermark, no
+        aggregation.  Spans are derived from doc_id by the same
+        in-query arithmetic as the batch driver query (shared builder
+        pipeline._span_merge_projection — the two surfaces cannot
+        disagree about the derivation), and equality vs the batch twin
+        is EXACT and total: stateless projections have no
+        watermark-closure band."""
+        from reflinkcep_spark.queries.pipeline import _span_merge_projection
+
+        return _span_merge_projection(
+            _stream_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 20 != 0
+            )
+        )
+
     return {
         "cep_signup_to_purchase_stream": cep_signup_to_purchase_stream,
         "q_events_tumbling_stream": q_events_tumbling_stream,
@@ -429,4 +452,5 @@ context:
         "dedup_url_canonical_stream": dedup_url_canonical_stream,
         "doc_bloom_decontam_stream": doc_bloom_decontam_stream,
         "doc_hll_registers_stream": doc_hll_registers_stream,
+        "doc_span_merge_stream": doc_span_merge_stream,
     }

@@ -557,3 +557,85 @@ def wav_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         run,
         f"{id_col} long, frame_rate long, n_frames long, peak_abs long, sum_abs long",
     )
+
+
+def ppm_roundtrip_stats(
+    df: DataFrame, id_col: str = "doc_id", width: int = 4, height: int = 3
+) -> DataFrame:
+    """Arrow-batched netpbm decode with an end-to-end integer contract
+    (the :func:`wav_roundtrip_stats` recipe for the IMAGE path): per
+    row, synthesize a deterministic ``P6`` RGB image from the id
+    (``w = 8 + id mod 9``, ``h = 6 + id mod 7``, channel ``c`` at
+    ``(y, x)`` is ``(id·7 + y·31 + x·13 + 5c) mod 256``), emit real
+    PPM bytes (header WITH a ``#`` comment line, so the tolerant
+    header grammar is on the tested path), parse them back with
+    :func:`_decode_netpbm` (the real parser ``resize_images`` uses,
+    including its integer RGB→gray fold), nearest-neighbor resample to
+    ``width``×``height`` through :func:`_resize_nearest`, and emit
+    integer stats of what the DECODER produced — (id, src_w, src_h,
+    px_sum, px_max, px_checksum), where ``px_checksum =
+    Σ (k+1)·px_k`` over row-major resampled pixels is POSITION
+    sensitive (a row/column-order or index-rounding regression breaks
+    it even when the pixel multiset survives).
+
+    An external oracle recomputes every output from the generation
+    formula without touching a byte: output pixel ``k`` reads source
+    pixel ``sy = (⌊k/width⌋·h) div height``, ``sx = ((k mod
+    width)·w) div width``, gray = ``(r + g + b) div 3`` over the three
+    channel formulas.  A failed parse raises rather than emitting
+    zeros (inputs are valid by construction — same contract as the WAV
+    round trip).
+
+    Scale shape: ``mapInPandas`` over the id column only — per-row
+    CPU-bound codec work, Arrow-batched, ZERO exchanges.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                did = int(raw_id)
+                if did < 0:
+                    # Python % floors, SQL % keeps the dividend's sign:
+                    # the formulas only agree for ids >= 0 (the WAV
+                    # round trip's rail, same reasoning).
+                    raise ValueError(f"ids must be non-negative, got {did}")
+                w, h = 8 + did % 9, 6 + did % 7
+                y, x = np.mgrid[0:h, 0:w]
+                base = did * 7 + y * 31 + x * 13
+                rgb = np.stack(
+                    [(base + 5 * c) % 256 for c in range(3)], axis=-1
+                ).astype(np.uint8)
+                payload = (
+                    b"P6\n# synthetic %d\n%d %d\n255\n" % (did, w, h)
+                    + rgb.tobytes()
+                )
+                gray = _decode_netpbm(payload)
+                if gray is None or gray.shape != (h, w):
+                    raise ValueError(f"PPM round trip failed for id {did}")
+                px = np.frombuffer(
+                    _resize_nearest(gray, width, height), dtype=np.uint8
+                ).astype(np.int64)
+                ks = np.arange(px.size) + 1
+                rows.append(
+                    (
+                        did,
+                        w,
+                        h,
+                        int(px.sum()),
+                        int(px.max()),
+                        int((ks * px).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "src_w", "src_h", "px_sum", "px_max", "px_checksum"],
+            )
+
+    return df.select(id_col).mapInPandas(
+        run,
+        f"{id_col} long, src_w long, src_h long, px_sum long, px_max long, "
+        "px_checksum long",
+    )

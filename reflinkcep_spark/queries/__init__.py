@@ -75,6 +75,13 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        real wave-reader parse in mapInPandas,
 #                        integer stats DuckDB recomputes from the
 #                        formula; same pairing note)
+#   multimodal_ppm_stats (pipeline.py + functions/multimodal.py --
+#                        the IMAGE twin, added round 12: synthetic P6
+#                        pixels from doc_id -> real PPM bytes -> the
+#                        repo's real netpbm parser + nearest-neighbor
+#                        resample -> integer stats incl. a position-
+#                        sensitive checksum, DuckDB recomputes from
+#                        the formula; same pairing note)
 #
 # Registering all five in round 13 puts the registry at 120 + 5 = 125;
 # with the 50-slot window and the hard 2-round staleness ceiling the

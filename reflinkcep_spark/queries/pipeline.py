@@ -2975,7 +2975,17 @@ def doc_span_merge(spark, sf_dir):
     Spark merges with a ZERO-exchange in-row fold; the oracle is the
     classic gaps-and-islands window over the exploded spans — the
     fold is checked against the idiom it replaces."""
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 != 0)
+    return _span_merge_projection(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 20 != 0)
+    )
+
+
+def _span_merge_projection(docs):
+    """The span derivation + merge + stats projection shared by the
+    batch driver query and its streaming twin (doc_span_merge_stream in
+    __spark_entry__.py) — one definition so the two surfaces cannot
+    disagree about the span arithmetic.  Pure stateless column algebra:
+    works identically on a batch frame and a streaming frame."""
     spans = F.transform(
         F.sequence(F.lit(0).cast("long"), F.col("doc_id") % 20 - 1),
         lambda j: F.struct(
@@ -3295,6 +3305,53 @@ SELECT doc_id,
                 i -> abs((doc_id * 31 + i * 17) % 8192 - 4096)))::BIGINT
          AS sum_abs
 FROM documents
+"""
+
+
+# multimodal_ppm_stats is implemented and locally oracle-verified but
+# NOT yet registered: round-14/15 queue (see queries/__init__.py).
+def multimodal_ppm_stats(spark, sf_dir):
+    """End-to-end netpbm decode with an ORACLE
+    (functions/multimodal.py:ppm_roundtrip_stats): per document, a
+    deterministic P6 RGB image is synthesized from doc_id, emitted as
+    real PPM bytes (comment-bearing header), parsed back by the repo's
+    real netpbm parser, nearest-neighbor resampled to 4×3 through the
+    real resize helper, and reduced to integer stats — which DuckDB
+    recomputes from the generation formula without touching a byte.
+    The IMAGE twin of multimodal_wav_stats: header grammar, RGB→gray
+    integer fold, and resample index rounding are all value-checked,
+    with a position-sensitive checksum so even a pixel-order
+    regression breaks equality."""
+    return multimodal.ppm_roundtrip_stats(_docs(spark, sf_dir).select("doc_id"))
+
+
+# Oracle derivation: output pixel k (row-major, 4 wide x 3 tall) reads
+# source pixel sy = (k div 4 * h) div 3, sx = (k mod 4 * w) div 4 of a
+# w x h image where w = 8 + id%9, h = 6 + id%7; gray = (r+g+b) div 3
+# over channel c = (id*7 + sy*31 + sx*13 + 5c) mod 256.
+SQL_MULTIMODAL_PPM_STATS = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(range(0, 12), k ->
+           doc_id * 7
+           + (((k // 4) * (6 + doc_id % 7)) // 3) * 31
+           + (((k % 4) * (8 + doc_id % 9)) // 4) * 13) AS b
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(b, v ->
+           ((v % 256) + ((v + 5) % 256) + ((v + 10) % 256)) // 3) AS px
+  FROM base
+)
+SELECT doc_id,
+       (8 + doc_id % 9)::BIGINT AS src_w,
+       (6 + doc_id % 7)::BIGINT AS src_h,
+       list_sum(px)::BIGINT AS px_sum,
+       list_max(px)::BIGINT AS px_max,
+       list_sum(list_transform(range(1, 13), k -> k * px[k]))::BIGINT
+         AS px_checksum
+FROM g
 """
 
 

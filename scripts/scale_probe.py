@@ -124,6 +124,7 @@ PROBES = [
     ("doc_link_pagerank", "documents"),
     ("sim_jl_project", "embeddings"),
     ("multimodal_wav_stats", "documents"),
+    ("multimodal_ppm_stats", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

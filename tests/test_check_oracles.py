@@ -108,10 +108,12 @@ def test_prestaged_round14_queries_match_oracles(spark):
     from reflinkcep_spark.queries.pipeline import (
         SQL_DOC_LINK_PAGERANK,
         SQL_DOC_SNAPSHOT_DIFF,
+        SQL_MULTIMODAL_PPM_STATS,
         SQL_MULTIMODAL_WAV_STATS,
         _sql_sim_jl_project,
         doc_link_pagerank,
         doc_snapshot_diff,
+        multimodal_ppm_stats,
         multimodal_wav_stats,
         sim_jl_project,
     )
@@ -127,6 +129,7 @@ def test_prestaged_round14_queries_match_oracles(spark):
         (doc_link_pagerank, SQL_DOC_LINK_PAGERANK),
         (sim_jl_project, _sql_sim_jl_project()),
         (multimodal_wav_stats, SQL_MULTIMODAL_WAV_STATS),
+        (multimodal_ppm_stats, SQL_MULTIMODAL_PPM_STATS),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

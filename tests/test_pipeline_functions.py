@@ -414,6 +414,36 @@ def test_multimodal_wav_real_decode(spark):
     assert 2 not in per_item and 3 not in per_item
 
 
+def test_multimodal_ppm_roundtrip_stats(spark):
+    """The netpbm round trip: a hand-checked id plus the rails — the
+    decoder's gray fold and resample rounding must reproduce the
+    formula recomputation (the DuckDB oracle checks this at scale;
+    here one row is verified against an independent numpy
+    recomputation), and negative ids raise (Python % floors, SQL %
+    truncates — the WAV round trip's rail)."""
+    import numpy as np
+    import pytest
+
+    df = spark.createDataFrame([(7,)], "doc_id long")
+    row = multimodal.ppm_roundtrip_stats(df).collect()[0]
+    w, h = 8 + 7 % 9, 6 + 7 % 7
+    assert (row["src_w"], row["src_h"]) == (w, h)
+    # independent recomputation from the generation formula
+    px = []
+    for k in range(12):
+        sy, sx = ((k // 4) * h) // 3, ((k % 4) * w) // 4
+        b = 7 * 7 + sy * 31 + sx * 13
+        px.append(((b % 256) + ((b + 5) % 256) + ((b + 10) % 256)) // 3)
+    assert row["px_sum"] == sum(px)
+    assert row["px_max"] == max(px)
+    assert row["px_checksum"] == sum((k + 1) * v for k, v in enumerate(px))
+
+    bad = spark.createDataFrame([(-3,)], "doc_id long")
+    with pytest.raises(Exception) as ei:
+        multimodal.ppm_roundtrip_stats(bad).collect()
+    assert "non-negative" in str(ei.value)
+
+
 def test_pack_sequences_invariants(spark, docs):
     from reflinkcep_spark.functions.packing import pack_sequences, pack_stats
 

@@ -394,3 +394,34 @@ def test_streaming_entry_hll_registers_matches_batch(spark, tmp_path):
         if r["source"] != "(all)"
     )
     assert got == want and got
+
+
+def test_streaming_entry_span_merge_matches_batch(spark, tmp_path):
+    """The twelfth entry (round 12): annotation-span consolidation at
+    ingest — merge_spans as a STATELESS per-row fold (no state, no
+    watermark) — equals the round-13 pre-staged batch twin
+    ``doc_span_merge`` EXACTLY and TOTALLY: both surfaces run the same
+    shared projection (pipeline._span_merge_projection), and a
+    stateless projection has no watermark-closure band to exclude."""
+    import __spark_entry__ as entrymod
+
+    from reflinkcep_spark.queries.pipeline import doc_span_merge
+
+    out = entrymod.queries_streaming()["doc_span_merge_stream"](spark, SF_DIR)
+    assert out.isStreaming
+    sink = f"entry_span_merge_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_span_merge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table(sink).collect())
+    want = sorted(
+        (r["doc_id"], r["n_spans"], r["n_merged"], r["covered_chars"])
+        for r in doc_span_merge(spark, SF_DIR).collect()
+    )
+    assert got == want and got
