@@ -152,7 +152,7 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     starts it with ``.writeStream`` (memory sink +
     ``trigger(availableNow=True)`` in the tests).
 
-    The twelve entries cover every streaming execution path the repo
+    The thirteen entries cover every streaming execution path the repo
     has (STREAMING_READY.md): the stateful NFA kernel (plain and
     span-bounded — ``within`` doubles as the run-state bound), three
     windowed-aggregation flavors, absence-via-timeout, strict negation
@@ -161,15 +161,18 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     state over a content digest / a canonical URL), STATELESS ingest
     projections (Bloom decontamination as a plan-literal in-row gate;
     annotation-span consolidation as a zero-state per-row fold — no
-    state, no watermark for either), and a FIXED-SIZE-state sketch
-    aggregate (per-source HLL registers, complete mode).
+    state, no watermark for either), and FIXED-SIZE-state sketch
+    aggregates (per-source HLL registers; per-source Count-Min cells —
+    both complete mode).
     Each one's batch twin is a REGISTERED driver query with IDENTICAL
     arithmetic (exact cent sums / md5 digests / canonical URLs) —
-    except ``dedup_url_canonical_stream``, ``doc_bloom_decontam_stream``,
-    and ``doc_hll_registers_stream``, whose twins are the queue-staged
-    ``dedup_url_canonical`` (round 12), ``doc_bloom_decontam``, and
-    ``doc_hll_registers`` (round 13) — oracle-verified + suite-pinned,
-    registration queued.
+    except ``doc_bloom_decontam_stream``, ``doc_hll_registers_stream``,
+    and ``doc_span_merge_stream``, whose twins are the queue-staged
+    round-13 queries (oracle-verified + suite-pinned, registration
+    queued), and ``doc_cms_registers_stream``, whose batch twin is the
+    shared ``sketch.cms_registers`` helper (the registered-queue form
+    is the derived ``doc_cms_estimates``; register equality is pinned
+    in tests).
     The streaming check is
     "stream result == batch twin (== oracle)": full equality for the
     kernel, dedup, and gate entries, and equality on watermark-CLOSED
@@ -440,6 +443,24 @@ context:
             )
         )
 
+    def doc_cms_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming Count-Min frequency sketch (round-14/15 queue
+        family twin ``doc_cms_estimates``): per-source CMS register
+        cells over the document stream — the second FIXED-SIZE-state
+        aggregation (≤ sources·depth·width cells no matter how long
+        the stream runs), and a LINEAR sketch: cells merge with ``+``,
+        so shard/stream tables fold downstream without re-reading the
+        stream (estimates are then a consumer-side min-fold, exactly
+        like the HLL rollup).  One aggregation, COMPLETE output mode,
+        no watermark; shares the cell-placement projection with the
+        batch form (sketch._cms_hashed), equality vs batch
+        ``cms_registers`` is EXACT (pinned in tests)."""
+        from reflinkcep_spark.functions import sketch
+
+        return sketch.cms_registers(
+            _stream_table(spark, sf_dir, "documents"), width=32, depth=2
+        )
+
     return {
         "cep_signup_to_purchase_stream": cep_signup_to_purchase_stream,
         "q_events_tumbling_stream": q_events_tumbling_stream,
@@ -453,4 +474,5 @@ context:
         "doc_bloom_decontam_stream": doc_bloom_decontam_stream,
         "doc_hll_registers_stream": doc_hll_registers_stream,
         "doc_span_merge_stream": doc_span_merge_stream,
+        "doc_cms_registers_stream": doc_cms_registers_stream,
     }

@@ -1,6 +1,6 @@
 """Mergeable sketches for corpus statistics at 100 TB scale.
 
-Two sketches whose *registers* — not just their final estimates — are
+Three sketches whose *registers* — not just their final estimates — are
 exact integers reproducible bit-for-bit by any engine that shares the
 hash (the frozen md5 of the rest of this repo):
 
@@ -24,6 +24,13 @@ hash (the frozen md5 of the rest of this repo):
   gram inventory, a URL blocklist of billions).  The price is a
   deterministic false-positive rate; there are NO false negatives,
   so as a *pre*-filter it never lets contamination through.
+* :func:`cms_registers` / :func:`cms_estimates` — Count-Min sketch
+  (Cormode & Muthukrishnan 2005): fixed-size FREQUENCY cells that
+  merge with ``+`` (a linear sketch — shard and stream tables fold
+  without rescanning), answering "how often does term t occur per
+  source" without a corpus-wide term shuffle.  Estimates only ever
+  OVERestimate (min-of-rows over non-negative collisions), the
+  frequency-side dual of Bloom's no-false-negative guarantee.
 
 Both engines (Spark and the DuckDB oracle) compute the same md5-derived
 buckets, registers, and bit positions, so outputs — including any Bloom
@@ -44,6 +51,8 @@ __all__ = [
     "bloom_gate",
     "bloom_literal",
     "bloom_gate_inline",
+    "cms_registers",
+    "cms_estimates",
 ]
 
 # 15 hex chars = 60 bits: fits a signed 64-bit integer in BOTH engines
@@ -382,4 +391,196 @@ def bloom_gate_inline(
             F.size(F.filter(grams, _hit)).cast("long").alias("n_flagged_grams"),
         )
         .filter(F.col("n_flagged_grams") > 0)
+    )
+
+
+def _cms_positions(col: Column, width: int, depth: int) -> Column:
+    """The ONE cell-placement formula of the Count-Min family: the
+    ``depth``-long array of positions for value ``col`` — position j =
+    ``md5('j:' || col)[8 hex] mod width``.  Register construction
+    (:func:`_cms_hashed`) and probe lookup (:func:`cms_estimates`) both
+    call this, so the two sides can never disagree about placement
+    (a drifted probe hash would silently look up the wrong cells and
+    break the ``est >= exact`` guarantee)."""
+    return F.array(
+        *[
+            (_hex_slice(F.concat(F.lit(f"{j}:"), col), 1, 8) % width)
+            for j in range(depth)
+        ]
+    )
+
+
+def _check_cms_geometry(width: int, depth: int) -> None:
+    if width < 1 or width > 65536:
+        raise ValueError(f"width must be in [1, 65536], got {width}")
+    if depth < 1 or depth > 8:
+        raise ValueError(f"depth must be in [1, 8], got {depth}")
+
+
+def _cms_hashed(
+    df: DataFrame, text_col: str, group_col: str, width: int, depth: int
+) -> DataFrame:
+    """The shared (grp, row, pos) projection of both Count-Min forms —
+    batch and streaming — so the two surfaces can never disagree about
+    cell placement (:func:`_cms_positions`).  Row-salted md5 gives
+    ``depth`` pairwise-independent-enough hash functions that any
+    engine can reproduce exactly."""
+    from reflinkcep_spark.functions.text import tokens
+
+    _check_cms_geometry(width, depth)
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    return tok.select(
+        "grp", F.posexplode(_cms_positions(F.col("t"), width, depth)).alias("row", "pos")
+    )
+
+
+def cms_registers(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    width: int = 32,
+    depth: int = 2,
+) -> DataFrame:
+    """Count-Min sketch register table over the word tokens of
+    ``text_col``, per ``group_col`` — (group, row, pos, cnt), all
+    BIGINT: cell ``(row, pos)`` counts the token instances any of whose
+    ``depth`` row-salted md5 hashes landed there.
+
+    Like :func:`hll_registers`, this emits the REGISTERS, not derived
+    estimates: integer cells are exact and engine-portable, they keep
+    merging (CMS cells merge with ``+``, the whole point of a linear
+    sketch — any consumer can fold shards/streams without re-reading
+    them), and a point estimate is then ``min_j cell(j, h_j(t))``
+    downstream (:func:`cms_estimates`).  Cells no token hashed into
+    are absent rather than zero rows (the HLL absent-bucket
+    convention — reproduced identically by any engine sharing the
+    hash).
+
+    Scale shape: scan → token explode → ``depth``-way in-row position
+    fan-out → ONE map-side-combinable COUNT aggregate over
+    ≤ groups·depth·width cells; output size independent of corpus.
+    The streaming twin is this exact plan (one aggregation — legal in
+    complete mode) with FIXED-SIZE state, ≤ groups·depth·width cells
+    no matter how long the stream runs.
+    """
+    return (
+        _cms_hashed(df, text_col, group_col, width, depth)
+        .groupBy("grp", "row", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("row").cast("long").alias("row"),
+            "pos",
+            "cnt",
+        )
+    )
+
+
+def cms_estimates(
+    df: DataFrame,
+    probe_terms: tuple[str, ...],
+    text_col: str = "text",
+    group_col: str = "source",
+    width: int = 32,
+    depth: int = 2,
+) -> DataFrame:
+    """Count-Min point estimates beside ground truth: for each group
+    and probe term, ``est_cnt = min_j cell(j, h_j(term))`` from
+    :func:`cms_registers` next to the exact instance count —
+    (group, term, est_cnt, exact_cnt).  ``est_cnt >= exact_cnt``
+    always (Count-Min never underestimates; property-tested), and at
+    small ``width`` the overestimate is visibly exercised, so an
+    engine-independent oracle checks the whole estimate path — hash
+    placement, min-fold, and collision arithmetic — not just the cell
+    table.
+
+    Every probe term is emitted for every group THE REGISTER TABLE
+    KNOWS (0/0 when the group never saw the term): the group list
+    derives from the sketch itself (≤ groups·depth·width cells), not
+    from another corpus scan, so a group whose documents contain no
+    tokens at all has no cells and is absent — the sketch's own notion
+    of "group".  Absent cells read as 0 through the left join, which
+    is exactly the sketch's answer for a never-hashed term.  NULL
+    group values are rejected in-plan (a NULL key matches nothing in
+    the register/exact joins, so it would surface as a plausible 0/0
+    row — garbage with no error; raising is the honest behavior).
+
+    Scale shape: the register table is ≤ groups·depth·width cells and
+    the probe list is a plan literal, so the estimate side is a
+    broadcast-joined fold over a TINY frame; the exact side is one
+    ``isin``-filtered token aggregate (the filter reaches the explode
+    immediately).  Two passes over the text column — the sketch pass
+    and the truth pass — which is the price of emitting ground truth
+    beside the estimate; production reads the register table alone.
+    """
+    if not probe_terms:
+        raise ValueError("probe_terms must be non-empty")
+    if len(set(probe_terms)) != len(probe_terms):
+        raise ValueError("probe_terms must be distinct")
+    _check_cms_geometry(width, depth)
+    from reflinkcep_spark.functions.text import tokens
+
+    spark = df.sparkSession
+    # NULL-group rail applied at the source, so BOTH passes (sketch and
+    # exact) are covered by one guard.
+    df = df.withColumn(
+        group_col,
+        F.when(
+            F.col(group_col).isNull(),
+            F.raise_error(
+                f"cms_estimates: NULL {group_col} values would silently "
+                "produce 0/0 rows (NULL join keys match nothing) — filter "
+                "or fill them first"
+            ),
+        ).otherwise(F.col(group_col)),
+    )
+    reg = cms_registers(df, text_col, group_col, width, depth)
+    # The sketch is the only corpus-derived input the estimate side
+    # needs: its distinct groups are a fold over <= groups*depth*width
+    # cells, not a third corpus scan.
+    groups = reg.select(F.col(group_col).alias("grp")).distinct()
+    probes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in sorted(probe_terms)])
+        ).alias("term")
+    )
+    # (grp, term, row, pos): the probe term's expected cell per hash
+    # row — placement through the SAME formula as register construction
+    # (_cms_positions), so probe lookups cannot drift from the cells.
+    cells = groups.crossJoin(probes).select(
+        "grp",
+        "term",
+        F.posexplode(_cms_positions(F.col("term"), width, depth)).alias(
+            "row", "pos"
+        ),
+    ).withColumn("row", F.col("row").cast("long"))
+    est = (
+        cells.join(
+            F.broadcast(reg.withColumnRenamed(group_col, "grp")),
+            ["grp", "row", "pos"],
+            "left",
+        )
+        .groupBy("grp", "term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )
+    exact = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("t"),
+        )
+        .filter(F.col("t").isin(list(probe_terms)))
+        .groupBy("grp", F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        est.join(F.broadcast(exact), ["grp", "term"], "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            "est_cnt",
+            F.coalesce("exact_cnt", F.lit(0)).cast("long").alias("exact_cnt"),
+        )
     )

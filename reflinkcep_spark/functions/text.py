@@ -34,6 +34,7 @@ __all__ = [
     "scrub_pii",
     "merge_spans",
     "tfidf_topk",
+    "gopher_format_flags",
     "BPE_ISH_PATTERN",
     "PII_PATTERNS",
     "STOPWORDS",
@@ -1233,8 +1234,11 @@ def tfidf_topk(
     of a query through one task.  Phase 1 keeps the global top-k
     exactly (every global winner wins its shard).
 
-    Overflow rail: the numerator is computed in decimal(38,0) and
-    must fit BIGINT for the exact-integer output contract — it raises
+    Overflow rail, BOTH stages: (1) if the decimal(38,0) arithmetic
+    itself overflows (``den = Π df`` or ``num = s·N`` past 38 digits),
+    non-ANSI Spark yields NULL — guarded in-plan, raising instead of
+    ranking garbage rows (the inputs are never NULL, so a NULL decimal
+    result can only be overflow); (2) the final BIGINT cast raises
     (like the oracle's HUGEINT→BIGINT cast would error) rather than
     silently nulling.  ``N·tf·df^(|Q|-1)`` stays under 2⁶³ up to
     ~3·10⁵-doc corpora for 3-term queries; widen the output to
@@ -1350,4 +1354,96 @@ def tfidf_topk(
         "doc_id",
         _long_or_raise(F.col("num"), "tfidf_num").alias("tfidf_num"),
         _long_or_raise(F.col("den"), "tfidf_den").alias("tfidf_den"),
+    )
+
+
+def gopher_format_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style FORMAT quality rules (Rae et al. 2021, Appendix A
+    — the document-format half; the repetition half is
+    :func:`repetition_profile`): per document, the raw integer counters
+    and the pass/fail flag of each rule, all in exact integer
+    arithmetic (cross-multiplied thresholds — ``a/b >= p/q`` is
+    ``a·q >= p·b`` — so no float ratio can tie-break differently
+    across engines):
+
+    * word count in [50, 100 000]
+    * mean word length in [3, 10] characters
+    * ≥ 80 % of words contain an alphabetic character
+    * ≤ 90 % of lines start with a bullet (``-``, ``*``, ``•``)
+    * ≤ 30 % of lines end with an ellipsis (``...`` or ``…``)
+    * symbol-to-word ratio (``#`` and ellipses) ≤ 10 %
+
+    Output: (doc_id, n_words, sum_word_chars, n_alpha_words, n_lines,
+    n_bullet_lines, n_ellipsis_lines, n_symbols, ok_words, ok_mean_len,
+    ok_alpha, ok_bullets, ok_ellipsis, ok_symbols, passes_format).
+    Counters AND flags both emitted: the flags are the operator, the
+    counters make an engine-independent oracle check the arithmetic
+    behind every flag instead of 14 booleans that could all be
+    trivially true on clean data.
+
+    Scale shape: pure per-row column algebra (split + filter + fold),
+    ZERO exchanges, whole-stage codegen — pipelines with the scan like
+    every other text filter here.
+    """
+    toks = tokens(F.col(text_col))
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda x: F.trim(x) != ""
+    )
+    n_words = F.size(toks).cast("long")
+    sum_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.trim(x), 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).endswith("...") | F.trim(x).endswith("…"),
+        )
+    ).cast("long")
+    txt = F.col(text_col)
+    n_symbols = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit(""))))
+        + (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3
+        + (F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    out = df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        n_symbols.alias("n_symbols"),
+    )
+    ok_words = (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+    ok_mean_len = (
+        (F.col("sum_word_chars") >= 3 * F.col("n_words"))
+        & (F.col("sum_word_chars") <= 10 * F.col("n_words"))
+    )
+    ok_alpha = F.col("n_alpha_words") * 10 >= F.col("n_words") * 8
+    ok_bullets = F.col("n_bullet_lines") * 10 <= F.col("n_lines") * 9
+    ok_ellipsis = F.col("n_ellipsis_lines") * 10 <= F.col("n_lines") * 3
+    ok_symbols = F.col("n_symbols") * 10 <= F.col("n_words")
+    return out.select(
+        "*",
+        ok_words.alias("ok_words"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_bullets.alias("ok_bullets"),
+        ok_ellipsis.alias("ok_ellipsis"),
+        ok_symbols.alias("ok_symbols"),
+        (
+            ok_words & ok_mean_len & ok_alpha
+            & ok_bullets & ok_ellipsis & ok_symbols
+        ).alias("passes_format"),
     )

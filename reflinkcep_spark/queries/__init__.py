@@ -83,6 +83,27 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        sensitive checksum, DuckDB recomputes from
 #                        the formula; same pairing note)
 #
+# Round-15 queue (implemented round 12, locally oracle-verified at
+# sf0.001 AND sf0.01, pinned by tests/test_check_oracles.py::
+# test_prestaged_round15_queries_match_oracles):
+#   doc_cms_estimates   (pipeline.py + functions/sketch.py -- Count-
+#                        Min frequency estimates beside ground truth:
+#                        the third mergeable-sketch family; cells
+#                        merge with +, small width makes collision
+#                        overestimates visible; streaming register
+#                        twin doc_cms_registers_stream already wired)
+#   q_scd2_user_status  (temporal.py -- SCD2 dimension-history build
+#                        from the event log: gaps-and-islands over ONE
+#                        user-keyed exchange)
+#   doc_domain_caps     (pipeline.py + functions/web.py -- per-domain
+#                        document quota with TWO-PHASE ranking so a
+#                        power-law mega-host never funnels through one
+#                        task; oracle derives the domain independently
+#                        from the URL formula)
+#   text_gopher_rules   (pipeline.py + functions/text.py -- Gopher
+#                        format rules, exact-integer cross-multiplied
+#                        thresholds, counters emitted beside flags)
+#
 # Registering all five in round 13 puts the registry at 120 + 5 = 125;
 # with the 50-slot window and the hard 2-round staleness ceiling the
 # capacity bound is 3 x 50 = 150 registered queries, so rotation

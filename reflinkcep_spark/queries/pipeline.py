@@ -2560,6 +2560,86 @@ FROM canon GROUP BY 1
 """
 
 
+# doc_domain_caps is implemented and locally oracle-verified but NOT
+# yet registered: round-14/15 queue (see queries/__init__.py).
+# The cap is a module constant so the Spark query and the SQL oracle
+# share ONE definition (the CMS_PROBE_TERMS convention).
+_DOMAIN_CAP = 10
+
+
+def doc_domain_caps(spark, sf_dir, cap=_DOMAIN_CAP, shards=32):
+    """Per-domain document quota — the crawl-curation policy that stops
+    one prolific host from dominating a training mix: group by the
+    canonical HOST of each document's URL (functions/web.py:domain_of
+    over the shared _raw_url builder — the real parsing path), keep
+    the ``cap`` most substantial documents per domain (longest text
+    first, doc_id tiebreak — a deterministic total order), and emit
+    survivors as (doc_id, domain, domain_rank, n_domain_docs).
+
+    Ranking is TWO-PHASE (the tfidf_topk recipe): shard-local
+    row_number within (domain, doc_id mod ``shards``) prunes to
+    ≤ cap·shards rows per domain BEFORE the final per-domain window,
+    so no hot domain ever funnels its full document list through a
+    single task — the difference between a cap query that survives a
+    100 TB crawl (domains are power-law) and one that dies on the
+    first mega-host.  Totals ride a separate map-combinable COUNT agg
+    joined back on the domain key — a PLAIN join, not a broadcast: the
+    totals table is one row per domain, and at web scale distinct
+    domains number in the hundreds of millions, far past any broadcast
+    threshold; both sides are already domain-keyed (window + agg), so
+    the join reuses that partitioning.  The oracle recomputes the
+    domain from the URL
+    generation formula (lower(source) || '.example.com') — an
+    INDEPENDENT derivation, so a parsing regression in domain_of
+    breaks equality."""
+    from reflinkcep_spark.functions import web
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        web.domain_of(_raw_url()).alias("domain"),
+        F.length("text").alias("len"),
+    )
+    totals = d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_domain_docs")
+    )
+    w1 = Window.partitionBy("domain", F.pmod("doc_id", F.lit(shards))).orderBy(
+        F.col("len").desc(), "doc_id"
+    )
+    w2 = Window.partitionBy("domain").orderBy(F.col("len").desc(), "doc_id")
+    return (
+        d.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= cap)
+        .withColumn("domain_rank", F.row_number().over(w2))
+        .filter(F.col("domain_rank") <= cap)
+        .join(totals, "domain")
+        .select(
+            "doc_id",
+            "domain",
+            F.col("domain_rank").cast("long").alias("domain_rank"),
+            "n_domain_docs",
+        )
+    )
+
+
+SQL_DOC_DOMAIN_CAPS = """
+WITH d AS (
+  SELECT doc_id, lower(source) || '.example.com' AS domain,
+         length(text) AS len
+  FROM documents
+),
+t AS (SELECT domain, COUNT(*)::BIGINT AS n_domain_docs FROM d GROUP BY 1),
+r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY len DESC, doc_id) AS domain_rank
+  FROM d
+)
+SELECT r.doc_id, r.domain, r.domain_rank::BIGINT AS domain_rank,
+       t.n_domain_docs
+FROM r JOIN t USING (domain) WHERE domain_rank <= {cap}
+""".format(cap=_DOMAIN_CAP)
+
+
 # --- cross-document paragraph dedup (PRE-STAGED for round 12) ------------
 #
 # text_dedup_paragraphs_global is implemented and locally
@@ -3322,20 +3402,26 @@ def multimodal_ppm_stats(spark, sf_dir):
     integer fold, and resample index rounding are all value-checked,
     with a position-sensitive checksum so even a pixel-order
     regression breaks equality."""
-    return multimodal.ppm_roundtrip_stats(_docs(spark, sf_dir).select("doc_id"))
+    return multimodal.ppm_roundtrip_stats(
+        _docs(spark, sf_dir).select("doc_id"), width=_PPM_W, height=_PPM_H
+    )
 
 
-# Oracle derivation: output pixel k (row-major, 4 wide x 3 tall) reads
-# source pixel sy = (k div 4 * h) div 3, sx = (k mod 4 * w) div 4 of a
+# Resample-target geometry shared by the Spark query and the SQL
+# oracle (the CMS_PROBE_TERMS convention — one definition).
+_PPM_W, _PPM_H = 4, 3
+
+# Oracle derivation: output pixel k (row-major, W wide x H tall) reads
+# source pixel sy = (k div W * h) div H, sx = (k mod W * w) div W of a
 # w x h image where w = 8 + id%9, h = 6 + id%7; gray = (r+g+b) div 3
 # over channel c = (id*7 + sy*31 + sx*13 + 5c) mod 256.
 SQL_MULTIMODAL_PPM_STATS = r"""
 WITH base AS (
   SELECT doc_id,
-         list_transform(range(0, 12), k ->
+         list_transform(range(0, {n}), k ->
            doc_id * 7
-           + (((k // 4) * (6 + doc_id % 7)) // 3) * 31
-           + (((k % 4) * (8 + doc_id % 9)) // 4) * 13) AS b
+           + (((k // {w}) * (6 + doc_id % 7)) // {h}) * 31
+           + (((k % {w}) * (8 + doc_id % 9)) // {w}) * 13) AS b
   FROM documents
 ),
 g AS (
@@ -3349,9 +3435,148 @@ SELECT doc_id,
        (6 + doc_id % 7)::BIGINT AS src_h,
        list_sum(px)::BIGINT AS px_sum,
        list_max(px)::BIGINT AS px_max,
-       list_sum(list_transform(range(1, 13), k -> k * px[k]))::BIGINT
+       list_sum(list_transform(range(1, {n} + 1), k -> k * px[k]))::BIGINT
          AS px_checksum
 FROM g
+""".format(w=_PPM_W, h=_PPM_H, n=_PPM_W * _PPM_H)
+
+
+# text_gopher_rules is implemented and locally oracle-verified but NOT
+# yet registered: round-14/15 queue (see queries/__init__.py).
+def text_gopher_rules(spark, sf_dir):
+    """Gopher document-format rules
+    (functions/text.py:gopher_format_flags): per document, the six
+    format-quality rules of Rae et al. 2021 Appendix A — word-count
+    bounds, mean word length, alphabetic-word share, bullet-line and
+    ellipsis-line shares, symbol-to-word ratio — as exact-integer
+    cross-multiplied comparisons, emitted WITH their raw counters so
+    the oracle checks the arithmetic behind every flag.  Completes the
+    published-filter lineage beside the CCNet tiers
+    (text_quality_buckets) and the C4/Gopher repetition family
+    (text_repetition): zero-exchange codegen projection."""
+    return text.gopher_format_flags(_docs(spark, sf_dir))
+
+
+SQL_TEXT_GOPHER_RULES = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks,
+         list_filter(string_split(text, chr(10)),
+                     x -> trim(x) <> '') AS lines,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3
+           + (length(text) - length(replace(text, '…', ''))) AS n_symbols
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         COALESCE(list_sum(list_transform(toks, t -> length(t))),
+                  0)::BIGINT AS sum_word_chars,
+         len(list_filter(toks,
+             t -> regexp_matches(t, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+         len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines,
+             x -> substr(trim(x), 1, 1) IN ('-', '*', '•')))::BIGINT
+           AS n_bullet_lines,
+         len(list_filter(lines,
+             x -> trim(x) LIKE '%...' OR trim(x) LIKE '%…'))::BIGINT
+           AS n_ellipsis_lines,
+         n_symbols::BIGINT AS n_symbols
+  FROM base
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000) AS ok_words,
+       (sum_word_chars >= 3 * n_words
+        AND sum_word_chars <= 10 * n_words) AS ok_mean_len,
+       (n_alpha_words * 10 >= n_words * 8) AS ok_alpha,
+       (n_bullet_lines * 10 <= n_lines * 9) AS ok_bullets,
+       (n_ellipsis_lines * 10 <= n_lines * 3) AS ok_ellipsis,
+       (n_symbols * 10 <= n_words) AS ok_symbols,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (sum_word_chars >= 3 * n_words
+             AND sum_word_chars <= 10 * n_words)
+        AND (n_alpha_words * 10 >= n_words * 8)
+        AND (n_bullet_lines * 10 <= n_lines * 9)
+        AND (n_ellipsis_lines * 10 <= n_lines * 3)
+        AND (n_symbols * 10 <= n_words)) AS passes_format
+FROM c
+"""
+
+
+# Probe vocabulary for the Count-Min estimate query — module-level so
+# the Spark query and the SQL oracle are generated from ONE term list
+# (the _raw_url recipe).  "zzcms_absent" is deliberately absent from
+# every document so the 0/0 never-seen path is on the checked path.
+CMS_PROBE_TERMS = (
+    "stream", "window", "join", "hash", "merge",
+    "customer", "order", "value", "zzcms_absent",
+)
+_CMS_WIDTH, _CMS_DEPTH = 32, 2
+
+
+# doc_cms_estimates is implemented and locally oracle-verified but NOT
+# yet registered: round-14/15 queue (see queries/__init__.py).
+def doc_cms_estimates(spark, sf_dir):
+    """Count-Min sketch frequency estimates beside ground truth
+    (functions/sketch.py:cms_estimates): per (source, probe term), the
+    sketch's ``min_j cell(j, h_j(t))`` estimate from a 2×32-cell
+    register table next to the exact instance count.  The third
+    mergeable-sketch family (after HLL and Bloom): CMS cells merge
+    with ``+``, state is fixed-size regardless of corpus length, and
+    the deliberately small width makes collision overestimates VISIBLE
+    so the oracle checks hash placement, the min-fold, and collision
+    arithmetic — not just happy-path equality.  ``est >= exact``
+    always (property-tested); one probe term is deliberately absent
+    from every document, pinning the 0/0 never-seen path."""
+    from reflinkcep_spark.functions import sketch
+
+    return sketch.cms_estimates(
+        _docs(spark, sf_dir), CMS_PROBE_TERMS, width=_CMS_WIDTH, depth=_CMS_DEPTH
+    )
+
+
+def _sql_doc_cms_estimates() -> str:
+    vals = ", ".join(f"('{t}')" for t in sorted(CMS_PROBE_TERMS))
+    return rf"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+cells AS (
+  SELECT source, j AS row,
+         ('0x' || substr(md5(j::VARCHAR || ':' || t), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS pos,
+         COUNT(*)::BIGINT AS cnt
+  FROM tok, UNNEST(range(0, {_CMS_DEPTH})) AS u(j)
+  GROUP BY 1, 2, 3
+),
+probes(term) AS (VALUES {vals}),
+pcells AS (
+  SELECT g.source, p.term, j AS row,
+         ('0x' || substr(md5(j::VARCHAR || ':' || p.term), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS pos
+  -- groups derive from the REGISTER TABLE (the sketch's own notion of
+  -- "group"), matching cms_estimates — not from another corpus scan
+  FROM (SELECT DISTINCT source FROM cells) g, probes p,
+       UNNEST(range(0, {_CMS_DEPTH})) AS u(j)
+),
+est AS (
+  SELECT pc.source, pc.term, MIN(COALESCE(c.cnt, 0))::BIGINT AS est_cnt
+  FROM pcells pc LEFT JOIN cells c USING (source, row, pos)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT source, t AS term, COUNT(*)::BIGINT AS exact_cnt
+  FROM tok WHERE t IN (SELECT term FROM probes)
+  GROUP BY 1, 2
+)
+SELECT e.source, e.term, e.est_cnt,
+       COALESCE(x.exact_cnt, 0)::BIGINT AS exact_cnt
+FROM est e LEFT JOIN exact x USING (source, term)
 """
 
 

@@ -361,6 +361,95 @@ GROUP BY 1
 """
 
 
+# --- SCD2 history construction ----------------------------------------
+
+# q_scd2_user_status is implemented and locally oracle-verified but
+# NOT yet registered: round-14/15 queue (see queries/__init__.py).
+def q_scd2_user_status(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history build from a change
+    log — the warehouse operation that turns an event stream into
+    versioned dimension rows: per user, purchase events are bucketed
+    into a spend tier (low < 50 ≤ mid < 150 ≤ high on the raw DOUBLE —
+    identical bits both engines), and CONSECUTIVE same-tier events
+    collapse into one validity interval ``[valid_from, valid_to]``
+    (event_id bounds: integer, unique, arrival-ordered — timestamps
+    can tie).  Output: (user_id, version, tier, valid_from, valid_to,
+    n_events), ``version`` numbering each user's intervals 1..k in
+    order — the classic gaps-and-islands build (change flag via lag →
+    running-sum island id → per-island aggregate).
+
+    Scale shape: ONE user-keyed exchange; both window passes (lag +
+    running sum) and the island aggregate ride the same partitioning,
+    and per-user history length — not user count — bounds the window
+    state.  At 100 TB the dimension key partitions the work exactly
+    like the sessionizer."""
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value")
+    )
+    tier = (
+        F.when(F.col("value") < 50, F.lit("low"))
+        .when(F.col("value") < 150, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    flagged = ev.select("user_id", "event_id", tier.alias("tier")).withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(w).isNull()
+            | (F.lag("tier").over(w) != F.col("tier")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("user_id", "version")
+        .agg(
+            F.first("tier").alias("tier"),
+            F.min("event_id").alias("valid_from"),
+            F.max("event_id").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("version").cast("long").alias("version"),
+            "tier",
+            "valid_from",
+            "valid_to",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+SQL_SCD2_USER_STATUS = """
+WITH t AS (
+  SELECT user_id, event_id,
+         CASE WHEN value < 50 THEN 'low'
+              WHEN value < 150 THEN 'mid' ELSE 'high' END AS tier
+  FROM events WHERE event_type = 'purchase'
+),
+f AS (
+  SELECT user_id, event_id, tier,
+         CASE WHEN lag(tier) OVER w IS NULL
+                OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+i AS (
+  SELECT user_id, event_id, tier,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM f
+)
+SELECT user_id, version::BIGINT AS version, MIN(tier) AS tier,
+       MIN(event_id) AS valid_from, MAX(event_id) AS valid_to,
+       COUNT(*)::BIGINT AS n_events
+FROM i GROUP BY user_id, version
+"""
+
+
 QUERIES = {
     "q_range_join_clicks": q_range_join_clicks,
     "q_events_tumbling": q_events_tumbling,

@@ -110,6 +110,10 @@ AUDITED = [
     ("doc_snapshot_diff", "snapshot reconciliation (pre-staged r14): digests in the scan projection, ONE full-outer id join over ~40-byte rows, codegen status + delta filter — output scales with change rate, not corpus"),
     ("text_tfidf_search", "tf-idf retrieval (pre-staged r13): vocabulary isin hits the token explode immediately, ONE checkpointed (doc,term) tf agg reused by the df count AND the scoring join (the lm_quality recipe — without it the corpus explode ran twice), tiny weight frame broadcast back, TWO-PHASE top-k (shard ranks then <=q*shards*k final) — no single-task window over a query's full posting list"),
     ("sim_kmeans", "fixed-point Lloyd k-means (pre-staged r13): per round the <=k centroids collapse to ONE broadcast row, assignment is an in-row array_min argmin (NO corpus-sized exchange anywhere); only the map-side-combinable (cluster,dim) recenter agg and the <=k-row stats agg shuffle"),
+    ("doc_cms_estimates", "Count-Min estimates (pre-staged r15): token explode + in-row depth-way position fan-out -> ONE map-combinable count agg over <= groups*depth*width cells; probe side is a plan literal broadcast-joined to the tiny register table; exact side one isin-filtered agg"),
+    ("q_scd2_user_status", "SCD2 history build (pre-staged r15): ONE user-keyed exchange carries both window passes (lag change flag + running-sum island id) and the island aggregate — per-user history, not user count, bounds state"),
+    ("doc_domain_caps", "per-domain quota (pre-staged r15): TWO-PHASE ranking — shard-local row_number prunes to <= cap*shards per domain BEFORE the final per-domain window, so no power-law mega-host funnels through one task; totals via map-combinable count + broadcast-back"),
+    ("text_gopher_rules", "Gopher format rules (pre-staged r15): pure per-row split/filter/fold column algebra, ZERO exchanges, whole-stage codegen"),
 ]
 
 

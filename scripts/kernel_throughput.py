@@ -91,9 +91,23 @@ def main() -> int:
     max_load = 8.0
     if "--max-load" in args:
         i = args.index("--max-load")
-        max_load = float(args[i + 1])
+        try:
+            max_load = float(args[i + 1])
+        except (IndexError, ValueError):
+            print(
+                "usage: kernel_throughput.py [N_EVENTS] [--max-load L]",
+                file=sys.stderr,
+            )
+            return 2
         del args[i : i + 2]
-    n = int(args[0]) if args else 50_000
+    try:
+        n = int(args[0]) if args else 50_000
+    except ValueError:
+        print(
+            "usage: kernel_throughput.py [N_EVENTS] [--max-load L]",
+            file=sys.stderr,
+        )
+        return 2
 
     load1 = os.getloadavg()[0]
     if load1 > max_load:

@@ -125,6 +125,10 @@ PROBES = [
     ("sim_jl_project", "embeddings"),
     ("multimodal_wav_stats", "documents"),
     ("multimodal_ppm_stats", "documents"),
+    ("doc_cms_estimates", "documents"),
+    ("q_scd2_user_status", "events"),
+    ("doc_domain_caps", "documents"),
+    ("text_gopher_rules", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

@@ -14,7 +14,7 @@ is IN the plan and green is expected (the 50-slot window can't hold
 every candidate); one NOT in the plan — or planned but red — is a
 rotation bug.  Additionally (round 11, VERDICT r10 item 3) there is a
 HARD CEILING: any row more than 2 rounds stale fails the audit even
-when planned — with a 50-slot window over ~121 queries an exact
+when planned — with a 50-slot window over ~120 queries an exact
 round-robin keeps every row ≤2 rounds stale, so exceeding that means
 the rotation has drifted, and the answer is to promote or retire, not
 to plan deeper staleness.  Exit 0 iff observed staleness matches the

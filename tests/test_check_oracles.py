@@ -135,3 +135,42 @@ def test_prestaged_round14_queries_match_oracles(spark):
         want = check_oracles.normalize(con.execute(sql).fetchdf())
         assert len(got) > 0
         assert compare(fn.__name__, got, want) == []
+
+
+def test_prestaged_round15_queries_match_oracles(spark):
+    """Round-14/15 queue additions built in round 12 (the registration-
+    capacity pairing note in queries/__init__.py applies): Count-Min
+    estimates, SCD2 history build, per-domain caps, Gopher format
+    rules.  Same contract as the earlier queue pins: oracle-green at
+    sf0.001 every pytest run, so registration is a dict edit."""
+    import duckdb
+
+    from reflinkcep_spark.queries.pipeline import (
+        SQL_DOC_DOMAIN_CAPS,
+        SQL_TEXT_GOPHER_RULES,
+        _sql_doc_cms_estimates,
+        doc_cms_estimates,
+        doc_domain_caps,
+        text_gopher_rules,
+    )
+    from reflinkcep_spark.queries.temporal import (
+        SQL_SCD2_USER_STATUS,
+        q_scd2_user_status,
+    )
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
+        )
+    for fn, sql in (
+        (doc_cms_estimates, _sql_doc_cms_estimates()),
+        (q_scd2_user_status, SQL_SCD2_USER_STATUS),
+        (doc_domain_caps, SQL_DOC_DOMAIN_CAPS),
+        (text_gopher_rules, SQL_TEXT_GOPHER_RULES),
+    ):
+        got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
+        want = check_oracles.normalize(con.execute(sql).fetchdf())
+        assert len(got) > 0
+        assert compare(fn.__name__, got, want) == []

@@ -2115,6 +2115,48 @@ def test_hll_rollup_label_collision_raises(spark):
     assert "rollup_label" in str(ei.value)
 
 
+def test_cms_never_underestimates_and_merges(spark, docs):
+    """Count-Min invariants: (a) est >= exact for every (source, term)
+    — the sketch's one-sided error guarantee — with the deliberately
+    absent probe term pinned at 0/0; (b) cells are a LINEAR sketch:
+    registers of two disjoint halves summed cell-wise equal the
+    whole-corpus registers (mergeability, the reason to sketch)."""
+    from reflinkcep_spark.functions import sketch
+    from reflinkcep_spark.queries.pipeline import CMS_PROBE_TERMS
+
+    est = sketch.cms_estimates(docs, CMS_PROBE_TERMS, width=32, depth=2).collect()
+    assert est
+    assert all(r["est_cnt"] >= r["exact_cnt"] for r in est)
+    absent = [r for r in est if r["term"] == "zzcms_absent"]
+    assert absent and all(r["exact_cnt"] == 0 for r in absent)
+
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+    def cells(df):
+        out = {}
+        for r in sketch.cms_registers(df, width=16, depth=2).collect():
+            out[(r["source"], r["row"], r["pos"])] = r["cnt"]
+        return out
+    whole, a, b = cells(docs), cells(lo), cells(hi)
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == whole
+
+
+def test_cms_rejects_bad_geometry(spark, docs):
+    import pytest
+
+    from reflinkcep_spark.functions import sketch
+
+    with pytest.raises(ValueError):
+        sketch.cms_registers(docs, width=0)
+    with pytest.raises(ValueError):
+        sketch.cms_registers(docs, depth=9)
+    with pytest.raises(ValueError):
+        sketch.cms_estimates(docs, ())
+    with pytest.raises(ValueError):
+        sketch.cms_estimates(docs, ("a", "a"))
+
+
 def test_merge_spans_idempotent_and_order_insensitive(spark):
     """merge(merge(x)) == merge(x) and merge(perm(x)) == merge(x) on
     seeded random span soups, against a Python reference union."""

@@ -425,3 +425,36 @@ def test_streaming_entry_span_merge_matches_batch(spark, tmp_path):
         for r in doc_span_merge(spark, SF_DIR).collect()
     )
     assert got == want and got
+
+
+def test_streaming_entry_cms_registers_matches_batch(spark, tmp_path):
+    """The thirteenth entry (round 12): per-source Count-Min register
+    cells over the document stream — the second fixed-size-state
+    sketch aggregation, complete output mode — equal the batch
+    ``sketch.cms_registers`` helper EXACTLY (both surfaces share the
+    cell-placement projection, sketch._cms_hashed)."""
+    import __spark_entry__ as entrymod
+
+    from reflinkcep_spark.functions import sketch
+    from reflinkcep_spark.sources import load_table
+
+    out = entrymod.queries_streaming()["doc_cms_registers_stream"](spark, SF_DIR)
+    assert out.isStreaming
+    sink = f"entry_cms_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table(sink).collect())
+    want = sorted(
+        (r["source"], r["row"], r["pos"], r["cnt"])
+        for r in sketch.cms_registers(
+            load_table(spark, SF_DIR, "documents"), width=32, depth=2
+        ).collect()
+    )
+    assert got == want and got
