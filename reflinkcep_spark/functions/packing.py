@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from reflinkcep_spark.functions import text
 
-__all__ = ["pack_sequences", "pack_sequences_ffd", "pack_stats"]
+__all__ = ["pack_sequences", "pack_sequences_ffd", "pack_stats", "zorder_key"]
 
 
 def _order_key(id_col: str):
@@ -179,3 +179,47 @@ def pack_sequences_ffd(
             "n_tok long, overflow boolean"
         ),
     )
+
+
+def zorder_key(a, b, bits: int = 21) -> "F.Column":
+    """Morton / Z-order interleave of two non-negative integers into
+    one ``2·bits``-wide key — the data-LAYOUT primitive: sort (or
+    range-partition) a table by this key before writing and rows close
+    in BOTH dimensions land in the same files, so min/max file
+    statistics prune multidimensional predicates (the Delta/Iceberg
+    ``ZORDER BY`` idea, expressed as an engine-portable integer
+    formula).  Bit ``2i`` of the key is bit ``i`` of ``a``, bit
+    ``2i+1`` is bit ``i`` of ``b``.
+
+    Pure codegen column algebra — ``2·bits`` shift/mask/or terms, no
+    UDF, no shuffle; an external engine reproduces the key from the
+    same formula (the oracle does).  The domain (``0 ≤ x < 2^bits``)
+    is enforced IN-PLAN: out-of-range inputs would silently alias
+    distant rows into the same tile, so they raise instead (the
+    merge_spans rail discipline).
+
+    ``bits`` defaults to 21 so the key fits comfortably in a BIGINT
+    (42 bits) with room for a third dimension if extended.
+    """
+    if not (1 <= bits <= 31):
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    lim = 1 << bits
+
+    def checked(c, name):
+        return F.when(
+            c.isNull() | (c < 0) | (c >= lim),
+            F.raise_error(
+                f"zorder_key: {name} must be in [0, 2^{bits}) — "
+                "rescale or bucket the dimension first"
+            ),
+        ).otherwise(c)
+
+    a = checked(a, "a")
+    b = checked(b, "b")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        key = key + F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return key.cast("long")

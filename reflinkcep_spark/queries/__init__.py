@@ -103,6 +103,10 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #   text_gopher_rules   (pipeline.py + functions/text.py -- Gopher
 #                        format rules, exact-integer cross-multiplied
 #                        thresholds, counters emitted beside flags)
+#   q_events_zorder_stats (temporal.py + functions/packing.py --
+#                        Z-order/Morton layout key as 42-term codegen
+#                        algebra + per-tile min/max file-skipping
+#                        stats; in-plan domain rails)
 #
 # Registering all five in round 13 puts the registry at 120 + 5 = 125;
 # with the 50-slot window and the hard 2-round staleness ceiling the
@@ -161,6 +165,20 @@ RETIRED = (
 # queries, 16 + 5 + 49 = 70 candidates for 50 slots, so TWENTY
 # r10-green cheap scan/agg shapes sit out and go two rounds stale at
 # round 12 -- promote PLANNED_SITOUTS FIRST in the round-13 rotation.
+#
+# ROUND-13 ROTATION PLAN (pre-computed; execute exactly): promote the
+# 20 PLANNED_SITOUTS below FIRST (r10 rows, 2 rounds stale at r12 --
+# the hard ceiling forbids a third), then register the five round-13
+# queue queries (doc_hll_registers, doc_bloom_decontam, doc_span_merge,
+# sim_kmeans, text_tfidf_search -- all oracle-green since round 11),
+# then fill with r11-vintage keepers.  Arithmetic: registry 120 + 5 =
+# 125; candidates 20 promoted + 5 new + 50 r11-stale = 75 for 50
+# slots -> TWENTY-FIVE r11-green queries sit out (pick the cheapest
+# scan/agg shapes again; every CEP/dedup/sim/multimodal row stays in).
+# Pair the round-14 registrations (5 seeds + multimodal_ppm_stats)
+# with retirements per the capacity policy; round-15 queue
+# (doc_cms_estimates, q_scd2_user_status, doc_domain_caps,
+# text_gopher_rules) keeps the pipeline full two rounds ahead.
 # Before this rotation every promoted query was verified green in its
 # latest CORRECTNESS row (r9/r10) and every demoted query green in
 # CORRECTNESS_r11.json (scripts/window_audit.py run before and after).

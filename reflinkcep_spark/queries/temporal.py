@@ -450,6 +450,75 @@ FROM i GROUP BY user_id, version
 """
 
 
+# --- Z-order layout audit ---------------------------------------------
+
+# q_events_zorder_stats is implemented and locally oracle-verified but
+# NOT yet registered: round-14/15 queue (see queries/__init__.py).
+def q_events_zorder_stats(spark, sf_dir):
+    """Z-order data-layout audit (functions/packing.py:zorder_key —
+    the Delta/Iceberg ``ZORDER BY`` primitive as engine-portable
+    integer algebra): every event keyed by the Morton interleave of
+    (user_id, epoch-hour), then rolled up per coarse TILE (the key's
+    top 12 bits) into exactly the metadata a file-skipping index
+    stores — row count, distinct users, min/max key.  Sorting by this
+    key before writing co-locates rows close in BOTH dimensions, so a
+    predicate on user AND time prunes files; the emitted min/max
+    table IS the pruning index, and tight per-tile key ranges are the
+    measurable locality claim.
+
+    The time dimension is hours since the TABLE'S OWN first event
+    (layout keys are computed relative to the dataset's range — an
+    absolute epoch would waste the key's high bits on constant zeros
+    and collapse every row into one tile); the one-row MIN broadcasts.
+    Scale shape: the key is a zero-exchange codegen projection (42
+    shift/mask terms, no UDF) after that broadcast; the rollup is ONE
+    map-side-combinable aggregate over the coarse tiles.  The in-plan
+    domain rail raises rather than aliasing distant rows if either
+    dimension overflows 21 bits."""
+    from reflinkcep_spark.functions.packing import zorder_key
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("us")
+    )
+    t0 = ev.agg(F.min("us").alias("t0"))
+    keyed = ev.crossJoin(F.broadcast(t0)).select(
+        "user_id",
+        zorder_key(
+            F.col("user_id"),
+            ((F.col("us") - F.col("t0")) / 3600).cast("long"),
+        ).alias("zkey"),
+    )
+    return (
+        keyed.groupBy(F.shiftright("zkey", 12).alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("zkey").alias("min_zkey"),
+            F.max("zkey").alias("max_zkey"),
+        )
+    )
+
+
+SQL_EVENTS_ZORDER_STATS = """
+WITH t0 AS (SELECT MIN(epoch(ts)::BIGINT) AS t0 FROM events),
+k AS (
+  SELECT user_id,
+         list_sum(list_transform(range(0, 21), i ->
+           (((user_id >> i) & 1) << (2 * i))
+           + (((((epoch(ts)::BIGINT - t0.t0) // 3600) >> i) & 1)
+              << (2 * i + 1))
+         ))::BIGINT AS zkey
+  FROM events, t0
+)
+SELECT zkey >> 12 AS tile,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       MIN(zkey) AS min_zkey,
+       MAX(zkey) AS max_zkey
+FROM k GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_range_join_clicks": q_range_join_clicks,
     "q_events_tumbling": q_events_tumbling,

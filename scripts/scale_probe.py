@@ -127,6 +127,7 @@ PROBES = [
     ("multimodal_ppm_stats", "documents"),
     ("doc_cms_estimates", "documents"),
     ("q_scd2_user_status", "events"),
+    ("q_events_zorder_stats", "events"),
     ("doc_domain_caps", "documents"),
     ("text_gopher_rules", "documents"),
 ]

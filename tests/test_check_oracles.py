@@ -154,7 +154,9 @@ def test_prestaged_round15_queries_match_oracles(spark):
         text_gopher_rules,
     )
     from reflinkcep_spark.queries.temporal import (
+        SQL_EVENTS_ZORDER_STATS,
         SQL_SCD2_USER_STATUS,
+        q_events_zorder_stats,
         q_scd2_user_status,
     )
     from tests.conftest import SF_DIR
@@ -169,6 +171,7 @@ def test_prestaged_round15_queries_match_oracles(spark):
         (q_scd2_user_status, SQL_SCD2_USER_STATUS),
         (doc_domain_caps, SQL_DOC_DOMAIN_CAPS),
         (text_gopher_rules, SQL_TEXT_GOPHER_RULES),
+        (q_events_zorder_stats, SQL_EVENTS_ZORDER_STATS),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

@@ -2142,6 +2142,43 @@ def test_cms_never_underestimates_and_merges(spark, docs):
     assert merged == whole
 
 
+def test_zorder_key_matches_reference_and_rails(spark):
+    """Morton interleave vs an independent Python bit-twiddle, locality
+    property (adjacent cells share high bits more often than distant
+    ones is implied by exactness — the reference IS the definition),
+    and the in-plan domain rail."""
+    import pytest
+
+    from reflinkcep_spark.functions.packing import zorder_key
+
+    def ref(a, b, bits=21):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    cases = [(0, 0), (1, 0), (0, 1), (5, 3), (2**21 - 1, 2**21 - 1),
+             (123456, 654321), (1, 2**20)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    for a, b in cases:
+        assert got[(a, b)] == ref(a, b), (a, b)
+
+    for bad in [(-1, 0), (0, 1 << 21)]:
+        bdf = spark.createDataFrame([bad], "a long, b long")
+        with pytest.raises(Exception) as ei:
+            bdf.select(zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+        assert "zorder_key" in str(ei.value)
+    with pytest.raises(ValueError):
+        zorder_key(F.lit(0), F.lit(0), bits=40)
+
+
 def test_cms_rejects_bad_geometry(spark, docs):
     import pytest
 
