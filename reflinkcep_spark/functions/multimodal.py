@@ -639,3 +639,90 @@ def ppm_roundtrip_stats(
         f"{id_col} long, src_w long, src_h long, px_sum long, px_max long, "
         "px_checksum long",
     )
+
+
+def avi_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched AVI container decode with an end-to-end integer
+    contract — the VIDEO-container member of the round-trip family
+    (:func:`wav_roundtrip_stats` / :func:`ppm_roundtrip_stats`): per
+    row, a deterministic AVI is synthesized from the id
+    (``3 + id mod 6`` uncompressed ``00db`` frames, frame ``i`` of
+    length ``16 + (id + 7i) mod 33`` — ODD lengths included, so RIFF
+    word-alignment padding is on the tested path — byte ``j`` of
+    frame ``i`` is ``(13·id + 29·i + 17·j) mod 256``, header
+    ``dwMicroSecPerFrame = 20000 + (id mod 5)·10000``), written as a
+    real RIFF tree (hdrl/avih + movi), parsed back by
+    :func:`_parse_avi` (the real container walk ``sample_frames``
+    uses), and reduced to integer stats of the PARSED bytes —
+    (id, us_per_frame, n_frames, total_bytes, byte_checksum), where
+    ``byte_checksum = Σ_i Σ_j (i+1)(j+1)·byte(i,j)`` is position
+    sensitive in BOTH frame order and intra-frame offset: a chunk
+    mis-slice, a padding-byte leak, or a frame-order regression
+    breaks equality.  An external oracle recomputes every output
+    from the generation formula without touching a byte.
+
+    A failed parse raises (inputs are valid by construction — the WAV
+    round trip's contract), and ids must be non-negative (Python %
+    floors, SQL % truncates; same rail as the other round trips).
+
+    Scale shape: ``mapInPandas`` over the id column only — per-row
+    CPU-bound container work, Arrow-batched, ZERO exchanges.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                did = int(raw_id)
+                if did < 0:
+                    raise ValueError(f"ids must be non-negative, got {did}")
+                nf = 3 + did % 6
+                uspf = 20000 + (did % 5) * 10000
+                avih = struct.pack("<I", uspf) + bytes(52)
+                hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+                hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+                movi_body = bytearray(b"movi")
+                for i in range(nf):
+                    ln = 16 + (did + 7 * i) % 33
+                    frame = bytes(
+                        (13 * did + 29 * i + 17 * j) % 256 for j in range(ln)
+                    )
+                    movi_body += b"00db" + struct.pack("<I", ln) + frame
+                    if ln & 1:
+                        movi_body += b"\x00"  # RIFF word alignment
+                movi = b"LIST" + struct.pack("<I", len(movi_body)) + bytes(movi_body)
+                body = b"AVI " + hdrl + movi
+                payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+                parsed = _parse_avi(payload)
+                if parsed is None:
+                    raise ValueError(f"AVI round trip failed for id {did}")
+                chunks, got_uspf = parsed
+                if len(chunks) != nf:
+                    raise ValueError(
+                        f"AVI round trip: frame count {len(chunks)} != {nf} "
+                        f"for id {did}"
+                    )
+                total = 0
+                checksum = 0
+                for i, (off, size) in enumerate(chunks):
+                    data = payload[off : off + size]
+                    total += len(data)
+                    for j, byte in enumerate(data):
+                        checksum += (i + 1) * (j + 1) * byte
+                rows.append((did, got_uspf, len(chunks), total, checksum))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "us_per_frame", "n_frames", "total_bytes",
+                    "byte_checksum",
+                ],
+            )
+
+    return df.select(id_col).mapInPandas(
+        run,
+        f"{id_col} long, us_per_frame long, n_frames long, total_bytes long, "
+        "byte_checksum long",
+    )

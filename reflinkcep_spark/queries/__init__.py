@@ -107,6 +107,12 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        Z-order/Morton layout key as 42-term codegen
 #                        algebra + per-tile min/max file-skipping
 #                        stats; in-plan domain rails)
+#   multimodal_avi_stats (pipeline.py + functions/multimodal.py --
+#                        the VIDEO round-trip completing the trio:
+#                        real RIFF write + real container walk,
+#                        odd-length frames exercise word alignment,
+#                        checksum position-sensitive in frame order
+#                        AND intra-frame offset)
 #
 # Registering all five in round 13 puts the registry at 120 + 5 = 125;
 # with the 50-slot window and the hard 2-round staleness ceiling the

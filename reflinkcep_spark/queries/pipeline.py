@@ -3505,6 +3505,37 @@ FROM c
 """
 
 
+# multimodal_avi_stats is implemented and locally oracle-verified but
+# NOT yet registered: round-14/15 queue (see queries/__init__.py).
+def multimodal_avi_stats(spark, sf_dir):
+    """End-to-end AVI container decode with an ORACLE
+    (functions/multimodal.py:avi_roundtrip_stats) — the VIDEO member
+    completing the round-trip trio beside multimodal_wav_stats and
+    multimodal_ppm_stats: deterministic uncompressed frames (odd
+    lengths included, so RIFF word-alignment padding is exercised)
+    are written through a real RIFF tree, parsed back by the repo's
+    real container walk (_parse_avi, the sample_frames path), and
+    reduced to integer stats with a checksum position-sensitive in
+    both frame order and intra-frame offset — DuckDB recomputes
+    everything from the generation formula without touching a byte."""
+    return multimodal.avi_roundtrip_stats(_docs(spark, sf_dir).select("doc_id"))
+
+
+SQL_MULTIMODAL_AVI_STATS = r"""
+SELECT doc_id,
+       (20000 + (doc_id % 5) * 10000)::BIGINT AS us_per_frame,
+       (3 + doc_id % 6)::BIGINT AS n_frames,
+       list_sum(list_transform(range(0, 3 + doc_id % 6),
+                i -> 16 + (doc_id + 7 * i) % 33))::BIGINT AS total_bytes,
+       list_sum(list_transform(range(0, 3 + doc_id % 6), i ->
+         list_sum(list_transform(range(0, 16 + (doc_id + 7 * i) % 33), j ->
+           (i + 1) * (j + 1)
+           * ((13 * doc_id + 29 * i + 17 * j) % 256)))))::BIGINT
+         AS byte_checksum
+FROM documents
+"""
+
+
 # Probe vocabulary for the Count-Min estimate query — module-level so
 # the Spark query and the SQL oracle are generated from ONE term list
 # (the _raw_url recipe).  "zzcms_absent" is deliberately absent from

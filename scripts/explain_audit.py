@@ -105,6 +105,7 @@ AUDITED = [
     ("doc_span_merge", "annotation span union (pre-staged r13): derived spans + array_sort + aggregate fold, ZERO exchanges — the gaps-and-islands window without the window"),
     ("multimodal_wav_stats", "WAV decode roundtrip (pre-staged r14): mapInPandas over the id column only — Arrow-batched per-row codec work, zero exchanges; the multimodal pattern where the codec is the cost, never the shuffle"),
     ("multimodal_ppm_stats", "netpbm decode roundtrip (pre-staged r14): the image twin — mapInPandas over the id column only, real PPM encode/parse/resample per row, zero exchanges"),
+    ("multimodal_avi_stats", "AVI container roundtrip (pre-staged r15): the video member — real RIFF tree write + real container walk per row incl. word-alignment padding, mapInPandas over the id column only, zero exchanges"),
     ("sim_jl_project", "integer JL projection (pre-staged r14): 16 literal-plane dot-product folds in ONE codegen projection + posexplode — zero exchanges, scales with the scan"),
     ("doc_link_pagerank", "fixed-point PageRank (pre-staged r14): static outdeg agg, per round ONE src-keyed join + ONE dst-keyed agg over the edge table — the canonical edge-partitioned round, nothing quadratic; all-integer damped mix"),
     ("doc_snapshot_diff", "snapshot reconciliation (pre-staged r14): digests in the scan projection, ONE full-outer id join over ~40-byte rows, codegen status + delta filter — output scales with change rate, not corpus"),

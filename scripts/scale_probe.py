@@ -125,6 +125,7 @@ PROBES = [
     ("sim_jl_project", "embeddings"),
     ("multimodal_wav_stats", "documents"),
     ("multimodal_ppm_stats", "documents"),
+    ("multimodal_avi_stats", "documents"),
     ("doc_cms_estimates", "documents"),
     ("q_scd2_user_status", "events"),
     ("q_events_zorder_stats", "events"),

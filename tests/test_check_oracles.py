@@ -147,10 +147,12 @@ def test_prestaged_round15_queries_match_oracles(spark):
 
     from reflinkcep_spark.queries.pipeline import (
         SQL_DOC_DOMAIN_CAPS,
+        SQL_MULTIMODAL_AVI_STATS,
         SQL_TEXT_GOPHER_RULES,
         _sql_doc_cms_estimates,
         doc_cms_estimates,
         doc_domain_caps,
+        multimodal_avi_stats,
         text_gopher_rules,
     )
     from reflinkcep_spark.queries.temporal import (
@@ -172,6 +174,7 @@ def test_prestaged_round15_queries_match_oracles(spark):
         (doc_domain_caps, SQL_DOC_DOMAIN_CAPS),
         (text_gopher_rules, SQL_TEXT_GOPHER_RULES),
         (q_events_zorder_stats, SQL_EVENTS_ZORDER_STATS),
+        (multimodal_avi_stats, SQL_MULTIMODAL_AVI_STATS),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())
