@@ -37,6 +37,7 @@ __all__ = [
     "simhash_pairs",
     "shingles",
     "duplicate_clusters",
+    "incremental_dedup",
     "contaminated_docs",
     "contamination_matrix",
     "canonical_docs",
@@ -66,6 +67,62 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC exact dedup — the production INGEST shape the
+    symmetric whole-corpus forms above don't cover: a new shard
+    arrives, the existing corpus is FROZEN (its keepers never change,
+    so it is never re-deduped), and each new document is classified
+    against corpus ∪ earlier-in-batch:
+
+    * ``dup_of_corpus`` — digest already exists in the corpus,
+    * ``dup_in_batch`` — first seen in THIS shard, but a lower-id new
+      document has the same digest,
+    * ``new`` — the digest's first occurrence anywhere (the row the
+      corpus index absorbs).
+
+    Output: one row per new document — (id, text_hash, status).  The
+    union of this operator applied shard-by-shard reproduces
+    :func:`exact_dedup` of the whole history (keep-lowest-id), which
+    is the correctness contract a nightly crawl refresh needs and the
+    batch twin of the ``dedup_exact_docs_stream`` streaming entry
+    (dropDuplicates keyed state = this operator with per-row shards).
+
+    Scale shape: the corpus side is projected to its ~16-byte digest
+    BEFORE the join (never the text), the membership test is a
+    digest-keyed LEFT SEMI-shaped join (broadcast when the index is
+    small, shuffle on the digest at 100 TB — both sides are
+    digest-keyed, nothing else moves), and the in-batch rule is ONE
+    digest-keyed MIN aggregate joined back — map-side combinable.
+    """
+    new_hashed = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    corpus_digests = corpus.select(
+        F.md5(F.col(text_col)).alias("text_hash"),
+        F.lit(True).alias("__in_corpus"),
+    ).distinct()
+    first_in_batch = new_hashed.groupBy("text_hash").agg(
+        F.min(id_col).alias("__first_id")
+    )
+    return (
+        new_hashed.join(corpus_digests, "text_hash", "left")
+        .join(first_in_batch, "text_hash")
+        .select(
+            id_col,
+            "text_hash",
+            F.when(F.col("__in_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col(id_col) > F.col("__first_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
     )
 
 

@@ -113,6 +113,11 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        odd-length frames exercise word alignment,
 #                        checksum position-sensitive in frame order
 #                        AND intra-frame offset)
+#   dedup_incremental   (pipeline.py + functions/dedup.py -- the
+#                        ASYMMETRIC ingest dedup: frozen corpus as
+#                        ~16-byte digests, new shard classified
+#                        new/dup_of_corpus/dup_in_batch; shard-by-
+#                        shard == whole-history invariant pinned)
 #
 # Registering all five in round 13 puts the registry at 120 + 5 = 125;
 # with the 50-slot window and the hard 2-round staleness ceiling the

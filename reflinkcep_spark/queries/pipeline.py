@@ -3505,6 +3505,65 @@ FROM c
 """
 
 
+# dedup_incremental is implemented and locally oracle-verified but NOT
+# yet registered: round-14/15 queue (see queries/__init__.py).
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup (functions/dedup.py:incremental_dedup)
+    — the ASYMMETRIC production shape: docs 0-399 are the frozen
+    existing corpus; tonight's shard is docs 400-499 plus deterministic
+    RE-CRAWLS derived in-query (the doc_pii_scrub convention — the
+    synthetic corpus has no exact duplicates straddling the boundary,
+    so the phenomenon is planted identically on both engines): docs
+    0-49 re-fetched under new ids (+1000 — corpus pages seen again →
+    dup_of_corpus) and docs 400-429 double-fetched (+2000 — the same
+    page twice in one shard → dup_in_batch).  Every new document is
+    classified new / dup_of_corpus / dup_in_batch (keep-lowest-id
+    within the shard); shard-by-shard application reproduces
+    whole-history exact_dedup (the invariant is pinned in tests), and
+    the corpus side joins as ~16-byte digests, never text."""
+    docs = _docs(spark, sf_dir)
+    shard = (
+        docs.filter(F.col("doc_id") >= 400)
+        .unionByName(
+            docs.filter(F.col("doc_id") < 50).withColumn(
+                "doc_id", F.col("doc_id") + 1000
+            )
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") >= 400) & (F.col("doc_id") < 430)
+            ).withColumn("doc_id", F.col("doc_id") + 2000)
+        )
+    )
+    return dedup.incremental_dedup(shard, docs.filter(F.col("doc_id") < 400))
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH shard AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+  UNION ALL
+  SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 2000, text FROM documents
+  WHERE doc_id >= 400 AND doc_id < 430
+),
+new_hashed AS (SELECT doc_id, md5(text) AS text_hash FROM shard),
+corpus AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id < 400
+),
+first_in_batch AS (
+  SELECT text_hash, MIN(doc_id) AS first_id FROM new_hashed GROUP BY 1
+)
+SELECT n.doc_id, n.text_hash,
+       CASE WHEN c.text_hash IS NOT NULL THEN 'dup_of_corpus'
+            WHEN n.doc_id > f.first_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM new_hashed n
+LEFT JOIN corpus c USING (text_hash)
+JOIN first_in_batch f USING (text_hash)
+"""
+
+
 # multimodal_avi_stats is implemented and locally oracle-verified but
 # NOT yet registered: round-14/15 queue (see queries/__init__.py).
 def multimodal_avi_stats(spark, sf_dir):

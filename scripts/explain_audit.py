@@ -106,6 +106,7 @@ AUDITED = [
     ("multimodal_wav_stats", "WAV decode roundtrip (pre-staged r14): mapInPandas over the id column only — Arrow-batched per-row codec work, zero exchanges; the multimodal pattern where the codec is the cost, never the shuffle"),
     ("multimodal_ppm_stats", "netpbm decode roundtrip (pre-staged r14): the image twin — mapInPandas over the id column only, real PPM encode/parse/resample per row, zero exchanges"),
     ("multimodal_avi_stats", "AVI container roundtrip (pre-staged r15): the video member — real RIFF tree write + real container walk per row incl. word-alignment padding, mapInPandas over the id column only, zero exchanges"),
+    ("dedup_incremental", "incremental ingest dedup (pre-staged r15): corpus side projected to ~16-byte digests BEFORE the join, digest-keyed membership join + ONE map-combinable MIN agg joined back — the asymmetric nightly-refresh shape, corpus text never moves"),
     ("sim_jl_project", "integer JL projection (pre-staged r14): 16 literal-plane dot-product folds in ONE codegen projection + posexplode — zero exchanges, scales with the scan"),
     ("doc_link_pagerank", "fixed-point PageRank (pre-staged r14): static outdeg agg, per round ONE src-keyed join + ONE dst-keyed agg over the edge table — the canonical edge-partitioned round, nothing quadratic; all-integer damped mix"),
     ("doc_snapshot_diff", "snapshot reconciliation (pre-staged r14): digests in the scan projection, ONE full-outer id join over ~40-byte rows, codegen status + delta filter — output scales with change rate, not corpus"),

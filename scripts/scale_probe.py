@@ -126,6 +126,7 @@ PROBES = [
     ("multimodal_wav_stats", "documents"),
     ("multimodal_ppm_stats", "documents"),
     ("multimodal_avi_stats", "documents"),
+    ("dedup_incremental", "documents"),
     ("doc_cms_estimates", "documents"),
     ("q_scd2_user_status", "events"),
     ("q_events_zorder_stats", "events"),

@@ -146,10 +146,12 @@ def test_prestaged_round15_queries_match_oracles(spark):
     import duckdb
 
     from reflinkcep_spark.queries.pipeline import (
+        SQL_DEDUP_INCREMENTAL,
         SQL_DOC_DOMAIN_CAPS,
         SQL_MULTIMODAL_AVI_STATS,
         SQL_TEXT_GOPHER_RULES,
         _sql_doc_cms_estimates,
+        dedup_incremental,
         doc_cms_estimates,
         doc_domain_caps,
         multimodal_avi_stats,
@@ -175,6 +177,7 @@ def test_prestaged_round15_queries_match_oracles(spark):
         (text_gopher_rules, SQL_TEXT_GOPHER_RULES),
         (q_events_zorder_stats, SQL_EVENTS_ZORDER_STATS),
         (multimodal_avi_stats, SQL_MULTIMODAL_AVI_STATS),
+        (dedup_incremental, SQL_DEDUP_INCREMENTAL),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

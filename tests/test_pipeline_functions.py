@@ -2142,6 +2142,40 @@ def test_cms_never_underestimates_and_merges(spark, docs):
     assert merged == whole
 
 
+def test_incremental_dedup_reproduces_whole_history(spark, docs):
+    """The correctness contract of incremental ingest: applying
+    incremental_dedup shard-by-shard (keeping only status='new' rows
+    into the growing corpus) must keep exactly the same keeper set as
+    whole-history exact_dedup — and every non-new row's digest must
+    already have a keeper."""
+    from reflinkcep_spark.functions import dedup
+
+    whole = {
+        r["text_hash"]
+        for r in dedup.exact_groups(docs).select("text_hash").collect()
+    }
+    # three arrival shards by id range
+    bounds = [(0, 150), (150, 320), (320, 10**9)]
+    kept_digests = set()
+    kept_rows = 0
+    for lo, hi in bounds:
+        shard = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        corpus = docs.filter(F.col("doc_id") < lo)
+        out = dedup.incremental_dedup(shard, corpus).collect()
+        for r in out:
+            if r["status"] == "new":
+                assert r["text_hash"] not in kept_digests
+                kept_digests.add(r["text_hash"])
+                kept_rows += 1
+            else:
+                assert (
+                    r["text_hash"] in kept_digests
+                    or r["status"] == "dup_in_batch"
+                )
+    assert kept_digests == whole
+    assert kept_rows == len(whole)
+
+
 def test_zorder_key_matches_reference_and_rails(spark):
     """Morton interleave vs an independent Python bit-twiddle, locality
     property (adjacent cells share high bits more often than distant
