@@ -456,9 +456,12 @@ context:
         batch form (sketch._cms_hashed), equality vs batch
         ``cms_registers`` is EXACT (pinned in tests)."""
         from reflinkcep_spark.functions import sketch
+        from reflinkcep_spark.queries.pipeline import _CMS_DEPTH, _CMS_WIDTH
 
         return sketch.cms_registers(
-            _stream_table(spark, sf_dir, "documents"), width=32, depth=2
+            _stream_table(spark, sf_dir, "documents"),
+            width=_CMS_WIDTH,
+            depth=_CMS_DEPTH,
         )
 
     return {

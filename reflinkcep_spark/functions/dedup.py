@@ -102,8 +102,20 @@ def incremental_dedup(
     digest-keyed, nothing else moves), and the in-batch rule is ONE
     digest-keyed MIN aggregate joined back — map-side combinable.
     """
+    # NULL text ⇒ NULL digest ⇒ the first_in_batch inner join silently
+    # DROPS the row (NULL keys match nothing) — an ingest pipeline
+    # would lose the document instead of classifying it, so raise
+    # in-plan (the cms_estimates NULL-key rail).
     new_hashed = new_docs.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
+        F.col(id_col),
+        F.when(
+            F.col(text_col).isNull(),
+            F.raise_error(
+                f"incremental_dedup: NULL {text_col} in the new shard "
+                "cannot be classified (NULL digests match nothing) — "
+                "filter or fill first"
+            ),
+        ).otherwise(F.md5(F.col(text_col))).alias("text_hash"),
     )
     corpus_digests = corpus.select(
         F.md5(F.col(text_col)).alias("text_hash"),

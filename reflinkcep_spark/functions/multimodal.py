@@ -705,13 +705,18 @@ def avi_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         f"AVI round trip: frame count {len(chunks)} != {nf} "
                         f"for id {did}"
                     )
+                import numpy as np
+
                 total = 0
                 checksum = 0
                 for i, (off, size) in enumerate(chunks):
-                    data = payload[off : off + size]
-                    total += len(data)
-                    for j, byte in enumerate(data):
-                        checksum += (i + 1) * (j + 1) * byte
+                    arr = np.frombuffer(
+                        payload[off : off + size], dtype=np.uint8
+                    ).astype(np.int64)
+                    total += arr.size
+                    checksum += (i + 1) * int(
+                        ((np.arange(arr.size) + 1) * arr).sum()
+                    )
                 rows.append((did, got_uspf, len(chunks), total, checksum))
             yield pd.DataFrame(
                 rows,

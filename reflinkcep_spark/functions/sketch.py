@@ -537,7 +537,15 @@ def cms_estimates(
             ),
         ).otherwise(F.col(group_col)),
     )
-    reg = cms_registers(df, text_col, group_col, width, depth)
+    # The register frame is referenced twice below (the probe join AND
+    # the group list); without lineage truncation each reference re-runs
+    # the corpus scan + token explode + agg — a full wasted corpus pass
+    # at 100 TB (the lm_quality/tfidf recipe; verified in the plan:
+    # 3 FileScans without it).  It is <= groups*depth*width cells, so
+    # the checkpoint is tiny.
+    reg = cms_registers(df, text_col, group_col, width, depth).localCheckpoint(
+        eager=False
+    )
     # The sketch is the only corpus-derived input the estimate side
     # needs: its distinct groups are a fold over <= groups*depth*width
     # cells, not a third corpus scan.

@@ -3510,41 +3510,49 @@ FROM c
 def dedup_incremental(spark, sf_dir):
     """Incremental ingest dedup (functions/dedup.py:incremental_dedup)
     — the ASYMMETRIC production shape: docs 0-399 are the frozen
-    existing corpus; tonight's shard is docs 400-499 plus deterministic
+    existing corpus; tonight's shard is docs >= 400 plus deterministic
     RE-CRAWLS derived in-query (the doc_pii_scrub convention — the
     synthetic corpus has no exact duplicates straddling the boundary,
     so the phenomenon is planted identically on both engines): docs
-    0-49 re-fetched under new ids (+1000 — corpus pages seen again →
-    dup_of_corpus) and docs 400-429 double-fetched (+2000 — the same
-    page twice in one shard → dup_in_batch).  Every new document is
+    0-49 re-fetched under fresh ids (+off — corpus pages seen again →
+    dup_of_corpus) and docs 400-429 double-fetched (+2·off — the same
+    page twice in one shard → dup_in_batch), where ``off =
+    max(doc_id) + 1`` is computed IN-QUERY on both engines so re-crawl
+    ids can never collide with real ones at ANY scale factor (fixed
+    constants collided at sf0.1's doc_id 0-4999).  Every new document is
     classified new / dup_of_corpus / dup_in_batch (keep-lowest-id
     within the shard); shard-by-shard application reproduces
     whole-history exact_dedup (the invariant is pinned in tests), and
     the corpus side joins as ~16-byte digests, never text."""
     docs = _docs(spark, sf_dir)
+    off = docs.agg((F.max("doc_id") + 1).alias("__off"))
+    with_off = docs.crossJoin(F.broadcast(off))
     shard = (
         docs.filter(F.col("doc_id") >= 400)
         .unionByName(
-            docs.filter(F.col("doc_id") < 50).withColumn(
-                "doc_id", F.col("doc_id") + 1000
-            )
+            with_off.filter(F.col("doc_id") < 50)
+            .withColumn("doc_id", F.col("doc_id") + F.col("__off"))
+            .drop("__off")
         )
         .unionByName(
-            docs.filter(
+            with_off.filter(
                 (F.col("doc_id") >= 400) & (F.col("doc_id") < 430)
-            ).withColumn("doc_id", F.col("doc_id") + 2000)
+            )
+            .withColumn("doc_id", F.col("doc_id") + 2 * F.col("__off"))
+            .drop("__off")
         )
     )
     return dedup.incremental_dedup(shard, docs.filter(F.col("doc_id") < 400))
 
 
 SQL_DEDUP_INCREMENTAL = """
-WITH shard AS (
+WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+shard AS (
   SELECT doc_id, text FROM documents WHERE doc_id >= 400
   UNION ALL
-  SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50
+  SELECT doc_id + off.o, text FROM documents, off WHERE doc_id < 50
   UNION ALL
-  SELECT doc_id + 2000, text FROM documents
+  SELECT doc_id + 2 * off.o, text FROM documents, off
   WHERE doc_id >= 400 AND doc_id < 430
 ),
 new_hashed AS (SELECT doc_id, md5(text) AS text_hash FROM shard),

@@ -477,16 +477,23 @@ def q_events_zorder_stats(spark, sf_dir):
     dimension overflows 21 bits."""
     from reflinkcep_spark.functions.packing import zorder_key
 
+    # Microsecond arithmetic end to end (the module convention, see the
+    # epoch_us oracles above): Spark's unix_timestamp FLOORS fractional
+    # seconds while DuckDB's epoch(ts)::BIGINT ROUNDS them, so
+    # second-granularity epochs disagree on ~half the rows and only
+    # aggregate luck kept a second-based key oracle-green.  unix_micros
+    # vs epoch_us is exact on both engines.
     ev = _events(spark, sf_dir).select(
-        "user_id", F.unix_timestamp("ts").alias("us")
+        "user_id", F.unix_micros("ts").alias("us")
     )
     t0 = ev.agg(F.min("us").alias("t0"))
+    # exact integer floor division (pmod-subtract, non-negative domain):
+    # a double divide could round up across an hour boundary.
+    d = F.col("us") - F.col("t0")
+    hours = ((d - F.pmod(d, F.lit(3_600_000_000))) / 3_600_000_000).cast("long")
     keyed = ev.crossJoin(F.broadcast(t0)).select(
         "user_id",
-        zorder_key(
-            F.col("user_id"),
-            ((F.col("us") - F.col("t0")) / 3600).cast("long"),
-        ).alias("zkey"),
+        zorder_key(F.col("user_id"), hours).alias("zkey"),
     )
     return (
         keyed.groupBy(F.shiftright("zkey", 12).alias("tile"))
@@ -500,12 +507,12 @@ def q_events_zorder_stats(spark, sf_dir):
 
 
 SQL_EVENTS_ZORDER_STATS = """
-WITH t0 AS (SELECT MIN(epoch(ts)::BIGINT) AS t0 FROM events),
+WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
 k AS (
   SELECT user_id,
          list_sum(list_transform(range(0, 21), i ->
            (((user_id >> i) & 1) << (2 * i))
-           + (((((epoch(ts)::BIGINT - t0.t0) // 3600) >> i) & 1)
+           + (((((epoch_us(ts) - t0.t0) // 3600000000) >> i) & 1)
               << (2 * i + 1))
          ))::BIGINT AS zkey
   FROM events, t0

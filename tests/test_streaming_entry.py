@@ -436,6 +436,7 @@ def test_streaming_entry_cms_registers_matches_batch(spark, tmp_path):
     import __spark_entry__ as entrymod
 
     from reflinkcep_spark.functions import sketch
+    from reflinkcep_spark.queries.pipeline import _CMS_DEPTH, _CMS_WIDTH
     from reflinkcep_spark.sources import load_table
 
     out = entrymod.queries_streaming()["doc_cms_registers_stream"](spark, SF_DIR)
@@ -454,7 +455,9 @@ def test_streaming_entry_cms_registers_matches_batch(spark, tmp_path):
     want = sorted(
         (r["source"], r["row"], r["pos"], r["cnt"])
         for r in sketch.cms_registers(
-            load_table(spark, SF_DIR, "documents"), width=32, depth=2
+            load_table(spark, SF_DIR, "documents"),
+            width=_CMS_WIDTH,
+            depth=_CMS_DEPTH,
         ).collect()
     )
     assert got == want and got
