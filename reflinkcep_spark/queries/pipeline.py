@@ -2442,11 +2442,10 @@ WHERE c.cum_tok <= w.src_budget
 """
 
 
-# --- URL-canonical dedup (PRE-STAGED for round 12) -----------------------
+# --- URL-canonical dedup (registered round 12) ---------------------------
 #
-# dedup_url_canonical is implemented and locally oracle-verified but
-# deliberately NOT registered this round: the round-11 window is full
-# (121 queries, 21 sit-outs named — see queries/__init__.py).
+# dedup_url_canonical was pre-staged + oracle-verified round 11 and
+# REGISTERED in the round-12 rotation (see queries/__init__.py).
 # Register it in the round-12 rotation.
 
 def dedup_url_canonical(spark, sf_dir):
@@ -2640,11 +2639,10 @@ FROM r JOIN t USING (domain) WHERE domain_rank <= {cap}
 """.format(cap=_DOMAIN_CAP)
 
 
-# --- cross-document paragraph dedup (PRE-STAGED for round 12) ------------
+# --- cross-document paragraph dedup (registered round 12) ----------------
 #
-# text_dedup_paragraphs_global is implemented and locally
-# oracle-verified but deliberately NOT registered this round (window
-# full — see above).  Register it in the round-12 rotation.
+# text_dedup_paragraphs_global was pre-staged + oracle-verified round
+# 11 and REGISTERED in the round-12 rotation.
 
 def text_dedup_paragraphs_global(spark, sf_dir):
     """CROSS-document unit dedup (functions/text.py
@@ -2688,11 +2686,10 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
-# --- cross-document NEAR-dup paragraph removal (PRE-STAGED for r12) ------
+# --- cross-document NEAR-dup paragraph removal (registered round 12) -----
 #
-# text_dedup_xdoc_fuzzy is implemented and locally oracle-verified but
-# deliberately NOT registered this round (window full — see above).
-# Register it in the round-12 rotation.  (Short name by design: the
+# text_dedup_xdoc_fuzzy was pre-staged + oracle-verified round 11 and
+# REGISTERED in the round-12 rotation.  (Short name by design: the
 # bench summary line has a 1.9 kB rail — bench.py:~28.)
 
 def text_dedup_xdoc_fuzzy(spark, sf_dir):
@@ -2760,11 +2757,10 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
-# --- product-quantization ANN (PRE-STAGED for round 12) ------------------
+# --- product-quantization ANN (registered round 12) ----------------------
 #
-# sim_ann_pq is implemented and locally oracle-verified but
-# deliberately NOT registered this round (window full — see above).
-# Register it in the round-12 rotation.
+# sim_ann_pq was pre-staged + oracle-verified round 11 and REGISTERED
+# in the round-12 rotation.
 
 def sim_ann_pq(spark, sf_dir):
     """Product-quantization ANN with asymmetric distance
@@ -2877,11 +2873,10 @@ FROM r WHERE rnk <= 5
 """
 
 
-# --- per-source quality-tier calibration (PRE-STAGED for round 12) -------
+# --- per-source quality-tier calibration (registered round 12) -----------
 #
-# doc_quality_calibration is implemented and locally oracle-verified
-# but deliberately NOT registered this round (window full — see
-# above).  Register it in the round-12 rotation.
+# doc_quality_calibration was pre-staged + oracle-verified round 11
+# and REGISTERED in the round-12 rotation.
 
 def doc_quality_calibration(spark, sf_dir):
     """Per-source CCNet-tier calibration (functions/text.py

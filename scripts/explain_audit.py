@@ -95,11 +95,11 @@ AUDITED = [
     ("text_dedup_paragraphs_fuzzy", "fuzzy paragraph dedup (registered r11): per-doc shingle-set fold with in-row i<j Jaccard matrix, zero exchanges, no Python"),
     ("doc_contamination_matrix", "contamination matrix (registered r11): bench (suite, gram) set distinct + broadcast, corpus streams through the gram join, ONE (source, bench) keyed agg"),
     ("doc_mixture_rebalance", "mixture rebalance (registered r11): recipe-filtered scan (pushdown), literal per-source budget map, token_budget_sample's sharded prefix — shard offsets tiny + broadcast"),
-    ("dedup_url_canonical", "URL dedup (pre-staged r12): canonicalization is a codegen projection on the scan, ONE map-side-combinable canonical_url-keyed agg, no UDF, no join"),
-    ("text_dedup_paragraphs_global", "cross-doc unit dedup (pre-staged r12): posexplode, combinable MIN(struct) argmin per unit, unit-keyed join back, doc-keyed reassembly — 3 keyed exchanges over the unit-occurrence table, no Python"),
-    ("doc_quality_calibration", "per-source tier calibration (pre-staged r12): quality_buckets pipeline with source riding the doc agg as a dependent key, then cell/group/bucket/total folds over the TIER table (bucket + total broadcast)"),
-    ("text_dedup_xdoc_fuzzy", "cross-doc NEAR-dup unit removal (pre-staged r12): capped shingle posting index, per-shingle fan-out <= cap^2, verify in the join projection, occurrence distinct + mark + reassembly, no Python"),
-    ("sim_ann_pq", "PQ/ADC ANN (pre-staged r12): codebook literal, encode = codegen argmin projection, broadcast query side, ADC in the join projection, one window top-k — no UDF, no lookup joins"),
+    ("dedup_url_canonical", "URL dedup (registered r12): canonicalization is a codegen projection on the scan, ONE map-side-combinable canonical_url-keyed agg, no UDF, no join"),
+    ("text_dedup_paragraphs_global", "cross-doc unit dedup (registered r12): posexplode, combinable MIN(struct) argmin per unit, unit-keyed join back, doc-keyed reassembly — 3 keyed exchanges over the unit-occurrence table, no Python"),
+    ("doc_quality_calibration", "per-source tier calibration (registered r12): quality_buckets pipeline with source riding the doc agg as a dependent key, then cell/group/bucket/total folds over the TIER table (bucket + total broadcast)"),
+    ("text_dedup_xdoc_fuzzy", "cross-doc NEAR-dup unit removal (registered r12): capped shingle posting index, per-shingle fan-out <= cap^2, verify in the join projection, occurrence distinct + mark + reassembly, no Python"),
+    ("sim_ann_pq", "PQ/ADC ANN (registered r12): codebook literal, encode = codegen argmin projection, broadcast query side, ADC in the join projection, one window top-k — no UDF, no lookup joins"),
     ("doc_hll_registers", "HLL register sketch (pre-staged r13): token explode, md5 bucket/rank projection, ONE groupingSets max/count agg (per-source + rollup in the same pass — a union would tokenize twice) over <= (groups+1)*64 cells; output size independent of corpus"),
     ("doc_bloom_decontam", "Bloom decontamination gate (pre-staged r13): bench grams -> <=128-word bit_or agg broadcast TWICE (one per hash), corpus streams through two broadcast joins + bit tests, ONE doc-keyed count agg"),
     ("doc_span_merge", "annotation span union (pre-staged r13): derived spans + array_sort + aggregate fold, ZERO exchanges — the gaps-and-islands window without the window"),

@@ -107,7 +107,7 @@ PROBES = [
     ("text_dedup_paragraphs_fuzzy", "documents"),
     ("doc_contamination_matrix", "documents"),
     ("doc_mixture_rebalance", "documents"),
-    # round-12 queue (pre-staged round 11)
+    # registered round 12
     ("dedup_url_canonical", "documents"),
     ("text_dedup_paragraphs_global", "documents"),
     ("doc_quality_calibration", "documents"),
