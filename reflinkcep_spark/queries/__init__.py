@@ -184,8 +184,22 @@ RETIRED = (
 # sim_kmeans, text_tfidf_search -- all oracle-green since round 11),
 # then fill with r11-vintage keepers.  Arithmetic: registry 120 + 5 =
 # 125; candidates 20 promoted + 5 new + 50 r11-stale = 75 for 50
-# slots -> TWENTY-FIVE r11-green queries sit out (pick the cheapest
-# scan/agg shapes again; every CEP/dedup/sim/multimodal row stays in).
+# slots -> TWENTY-FIVE r11-green queries sit out.  NAMED here so the
+# round-13 edit is mechanical (copy into PLANNED_SITOUTS): the
+# eighteen round-11 window's cheap scan/agg/window shapes
+# (doc_source_stats, doc_token_budget, doc_mixture_sample,
+# doc_mixture_upsample, doc_split_assign, doc_global_shuffle,
+# doc_vocab_coverage, doc_rolling_fingerprint, doc_chunk_overlap,
+# doc_pii_scrub, text_repetition, text_language, q_balance_quartiles,
+# q_events_props_json, q_events_sliding, q_local_supplier_volume,
+# q_returned_item_customers, q_waiting_suppliers), the three
+# sub-second round-11 registrations (text_dedup_paragraphs_fuzzy,
+# doc_contamination_matrix, doc_mixture_rebalance), and the four
+# one-pass multi-grouping aggs (q_cube_lineitem_flags,
+# q_grouping_sets, q_pivot_status_priority, q_unpivot_balances).
+# Stays in the window: all fifteen CEP rows, all eight dedup rows,
+# doc_pack_ffd, text_lm_quality — every Python-kernel or
+# plan-sensitive shape.
 # Pair the round-14 registrations (5 seeds + multimodal_ppm_stats)
 # with retirements per the capacity policy; round-15 queue
 # (doc_cms_estimates, q_scd2_user_status, doc_domain_caps,
