@@ -2213,6 +2213,65 @@ def test_zorder_key_matches_reference_and_rails(spark):
         zorder_key(F.lit(0), F.lit(0), bits=40)
 
 
+def test_cms_matches_python_reference_on_random_corpora(spark):
+    """Differential pin of the Count-Min cell placement and estimate
+    fold against an independent pure-Python md5 reference (the
+    snapshot_diff recipe): seeded random corpora over a tiny
+    vocabulary, registers AND estimates compared cell-for-cell —
+    a hash-slice, salt-format, or min-fold drift fails here without
+    needing the DuckDB oracle."""
+    import hashlib
+    import random
+
+    from reflinkcep_spark.functions import sketch
+
+    width, depth = 16, 3
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rng = random.Random(1234)
+
+    def pos(j, t):
+        return int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:8], 16) % width
+
+    for trial in range(3):
+        rows = [
+            (
+                f"s{rng.randrange(3)}",
+                " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 12))),
+            )
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+
+        ref_cells: dict = {}
+        ref_exact: dict = {}
+        for src, text in rows:
+            for t in text.split():
+                ref_exact[(src, t)] = ref_exact.get((src, t), 0) + 1
+                for j in range(depth):
+                    k = (src, j, pos(j, t))
+                    ref_cells[k] = ref_cells.get(k, 0) + 1
+
+        got_cells = {
+            (r["source"], r["row"], r["pos"]): r["cnt"]
+            for r in sketch.cms_registers(df, width=width, depth=depth).collect()
+        }
+        assert got_cells == ref_cells, f"trial {trial}: register cells differ"
+
+        probes = tuple(vocab + ["absent_term"])
+        got_est = {
+            (r["source"], r["term"]): (r["est_cnt"], r["exact_cnt"])
+            for r in sketch.cms_estimates(
+                df, probes, width=width, depth=depth
+            ).collect()
+        }
+        for (src, term), (est, exact) in got_est.items():
+            want_est = min(
+                ref_cells.get((src, j, pos(j, term)), 0) for j in range(depth)
+            )
+            assert est == want_est, (trial, src, term)
+            assert exact == ref_exact.get((src, term), 0), (trial, src, term)
+
+
 def test_cms_rejects_bad_geometry(spark, docs):
     import pytest
 
