@@ -35,6 +35,7 @@ __all__ = [
     "merge_spans",
     "tfidf_topk",
     "gopher_format_flags",
+    "boilerplate_profile",
     "BPE_ISH_PATTERN",
     "PII_PATTERNS",
     "STOPWORDS",
@@ -1446,4 +1447,58 @@ def gopher_format_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             ok_words & ok_mean_len & ok_alpha
             & ok_bullets & ok_ellipsis & ok_symbols
         ).alias("passes_format"),
+    )
+
+
+def boilerplate_profile(
+    df: DataFrame,
+    unit_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """jusText-style boilerplate classification (Pomikálek 2011; the
+    unit-level complement of the document-level
+    :func:`gopher_format_flags`): each document is split into units
+    (the :func:`_split_units` fixed-token mode — this corpus has no
+    line structure, same convention as the paragraph-dedup family)
+    and every unit is classified CONTENT iff it clears all three
+    jusText-shaped gates, each an exact-integer comparison:
+
+    * length: ≥ 4 tokens AND ≥ 20 characters (short fragments are
+      boilerplate regardless of wording — nav items, buttons),
+    * stopword density: ``stop_hits·5 ≥ n_tokens`` (≥ 20 % of tokens
+      from the English stopword list — jusText's core signal: real
+      prose is function-word-dense, link/menu text is not).
+
+    Output per document: (id, n_units, n_content, n_boilerplate,
+    content_chars, total_chars) — the counters a curation pipeline
+    thresholds on (e.g. drop pages whose content share is tiny), all
+    BIGINT so an external oracle recomputes them exactly.
+
+    Scale shape: ZERO exchanges — unit split, per-unit classification,
+    and the per-document counters are one in-row fold pipeline
+    (whole-stage codegen), the same contract as the paragraph-dedup
+    and format-rule siblings.
+    """
+    units, _ = _split_units(F.col(text_col), "\n", unit_tokens)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+
+    def is_content(u):
+        toks_u = F.split(u, " ")
+        n_tok = F.size(toks_u)
+        stop_hits = F.size(F.filter(toks_u, lambda t: F.array_contains(stop, F.lower(t))))
+        return (n_tok >= 4) & (F.length(u) >= 20) & (stop_hits * 5 >= n_tok)
+
+    content = F.filter(units, is_content)
+    return df.select(
+        F.col(id_col),
+        F.size(units).cast("long").alias("n_units"),
+        F.size(content).cast("long").alias("n_content"),
+        (F.size(units) - F.size(content)).cast("long").alias("n_boilerplate"),
+        F.aggregate(
+            content, F.lit(0).cast("long"), lambda a, u: a + F.length(u)
+        ).alias("content_chars"),
+        F.aggregate(
+            units, F.lit(0).cast("long"), lambda a, u: a + F.length(u)
+        ).alias("total_chars"),
     )

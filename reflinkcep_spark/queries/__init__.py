@@ -118,6 +118,11 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        ~16-byte digests, new shard classified
 #                        new/dup_of_corpus/dup_in_batch; shard-by-
 #                        shard == whole-history invariant pinned)
+#   text_boilerplate    (pipeline.py + functions/text.py -- jusText
+#                        unit-level boilerplate classification:
+#                        stopword-density + length gates as exact
+#                        integer cross-multiplies, per-doc counters,
+#                        zero exchanges)
 #
 # Registering all five in round 13 puts the registry at 120 + 5 = 125;
 # with the 50-slot window and the hard 2-round staleness ceiling the

@@ -3598,6 +3598,58 @@ FROM documents
 """
 
 
+# text_boilerplate is implemented and locally oracle-verified but NOT
+# yet registered: round-14/15 queue (see queries/__init__.py).
+def text_boilerplate(spark, sf_dir):
+    """jusText-style unit-level boilerplate classification
+    (functions/text.py:boilerplate_profile): 8-token units gated on
+    length and stopword density (exact-integer cross-multiplies),
+    per-document content/boilerplate counters — the unit-level
+    complement of text_gopher_rules' document-level format flags, and
+    the third member of the published-filter lineage beside the CCNet
+    tiers and the C4/Gopher repetition family.  Zero-exchange codegen
+    projection."""
+    return text.boilerplate_profile(_docs(spark, sf_dir))
+
+
+SQL_TEXT_BOILERPLATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS u
+  FROM toks, UNNEST(generate_series(1, len(tk), 8)) AS s(i)
+),
+cls AS (
+  SELECT doc_id, u,
+         (len(string_split(u, ' ')) >= 4
+          AND length(u) >= 20
+          AND len(list_filter(string_split(u, ' '),
+                t -> list_contains(['the','a','of','and','to','in','is',
+                                    'for','on','with'], lower(t)))) * 5
+              >= len(string_split(u, ' '))) AS is_content
+  FROM ch
+)
+SELECT t.doc_id,
+       COALESCE(c.n_units, 0)::BIGINT AS n_units,
+       COALESCE(c.n_content, 0)::BIGINT AS n_content,
+       COALESCE(c.n_units - c.n_content, 0)::BIGINT AS n_boilerplate,
+       COALESCE(c.content_chars, 0)::BIGINT AS content_chars,
+       COALESCE(c.total_chars, 0)::BIGINT AS total_chars
+FROM toks t LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_units,
+         COUNT(*) FILTER (WHERE is_content) AS n_content,
+         COALESCE(SUM(length(u)) FILTER (WHERE is_content), 0)
+           AS content_chars,
+         SUM(length(u)) AS total_chars
+  FROM cls GROUP BY 1
+) c USING (doc_id)
+"""
+
+
 # Probe vocabulary for the Count-Min estimate query — module-level so
 # the Spark query and the SQL oracle are generated from ONE term list
 # (the _raw_url recipe).  "zzcms_absent" is deliberately absent from

@@ -116,6 +116,7 @@ AUDITED = [
     ("q_scd2_user_status", "SCD2 history build (pre-staged r15): ONE user-keyed exchange carries both window passes (lag change flag + running-sum island id) and the island aggregate — per-user history, not user count, bounds state"),
     ("doc_domain_caps", "per-domain quota (pre-staged r15): TWO-PHASE ranking — shard-local row_number prunes to <= cap*shards per domain BEFORE the final per-domain window, so no power-law mega-host funnels through one task; totals via map-combinable count joined back on the domain key (a PLAIN join by design — the totals table is one row per domain, unbounded at web scale)"),
     ("text_gopher_rules", "Gopher format rules (pre-staged r15): pure per-row split/filter/fold column algebra, ZERO exchanges, whole-stage codegen"),
+    ("text_boilerplate", "jusText unit-level boilerplate classification (pre-staged r15): unit split + per-unit stopword-density gates + per-doc counters, ONE in-row fold pipeline, ZERO exchanges"),
     ("q_events_zorder_stats", "Z-order layout audit (pre-staged r15): one-row MIN broadcast, then the 42-term Morton key as a zero-exchange codegen projection; the rollup's COUNT DISTINCT makes it a two-level keyed agg (tile,user -> tile), both map-side combinable over <= tiles*users cells — the file-skipping metadata table"),
 ]
 

@@ -132,6 +132,7 @@ PROBES = [
     ("q_events_zorder_stats", "events"),
     ("doc_domain_caps", "documents"),
     ("text_gopher_rules", "documents"),
+    ("text_boilerplate", "documents"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

@@ -150,11 +150,13 @@ def test_prestaged_round15_queries_match_oracles(spark):
         SQL_DOC_DOMAIN_CAPS,
         SQL_MULTIMODAL_AVI_STATS,
         SQL_TEXT_GOPHER_RULES,
+        SQL_TEXT_BOILERPLATE,
         _sql_doc_cms_estimates,
         dedup_incremental,
         doc_cms_estimates,
         doc_domain_caps,
         multimodal_avi_stats,
+        text_boilerplate,
         text_gopher_rules,
     )
     from reflinkcep_spark.queries.temporal import (
@@ -178,6 +180,7 @@ def test_prestaged_round15_queries_match_oracles(spark):
         (q_events_zorder_stats, SQL_EVENTS_ZORDER_STATS),
         (multimodal_avi_stats, SQL_MULTIMODAL_AVI_STATS),
         (dedup_incremental, SQL_DEDUP_INCREMENTAL),
+        (text_boilerplate, SQL_TEXT_BOILERPLATE),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())
