@@ -206,9 +206,20 @@ RETIRED = (
 # doc_pack_ffd, text_lm_quality — every Python-kernel or
 # plan-sensitive shape.
 # Pair the round-14 registrations (5 seeds + multimodal_ppm_stats)
-# with retirements per the capacity policy; round-15 queue
-# (doc_cms_estimates, q_scd2_user_status, doc_domain_caps,
-# text_gopher_rules) keeps the pipeline full two rounds ahead.
+# with retirements per the capacity policy.  Retirement CANDIDATES to
+# evaluate then (near-duplicate shapes whose operator would stay
+# covered — each needs its coverage argument re-verified at
+# retirement time, exactly like the round-12 six): doc_top_terms
+# (tf/df machinery subsumed by text_tfidf_search once registered),
+# doc_mixture_sample (the doc_mixture_rebalance + doc_token_budget
+# family covers stratified sampling), q_orders_by_month (calendar
+# bucket agg, the q_events_sliding shape), q_distinct_counts (plain
+# count-distinct agg), doc_length_outliers (percentile trim ~
+# q_balance_quartiles ntile + the curation funnel's length stage),
+# q_scalar_functions (scalar-expression scan, exercised by
+# queries/exact.py tests and a dozen registered queries).  The
+# eight-entry round-15 queue keeps the pipeline full two rounds
+# ahead.
 # Before this rotation every promoted query was verified green in its
 # latest CORRECTNESS row (r9/r10) and every demoted query green in
 # CORRECTNESS_r11.json (scripts/window_audit.py run before and after).
