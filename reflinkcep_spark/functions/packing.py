@@ -206,13 +206,19 @@ def zorder_key(a, b, bits: int = 21) -> "F.Column":
     lim = 1 << bits
 
     def checked(c, name):
+        # Cast to long BEFORE the bit loop: Spark's shiftleft/shiftright
+        # wrap the shift distance mod 32 for INT inputs, so an int32
+        # column with an in-domain value ≥ 2^16 would alias bits once
+        # 2·i+1 reaches 32 (e.g. zorder_key(2^20, 0) came back 256, not
+        # 2^40).  64-bit shift semantics regardless of input type keep
+        # the no-silent-aliasing guarantee the rail promises.
         return F.when(
             c.isNull() | (c < 0) | (c >= lim),
             F.raise_error(
                 f"zorder_key: {name} must be in [0, 2^{bits}) — "
                 "rescale or bucket the dimension first"
             ),
-        ).otherwise(c)
+        ).otherwise(c.cast("long"))
 
     a = checked(a, "a")
     b = checked(b, "b")

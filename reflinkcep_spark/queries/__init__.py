@@ -17,41 +17,14 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
-# Round-12 queue: REGISTERED this round (dedup_url_canonical,
-# text_dedup_paragraphs_global, doc_quality_calibration,
-# text_dedup_xdoc_fuzzy, sim_ann_pq) -- all pre-staged + oracle-green
-# since round 11; now covered by the full check_oracles replay.
-# Round-12 window arithmetic with five registrations AND the first six
-# retirements (see RETIRED below): registry 121 + 5 - 6 = 120.
-# Candidates: 16 surviving r9-stale PLANNED_SITOUTS (promote FIRST) +
-# 5 new + 49 surviving r10-stale = 70 for 50 slots -> 20 named
-# sit-outs from the r10 set (the cheapest scan/agg shapes, all green
-# every round since registration).
-#
-# Round-13 queue (implemented, locally oracle-verified at sf0.001 AND
-# sf0.01, pinned by tests/test_check_oracles.py::
-# test_prestaged_round13_queries_match_oracles):
-#   doc_hll_registers   (pipeline.py + functions/sketch.py -- exact-
-#                        integer HyperLogLog register table per source
-#                        + '(all)' rollup; mergeability asserted in
-#                        tests/test_pipeline_functions.py)
-#   doc_bloom_decontam  (pipeline.py + functions/sketch.py -- Bloom-
-#                        filter decontamination gate, fixed-size
-#                        broadcast; FP-for-FP oracle match, no-false-
-#                        negative property vs the exact semi-join)
-#   doc_span_merge      (pipeline.py + functions/text.py:merge_spans
-#                        -- annotation-span interval union as a zero-
-#                        exchange in-row fold; oracle is the gaps-and-
-#                        islands window idiom)
-#   sim_kmeans          (pipeline.py + functions/similarity.py:
-#                        kmeans_fixedpoint -- distributed Lloyd in
-#                        fixed-point arithmetic, k=8 x 2 rounds,
-#                        one-row centroid broadcast + in-row argmin,
-#                        bit-stable across engines)
-#   text_tfidf_search   (pipeline.py + functions/text.py:tfidf_topk --
-#                        exact-rational tf-idf ranked retrieval, the
-#                        'search' primitive next to the ANN family;
-#                        integer scoring end to end, two-phase top-k)
+# Round-13 queue: REGISTERED this round (doc_hll_registers,
+# doc_bloom_decontam, doc_span_merge, sim_kmeans, text_tfidf_search)
+# -- all pre-staged + oracle-green since round 11; now covered by the
+# full check_oracles replay.  Registry 120 + 5 = 125 (no retirements
+# this round; the round-14 registrations pair with the candidate list
+# below).  Window: 20 promoted 2-round-stale PLANNED_SITOUTS first,
+# then the 5 new, then 25 r11-stale heavy keepers -- see the window
+# comment above PLANNED_SITOUTS.
 # Round-14 seed (implemented, locally oracle-verified at sf0.001 AND
 # sf0.01, pinned by tests/test_check_oracles.py::
 # test_prestaged_round14_queries_match_oracles):
@@ -166,63 +139,50 @@ RETIRED = (
     "text_token_histogram",
 )
 
-# Front of the driver's 50-entry check window (round 12 rotation),
-# executed exactly as pre-planned in round 11: FIRST the sixteen
-# surviving 2-round-stale sit-outs from the round-11 plan (r9-vintage
-# rows; five of the original 21 were retired instead of promoted --
-# see RETIRED), then the five queries registered this round
-# (pre-staged + oracle-verified in round 11: dedup_url_canonical,
-# text_dedup_paragraphs_global, doc_quality_calibration,
-# text_dedup_xdoc_fuzzy, sim_ann_pq -- never driver-checked), then 29
-# of the 49 surviving queries whose latest green rows are r10-vintage
-# (every heavy / plan-sensitive shape: all CEP rows, dedup_clusters +
-# the md5 sketch twins, the sim_* family, multimodal, sessions/asof/
-# range/skew, decontam, packing).  Window arithmetic: 120 registered
-# queries, 16 + 5 + 49 = 70 candidates for 50 slots, so TWENTY
-# r10-green cheap scan/agg shapes sit out and go two rounds stale at
-# round 12 -- promote PLANNED_SITOUTS FIRST in the round-13 rotation.
+# Front of the driver's 50-entry check window (round 13 rotation),
+# executed exactly as pre-planned in round 12: FIRST the twenty
+# 2-round-stale PLANNED_SITOUTS from the round-12 plan (r10-vintage
+# rows, at the hard ceiling), then the five queries registered this
+# round (pre-staged + oracle-verified since round 11:
+# doc_hll_registers, doc_bloom_decontam, doc_span_merge, sim_kmeans,
+# text_tfidf_search -- never driver-checked), then the twenty-five
+# r11-vintage heavy / plan-sensitive keepers: all fifteen CEP rows,
+# all eight dedup rows, doc_pack_ffd, text_lm_quality.  Window
+# arithmetic: 125 registered queries, 20 promoted + 5 new + 50
+# r11-stale = 75 candidates for 50 slots, so TWENTY-FIVE r11-green
+# cheap scan/agg/window shapes sit out and go two rounds stale at
+# round 13 -- promote (or retire) every PLANNED_SITOUT FIRST in the
+# round-14 rotation.
 #
-# ROUND-13 ROTATION PLAN (pre-computed; execute exactly): promote the
-# 20 PLANNED_SITOUTS below FIRST (r10 rows, 2 rounds stale at r12 --
-# the hard ceiling forbids a third), then register the five round-13
-# queue queries (doc_hll_registers, doc_bloom_decontam, doc_span_merge,
-# sim_kmeans, text_tfidf_search -- all oracle-green since round 11),
-# then fill with r11-vintage keepers.  Arithmetic: registry 120 + 5 =
-# 125; candidates 20 promoted + 5 new + 50 r11-stale = 75 for 50
-# slots -> TWENTY-FIVE r11-green queries sit out.  NAMED here so the
-# round-13 edit is mechanical (copy into PLANNED_SITOUTS): the
-# eighteen round-11 window's cheap scan/agg/window shapes
-# (doc_source_stats, doc_token_budget, doc_mixture_sample,
-# doc_mixture_upsample, doc_split_assign, doc_global_shuffle,
-# doc_vocab_coverage, doc_rolling_fingerprint, doc_chunk_overlap,
-# doc_pii_scrub, text_repetition, text_language, q_balance_quartiles,
-# q_events_props_json, q_events_sliding, q_local_supplier_volume,
-# q_returned_item_customers, q_waiting_suppliers), the three
-# sub-second round-11 registrations (text_dedup_paragraphs_fuzzy,
-# doc_contamination_matrix, doc_mixture_rebalance), and the four
-# one-pass multi-grouping aggs (q_cube_lineitem_flags,
-# q_grouping_sets, q_pivot_status_priority, q_unpivot_balances).
-# Stays in the window: all fifteen CEP rows, all eight dedup rows,
-# doc_pack_ffd, text_lm_quality — every Python-kernel or
-# plan-sensitive shape.
-# Pair the round-14 registrations (5 seeds + multimodal_ppm_stats)
-# with retirements per the capacity policy.  Retirement CANDIDATES to
-# evaluate then (near-duplicate shapes whose operator would stay
-# covered — each needs its coverage argument re-verified at
-# retirement time, exactly like the round-12 six): doc_top_terms
-# (tf/df machinery subsumed by text_tfidf_search once registered),
-# doc_mixture_sample (the doc_mixture_rebalance + doc_token_budget
-# family covers stratified sampling), q_orders_by_month (calendar
-# bucket agg, the q_events_sliding shape), q_distinct_counts (plain
-# count-distinct agg), doc_length_outliers (percentile trim ~
-# q_balance_quartiles ntile + the curation funnel's length stage),
-# q_scalar_functions (scalar-expression scan, exercised by
-# queries/exact.py tests and a dozen registered queries).  The
-# eight-entry round-15 queue keeps the pipeline full two rounds
-# ahead.
+# ROUND-14 ROTATION PLAN (pre-computed; execute exactly): the 25
+# PLANNED_SITOUTS below hit the hard ceiling at round 14 -- promote
+# them FIRST (doc_mixture_sample may instead be RETIRED, see the
+# candidate list), then register the five round-14 seed queries
+# (doc_snapshot_diff, doc_link_pagerank, sim_jl_project,
+# multimodal_wav_stats, multimodal_ppm_stats -- all oracle-green and
+# pinned by test_prestaged_round14_queries_match_oracles), EACH PAIRED
+# with a retirement per the capacity policy.  Retirement CANDIDATES to
+# evaluate then (near-duplicate shapes whose operator stays covered --
+# each needs its coverage argument re-verified at retirement time,
+# exactly like the round-12 six): doc_top_terms (tf/df machinery
+# subsumed by the now-registered text_tfidf_search), doc_mixture_sample
+# (the doc_mixture_rebalance + doc_token_budget family covers
+# stratified sampling), q_orders_by_month (calendar bucket agg, the
+# q_events_sliding shape), q_distinct_counts (plain count-distinct
+# agg), doc_length_outliers (percentile trim ~ q_balance_quartiles
+# ntile + the curation funnel's length stage), q_scalar_functions
+# (scalar-expression scan, exercised by queries/exact.py tests and a
+# dozen registered queries).  Arithmetic sketch (finalize in round
+# 14): registry 125 + 5 - 5or6 retirements = 124-125; candidates
+# ~24-25 promoted + 5 new + ~48 r12-vintage = ~78 for 50 slots ->
+# ~28-30 r12-green sit-outs (they are 1-round stale at round 13's
+# run, so a round-14 sit-out puts them at exactly 2 -- legal once).
+# Keep every heavy / plan-sensitive r12 shape in the window; sit out
+# only cheap scan/agg shapes.  The round-15 queue (8 entries, see
+# above) keeps the pipeline full.
 # Before this rotation every promoted query was verified green in its
-# latest CORRECTNESS row (r9/r10) and every demoted query green in
-# CORRECTNESS_r11.json (scripts/window_audit.py run before and after).
+# latest CORRECTNESS row (r10) and every demoted query green in
+# CORRECTNESS_r12.json (scripts/window_audit.py run before and after).
 
 # Machine-readable sit-out plan: queries whose latest driver row is
 # EXPECTED to be exactly 2 rounds stale at the NEXT driver run, because
@@ -231,15 +191,44 @@ RETIRED = (
 # this plan exactly -- any unplanned-stale query, any planned one that
 # is stale-and-red, or ANY row more than 2 rounds stale (planned or
 # not -- the hard ceiling added round 11) is a rotation bug and exits
-# nonzero.  Chosen round 12: the twenty simplest r10-green scan/agg
-# shapes -- eighteen single-join/agg/window relational shapes, the
-# scalar-function scan, and one of the two session variants
-# (q_user_sessions; q_session_windows stays in the window); each green
-# every round since registration.  Every heavy or plan-sensitive r10
-# query (all eight CEP rows, dedup_clusters, the md5 sketch twins, the
-# sim_* family, multimodal, decontam, packing, winnow-robust,
-# range/asof/skew) stays in the window.
+# nonzero.  Chosen round 13 (exactly as pre-named in the round-12
+# plan): the twenty-five simplest r11-green shapes -- the eighteen
+# cheap scan/agg/window relational+pipeline shapes, the three
+# sub-second round-11 registrations (text_dedup_paragraphs_fuzzy,
+# doc_contamination_matrix, doc_mixture_rebalance), and the four
+# one-pass multi-grouping aggs.  Every heavy or plan-sensitive r11
+# query (all fifteen CEP rows, all eight dedup rows, doc_pack_ffd,
+# text_lm_quality) stays in the window.
 PLANNED_SITOUTS = (
+    "doc_source_stats",
+    "doc_token_budget",
+    "doc_mixture_sample",
+    "doc_mixture_upsample",
+    "doc_split_assign",
+    "doc_global_shuffle",
+    "doc_vocab_coverage",
+    "doc_rolling_fingerprint",
+    "doc_chunk_overlap",
+    "doc_pii_scrub",
+    "text_repetition",
+    "text_language",
+    "q_balance_quartiles",
+    "q_events_props_json",
+    "q_events_sliding",
+    "q_local_supplier_volume",
+    "q_returned_item_customers",
+    "q_waiting_suppliers",
+    "text_dedup_paragraphs_fuzzy",
+    "doc_contamination_matrix",
+    "doc_mixture_rebalance",
+    "q_cube_lineitem_flags",
+    "q_grouping_sets",
+    "q_pivot_status_priority",
+    "q_unpivot_balances",
+)
+
+_PRIORITY = (
+    # 2-rounds-stale round-12 sit-outs (last row r10) -- first, per plan
     "q1_pricing_summary",
     "q6_revenue_delta",
     "q_big_building_buyers",
@@ -260,64 +249,40 @@ PLANNED_SITOUTS = (
     "q_min_cost_suppliers",
     "q_important_parts",
     "q_user_sessions",
-)
-
-_PRIORITY = (
-    # 2-rounds-stale round-11 sit-outs (last row r9) -- first, per plan
-    # (16 of the 21: the other five were retired, see RETIRED)
-    "text_profile",
-    "doc_winnow_fingerprints",
-    "doc_top_terms",
-    "doc_length_outliers",
-    "text_bigram_lift",
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "q_top_customers_per_nation",
-    "q_rollup_order_priority",
-    "q_customers_without_orders",
-    "q_orders_without_items",
-    "q_parts_with_cheap_suppliers",
-    "q_quantity_percentiles",
-    "q_above_nation_avg",
-    "q_running_order_totals",
-    "q_product_profit",
-    # new in round 12 (never driver-checked; pre-staged round 11)
-    "dedup_url_canonical",
-    "text_dedup_paragraphs_global",
-    "doc_quality_calibration",
-    "text_dedup_xdoc_fuzzy",
-    "sim_ann_pq",
-    # r10-stale: heavy / plan-sensitive keepers
-    "dedup_clusters",
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
-    "doc_winnow_robust",
-    "doc_decontam",
-    "doc_pack_sequences",
-    "doc_curation_funnel",
-    "doc_split_leakage",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_embedding_neardup",
-    "multimodal_bytes",
-    "doc_importance_weights",
-    "text_dedup_paragraphs",
-    "dedup_canonical_quality",
-    "text_quality_buckets",
-    "q_range_join_clicks",
-    "q_session_windows",
-    "q_asof_last_click",
-    "q_skew_salted_events",
-    # r10-stale: CEP family (all eight)
-    "cep_high_purchases",
-    "cep_funnel_3step",
-    "cep_funnel_within",
-    "cep_error_runs",
-    "cep_purchase_then_error",
-    "cep_error_runs_skiptolast",
-    "cep_signup_purchase_skipfirst",
-    "cep_purchase_no_immediate_error",
+    # new in round 13 (never driver-checked; pre-staged round 11)
+    "doc_hll_registers",
+    "doc_bloom_decontam",
+    "doc_span_merge",
+    "sim_kmeans",
+    "text_tfidf_search",
+    # r11-stale: CEP family (all fifteen)
+    "cep_conversion_rate",
+    "cep_error_pairs_skippast",
+    "cep_error_streaks_skip",
+    "cep_error_then_purchase_grouped",
+    "cep_error_triples",
+    "cep_high_purchase_chains",
+    "cep_nested_funnel_relaxed",
+    "cep_optional_click_prefix",
+    "cep_signup_abandoned",
+    "cep_signup_any_purchase",
+    "cep_signup_to_purchase",
+    "cep_spending_burst",
+    "cep_view_click_cycles",
+    "cep_view_click_runs",
+    "cep_view_combos_ndrelaxed",
+    # r11-stale: dedup family (all eight)
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_scrub_spans",
+    "dedup_semantic",
+    "dedup_simhash",
+    "dedup_substring_spans",
+    "dedup_winnow_pairs",
+    # r11-stale: remaining Python-kernel / plan-sensitive keepers
+    "doc_pack_ffd",
+    "text_lm_quality",
 )
 
 

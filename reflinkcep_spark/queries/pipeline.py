@@ -3855,6 +3855,12 @@ QUERIES = {
     "doc_quality_calibration": doc_quality_calibration,
     "text_dedup_xdoc_fuzzy": text_dedup_xdoc_fuzzy,
     "sim_ann_pq": sim_ann_pq,
+    # registered round 13 (pre-staged + oracle-verified round 11)
+    "doc_hll_registers": doc_hll_registers,
+    "doc_bloom_decontam": doc_bloom_decontam,
+    "doc_span_merge": doc_span_merge,
+    "sim_kmeans": sim_kmeans,
+    "text_tfidf_search": text_tfidf_search,
 }
 
 ORACLES = {
@@ -3918,4 +3924,12 @@ ORACLES = {
     # lazy: resolved by all_oracles() on first use (parquet read +
     # PQ codebook fit — same contract as sim_ann_ivf above).
     "sim_ann_pq": _sql_sim_ann_pq,
+    # registered round 13 (pre-staged + oracle-verified round 11)
+    "doc_hll_registers": SQL_DOC_HLL_REGISTERS,
+    "doc_bloom_decontam": SQL_DOC_BLOOM_DECONTAM,
+    "doc_span_merge": SQL_DOC_SPAN_MERGE,
+    "sim_kmeans": SQL_SIM_KMEANS,
+    # lazy: resolved by all_oracles() on first use (the tf·idf corpus
+    # statistics are embedded as literals on both engines).
+    "text_tfidf_search": _sql_text_tfidf_search,
 }

@@ -458,8 +458,10 @@ def q_events_zorder_stats(spark, sf_dir):
     """Z-order data-layout audit (functions/packing.py:zorder_key —
     the Delta/Iceberg ``ZORDER BY`` primitive as engine-portable
     integer algebra): every event keyed by the Morton interleave of
-    (user_id, epoch-hour), then rolled up per coarse TILE (the key's
-    top 12 bits) into exactly the metadata a file-skipping index
+    (user_id, epoch-hour), then rolled up per coarse TILE (dropping
+    the key's LOW 12 bits — ``zkey >> 12`` keeps the top 30 of the 42
+    key bits, i.e. 4096-key tiles) into exactly the metadata a
+    file-skipping index
     stores — row count, distinct users, min/max key.  Sorting by this
     key before writing co-locates rows close in BOTH dimensions, so a
     predicate on user AND time prunes files; the emitted min/max

@@ -58,51 +58,14 @@ def test_int32_vs_int64_is_same_kind():
     assert compare("x", got, want) == []
 
 
-def test_prestaged_round13_queries_match_oracles(spark):
-    """Round-13 queue: written + oracle-verified, registration deferred
-    (the round-12 rotation registered its own five-query queue — see
-    queries/__init__.py; that queue graduated into the registry and is
-    now covered by the full check_oracles replay).  Pin every queued
-    query oracle-green at sf0.001 so round-13 registration is a dict
-    edit, not a debugging session."""
-    import duckdb
-
-    from reflinkcep_spark.queries.pipeline import (
-        SQL_DOC_BLOOM_DECONTAM,
-        SQL_DOC_HLL_REGISTERS,
-        SQL_DOC_SPAN_MERGE,
-        SQL_SIM_KMEANS,
-        _sql_text_tfidf_search,
-        doc_bloom_decontam,
-        doc_hll_registers,
-        doc_span_merge,
-        sim_kmeans,
-        text_tfidf_search,
-    )
-    from tests.conftest import SF_DIR
-
-    con = duckdb.connect()
-    for t in ("documents", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
-        )
-    for fn, sql in (
-        (doc_hll_registers, SQL_DOC_HLL_REGISTERS),
-        (doc_bloom_decontam, SQL_DOC_BLOOM_DECONTAM),
-        (doc_span_merge, SQL_DOC_SPAN_MERGE),
-        (sim_kmeans, SQL_SIM_KMEANS),
-        (text_tfidf_search, _sql_text_tfidf_search()),
-    ):
-        got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
-        want = check_oracles.normalize(con.execute(sql).fetchdf())
-        assert len(got) > 0
-        assert compare(fn.__name__, got, want) == []
-
-
 def test_prestaged_round14_queries_match_oracles(spark):
     """Round-14 seed queue (the registration-capacity note in
     queries/__init__.py applies: pair future registrations with
-    retirements).  Same contract as the round-12/13 pins."""
+    retirements).  Same contract as the round-12/13 pins — those
+    queues graduated into the registry and are now covered by the
+    full check_oracles replay; pin every queued query oracle-green at
+    sf0.001 so round-14 registration is a dict edit, not a debugging
+    session."""
     import duckdb
 
     from reflinkcep_spark.queries.pipeline import (

@@ -2212,6 +2212,22 @@ def test_zorder_key_matches_reference_and_rails(spark):
     with pytest.raises(ValueError):
         zorder_key(F.lit(0), F.lit(0), bits=40)
 
+    # int32 INPUT columns must produce the same keys as long columns:
+    # Spark shift functions wrap the shift distance mod 32 on INT, so
+    # without the in-rail cast-to-long an in-domain int32 value ≥ 2^16
+    # silently aliased bits (zorder_key(2^20, 0) returned 256 instead
+    # of 2^40 — the exact ADVICE r12 repro).
+    int_cases = [(1 << 20, 0), (0, 1 << 20), (2**21 - 1, 65536), (65536, 1)]
+    idf = spark.createDataFrame(int_cases, "a int, b int")
+    got32 = {
+        (r["a"], r["b"]): r["z"]
+        for r in idf.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    for a, b in int_cases:
+        assert got32[(a, b)] == ref(a, b), (a, b, got32[(a, b)], ref(a, b))
+
 
 def test_cms_matches_python_reference_on_random_corpora(spark):
     """Differential pin of the Count-Min cell placement and estimate
