@@ -152,9 +152,10 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     starts it with ``.writeStream`` (memory sink +
     ``trigger(availableNow=True)`` in the tests).
 
-    The thirteen entries cover every streaming execution path the repo
+    The fifteen entries cover every streaming execution path the repo
     has (STREAMING_READY.md): the stateful NFA kernel (plain and
-    span-bounded — ``within`` doubles as the run-state bound), three
+    span-bounded — ``within`` doubles as the run-state bound, in
+    order-column units AND in event time via ``within_col``), three
     windowed-aggregation flavors, absence-via-timeout, strict negation
     (notNext) via watermark-final next-event candidates, streaming
     exact/URL dedup over the document feed (``dropDuplicates`` keyed
@@ -166,9 +167,9 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     both complete mode).
     Each one's batch twin is a REGISTERED driver query with IDENTICAL
     arithmetic (exact cent sums / md5 digests / canonical URLs) —
-    except ``doc_bloom_decontam_stream``, ``doc_hll_registers_stream``,
-    and ``doc_span_merge_stream``, whose twins are the queue-staged
-    round-13 queries (oracle-verified + suite-pinned, registration
+    except ``text_boilerplate_stream`` and
+    ``cep_funnel_within_time_stream``, whose twins are queue-staged
+    round-15 queries (oracle-verified + suite-pinned, registration
     queued), and ``doc_cms_registers_stream``, whose batch twin is the
     shared ``sketch.cms_registers`` helper (the registered-queue form
     is the derived ``doc_cms_estimates``; register equality is pinned
@@ -464,6 +465,66 @@ context:
             depth=_CMS_DEPTH,
         )
 
+    def cep_funnel_within_time_stream(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming twin of ``cep_funnel_within_time`` (round-15
+        queue): the TIME-based ``within()`` — Flink's actual
+        ``Pattern.within(Time.hours(48))`` semantics — enforced by the
+        same kernel stamp plumbing on both surfaces (``within_col``
+        threads ``unix_micros(ts)`` while ``event_id`` stays the order
+        column).  On a stream the 48-hour bound is ALSO the state
+        bound: runs whose first event's TIMESTAMP has expired are
+        pruned on every feed, so a hot key's run-set is capped by its
+        48-hour event rate, not stream lifetime.  Same output columns
+        as the batch query; equality is EXACT and total (kernel
+        entries need no watermark closure — ``event_id`` order)."""
+        from reflinkcep_spark.cep.query import Query
+        from reflinkcep_spark.queries.cep_queries import FUNNEL_YAML
+        from reflinkcep_spark.session import ensure_package_shipped
+        from reflinkcep_spark.streaming import match_pattern_stream
+
+        ensure_package_shipped(spark)
+        stream = _stream_events(spark, sf_dir).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        out = match_pattern_stream(
+            stream,
+            Query.from_yaml(FUNNEL_YAML),
+            order_by="event_id",
+            partition_by="user_id",
+            within=48 * 3600 * 1_000_000,
+            within_col="ts_us",
+        )
+        return out.select(
+            "user_id",
+            F.element_at(F.col("reg"), 1)["event_id"].alias("signup_id"),
+            F.element_at(F.col("buy"), 1)["event_id"].alias("purchase_id"),
+            F.element_at(F.col("err"), 1)["event_id"].alias("error_id"),
+        )
+
+    def text_boilerplate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming jusText-style boilerplate classification
+        (round-15 queue twin ``text_boilerplate``): boilerplate
+        stripping is an INGEST-time op in every production pipeline —
+        each crawled document is profiled once, on arrival, before it
+        enters the corpus — and ``boilerplate_profile``
+        (functions/text.py) is a zero-exchange codegen projection, so
+        the streaming twin is STATELESS: no state store, no watermark,
+        no aggregation (the doc_span_merge_stream recipe).  The batch
+        driver query and this twin call the SAME function on the same
+        table, so the two surfaces cannot disagree; equality vs batch
+        is EXACT and total."""
+        from reflinkcep_spark.functions import text as text_fns
+
+        return text_fns.boilerplate_profile(
+            _stream_table(spark, sf_dir, "documents")
+        )
+
     return {
         "cep_signup_to_purchase_stream": cep_signup_to_purchase_stream,
         "q_events_tumbling_stream": q_events_tumbling_stream,
@@ -478,4 +539,6 @@ context:
         "doc_hll_registers_stream": doc_hll_registers_stream,
         "doc_span_merge_stream": doc_span_merge_stream,
         "doc_cms_registers_stream": doc_cms_registers_stream,
+        "cep_funnel_within_time_stream": cep_funnel_within_time_stream,
+        "text_boilerplate_stream": text_boilerplate_stream,
     }

@@ -66,6 +66,7 @@ def match_pattern(
     max_active_runs: int = 100_000,
     on_limit: str = "raise",
     within=None,
+    within_col: str | None = None,
     pre_partitioned: bool = False,
 ) -> DataFrame:
     """Run a CEP pattern query over a DataFrame of events.
@@ -108,6 +109,21 @@ def match_pattern(
         post-filter; under skip strategies the kernel runs, because
         suppressing an over-long match can change WHICH match a skip
         strategy emits, which no post-filter can reproduce.
+    within_col:
+        Optional NUMERIC column supplying the stamp ``within`` is
+        measured against INSTEAD of ``order_by`` — the time-based
+        bound when the order column is a sequence number: pass e.g.
+        ``unix_micros(ts)`` as a column and ``within`` in
+        microseconds, and batch ``within()`` means exactly what the
+        streaming twin's does (Flink's time-bounded ``within()``).
+        Must be non-decreasing in ``order_by`` order within each key
+        (event time on an ordered log is), because expired-run pruning
+        assumes monotone stamps.  Default ``None`` keeps the
+        reference-parity behavior: stamps are the ``order_by`` values
+        themselves.  The fast-path planner is bypassed when this
+        differs from ``order_by`` (its span post-filter sees only
+        ``start_ord``/``end_ord``, not stamps); the kernel enforces
+        the bound natively.
     pre_partitioned:
         The caller asserts the input is ALREADY hash-distributed on
         the partition key(s) — e.g. a table written with
@@ -139,8 +155,14 @@ def match_pattern(
         attr_cols.append(order_by)
     if type_col is not None and type_col not in attr_cols:
         attr_cols.append(type_col)
+    if within_col is not None and within_col not in attr_cols:
+        attr_cols.append(within_col)
+    stamp_col = within_col if within_col is not None else order_by
 
-    if allow_fastpath and (within is None or query.strategy == "NoSkip"):
+    if allow_fastpath and (
+        within is None
+        or (query.strategy == "NoSkip" and stamp_col == order_by)
+    ):
         from reflinkcep_spark.operators.fastpath import try_fast_path
 
         fast = try_fast_path(
@@ -201,7 +223,7 @@ def match_pattern(
         rows = []
         match_seq = 0
         for ev_type, attrs in zip(types, records):
-            for m in engine.feed(ev_type, attrs, attrs[order_by]):
+            for m in engine.feed(ev_type, attrs, attrs[stamp_col]):
                 row = dict(key_values)
                 row["match_seq"] = match_seq
                 captured = m.captures

@@ -95,7 +95,16 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        unit-level boilerplate classification:
 #                        stopword-density + length gates as exact
 #                        integer cross-multiplies, per-doc counters,
-#                        zero exchanges)
+#                        zero exchanges; streaming twin
+#                        text_boilerplate_stream wired round 13)
+#   cep_funnel_within_time (cep_queries.py -- the TIME-based
+#                        ``within()``, Flink's actual semantics:
+#                        within_col threads unix_micros(ts) through
+#                        the kernel while event_id stays the order
+#                        column; 48-hour bound, oracle-verified at
+#                        sf0.001/0.01/0.1 (added round 13); streaming
+#                        twin cep_funnel_within_time_stream wired,
+#                        batch/stream equality pinned)
 #
 # Registering all five in round 13 puts the registry at 120 + 5 = 125;
 # with the 50-slot window and the hard 2-round staleness ceiling the

@@ -748,6 +748,70 @@ WHERE s.event_type = 'signup' AND b.next_err IS NOT NULL
 """
 
 
+# cep_funnel_within_time is implemented and locally oracle-verified but
+# NOT yet registered: round-15 queue (see queries/__init__.py).
+def cep_funnel_within_time(spark, sf_dir):
+    """The 3-step funnel bounded to complete within 48 HOURS of its
+    first event — the TIME-based ``within()`` (Flink's actual
+    semantics: ``Pattern.within(Time.hours(48))``), where
+    cep_funnel_within bounds the span in order-column units.  The
+    stamp is a separate column (``unix_micros(ts)``, exact integer
+    microseconds on both engines) threaded through ``within_col``;
+    the kernel prunes expired runs on event TIME while the order
+    column stays the unique sequence number — the batch operator and
+    the streaming twin now share one ``within`` semantics.  The fast
+    path is bypassed by construction (its span post-filter sees only
+    order values), so this row also keeps a driver-checked kernel
+    execution of the relaxed 3-step chain.
+
+    Scale shape: identical to every kernel CEP row — ONE exchange on
+    the match key, Arrow-batched FlatMapGroupsInPandas, state bounded
+    per key by the live run-set (within pruning is itself the state
+    bound on hot keys)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    out = match_pattern(
+        ev,
+        Query.from_yaml(FUNNEL_YAML),
+        order_by="event_id",
+        partition_by="user_id",
+        within=48 * 3600 * 1_000_000,
+        within_col="ts_us",
+    )
+    return out.select(
+        "user_id",
+        _cap("reg")["event_id"].alias("signup_id"),
+        _cap("buy")["event_id"].alias("purchase_id"),
+        _cap("err")["event_id"].alias("error_id"),
+    )
+
+
+SQL_FUNNEL_WITHIN_TIME = """
+WITH nb AS (
+  SELECT user_id, event_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'purchase' AND value > 50 THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_buy,
+         MIN(CASE WHEN event_type = 'error' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err
+  FROM events
+)
+SELECT s.user_id, s.event_id AS signup_id, s.next_buy AS purchase_id,
+       b.next_err AS error_id
+FROM nb s
+JOIN nb b ON b.user_id = s.user_id AND b.event_id = s.next_buy
+JOIN nb e ON e.user_id = s.user_id AND e.event_id = b.next_err
+WHERE s.event_type = 'signup' AND b.next_err IS NOT NULL
+  AND epoch_us(e.ts) - epoch_us(s.ts) <= 48::BIGINT * 3600 * 1000000
+"""
+
+
 # --- strict lpat-inf: all runs of consecutive errors -----------------
 
 def cep_error_runs(spark, sf_dir):

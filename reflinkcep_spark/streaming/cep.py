@@ -109,6 +109,7 @@ def match_pattern_stream(
     idle_timeout_ms: int | None = None,
     event_time_col: str | None = None,
     within=None,
+    within_col: str | None = None,
 ) -> DataFrame:
     """Run a CEP pattern query over a *streaming* DataFrame.
 
@@ -130,6 +131,12 @@ def match_pattern_stream(
     on a stream it is ALSO the state bound that keeps a key's run-set
     from growing with stream lifetime (complementing the processing-
     time ``idle_timeout_ms``, which only reaps whole idle keys).
+
+    ``within_col`` mirrors the batch operator's: an optional numeric
+    column (e.g. ``unix_micros(ts)``) whose values stamp events for
+    the ``within`` bound instead of ``order_by`` — the time-based
+    ``within()`` semantics.  Must be non-decreasing in ``order_by``
+    order within each key.
     """
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     if not keys:
@@ -144,6 +151,9 @@ def match_pattern_stream(
         attr_cols.append(type_col)
     if event_time_col is not None and event_time_col not in attr_cols:
         attr_cols.append(event_time_col)
+    if within_col is not None and within_col not in attr_cols:
+        attr_cols.append(within_col)
+    stamp_col = within_col if within_col is not None else order_by
 
     projected = df.select(*keys, *attr_cols)
     field_by_name = {f.name: f for f in projected.schema.fields}
@@ -174,7 +184,7 @@ def match_pattern_stream(
         rows: list[dict] = []
         for ev_type, rec in incoming:
             buffer[engine.pos] = rec
-            for m in engine.feed(ev_type, rec, rec[order_by]):
+            for m in engine.feed(ev_type, rec, rec[stamp_col]):
                 row = dict(key_values)
                 row["match_seq"] = match_seq
                 all_pos = [p for idxs in m.captures.values() for p in idxs]

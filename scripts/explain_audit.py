@@ -118,6 +118,7 @@ AUDITED = [
     ("text_gopher_rules", "Gopher format rules (pre-staged r15): pure per-row split/filter/fold column algebra, ZERO exchanges, whole-stage codegen"),
     ("text_boilerplate", "jusText unit-level boilerplate classification (pre-staged r15): unit split + per-unit stopword-density gates + per-doc counters, ONE in-row fold pipeline, ZERO exchanges"),
     ("q_events_zorder_stats", "Z-order layout audit (pre-staged r15): one-row MIN broadcast, then the 42-term Morton key as a zero-exchange codegen projection; the rollup's COUNT DISTINCT makes it a two-level keyed agg (tile,user -> tile), both map-side combinable over <= tiles*users cells — the file-skipping metadata table"),
+    ("cep_funnel_within_time", "TIME-based within() funnel (pre-staged r15): identical physical shape to every kernel CEP row — ONE exchange on the match key, sort within buckets, Arrow-batched FlatMapGroupsInPandas (fast path bypassed by construction: the 48h stamp bound needs kernel pruning); within pruning bounds per-key live state by the 48-hour event rate"),
 ]
 
 

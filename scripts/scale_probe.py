@@ -133,6 +133,7 @@ PROBES = [
     ("doc_domain_caps", "documents"),
     ("text_gopher_rules", "documents"),
     ("text_boilerplate", "documents"),
+    ("cep_funnel_within_time", "events"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

@@ -122,6 +122,10 @@ def test_prestaged_round15_queries_match_oracles(spark):
         text_boilerplate,
         text_gopher_rules,
     )
+    from reflinkcep_spark.queries.cep_queries import (
+        SQL_FUNNEL_WITHIN_TIME,
+        cep_funnel_within_time,
+    )
     from reflinkcep_spark.queries.temporal import (
         SQL_EVENTS_ZORDER_STATS,
         SQL_SCD2_USER_STATUS,
@@ -144,6 +148,7 @@ def test_prestaged_round15_queries_match_oracles(spark):
         (multimodal_avi_stats, SQL_MULTIMODAL_AVI_STATS),
         (dedup_incremental, SQL_DEDUP_INCREMENTAL),
         (text_boilerplate, SQL_TEXT_BOILERPLATE),
+        (cep_funnel_within_time, SQL_FUNNEL_WITHIN_TIME),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

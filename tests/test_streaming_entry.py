@@ -461,3 +461,75 @@ def test_streaming_entry_cms_registers_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_streaming_entry_funnel_within_time_matches_batch(spark, tmp_path):
+    """The fourteenth entry (round 13): the TIME-based ``within()`` —
+    48-hour bound stamped by ``within_col=unix_micros(ts)`` while
+    ``event_id`` stays the order column — equals the round-15
+    queue-staged batch twin ``cep_funnel_within_time`` EXACTLY.
+    Kernel entries need no watermark closure (event_id order), and the
+    batch side bypasses the fast path by construction (its span
+    post-filter sees only order values), so this pins the kernel's
+    TIME-stamp pruning identically on both surfaces."""
+    import __spark_entry__ as entrymod
+
+    from reflinkcep_spark.queries.cep_queries import cep_funnel_within_time
+
+    out = entrymod.queries_streaming()["cep_funnel_within_time_stream"](
+        spark, SF_DIR
+    )
+    assert out.isStreaming
+    sink = f"entry_funnel_within_time_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel_within_time"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"], r["error_id"])
+        for r in spark.table(sink).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"], r["error_id"])
+        for r in cep_funnel_within_time(spark, SF_DIR).collect()
+    )
+    assert got == want and got
+    # The time bound must actually bite: strictly fewer matches than
+    # the unbounded funnel (otherwise the test pins nothing).
+    unbounded = entrymod.queries()["cep_funnel_3step"](spark, SF_DIR).count()
+    assert len(got) < unbounded
+
+
+def test_streaming_entry_boilerplate_matches_batch(spark, tmp_path):
+    """The fifteenth entry (round 13): jusText-style boilerplate
+    classification at ingest — a STATELESS zero-exchange projection
+    (no state, no watermark; the doc_span_merge_stream recipe) —
+    equals the round-15 queue-staged batch twin ``text_boilerplate``
+    EXACTLY and TOTALLY: both surfaces call the same
+    ``boilerplate_profile`` function, so they cannot disagree."""
+    import __spark_entry__ as entrymod
+
+    from reflinkcep_spark.queries.pipeline import text_boilerplate
+
+    out = entrymod.queries_streaming()["text_boilerplate_stream"](spark, SF_DIR)
+    assert out.isStreaming
+    sink = f"entry_boilerplate_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_boilerplate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table(sink).collect())
+    batch = text_boilerplate(spark, SF_DIR)
+    cols = batch.columns
+    want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert got == want and got

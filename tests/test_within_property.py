@@ -67,3 +67,58 @@ def test_within_noskip_equals_span_postfilter(sname):
         f"stream {sname}: {bad[:5]}"
     )
     assert n > 600  # the enumeration actually ran
+
+
+@pytest.mark.parametrize("sname", sorted(STREAMS))
+def test_within_decoupled_stamps_equal_stamp_span_postfilter(sname):
+    """Same NoSkip algebra with the stamp DECOUPLED from the row
+    offset — the time-based ``within`` path (operators' ``within_col``
+    feeds event time while the order column stays a sequence number).
+    Stamps grow super-linearly (i²) so stamp spans and offset spans
+    disagree on almost every match: a kernel that accidentally pruned
+    on offsets would fail nearly every bound here."""
+    from reflinkcep_spark.cep.compiler import compile_query
+    from reflinkcep_spark.cep.runtime import MatchEngine
+
+    stream = [(t, dict(a)) for t, a in STREAMS[sname]]
+    stamps = [i * i for i in range(len(stream))]  # monotone, uneven gaps
+
+    def run_stamped(q, within):
+        aut = compile_query(q)
+        engine = MatchEngine(aut, q.strategy, within)
+        out = []
+        for (ev_type, attrs), stamp in zip(stream, stamps):
+            for m in engine.feed(ev_type, attrs, stamp):
+                out.append(
+                    {
+                        name: [stream[i][1] for i in idxs]
+                        for name, idxs in m.captures.items()
+                    }
+                )
+        return out
+
+    def stamp_span(match):
+        ids = [ev["id"] for evs in match.values() if evs for ev in evs]
+        if not ids:
+            return 0
+        # ids are 1-based in the canonical streams (id == position + 1)
+        return stamps[max(ids) - 1] - stamps[min(ids) - 1]
+
+    bad = []
+    n = 0
+    for cid, pat in _cases():
+        q = Query.from_dict(
+            {"patseq": pat, "context": {"schema": SCHEMA, "strategy": "NoSkip"}}
+        )
+        unbounded = run_pattern(q, stream)
+        for w in (0, 4, 25, 64):  # stamp-domain bounds (i² gaps)
+            n += 1
+            got = run_stamped(q, w)
+            want = [m for m in unbounded if stamp_span(m) <= w]
+            if got != want:
+                bad.append((cid, w, len(got), len(want)))
+    assert not bad, (
+        f"{len(bad)}/{n} stamped-within-vs-postfilter disagreements on "
+        f"stream {sname}: {bad[:5]}"
+    )
+    assert n > 600
