@@ -821,13 +821,18 @@ def duplicate_clusters(
     computed-on-first-action, keeping the no-eager-work contract.
 
     Cost model at scale: a handful of keyed shuffles per round — the
-    neighbor edge-join + map-combined min-agg, the label merge join,
-    and the jump self-join, each side re-exchanged because checkpointed
-    RDDs carry unknown partitioning (see the PLANS.md
-    ``dedup_clusters_one_round`` entry for the audited per-round
-    counters) — ALL over PAIR-graph-sized frames (edges ≪ corpus after
-    capping/LSH), independent of corpus size: the corpus itself is
-    never shuffled.
+    neighbor edge-join whose output UNIONS with the label frame into
+    one map-combined min-agg (the self row is the closed part of the
+    neighborhood, so there is no separate label merge join — removed
+    round 13, two exchanges/round saved, measured 7.08→6.36 s
+    median-of-3 at sf0.1), and the jump self-join; each side
+    re-exchanged because checkpointed RDDs carry unknown partitioning
+    (see the PLANS.md ``dedup_clusters_one_round`` entry for the
+    audited per-round counters; a repartition+persist variant that
+    would preserve partitioning measured SLOWER end-to-end and
+    re-opens the round-10 CacheManager substitution trap) — ALL over
+    PAIR-graph-sized frames (edges ≪ corpus after capping/LSH),
+    independent of corpus size: the corpus itself is never shuffled.
     """
     # The symmetric edge list references `pairs` twice (forward +
     # swapped); checkpoint the pair pipeline FIRST so it executes once
@@ -846,19 +851,21 @@ def duplicate_clusters(
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
     for _ in range(rounds):
         labels = labels.localCheckpoint(eager=False)
-        # (a) neighbor step: min label across the closed neighborhood.
-        nbr = (
+        # (a) neighbor step: min label across the closed neighborhood,
+        # as ONE union + ONE map-combinable min-agg.  The self row from
+        # `labels` IS the closed part of the neighborhood, so no
+        # separate labels⋈nbr merge join is needed — the union form
+        # removes that join's two keyed exchanges per round (round-13
+        # experiment: 7.08 s → 6.36 s median-of-3 end-to-end at sf0.1,
+        # identical output; the repartition+persist alternative was
+        # SLOWER, 9.22 s, besides re-opening the round-10 CacheManager
+        # substitution trap — NOTES_r10.md).
+        contrib = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nbr_lbl"))
+            .select("u", "lbl")
+            .unionByName(labels)
         )
-        labels = (
-            labels.join(nbr, "u", "left")
-            .select(
-                "u",
-                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-            )
-        )
+        labels = contrib.groupBy("u").agg(F.min("lbl").alias("lbl"))
         # (b) jump step: lbl ← L[lbl] (labels only ever decrease).
         jump = labels.select(
             F.col("u").alias("lbl"), F.col("lbl").alias("jump_lbl")

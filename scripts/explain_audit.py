@@ -26,7 +26,7 @@ AUDITED = [
     ("cep_funnel_3step", "CEP 3-step relaxed chain fast path: windows, no Python"),
     ("cep_spending_burst", "CEP NFA kernel: one exchange into applyInPandas"),
     ("dedup_minhash_lsh", "signature fold + bucket-group candidates"),
-    ("dedup_clusters_one_round", "pointer-jumping CC, ONE round (audit-only rounds=1 unit of the registered dedup_clusters): every exchange below is over a PAIR-GRAPH-sized frame (labels/edges, ~2 longs per row) — neighbor edge-join + map-combined min-agg, label merge join, jump self-join; the corpus is never shuffled, and per-round lazy localCheckpoint truncates lineage so the 4-round plan is 4x this unit, nothing compounding (checkpointed RDDs surface as ExistingRDD with unknown partitioning, so both sides of each per-round join re-exchange — the price of bounded lineage, linear not quadratic)"),
+    ("dedup_clusters_one_round", "pointer-jumping CC, ONE round (audit-only rounds=1 unit of the registered dedup_clusters): every exchange below is over a PAIR-GRAPH-sized frame (labels/edges, ~2 longs per row) — neighbor edge-join unioned with the label frame into ONE map-combined min-agg (the round-13 rewrite: the self row IS the closed neighborhood, so the old label merge join and its two exchanges are gone), plus the jump self-join; the corpus is never shuffled, and per-round lazy localCheckpoint truncates lineage so the 4-round plan is 4x this unit, nothing compounding (checkpointed RDDs surface as ExistingRDD with unknown partitioning, so join sides re-exchange — the price of bounded lineage; the repartition+persist alternative measured slower and re-opens the r10 CacheManager trap)"),
     ("dedup_ngram_jaccard", "inverted index: one posting shuffle, row-wise sizes"),
     ("sim_embedding_neardup", "bucket-grouped pairs, signatures computed once"),
     ("q_events_sliding", "sliding windows: map-side expansion, one exchange"),
