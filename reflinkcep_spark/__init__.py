@@ -26,8 +26,19 @@ __all__ = [
     "Pattern",
     "Query",
     "compile_query",
+    "match_recognize",
     "MatchEngine",
     "run_pattern",
 ]
+
+
+def __getattr__(name):
+    # Lazy: match_recognize pulls in pyspark; the CEP core (Pattern /
+    # Query / run_pattern) stays importable without a JVM on the path.
+    if name == "match_recognize":
+        from reflinkcep_spark.cep.match_recognize import match_recognize
+
+        return match_recognize
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __version__ = "0.1.0"

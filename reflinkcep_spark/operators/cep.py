@@ -54,6 +54,59 @@ class MatchLimitExceeded(RuntimeError):
     """Raised when a key's live run-set exceeds ``max_active_runs``."""
 
 
+def _sql_select(matches, skip, prefer):
+    """SQL:2016 row-pattern match selection over a key's FULL NoSkip
+    emission (every nondeterministic assignment): scan candidate starts
+    in row order, keep one match per eligible start — the longest
+    (greedy quantifiers) or shortest (reluctant) — then advance the
+    next eligible start per the AFTER MATCH SKIP mode.  This is the
+    semantic layer MATCH_RECOGNIZE adds over the Flink-CEP-style
+    engine, whose own skip strategies act on EMISSION order
+    (first-completing ≈ reluctant) rather than start order.
+
+    ``matches`` is ``[(min_pos, max_pos, emission_idx, captures)…]``;
+    empty matches (no captured row) are ignored — a pattern of all-
+    optional variables can complete without consuming rows, and SQL
+    has no row to anchor such a match to under ONE ROW PER MATCH.
+    """
+    mode, var = skip
+    by_start: dict = {}
+    for m in matches:
+        if m[0] is not None:
+            by_start.setdefault(m[0], []).append(m)
+    out = []
+    min_start = 0
+    for s in sorted(by_start):
+        if s < min_start:
+            continue
+        # candidates ordered by (end, emission): longer loop takes emit
+        # later, so the emission index is the deterministic tie-break
+        # between same-span nondeterministic assignments.
+        cands = sorted(by_start[s], key=lambda m: (m[1], m[2]))
+        chosen = cands[-1] if prefer == "longest" else cands[0]
+        out.append(chosen)
+        if mode == "past_last":
+            min_start = chosen[1] + 1
+        elif mode == "to_next":
+            min_start = s + 1
+        else:  # to_first / to_last <var>
+            pos = chosen[3].get(var)
+            if not pos:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO {mode.split('_')[1].upper()} "
+                    f"{var}: variable captured no row in the match"
+                )
+            target = pos[0] if mode == "to_first" else pos[-1]
+            if target <= s:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO {mode.split('_')[1].upper()} "
+                    f"{var} resolves to the match's own start row — "
+                    "infinite loop (SQL:2016 forbids this)"
+                )
+            min_start = target
+    return out
+
+
 def match_pattern(
     df: DataFrame,
     query: Query,
@@ -68,6 +121,8 @@ def match_pattern(
     within=None,
     within_col: str | None = None,
     pre_partitioned: bool = False,
+    sql_skip: tuple[str, str | None] | None = None,
+    sql_prefer: str = "longest",
 ) -> DataFrame:
     """Run a CEP pattern query over a DataFrame of events.
 
@@ -124,6 +179,22 @@ def match_pattern(
         differs from ``order_by`` (its span post-filter sees only
         ``start_ord``/``end_ord``, not stamps); the kernel enforces
         the bound natively.
+    sql_skip:
+        Switch the kernel to SQL:2016 MATCH_RECOGNIZE match selection
+        (used by :func:`reflinkcep_spark.cep.match_recognize`): the
+        query must use ``NoSkip`` (the engine emits EVERY
+        nondeterministic assignment), and per key the emission is then
+        reduced to one match per eligible start row, scanning starts
+        in row order and advancing per the skip mode — a tuple of
+        ``("past_last", None)``, ``("to_next", None)``,
+        ``("to_first", var)`` or ``("to_last", var)``.  ``sql_prefer``
+        picks ``"longest"`` (SQL greedy quantifiers, the default) or
+        ``"shortest"`` (reluctant) among a start's candidates.  The
+        fast path is bypassed (its emission equals the kernel's
+        UNSELECTED stream).  Selection preference is by match END
+        (exactly lexicographic-greedy for patterns with one quantified
+        variable; a documented longest-overall approximation when
+        several variables are quantified).
     pre_partitioned:
         The caller asserts the input is ALREADY hash-distributed on
         the partition key(s) — e.g. a table written with
@@ -143,6 +214,22 @@ def match_pattern(
     """
     if on_limit not in ("raise", "truncate"):
         raise ValueError(f"on_limit must be 'raise' or 'truncate', got {on_limit!r}")
+    if sql_skip is not None:
+        if query.strategy != "NoSkip":
+            raise ValueError(
+                "sql_skip requires strategy NoSkip (SQL selection is "
+                f"applied over the full emission), got {query.strategy!r}"
+            )
+        if sql_skip[0] not in ("past_last", "to_next", "to_first", "to_last"):
+            raise ValueError(f"unknown sql_skip mode {sql_skip[0]!r}")
+        if sql_skip[0] in ("to_first", "to_last") and sql_skip[1] not in query.names:
+            raise ValueError(
+                f"sql_skip targets unknown variable {sql_skip[1]!r} "
+                f"(have {query.names})"
+            )
+        if sql_prefer not in ("longest", "shortest"):
+            raise ValueError(f"sql_prefer must be 'longest' or 'shortest'")
+        allow_fastpath = False
     keys = (
         [partition_by]
         if isinstance(partition_by, str)
@@ -220,23 +307,20 @@ def match_pattern(
             types = [sole_type] * len(records)
 
         engine = MatchEngine(automaton, strategy, within)
-        rows = []
-        match_seq = 0
+        collected = []  # (min_pos, max_pos, emission_idx, captures)
+        truncated = False
         for ev_type, attrs in zip(types, records):
             for m in engine.feed(ev_type, attrs, attrs[stamp_col]):
-                row = dict(key_values)
-                row["match_seq"] = match_seq
                 captured = m.captures
                 all_pos = [p for idxs in captured.values() for p in idxs]
-                row["start_ord"] = records[min(all_pos)][order_by] if all_pos else None
-                row["end_ord"] = records[max(all_pos)][order_by] if all_pos else None
-                for name in names:
-                    idxs = captured.get(name)
-                    row[name] = (
-                        [records[i] for i in idxs] if idxs is not None else None
+                collected.append(
+                    (
+                        min(all_pos) if all_pos else None,
+                        max(all_pos) if all_pos else None,
+                        len(collected),
+                        captured,
                     )
-                rows.append(row)
-                match_seq += 1
+                )
             if len(engine.runs) > max_active_runs:
                 if on_limit == "raise":
                     raise MatchLimitExceeded(
@@ -244,15 +328,31 @@ def match_pattern(
                         f"{key_values!r}; pattern is likely nd-relaxed over a "
                         f"hot key — add a stricter condition or raise the limit"
                     )
-                # Degrade: keep what matched, flag the key, move on.
-                sentinel = dict(key_values)
-                sentinel["match_seq"] = -1
-                sentinel["start_ord"] = None
-                sentinel["end_ord"] = None
-                for name in names:
-                    sentinel[name] = None
-                rows.append(sentinel)
+                truncated = True
                 break
+        if sql_skip is not None:
+            collected = _sql_select(collected, sql_skip, sql_prefer)
+        rows = []
+        for match_seq, (mn, mx, _i, captured) in enumerate(collected):
+            row = dict(key_values)
+            row["match_seq"] = match_seq
+            row["start_ord"] = records[mn][order_by] if mn is not None else None
+            row["end_ord"] = records[mx][order_by] if mx is not None else None
+            for name in names:
+                idxs = captured.get(name)
+                row[name] = (
+                    [records[i] for i in idxs] if idxs is not None else None
+                )
+            rows.append(row)
+        if truncated:
+            # Degrade: keep what matched, flag the key, move on.
+            sentinel = dict(key_values)
+            sentinel["match_seq"] = -1
+            sentinel["start_ord"] = None
+            sentinel["end_ord"] = None
+            for name in names:
+                sentinel[name] = None
+            rows.append(sentinel)
         return pd.DataFrame(rows, columns=out_columns)
 
     # Pin the kernel's parallelism: AQE's size-based partition

@@ -105,6 +105,18 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        sf0.001/0.01/0.1 (added round 13); streaming
 #                        twin cep_funnel_within_time_stream wired,
 #                        batch/stream equality pinned)
+#   cep_sql_error_runs  (cep_queries.py + cep/match_recognize.py --
+#                        the SQL:2016 MATCH_RECOGNIZE front end's
+#                        flagship: greedy E+ maximal error runs under
+#                        AFTER MATCH SKIP PAST LAST ROW, a selection
+#                        semantics no Flink-style skip strategy emits;
+#                        oracle is gaps-and-islands; verified at
+#                        sf0.001/0.01/0.1, added round 13)
+#   cep_sql_funnel      (cep_queries.py + cep/match_recognize.py --
+#                        reluctant filler-variable funnel S G*? P with
+#                        SKIP TO NEXT ROW and a COUNT(G.*) gap
+#                        measure; oracle is the next-qualifying-row
+#                        window idiom; verified at 3 SFs, round 13)
 #
 # Registering all five in round 13 puts the registry at 120 + 5 = 125;
 # with the 50-slot window and the hard 2-round staleness ceiling the

@@ -812,6 +812,124 @@ WHERE s.event_type = 'signup' AND b.next_err IS NOT NULL
 """
 
 
+# --- MATCH_RECOGNIZE: the SQL:2016 row-pattern front end --------------
+
+# cep_sql_error_runs / cep_sql_funnel are implemented and locally
+# oracle-verified but NOT yet registered: round-15 queue (see
+# queries/__init__.py).
+def cep_sql_error_runs(spark, sf_dir):
+    """MAXIMAL consecutive error runs per user via the SQL
+    ``MATCH_RECOGNIZE`` front end (cep/match_recognize.py): greedy
+    ``E+`` under ``AFTER MATCH SKIP PAST LAST ROW`` — SQL:2016 match
+    selection (one longest match per start row, non-overlapping),
+    which no Flink-CEP-style skip strategy emits (their skip acts on
+    COMPLETION order: first-completing ≈ reluctant; cep_error_runs'
+    NoSkip lpat-inf emits every sub-run instead).  The oracle is the
+    gaps-and-islands idiom over the user's row sequence.
+
+    Scale shape: identical to every kernel CEP row — ONE exchange on
+    the match key into Arrow-batched applyInPandas; SQL selection is a
+    per-key post-pass over that key's matches, no extra exchange."""
+    from reflinkcep_spark.cep.match_recognize import match_recognize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    return match_recognize(
+        ev,
+        """MATCH_RECOGNIZE (
+             PARTITION BY user_id
+             ORDER BY event_id
+             MEASURES FIRST(E.event_id) AS first_error,
+                      LAST(E.event_id) AS last_error,
+                      COUNT(E.*) AS n_errors
+             AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (E+)
+             DEFINE E AS E.event_type = 'error'
+           )""",
+    )
+
+
+SQL_CEP_SQL_ERROR_RUNS = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+err AS (
+  SELECT user_id, event_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS island
+  FROM seq WHERE event_type = 'error'
+),
+runs AS (
+  SELECT user_id, MIN(event_id) AS first_error, MAX(event_id) AS last_error,
+         COUNT(*) AS n_errors
+  FROM err GROUP BY user_id, island
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY first_error) - 1
+         AS match_seq,
+       first_error, last_error, n_errors
+FROM runs
+"""
+
+
+def cep_sql_funnel(spark, sf_dir):
+    """Signup → first high-value purchase via ``MATCH_RECOGNIZE`` with
+    an undefined FILLER variable: ``PATTERN (S G*? P)`` — SQL row
+    patterns consume CONTIGUOUS rows, so the gap-tolerant funnel is
+    spelled with a reluctant match-anything ``G*?`` (the idiom every
+    SQL reference teaches), and ``AFTER MATCH SKIP TO NEXT ROW`` emits
+    one match per signup (overlaps allowed).  ``COUNT(G.*)`` measures
+    the gap length — a value only the row-consuming SQL semantics can
+    report (the Flink-style relaxed combine skips rows without
+    counting them)."""
+    from reflinkcep_spark.cep.match_recognize import match_recognize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    return match_recognize(
+        ev,
+        """MATCH_RECOGNIZE (
+             PARTITION BY user_id
+             ORDER BY event_id
+             MEASURES S.event_id AS signup_id,
+                      P.event_id AS purchase_id,
+                      COUNT(G.*) AS gap_len
+             AFTER MATCH SKIP TO NEXT ROW
+             PATTERN (S G*? P)
+             DEFINE S AS S.event_type = 'signup',
+                    P AS P.event_type = 'purchase' AND P.value > 50
+           )""",
+    )
+
+
+SQL_CEP_SQL_FUNNEL = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+nb AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase' AND value > 50 THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p_rn
+  FROM seq
+)
+SELECT s.user_id,
+       row_number() OVER (PARTITION BY s.user_id ORDER BY s.rn) - 1
+         AS match_seq,
+       s.event_id AS signup_id,
+       p.event_id AS purchase_id,
+       (s.next_p_rn - s.rn - 1) AS gap_len
+FROM nb s
+JOIN nb p ON p.user_id = s.user_id AND p.rn = s.next_p_rn
+WHERE s.event_type = 'signup'
+"""
+
+
 # --- strict lpat-inf: all runs of consecutive errors -----------------
 
 def cep_error_runs(spark, sf_dir):

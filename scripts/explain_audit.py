@@ -119,6 +119,8 @@ AUDITED = [
     ("text_boilerplate", "jusText unit-level boilerplate classification (pre-staged r15): unit split + per-unit stopword-density gates + per-doc counters, ONE in-row fold pipeline, ZERO exchanges"),
     ("q_events_zorder_stats", "Z-order layout audit (pre-staged r15): one-row MIN broadcast, then the 42-term Morton key as a zero-exchange codegen projection; the rollup's COUNT DISTINCT makes it a two-level keyed agg (tile,user -> tile), both map-side combinable over <= tiles*users cells — the file-skipping metadata table"),
     ("cep_funnel_within_time", "TIME-based within() funnel (pre-staged r15): identical physical shape to every kernel CEP row — ONE exchange on the match key, sort within buckets, Arrow-batched FlatMapGroupsInPandas (fast path bypassed by construction: the 48h stamp bound needs kernel pruning); within pruning bounds per-key live state by the 48-hour event rate"),
+    ("cep_sql_error_runs", "MATCH_RECOGNIZE greedy E+ maximal runs (pre-staged r15): the SQL:2016 front end translates onto the SAME kernel plan as every CEP row — ONE exchange on the partition key into Arrow-batched FlatMapGroupsInPandas; SQL match selection is a per-key post-pass, zero extra exchanges; the measures projection is codegen element_at/size column algebra"),
+    ("cep_sql_funnel", "MATCH_RECOGNIZE reluctant filler funnel S G*? P (pre-staged r15): same ONE-exchange kernel shape; SKIP TO NEXT ROW selection per key in the kernel post-pass, COUNT(G.*) gap measure from the capture array in the codegen projection"),
 ]
 
 

@@ -134,6 +134,8 @@ PROBES = [
     ("text_gopher_rules", "documents"),
     ("text_boilerplate", "documents"),
     ("cep_funnel_within_time", "events"),
+    ("cep_sql_error_runs", "events"),
+    ("cep_sql_funnel", "events"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

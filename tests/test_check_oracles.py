@@ -123,8 +123,12 @@ def test_prestaged_round15_queries_match_oracles(spark):
         text_gopher_rules,
     )
     from reflinkcep_spark.queries.cep_queries import (
+        SQL_CEP_SQL_ERROR_RUNS,
+        SQL_CEP_SQL_FUNNEL,
         SQL_FUNNEL_WITHIN_TIME,
         cep_funnel_within_time,
+        cep_sql_error_runs,
+        cep_sql_funnel,
     )
     from reflinkcep_spark.queries.temporal import (
         SQL_EVENTS_ZORDER_STATS,
@@ -149,6 +153,8 @@ def test_prestaged_round15_queries_match_oracles(spark):
         (dedup_incremental, SQL_DEDUP_INCREMENTAL),
         (text_boilerplate, SQL_TEXT_BOILERPLATE),
         (cep_funnel_within_time, SQL_FUNNEL_WITHIN_TIME),
+        (cep_sql_error_runs, SQL_CEP_SQL_ERROR_RUNS),
+        (cep_sql_funnel, SQL_CEP_SQL_FUNNEL),
     ):
         got = check_oracles.normalize(fn(spark, SF_DIR).toPandas())
         want = check_oracles.normalize(con.execute(sql).fetchdf())

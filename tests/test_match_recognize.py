@@ -1,0 +1,309 @@
+"""MATCH_RECOGNIZE front end: parser, translation, and SQL:2016 match
+selection semantics.
+
+The translator is a thin compiler onto the audited AST + kernel, so the
+tests split three ways: (1) pure `translate()` — clause parsing, AST
+shape, error rails, no Spark; (2) the SQL selection layer against
+hand-computed expectations on planted streams (greedy vs reluctant,
+all four AFTER MATCH SKIP modes, the infinite-loop rail); (3) a
+differential pin on real events data: a MATCH_RECOGNIZE spec whose
+semantics an independent pandas reference can compute row-by-row.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from reflinkcep_spark.cep.match_recognize import (
+    MatchRecognizeError,
+    match_recognize,
+    translate,
+)
+
+COLS = ["user_id", "event_id", "event_type", "value"]
+
+ERROR_RUNS = """
+  PARTITION BY user_id
+  ORDER BY event_id
+  MEASURES FIRST(E.event_id) AS first_error, LAST(E.event_id) AS last_error,
+           COUNT(E.*) AS n_errors
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (E+)
+  DEFINE E AS E.event_type = 'error'
+"""
+
+
+# --- translate(): pure, no Spark --------------------------------------
+
+
+def test_translate_builds_strict_ast_and_greedy_default():
+    t = translate(ERROR_RUNS, COLS)
+    assert t["partition_by"] == "user_id"
+    assert t["order_by"] == "event_id"
+    assert t["skip"] == ("past_last", None)
+    assert t["prefer"] == "longest"  # SQL default: greedy
+    ps = t["query"].patseq
+    assert ps["type"] == "lpat-inf"
+    assert ps["loop"] == {"contiguity": "strict", "from": 1}
+    assert ps["cndt"]["expr"] == "event_type == 'error'"
+    assert t["query"].strategy == "NoSkip"
+    assert t["measures"] == [
+        ("first", "E", "event_id", "first_error"),
+        ("last", "E", "event_id", "last_error"),
+        ("count", "E", None, "n_errors"),
+    ]
+
+
+def test_translate_concatenation_quantifiers_and_wrapper():
+    t = translate(
+        """MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY event_id
+          MEASURES A.event_id AS a_id, COUNT(B.*) AS nb
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B{2,4} C?)
+          DEFINE A AS A.value > 10, C AS C.event_type <> 'error'
+        )""",
+        COLS,
+    )
+    ps = t["query"].patseq
+    # ((A . B{2,4}) . C{0,1}) — left-fold strict combine
+    assert ps["type"] == "combine" and ps["contiguity"] == "strict"
+    left, right = ps["left"], ps["right"]
+    assert right["type"] == "lpat" and right["loop"]["from"] == 0
+    assert right["loop"]["to"] == 1
+    assert right["cndt"]["expr"] == "event_type != 'error'"
+    assert left["type"] == "combine"
+    assert left["left"]["type"] == "spat"
+    assert left["left"]["cndt"]["expr"] == "value > 10"
+    assert left["right"]["loop"] == {"contiguity": "strict", "from": 2, "to": 4}
+    # B is undefined → matches any row
+    assert left["right"]["cndt"]["expr"] == "True"
+    assert t["skip"] == ("to_next", None)
+
+
+def test_translate_reluctant_and_skip_to_var():
+    t = translate(
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES S.event_id AS s_id
+           AFTER MATCH SKIP TO LAST P
+           PATTERN (S G*? P) DEFINE S AS S.value > 1, P AS P.value > 2""",
+        COLS,
+    )
+    assert t["prefer"] == "shortest"
+    assert t["skip"] == ("to_last", "P")
+
+
+@pytest.mark.parametrize(
+    "spec, msg",
+    [
+        ("ORDER BY e MEASURES A.x AS x PATTERN (A) DEFINE A AS A.x > 1",
+         "missing PARTITION"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A | B)",
+         "alternation"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN ((A B))",
+         "grouping"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A A)",
+         "appears twice"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x "
+         "ALL ROWS PER MATCH PATTERN (A)", "ALL ROWS PER MATCH"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A+ B*?)",
+         "mixing greedy and reluctant"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A) "
+         "DEFINE A AS B.x > 1", "only the variable being defined"),
+        ("PARTITION BY u ORDER BY e MEASURES Z.x AS x PATTERN (A)",
+         "unknown variable"),
+        ("PARTITION BY u ORDER BY e MEASURES A.nope AS x PATTERN (A)",
+         "unknown column"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x "
+         "AFTER MATCH SKIP TO FIRST Z PATTERN (A)", "unknown variable"),
+        ("PARTITION BY u, v ORDER BY e MEASURES A.x AS x PATTERN (A)",
+         "exactly one plain column"),
+        ("PARTITION BY u ORDER BY e DESC MEASURES A.x AS x PATTERN (A)",
+         "DESC"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A) "
+         "DEFINE A AS A.x > 1, A AS A.x > 2", "defined twice"),
+    ],
+)
+def test_translate_error_rails(spec, msg):
+    with pytest.raises(MatchRecognizeError, match=msg):
+        translate(spec, ["u", "v", "e", "x"])
+
+
+def test_define_sandbox_rejects_out_of_language():
+    with pytest.raises(MatchRecognizeError, match="sub-language"):
+        translate(
+            "PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A) "
+            "DEFINE A AS A.x / 0 if 1 else 2",
+            ["u", "e", "x"],
+        )
+
+
+# --- selection semantics on planted streams ----------------------------
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        # user 1: e e p e e e
+        (1, 0, "error", 1.0), (1, 1, "error", 2.0), (1, 2, "purchase", 3.0),
+        (1, 3, "error", 4.0), (1, 4, "error", 5.0), (1, 5, "error", 6.0),
+        # user 2: p e p
+        (2, 10, "purchase", 1.0), (2, 11, "error", 2.0), (2, 12, "purchase", 3.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, value double"
+    )
+
+
+def test_greedy_plus_past_last_row_maximal_runs(planted):
+    got = sorted(tuple(r) for r in match_recognize(planted, ERROR_RUNS).collect())
+    # maximal non-overlapping error runs (SQL greedy), one row per match
+    assert got == [
+        (1, 0, 0, 1, 2),
+        (1, 1, 3, 5, 3),
+        (2, 0, 11, 11, 1),
+    ]
+
+
+def test_reluctant_plus_past_last_row_unit_runs(planted):
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            planted,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES FIRST(E.event_id) AS fe, COUNT(E.*) AS n
+               PATTERN (E+?) DEFINE E AS E.event_type = 'error'""",
+        ).collect()
+    )
+    # reluctant: shortest per start; PAST LAST ROW chains unit matches
+    assert got == [
+        (1, 0, 0, 1), (1, 1, 1, 1), (1, 2, 3, 1), (1, 3, 4, 1), (1, 4, 5, 1),
+        (2, 0, 11, 1),
+    ]
+
+
+def test_filler_var_skip_to_next_row(planted):
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            planted,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES S.event_id AS s_id, P.event_id AS p_id, COUNT(G.*) AS gap
+               AFTER MATCH SKIP TO NEXT ROW
+               PATTERN (S G*? P)
+               DEFINE S AS S.event_type = 'error',
+                      P AS P.event_type = 'purchase'""",
+        ).collect()
+    )
+    # every error start → its NEXT purchase (reluctant filler), overlaps OK
+    assert got == [(1, 0, 0, 2, 1), (1, 1, 1, 2, 0), (2, 0, 11, 12, 0)]
+
+
+def test_skip_to_last_var_resumes_at_that_row(spark):
+    # a a a a: PATTERN (A B) both undefined → every adjacent pair.
+    # SKIP TO LAST B resumes AT the pair's second row: 01, 12, 23.
+    df = spark.createDataFrame(
+        [(1, i, "x", 0.0) for i in range(4)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES A.event_id AS a_id, B.event_id AS b_id
+               AFTER MATCH SKIP TO LAST B
+               PATTERN (A B)""",
+        ).collect()
+    )
+    assert got == [(1, 0, 0, 1), (1, 1, 1, 2), (1, 2, 2, 3)]
+
+
+def test_skip_to_first_self_start_raises(spark):
+    # SKIP TO FIRST A resolves to the match's own start → SQL:2016
+    # infinite-loop rule, surfaced as a job failure.
+    df = spark.createDataFrame(
+        [(1, 0, "x", 0.0), (1, 1, "x", 0.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    out = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES A.event_id AS a_id
+           AFTER MATCH SKIP TO FIRST A
+           PATTERN (A B)""",
+    )
+    with pytest.raises(Exception, match="infinite loop"):
+        out.collect()
+
+
+def test_optional_tail_and_bounded_quantifier(spark):
+    # e e e p: A{2} C? — greedy C? takes the third error after [0,1];
+    # PAST LAST ROW then matches [2,3]? no: A{2} needs two errors, row 3
+    # is a purchase → only [0,1]+[2] and nothing after.
+    df = spark.createDataFrame(
+        [(1, 0, "error", 0.0), (1, 1, "error", 0.0), (1, 2, "error", 0.0),
+         (1, 3, "purchase", 0.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES FIRST(A.event_id) AS a0, LAST(A.event_id) AS a1,
+                        COUNT(C.*) AS nc
+               PATTERN (A{2} C?)
+               DEFINE A AS A.event_type = 'error',
+                      C AS C.event_type = 'error'""",
+        ).collect()
+    )
+    assert got == [(1, 0, 0, 1, 1)]
+
+
+# --- differential pin on real events data ------------------------------
+
+
+def test_error_runs_match_pandas_reference(spark):
+    """MATCH_RECOGNIZE (E+ greedy, SKIP PAST LAST ROW) over the real
+    events table equals an independent row-by-row pandas scan of
+    maximal error runs per user."""
+    import pandas as pd
+
+    from tests.conftest import SF_DIR
+
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+                "user_id", "event_id", "event_type", "value"
+            ),
+            ERROR_RUNS,
+        ).collect()
+    )
+
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet")[
+        ["user_id", "event_id", "event_type"]
+    ].sort_values(["user_id", "event_id"])
+    want = []
+    for uid, g in pdf.groupby("user_id"):
+        run = []
+        seqs = {}
+        for _, row in g.iterrows():
+            if row.event_type == "error":
+                run.append(int(row.event_id))
+            else:
+                if run:
+                    want.append((int(uid), run[0], run[-1], len(run)))
+                run = []
+        if run:
+            want.append((int(uid), run[0], run[-1], len(run)))
+    # assign per-user match_seq in start order (kernel emission order)
+    bykey: dict = {}
+    want2 = []
+    for uid, f, l, n in sorted(want):
+        s = bykey.get(uid, 0)
+        bykey[uid] = s + 1
+        want2.append((uid, s, f, l, n))
+    assert got == sorted(want2)
+    assert len(got) > 50  # discriminating on the corpus
