@@ -52,10 +52,12 @@ Supported subset
   translated into the engine's expression sub-language and validated
   by its sandbox (:mod:`reflinkcep_spark.cep.expr`).
 * ``MEASURES`` — ``FIRST(V.col)``, ``LAST(V.col)``, ``COUNT(V.*)``
-  (or bare ``COUNT(V)``), and ``V.col`` (≡ ``LAST(V.col)`` under ONE
-  ROW PER MATCH final semantics), each ``AS``-aliased.  Projected
-  Spark-side from the kernel's capture arrays (``element_at`` /
-  ``size`` — codegen, no Python).
+  (or bare ``COUNT(V)``), ``SUM/MIN/MAX(V.col)`` (NULL over an empty
+  optional capture, SQL aggregate semantics; SUM widens integrals to
+  BIGINT and floats to DOUBLE), and ``V.col`` (≡ ``LAST(V.col)``
+  under ONE ROW PER MATCH final semantics), each ``AS``-aliased.
+  Projected Spark-side from the kernel's capture arrays
+  (``element_at`` / ``size`` / ``aggregate`` — codegen, no Python).
 * ``ONE ROW PER MATCH`` (the default and only mode; ``ALL ROWS PER
   MATCH`` raises) and the four ``AFTER MATCH SKIP`` modes above
   (default ``PAST LAST ROW``).  ``SKIP TO FIRST/LAST v`` raises at
@@ -225,8 +227,12 @@ def _parse_measures(tokens: list[str]) -> list[tuple]:
             raise MatchRecognizeError(f"bad measure alias {alias!r}")
         body = part[:-2]
         up0 = body[0].upper()
-        if up0 in ("FIRST", "LAST") and len(body) == 6 and body[1] == "(":
-            # FIRST ( V . col )
+        if (
+            up0 in ("FIRST", "LAST", "SUM", "MIN", "MAX")
+            and len(body) == 6
+            and body[1] == "("
+        ):
+            # FIRST|LAST|SUM|MIN|MAX ( V . col )
             if body[3] != "." or body[5] != ")":
                 raise MatchRecognizeError(
                     f"bad measure {' '.join(body)!r} (expected "
@@ -250,7 +256,7 @@ def _parse_measures(tokens: list[str]) -> list[tuple]:
         else:
             raise MatchRecognizeError(
                 f"unsupported measure {' '.join(body)!r} (supported: "
-                "FIRST(V.col), LAST(V.col), COUNT(V.*), V.col)"
+                "FIRST/LAST/SUM/MIN/MAX(V.col), COUNT(V.*), V.col)"
             )
     if not out:
         raise MatchRecognizeError("MEASURES clause is empty")
@@ -489,13 +495,33 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
             "right": leaf(var, lo, hi),
         }
 
-    for cond in defines.values():
+    import ast as _pyast
+
+    attr_cols = [c for c in columns if c != partition_by]
+    for var, cond in defines.items():
         try:
             expr_mod.validate(cond)
         except expr_mod.ExprError as exc:
             raise MatchRecognizeError(
                 f"DEFINE condition not in the supported sub-language: {exc}"
             ) from exc
+        # Names must resolve at kernel time: the condition sees the
+        # current row's non-key columns (the partition column is the
+        # grouping key, not an event attribute) — catch a bad name
+        # here instead of a KeyError inside a running executor.
+        for node in _pyast.walk(_pyast.parse(cond, mode="eval")):
+            if isinstance(node, _pyast.Name):
+                if node.id == partition_by:
+                    raise MatchRecognizeError(
+                        f"DEFINE {var}: column {node.id!r} is the "
+                        "PARTITION BY key — it is constant within a "
+                        "match and not visible to conditions"
+                    )
+                if node.id not in attr_cols:
+                    raise MatchRecognizeError(
+                        f"DEFINE {var}: unknown column {node.id!r} "
+                        f"(row columns: {attr_cols})"
+                    )
 
     query = Query(
         patseq,
@@ -538,13 +564,32 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
         sql_prefer=t["prefer"],
         **kernel_kwargs,
     )
+    integral = {"byte", "short", "integer", "long"}
+    field_types = {f.name: f.dataType.typeName() for f in df.schema.fields}
     proj = [F.col(t["partition_by"]), F.col("match_seq")]
     for kind, var, col, alias in t["measures"]:
         if kind == "count":
             c = F.coalesce(F.size(F.col(var)), F.lit(0)).cast("long")
         elif kind == "first":
             c = F.element_at(F.col(var), 1)[col]
-        else:  # last
+        elif kind == "last":
             c = F.element_at(F.col(var), -1)[col]
+        else:  # sum / min / max — NULL over an empty capture (SQL)
+            vals = F.transform(F.col(var), lambda e: e[col])
+            if kind == "min":
+                c = F.array_min(vals)
+            elif kind == "max":
+                c = F.array_max(vals)
+            else:
+                # SQL SUM widens: integral → BIGINT, floating → DOUBLE.
+                acc = "long" if field_types.get(col) in integral else "double"
+                c = F.when(
+                    F.size(F.col(var)) > 0,
+                    F.aggregate(
+                        vals,
+                        F.lit(0).cast(acc),
+                        lambda a, x: a + x.cast(acc),
+                    ),
+                )
         proj.append(c.alias(alias))
     return out.select(*proj)

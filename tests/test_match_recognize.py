@@ -307,3 +307,66 @@ def test_error_runs_match_pandas_reference(spark):
         want2.append((uid, s, f, l, n))
     assert got == sorted(want2)
     assert len(got) > 50  # discriminating on the corpus
+
+
+def test_measure_aggregates_sum_min_max(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "error", 2.5), (1, 1, "error", 4.0), (1, 2, "purchase", 9.0),
+         (1, 3, "error", 1.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES SUM(E.value) AS sv, MIN(E.value) AS mn,
+                        MAX(E.event_id) AS mx, SUM(E.event_id) AS si
+               PATTERN (E+) DEFINE E AS E.event_type = 'error'""",
+        ).collect()
+    )
+    # greedy runs: [0,1] (values 2.5,4.0) and [3] (1.0)
+    assert got == [(1, 0, 6.5, 2.5, 1, 1), (1, 1, 1.0, 1.0, 3, 3)]
+    # SUM over an integral column stays integral (BIGINT)
+    out = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES SUM(E.event_id) AS si PATTERN (E+)
+           DEFINE E AS E.event_type = 'error'""",
+    )
+    assert dict(out.dtypes)["si"] == "bigint"
+
+
+def test_measure_aggregates_null_over_empty_optional(spark):
+    # C? captures nothing → SUM/MIN/MAX NULL, COUNT 0 (SQL semantics)
+    df = spark.createDataFrame(
+        [(1, 0, "error", 2.0), (1, 1, "purchase", 5.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    rows = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES A.event_id AS a_id, SUM(C.value) AS sc,
+                    MIN(C.value) AS mc, COUNT(C.*) AS nc
+           PATTERN (A C?)
+           DEFINE A AS A.event_type = 'error',
+                  C AS C.event_type = 'click'""",
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a_id"], r["sc"], r["mc"], r["nc"]) == (0, None, None, 0)
+
+
+def test_define_name_rails_partition_key_and_unknown_column():
+    with pytest.raises(MatchRecognizeError, match="PARTITION BY key"):
+        translate(
+            "PARTITION BY u ORDER BY e MEASURES A.x AS ax PATTERN (A) "
+            "DEFINE A AS A.u > 1",
+            ["u", "e", "x"],
+        )
+    with pytest.raises(MatchRecognizeError, match="unknown column"):
+        translate(
+            "PARTITION BY u ORDER BY e MEASURES A.x AS ax PATTERN (A) "
+            "DEFINE A AS A.x > nope",
+            ["u", "e", "x"],
+        )
