@@ -58,11 +58,21 @@ Supported subset
   under ONE ROW PER MATCH final semantics), each ``AS``-aliased.
   Projected Spark-side from the kernel's capture arrays
   (``element_at`` / ``size`` / ``aggregate`` — codegen, no Python).
-* ``ONE ROW PER MATCH`` (the default and only mode; ``ALL ROWS PER
-  MATCH`` raises) and the four ``AFTER MATCH SKIP`` modes above
-  (default ``PAST LAST ROW``).  ``SKIP TO FIRST/LAST v`` raises at
-  runtime if ``v`` captured nothing or resolves to the match's own
-  start row (SQL:2016's infinite-loop rule).
+* ``ONE ROW PER MATCH`` (the default) and ``ALL ROWS PER MATCH`` —
+  the latter emits one output row per MATCHED INPUT ROW: the
+  partition column, ``match_seq``, the implicit ``classifier`` column
+  (which pattern variable consumed the row — SQL's ``CLASSIFIER()``),
+  every event column, then the measures.  Measures use FINAL
+  semantics in both modes (SQL's ``FINAL agg(...)``; the optional
+  ``FINAL`` keyword is accepted, ``RUNNING`` raises — running
+  aggregates are not supported).  Both modes project from the same
+  kernel output: all-rows mode labels each variable's capture array,
+  concatenates, sorts by the order column, and explodes — codegen
+  array algebra, no second kernel pass.
+* The four ``AFTER MATCH SKIP`` modes above (default ``PAST LAST
+  ROW``).  ``SKIP TO FIRST/LAST v`` raises at runtime if ``v``
+  captured nothing or resolves to the match's own start row
+  (SQL:2016's infinite-loop rule).
 
 Scale shape: identical to every kernel CEP query — project to the
 referenced columns, ONE exchange on the partition key, Arrow-batched
@@ -226,6 +236,13 @@ def _parse_measures(tokens: list[str]) -> list[tuple]:
         if not re.match(r"^[A-Za-z_]\w*$", alias):
             raise MatchRecognizeError(f"bad measure alias {alias!r}")
         body = part[:-2]
+        if body and body[0].upper() == "RUNNING":
+            raise MatchRecognizeError(
+                "RUNNING measure semantics are not supported (measures "
+                "are FINAL in both row-per-match modes)"
+            )
+        if body and body[0].upper() == "FINAL":
+            body = body[1:]  # FINAL is our semantics already
         up0 = body[0].upper()
         if (
             up0 in ("FIRST", "LAST", "SUM", "MIN", "MAX")
@@ -407,10 +424,16 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
     for required in ("PARTITION", "ORDER", "PATTERN", "MEASURES"):
         if required not in clauses:
             raise MatchRecognizeError(f"missing {required} clause")
-    if "ALL" in clauses:
+    rows_per_match = "one"
+    if "ALL" in clauses and "ONE" in clauses:
         raise MatchRecognizeError(
-            "ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)"
+            "both ONE ROW PER MATCH and ALL ROWS PER MATCH given"
         )
+    if "ALL" in clauses:
+        ups = [t.upper() for t in clauses["ALL"]]
+        if ups != ["ROWS", "PER", "MATCH"]:
+            raise MatchRecognizeError("expected ALL ROWS PER MATCH")
+        rows_per_match = "all"
     if "ONE" in clauses:
         ups = [t.upper() for t in clauses["ONE"]]
         if ups != ["ROW", "PER", "MATCH"]:
@@ -538,6 +561,8 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         "measures": measures,
         "skip": skip,
         "prefer": prefer,
+        "rows_per_match": rows_per_match,
+        "pattern_vars": pattern_vars,
     }
 
 
@@ -566,7 +591,7 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
     )
     integral = {"byte", "short", "integer", "long"}
     field_types = {f.name: f.dataType.typeName() for f in df.schema.fields}
-    proj = [F.col(t["partition_by"]), F.col("match_seq")]
+    measure_cols = []
     for kind, var, col, alias in t["measures"]:
         if kind == "count":
             c = F.coalesce(F.size(F.col(var)), F.lit(0)).cast("long")
@@ -591,5 +616,53 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
                         lambda a, x: a + x.cast(acc),
                     ),
                 )
-        proj.append(c.alias(alias))
-    return out.select(*proj)
+        measure_cols.append(c.alias(alias))
+
+    if t["rows_per_match"] == "one":
+        return out.select(
+            F.col(t["partition_by"]), F.col("match_seq"), *measure_cols
+        )
+
+    # ALL ROWS PER MATCH: label each variable's capture array with its
+    # CLASSIFIER, concatenate, sort by the order column, explode — one
+    # output row per matched input row, measures in FINAL semantics.
+    order_by = t["order_by"]
+
+    def _labeler(vname):
+        # single-arity on purpose: a two-parameter lambda would make
+        # F.transform pass the ARRAY INDEX as the second argument,
+        # silently shadowing a `v=v` default (observed: classifier
+        # became 0,1,…).
+        def lab(e):
+            return F.struct(
+                e[order_by].alias("__o"),
+                F.lit(vname).alias("classifier"),
+                e.alias("ev"),
+            )
+
+        return lab
+
+    labeled = F.array_sort(
+        F.concat(
+            *[
+                F.transform(F.coalesce(F.col(v), F.array()), _labeler(v))
+                for v in t["pattern_vars"]
+            ]
+        )
+    )
+    event_cols = [c for c in df.columns if c != t["partition_by"]]
+    return (
+        out.select(
+            F.col(t["partition_by"]),
+            F.col("match_seq"),
+            *measure_cols,
+            F.explode(labeled).alias("__r"),
+        )
+        .select(
+            F.col(t["partition_by"]),
+            F.col("match_seq"),
+            F.col("__r.classifier").alias("classifier"),
+            *[F.col(f"__r.ev.{c}").alias(c) for c in event_cols],
+            *[F.col(alias) for _k, _v, _c, alias in t["measures"]],
+        )
+    )

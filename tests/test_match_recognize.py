@@ -104,8 +104,6 @@ def test_translate_reluctant_and_skip_to_var():
          "grouping"),
         ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A A)",
          "appears twice"),
-        ("PARTITION BY u ORDER BY e MEASURES A.x AS x "
-         "ALL ROWS PER MATCH PATTERN (A)", "ALL ROWS PER MATCH"),
         ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A+ B*?)",
          "mixing greedy and reluctant"),
         ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A) "
@@ -368,5 +366,72 @@ def test_define_name_rails_partition_key_and_unknown_column():
         translate(
             "PARTITION BY u ORDER BY e MEASURES A.x AS ax PATTERN (A) "
             "DEFINE A AS A.x > nope",
+            ["u", "e", "x"],
+        )
+
+
+def test_all_rows_per_match_classifier_and_final_measures(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "error", 1.0), (1, 1, "error", 2.0), (1, 2, "purchase", 9.0),
+         (1, 3, "click", 0.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(E.*) AS ne, FINAL SUM(E.value) AS sv
+               ALL ROWS PER MATCH
+               PATTERN (E+ P)
+               DEFINE E AS E.event_type = 'error',
+                      P AS P.event_type = 'purchase'""",
+        ).collect()
+    )
+    # one match: E=[0,1], P=[2] → three output rows in order, each
+    # carrying classifier + all event columns + FINAL measures
+    assert got == [
+        (1, 0, "E", 0, "error", 1.0, 2, 3.0),
+        (1, 0, "E", 1, "error", 2.0, 2, 3.0),
+        (1, 0, "P", 2, "purchase", 9.0, 2, 3.0),
+    ]
+
+
+def test_all_rows_per_match_optional_var_contributes_no_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "error", 1.0), (1, 1, "purchase", 9.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(C.*) AS nc
+               ALL ROWS PER MATCH
+               PATTERN (A C? P)
+               DEFINE A AS A.event_type = 'error',
+                      C AS C.event_type = 'click',
+                      P AS P.event_type = 'purchase'""",
+        ).collect()
+    )
+    assert got == [(1, 0, "A", 0, "error", 1.0, 0),
+                   (1, 0, "P", 1, "purchase", 9.0, 0)]
+
+
+def test_running_measures_raise():
+    with pytest.raises(MatchRecognizeError, match="RUNNING"):
+        translate(
+            "PARTITION BY u ORDER BY e MEASURES RUNNING SUM(A.x) AS s "
+            "PATTERN (A+) DEFINE A AS A.x > 0",
+            ["u", "e", "x"],
+        )
+
+
+def test_one_and_all_rows_both_given_raise():
+    with pytest.raises(MatchRecognizeError, match="both ONE"):
+        translate(
+            "PARTITION BY u ORDER BY e MEASURES A.x AS ax "
+            "ONE ROW PER MATCH ALL ROWS PER MATCH PATTERN (A)",
             ["u", "e", "x"],
         )
