@@ -51,10 +51,23 @@ Supported subset
   Undefined variables match any row (SQL semantics).  Conditions are
   translated into the engine's expression sub-language and validated
   by its sandbox (:mod:`reflinkcep_spark.cep.expr`).
+
+  NULL handling: a row with NULL (or NaN) in ANY column the
+  variable's condition references does NOT match that variable — the
+  translator prepends an in-language null guard per referenced
+  column, mirroring SQL's rule that a predicate over NULL is never
+  TRUE (and preventing the Python-side ``None < x`` TypeError the raw
+  2-valued evaluation would raise).  The one divergence from full
+  three-valued logic: a condition that would be TRUE *regardless* of
+  the NULL operand (e.g. ``x = 5 OR TRUE``) matches in SQL but not
+  here, because the guard rejects the row before the condition runs.
+  Undefined (always-TRUE) variables have no referenced columns and
+  match NULL rows, exactly as in SQL.
 * ``MEASURES`` — ``FIRST(V.col)``, ``LAST(V.col)``, ``COUNT(V.*)``
   (or bare ``COUNT(V)``), ``SUM/MIN/MAX(V.col)`` (NULL over an empty
   optional capture, SQL aggregate semantics; SUM widens integrals to
-  BIGINT and floats to DOUBLE), and ``V.col`` (≡ ``LAST(V.col)``
+  BIGINT, keeps DECIMAL exact at precision 38 / same scale, and
+  floats to DOUBLE), and ``V.col`` (≡ ``LAST(V.col)``
   under ONE ROW PER MATCH final semantics), each ``AS``-aliased.
   Projected Spark-side from the kernel's capture arrays
   (``element_at`` / ``size`` / ``aggregate`` — codegen, no Python).
@@ -243,6 +256,10 @@ def _parse_measures(tokens: list[str]) -> list[tuple]:
             )
         if body and body[0].upper() == "FINAL":
             body = body[1:]  # FINAL is our semantics already
+        if not body:
+            raise MatchRecognizeError(
+                f"empty measure expression before 'AS {alias}'"
+            )
         up0 = body[0].upper()
         if (
             up0 in ("FIRST", "LAST", "SUM", "MIN", "MAX")
@@ -256,7 +273,7 @@ def _parse_measures(tokens: list[str]) -> list[tuple]:
                     f"{up0}(var.col))"
                 )
             out.append((up0.lower(), body[2], body[4], alias))
-        elif up0 == "COUNT" and body[1] == "(" and body[-1] == ")":
+        elif up0 == "COUNT" and len(body) >= 4 and body[1] == "(" and body[-1] == ")":
             inner = body[2:-1]
             if len(inner) == 3 and inner[1] == "." and inner[2] == "*":
                 out.append(("count", inner[0], None, alias))
@@ -349,6 +366,16 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
                 ) from exc
             quantified = True
             i = j + 1
+        if hi is not None and hi == 0:
+            raise MatchRecognizeError(
+                f"quantifier {{{lo},{hi}}} on {var!r}: an always-empty "
+                "variable is not supported (drop it from the pattern)"
+            )
+        if hi is not None and hi < lo:
+            raise MatchRecognizeError(
+                f"quantifier {{{lo},{hi}}} on {var!r}: upper bound below "
+                "lower bound"
+            )
         reluctant = None
         if quantified:
             reluctant = False
@@ -488,6 +515,46 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         )
     prefer = "shortest" if reluctants == {True} else "longest"
 
+    import ast as _pyast
+
+    attr_cols = [c for c in columns if c != partition_by]
+    for var, cond in list(defines.items()):
+        try:
+            expr_mod.validate(cond)
+        except expr_mod.ExprError as exc:
+            raise MatchRecognizeError(
+                f"DEFINE condition not in the supported sub-language: {exc}"
+            ) from exc
+        # Names must resolve at kernel time: the condition sees the
+        # current row's non-key columns (the partition column is the
+        # grouping key, not an event attribute) — catch a bad name
+        # here instead of a KeyError inside a running executor.
+        referenced = []
+        for node in _pyast.walk(_pyast.parse(cond, mode="eval")):
+            if isinstance(node, _pyast.Name):
+                if node.id == partition_by:
+                    raise MatchRecognizeError(
+                        f"DEFINE {var}: column {node.id!r} is the "
+                        "PARTITION BY key — it is constant within a "
+                        "match and not visible to conditions"
+                    )
+                if node.id not in attr_cols:
+                    raise MatchRecognizeError(
+                        f"DEFINE {var}: unknown column {node.id!r} "
+                        f"(row columns: {attr_cols})"
+                    )
+                if node.id not in referenced:
+                    referenced.append(node.id)
+        # SQL NULL rule (module docstring): NULL/NaN in any referenced
+        # column → the variable does not match the row.  `c == c`
+        # rejects NaN (NaN != NaN), `c != None` rejects None; `and`
+        # short-circuits, so ordered comparisons never see a None.
+        if referenced:
+            guard = " and ".join(
+                f"({c} == {c} and {c} != None)" for c in referenced
+            )
+            defines[var] = f"{guard} and ({cond})"
+
     # SQL matches CONTIGUOUS rows: strict combine + strict loops.
     def leaf(var: str, lo: int, hi: int | None) -> dict:
         cndt = {"expr": defines.get(var, "True")}
@@ -518,42 +585,24 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
             "right": leaf(var, lo, hi),
         }
 
-    import ast as _pyast
 
-    attr_cols = [c for c in columns if c != partition_by]
-    for var, cond in defines.items():
-        try:
-            expr_mod.validate(cond)
-        except expr_mod.ExprError as exc:
-            raise MatchRecognizeError(
-                f"DEFINE condition not in the supported sub-language: {exc}"
-            ) from exc
-        # Names must resolve at kernel time: the condition sees the
-        # current row's non-key columns (the partition column is the
-        # grouping key, not an event attribute) — catch a bad name
-        # here instead of a KeyError inside a running executor.
-        for node in _pyast.walk(_pyast.parse(cond, mode="eval")):
-            if isinstance(node, _pyast.Name):
-                if node.id == partition_by:
-                    raise MatchRecognizeError(
-                        f"DEFINE {var}: column {node.id!r} is the "
-                        "PARTITION BY key — it is constant within a "
-                        "match and not visible to conditions"
-                    )
-                if node.id not in attr_cols:
-                    raise MatchRecognizeError(
-                        f"DEFINE {var}: unknown column {node.id!r} "
-                        f"(row columns: {attr_cols})"
-                    )
+    from reflinkcep_spark.cep.query import QueryError
 
-    query = Query(
-        patseq,
-        {
-            "schema": {"row": [c for c in columns]},
-            "strategy": "NoSkip",
-            "name": "<match_recognize>",
-        },
-    )
+    try:
+        query = Query(
+            patseq,
+            {
+                "schema": {"row": [c for c in columns]},
+                "strategy": "NoSkip",
+                "name": "<match_recognize>",
+            },
+        )
+    except QueryError as exc:
+        # every AST-shape rule should be caught above with a clearer
+        # message; this keeps the module's error contract total.
+        raise MatchRecognizeError(
+            f"PATTERN translates to an invalid pattern AST: {exc}"
+        ) from exc
     return {
         "query": query,
         "partition_by": partition_by,
@@ -589,8 +638,11 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
         sql_prefer=t["prefer"],
         **kernel_kwargs,
     )
+    from pyspark.sql.types import DecimalType
+
     integral = {"byte", "short", "integer", "long"}
     field_types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    field_dtypes = {f.name: f.dataType for f in df.schema.fields}
     measure_cols = []
     for kind, var, col, alias in t["measures"]:
         if kind == "count":
@@ -606,8 +658,16 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
             elif kind == "max":
                 c = F.array_max(vals)
             else:
-                # SQL SUM widens: integral → BIGINT, floating → DOUBLE.
-                acc = "long" if field_types.get(col) in integral else "double"
+                # SQL SUM widens: integral → BIGINT, DECIMAL stays
+                # EXACT at max precision / same scale (the repo's
+                # exact-cents discipline), floating → DOUBLE.
+                dt = field_dtypes.get(col)
+                if field_types.get(col) in integral:
+                    acc = "long"
+                elif isinstance(dt, DecimalType):
+                    acc = f"decimal(38,{dt.scale})"
+                else:
+                    acc = "double"
                 c = F.when(
                     F.size(F.col(var)) > 0,
                     F.aggregate(

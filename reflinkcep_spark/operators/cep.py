@@ -55,19 +55,22 @@ class MatchLimitExceeded(RuntimeError):
 
 
 def _sql_select(matches, skip, prefer):
-    """SQL:2016 row-pattern match selection over a key's FULL NoSkip
-    emission (every nondeterministic assignment): scan candidate starts
-    in row order, keep one match per eligible start — the longest
-    (greedy quantifiers) or shortest (reluctant) — then advance the
-    next eligible start per the AFTER MATCH SKIP mode.  This is the
-    semantic layer MATCH_RECOGNIZE adds over the Flink-CEP-style
-    engine, whose own skip strategies act on EMISSION order
-    (first-completing ≈ reluctant) rather than start order.
+    """SQL:2016 row-pattern match selection: scan candidate starts in
+    row order, keep one match per eligible start — the longest (greedy
+    quantifiers) or shortest (reluctant) by ``(end, emission_idx)`` —
+    then advance the next eligible start per the AFTER MATCH SKIP
+    mode.  This is the semantic layer MATCH_RECOGNIZE adds over the
+    Flink-CEP-style engine, whose own skip strategies act on EMISSION
+    order (first-completing ≈ reluctant) rather than start order.
 
-    ``matches`` is ``[(min_pos, max_pos, emission_idx, captures)…]``;
-    empty matches (no captured row) are ignored — a pattern of all-
-    optional variables can complete without consuming rows, and SQL
-    has no row to anchor such a match to under ONE ROW PER MATCH.
+    ``matches`` is ``[(min_pos, max_pos, emission_idx, captures)…]``.
+    The caller (``run_group``) already folds the per-start preference
+    DURING the feed loop, so this normally receives one candidate per
+    start — the fold keeps a hot key's memory at O(starts) instead of
+    the full NoSkip emission's O(starts²) match records (the function
+    stays correct for unreduced input; empty matches are dropped at
+    the fold because SQL has no row to anchor them to under ONE ROW
+    PER MATCH).
     """
     mode, var = skip
     by_start: dict = {}
@@ -308,11 +311,32 @@ def match_pattern(
 
         engine = MatchEngine(automaton, strategy, within)
         collected = []  # (min_pos, max_pos, emission_idx, captures)
+        # SQL mode keeps only ONE candidate per start row (the longest
+        # or shortest by (end, emission)) — folding that preference
+        # DURING the feed loop instead of materializing the complete
+        # NoSkip emission matters: a greedy E+ over one n-row run
+        # emits n(n+1)/2 matches with O(n) positions each, all but n
+        # of which _sql_select would discard anyway.
+        best_by_start: dict = {}
+        emitted = 0
         truncated = False
         for ev_type, attrs in zip(types, records):
             for m in engine.feed(ev_type, attrs, attrs[stamp_col]):
                 captured = m.captures
                 all_pos = [p for idxs in captured.values() for p in idxs]
+                if sql_skip is not None:
+                    if not all_pos:
+                        continue  # empty match: nothing to anchor to
+                    cand = (min(all_pos), max(all_pos), emitted, captured)
+                    emitted += 1
+                    cur = best_by_start.get(cand[0])
+                    if (
+                        cur is None
+                        or (sql_prefer == "longest" and cand[1:3] > cur[1:3])
+                        or (sql_prefer == "shortest" and cand[1:3] < cur[1:3])
+                    ):
+                        best_by_start[cand[0]] = cand
+                    continue
                 collected.append(
                     (
                         min(all_pos) if all_pos else None,
@@ -331,7 +355,9 @@ def match_pattern(
                 truncated = True
                 break
         if sql_skip is not None:
-            collected = _sql_select(collected, sql_skip, sql_prefer)
+            collected = _sql_select(
+                list(best_by_start.values()), sql_skip, sql_prefer
+            )
         rows = []
         for match_seq, (mn, mx, _i, captured) in enumerate(collected):
             row = dict(key_values)

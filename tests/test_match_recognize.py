@@ -45,7 +45,11 @@ def test_translate_builds_strict_ast_and_greedy_default():
     ps = t["query"].patseq
     assert ps["type"] == "lpat-inf"
     assert ps["loop"] == {"contiguity": "strict", "from": 1}
-    assert ps["cndt"]["expr"] == "event_type == 'error'"
+    # condition carries the SQL null guard (NULL rows never match)
+    assert ps["cndt"]["expr"] == (
+        "(event_type == event_type and event_type != None) "
+        "and (event_type == 'error')"
+    )
     assert t["query"].strategy == "NoSkip"
     assert t["measures"] == [
         ("first", "E", "event_id", "first_error"),
@@ -71,10 +75,15 @@ def test_translate_concatenation_quantifiers_and_wrapper():
     left, right = ps["left"], ps["right"]
     assert right["type"] == "lpat" and right["loop"]["from"] == 0
     assert right["loop"]["to"] == 1
-    assert right["cndt"]["expr"] == "event_type != 'error'"
+    assert right["cndt"]["expr"] == (
+        "(event_type == event_type and event_type != None) "
+        "and (event_type != 'error')"
+    )
     assert left["type"] == "combine"
     assert left["left"]["type"] == "spat"
-    assert left["left"]["cndt"]["expr"] == "value > 10"
+    assert left["left"]["cndt"]["expr"] == (
+        "(value == value and value != None) and (value > 10)"
+    )
     assert left["right"]["loop"] == {"contiguity": "strict", "from": 2, "to": 4}
     # B is undefined → matches any row
     assert left["right"]["cndt"]["expr"] == "True"
@@ -435,3 +444,93 @@ def test_one_and_all_rows_both_given_raise():
             "ONE ROW PER MATCH ALL ROWS PER MATCH PATTERN (A)",
             ["u", "e", "x"],
         )
+
+
+# --- review-pass hardening: NULL semantics, parser rails, decimal SUM --
+
+
+def test_null_rows_never_match_referencing_conditions(spark):
+    # SQL rule: a predicate over NULL is never TRUE.  The NULL row can
+    # neither match E (references event_type) nor crash an ordered
+    # comparison; the undefined filler G still matches it.
+    df = spark.createDataFrame(
+        [(1, 0, "error", 1.0), (1, 1, None, None), (1, 2, "error", 2.0),
+         (1, 3, "purchase", 9.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES FIRST(E.event_id) AS fe, COUNT(E.*) AS n
+               PATTERN (E+) DEFINE E AS E.event_type = 'error'""",
+        ).collect()
+    )
+    # the NULL row SPLITS the error run: two unit runs, not one of 3
+    assert got == [(1, 0, 0, 1), (1, 1, 2, 1)]
+
+    # ordered comparison over the NULL value column must not TypeError
+    got2 = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES FIRST(H.event_id) AS fh
+               PATTERN (H) DEFINE H AS H.value > 1.5""",
+        ).collect()
+    )
+    assert got2 == [(1, 0, 2), (1, 1, 3)]
+
+    # undefined variables match ANY row, NULLs included
+    got3 = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES S.event_id AS s_id, COUNT(G.*) AS gap, P.event_id AS p_id
+               PATTERN (S G*? P)
+               DEFINE S AS S.event_type = 'error',
+                      P AS P.event_type = 'purchase'""",
+        ).collect()
+    )
+    # start 0: gap spans the NULL row and the second error
+    assert got3 == [(1, 0, 0, 2, 3)]
+
+
+@pytest.mark.parametrize(
+    "spec, msg",
+    [
+        ("PARTITION BY u ORDER BY e MEASURES COUNT AS c PATTERN (A)",
+         "unsupported measure"),
+        ("PARTITION BY u ORDER BY e MEASURES FINAL AS c PATTERN (A)",
+         "empty measure"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A{0} B)",
+         "always-empty"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A{3,2})",
+         "upper bound below"),
+    ],
+)
+def test_parser_rails_raise_match_recognize_error(spec, msg):
+    with pytest.raises(MatchRecognizeError, match=msg):
+        translate(spec, ["u", "e", "x"])
+
+
+def test_sum_over_decimal_stays_exact(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "error"), (1, 1, "error"), (1, 2, "purchase")],
+        "user_id int, event_id int, event_type string",
+    ).selectExpr(
+        "user_id", "event_id", "event_type",
+        "cast(0.10 as decimal(18,2)) AS amount",
+    )
+    out = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES SUM(E.amount) AS total
+           PATTERN (E+) DEFINE E AS E.event_type = 'error'""",
+    )
+    assert dict(out.dtypes)["total"] == "decimal(38,2)"
+    from decimal import Decimal
+
+    assert [r["total"] for r in out.collect()] == [Decimal("0.20")]
