@@ -125,6 +125,17 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 # 25 -- maintained by the retire-a-near-duplicate-shape-per-addition
 # policy started round 12 (see RETIRED below).
 #
+# The round-15 queue grew to ELEVEN entries in round 13 (the original
+# eight + cep_funnel_within_time + cep_sql_error_runs +
+# cep_sql_funnel).  Eleven registrations in one round would squeeze
+# the window (each new row needs a first-check slot while ~25-30
+# promoted sit-outs are mandatory), so SPLIT the queue: register ~6 in
+# round 15 (prioritize the three CEP rows -- they are the round-13
+# feature work -- plus doc_cms_estimates, q_scd2_user_status,
+# text_boilerplate whose streaming twins are already wired) and the
+# remaining ~5 in round 16, pairing registrations with retirements
+# per the capacity policy both times.
+#
 # Retired queries (round 12 onward): removed from the driver contract
 # (queries()/oracle_sql()) to keep rotation capacity margin >= 25, but
 # the functions and their oracle SQL stay in the modules and every one
