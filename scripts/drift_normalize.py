@@ -46,6 +46,8 @@ def load(path: str) -> dict:
         d["queries"] = {k: v / 1000.0 for k, v in d["queries"].items()}
         if d.get("calib_ms") is not None:
             d["calibration_sec"] = d["calib_ms"] / 1000.0
+        if d.get("calib_shuffle_ms") is not None:
+            d["calibration_shuffle_sec"] = d["calib_shuffle_ms"] / 1000.0
     return d
 
 
@@ -73,6 +75,24 @@ def main() -> int:
         label = "normalized"
         print(f"calibration ratio    (B/A): {calib:.3f}  ({ca:.3f}s -> {cb:.3f}s)")
         print(f"normalized total ratio    : {raw / calib:.3f}  (1.0 = box state explains it)")
+        # Second divisor (round 13+): the shuffle/bandwidth calibration
+        # row.  Most headline rows live on the memory/shuffle path, and
+        # the box has shown a bandwidth-degraded mode where calib_cpu
+        # RUNS FASTER while the workload inflates (NOTES_r13.md) — when
+        # the two divisors disagree, the shuffle row is the one that
+        # explains scan/shuffle-heavy movers.
+        sa = a.get("calibration_shuffle_sec")
+        sb_ = b.get("calibration_shuffle_sec")
+        if sa and sb_ and sa > 0 and sb_ > 0:
+            shuf = sb_ / sa
+            print(
+                f"shuffle-calib ratio  (B/A): {shuf:.3f}  "
+                f"({sa:.3f}s -> {sb_:.3f}s)"
+            )
+            print(
+                f"shuffle-normalized total  : {raw / shuf:.3f}  "
+                "(use for scan/shuffle-heavy movers)"
+            )
     else:
         calib = 1.0
         label = "raw"  # don't print ratios as calibration-adjusted when they aren't
