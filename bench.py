@@ -261,8 +261,8 @@ def main() -> int:
     # `parsed: null` because 69 seconds-float rows with default
     # separators outgrew that window and the line's head was cut).
     # So the one stdout line is COMPACT: integer milliseconds, no
-    # whitespace — 64 timed rows (65 HEADLINE entries minus the popped
-    # calibration row) ≈ 1.76 kB measured against the 2000-char
+    # whitespace — 64 timed rows (66 HEADLINE entries minus the TWO
+    # popped calibration rows) ≈ 1.78 kB measured against the 2000-char
     # capture (assert rail at 1.9 kB; round 13 swapped five sub-second
     # rows with heavier timed siblings — doc_pii_scrub,
     # q_order_count_distribution, q_events_sliding, doc_global_shuffle,

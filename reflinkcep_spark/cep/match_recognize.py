@@ -497,15 +497,38 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         raise MatchRecognizeError(
             f"AFTER MATCH SKIP targets unknown variable {skip[1]!r}"
         )
+    seen_aliases: set = set()
+    # names the output projection already owns — a colliding measure
+    # alias would raise an AMBIGUOUS_REFERENCE AnalysisException later
+    # (or silently duplicate a column name); reject it here instead.
+    reserved = {partition_by, "match_seq"}
+    if rows_per_match == "all":
+        reserved.add("classifier")
+        reserved.update(columns)
     for kind, var, col, alias in measures:
         if var not in pattern_vars:
             raise MatchRecognizeError(
                 f"measure {alias!r} references unknown variable {var!r}"
             )
+        if col is not None and col == partition_by:
+            raise MatchRecognizeError(
+                f"measure {alias!r} references the PARTITION BY column "
+                f"{col!r} — it is the grouping key, not a captured event "
+                "attribute (project it directly: it is already an output "
+                "column)"
+            )
         if col is not None and col not in columns:
             raise MatchRecognizeError(
                 f"measure {alias!r} references unknown column {col!r}"
             )
+        if alias in seen_aliases:
+            raise MatchRecognizeError(f"duplicate measure alias {alias!r}")
+        if alias in reserved:
+            raise MatchRecognizeError(
+                f"measure alias {alias!r} collides with an output column "
+                f"({'partition/match_seq/classifier/event columns' if rows_per_match == 'all' else 'partition column or match_seq'})"
+            )
+        seen_aliases.add(alias)
 
     reluctants = {e[3] for e in elems if e[3] is not None}
     if len(reluctants) > 1:
@@ -618,8 +641,15 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
 def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
     """Run a SQL ``MATCH_RECOGNIZE`` clause over a DataFrame of rows.
 
-    Output: partition column, ``match_seq``, then the MEASURES in
-    declaration order.  ``kernel_kwargs`` pass through to
+    Output — ONE ROW PER MATCH (default): partition column,
+    ``match_seq``, then the MEASURES in declaration order.
+    ALL ROWS PER MATCH: partition column, ``match_seq``,
+    ``classifier`` (which variable consumed the row), every event
+    column, then the MEASURES (FINAL semantics, repeated per row).
+    With ``on_limit="truncate"`` a hot key that trips
+    ``max_active_runs`` keeps its sentinel row in BOTH modes
+    (``match_seq = -1``, NULL classifier/event/measure columns).
+    ``kernel_kwargs`` pass through to
     :func:`reflinkcep_spark.operators.match_pattern`
     (``max_active_runs``, ``on_limit``, ``pre_partitioned`` …).
     """
@@ -646,7 +676,13 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
     measure_cols = []
     for kind, var, col, alias in t["measures"]:
         if kind == "count":
-            c = F.coalesce(F.size(F.col(var)), F.lit(0)).cast("long")
+            # 0 over an empty optional capture (SQL COUNT), but NULL on
+            # the on_limit="truncate" sentinel row (match_seq = -1) —
+            # a truncated key's measures are unknown, not zero.
+            c = F.when(
+                F.col("match_seq") >= 0,
+                F.coalesce(F.size(F.col(var)), F.lit(0)),
+            ).cast("long")
         elif kind == "first":
             c = F.element_at(F.col(var), 1)[col]
         elif kind == "last":
@@ -716,7 +752,11 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
             F.col(t["partition_by"]),
             F.col("match_seq"),
             *measure_cols,
-            F.explode(labeled).alias("__r"),
+            # explode_outer, not explode: the on_limit="truncate"
+            # sentinel row has every capture NULL → an EMPTY labeled
+            # array — plain explode would silently drop the key's
+            # truncation marker, making a partial result look complete.
+            F.explode_outer(labeled).alias("__r"),
         )
         .select(
             F.col(t["partition_by"]),

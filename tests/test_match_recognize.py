@@ -534,3 +534,51 @@ def test_sum_over_decimal_stays_exact(spark):
     from decimal import Decimal
 
     assert [r["total"] for r in out.collect()] == [Decimal("0.20")]
+
+
+# --- second review pass: alias rails, truncate sentinel in ALL ROWS ----
+
+
+@pytest.mark.parametrize(
+    "spec, msg",
+    [
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS match_seq PATTERN (A)",
+         "collides with an output column"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS u PATTERN (A)",
+         "collides with an output column"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS m, A.e AS m PATTERN (A)",
+         "duplicate measure alias"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x "
+         "ALL ROWS PER MATCH PATTERN (A)",
+         "collides with an output column"),  # alias == event column
+        ("PARTITION BY u ORDER BY e MEASURES FIRST(A.u) AS pu PATTERN (A)",
+         "PARTITION BY column"),
+    ],
+)
+def test_measure_alias_and_partition_rails(spec, msg):
+    with pytest.raises(MatchRecognizeError, match=msg):
+        translate(spec, ["u", "e", "x"])
+
+
+def test_all_rows_truncate_sentinel_survives(spark):
+    # a hot key trips max_active_runs under truncate: the sentinel row
+    # (match_seq = -1) must survive the ALL ROWS explode as a NULL row,
+    # not vanish and make the partial result look complete.
+    rows = [(1, i, "error", 1.0) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, value double"
+    )
+    out = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(E.*) AS ne
+           ALL ROWS PER MATCH
+           PATTERN (E+) DEFINE E AS E.event_type = 'error'""",
+        max_active_runs=10,
+        on_limit="truncate",
+    ).collect()
+    sentinels = [r for r in out if r["match_seq"] == -1]
+    assert len(sentinels) == 1
+    s = sentinels[0]
+    assert s["classifier"] is None and s["event_id"] is None
+    assert s["ne"] is None
