@@ -186,32 +186,54 @@ RETIRED = (
 # round 13 -- promote (or retire) every PLANNED_SITOUT FIRST in the
 # round-14 rotation.
 #
-# ROUND-14 ROTATION PLAN (pre-computed; execute exactly): the 25
-# PLANNED_SITOUTS below hit the hard ceiling at round 14 -- promote
-# them FIRST (doc_mixture_sample may instead be RETIRED, see the
-# candidate list), then register the five round-14 seed queries
-# (doc_snapshot_diff, doc_link_pagerank, sim_jl_project,
-# multimodal_wav_stats, multimodal_ppm_stats -- all oracle-green and
-# pinned by test_prestaged_round14_queries_match_oracles), EACH PAIRED
-# with a retirement per the capacity policy.  Retirement CANDIDATES to
-# evaluate then (near-duplicate shapes whose operator stays covered --
-# each needs its coverage argument re-verified at retirement time,
-# exactly like the round-12 six): doc_top_terms (tf/df machinery
-# subsumed by the now-registered text_tfidf_search), doc_mixture_sample
-# (the doc_mixture_rebalance + doc_token_budget family covers
-# stratified sampling), q_orders_by_month (calendar bucket agg, the
-# q_events_sliding shape), q_distinct_counts (plain count-distinct
-# agg), doc_length_outliers (percentile trim ~ q_balance_quartiles
-# ntile + the curation funnel's length stage), q_scalar_functions
-# (scalar-expression scan, exercised by queries/exact.py tests and a
-# dozen registered queries).  Arithmetic sketch (finalize in round
-# 14): registry 125 + 5 - 5or6 retirements = 124-125; candidates
-# ~24-25 promoted + 5 new + ~48 r12-vintage = ~78 for 50 slots ->
-# ~28-30 r12-green sit-outs (they are 1-round stale at round 13's
-# run, so a round-14 sit-out puts them at exactly 2 -- legal once).
-# Keep every heavy / plan-sensitive r12 shape in the window; sit out
-# only cheap scan/agg shapes.  The round-15 queue (8 entries, see
-# above) keeps the pipeline full.
+# ROUND-14 ROTATION PLAN (pre-computed round 13 from the post-r13
+# staleness simulation; execute exactly):
+# 1. RETIRE the six candidates (coverage arguments PRE-VERIFIED round
+#    13 -- re-confirm each still holds, then move to RETIRED +
+#    tests/test_retired_queries.py): doc_top_terms (tf/df subsumed by
+#    text_tfidf_search, REGISTERED round 13), doc_mixture_sample (the
+#    registered doc_mixture_rebalance + doc_token_budget family),
+#    q_orders_by_month (calendar bucket agg, the q_events_sliding
+#    shape), q_distinct_counts (plain count-distinct agg, the shape
+#    rides in several registered rows), doc_length_outliers
+#    (percentile trim ~ q_balance_quartiles ntile + the curation
+#    funnel's length stage), q_scalar_functions (scalar-expression
+#    scan, exercised by queries/exact.py tests and a dozen registered
+#    queries).  Registry 125 + 5 - 6 = 124.
+# 2. PROMOTE the 24 surviving PLANNED_SITOUTS (r11 rows, at the hard
+#    ceiling; doc_mixture_sample is the 25th, retired instead).
+# 3. REGISTER the five round-14 seeds: doc_snapshot_diff,
+#    doc_link_pagerank, sim_jl_project, multimodal_wav_stats,
+#    multimodal_ppm_stats.
+# 4. KEEP these 21 r12-vintage heavy/plan-sensitive shapes in the
+#    window (24 + 5 + 21 = 50): the eight CEP rows (cep_high_purchases,
+#    cep_funnel_3step, cep_funnel_within, cep_error_runs,
+#    cep_purchase_then_error, cep_error_runs_skiptolast,
+#    cep_signup_purchase_skipfirst, cep_purchase_no_immediate_error),
+#    dedup_clusters, dedup_minhash_lsh_md5, dedup_simhash_md5,
+#    dedup_canonical_quality, sim_cosine_topk, sim_ann_lsh,
+#    sim_ann_ivf, sim_ann_pq, sim_embedding_neardup, multimodal_bytes,
+#    doc_decontam, doc_pack_sequences, text_dedup_xdoc_fuzzy.
+# 5. NAME the remaining 27 r12-vintage queries as round-14
+#    PLANNED_SITOUTS (exactly 2-stale at r14 -- legal once; they MUST
+#    enter the round-15 window): doc_curation_funnel,
+#    doc_importance_weights, doc_split_leakage, doc_winnow_robust,
+#    dedup_url_canonical, q_asof_last_click, q_range_join_clicks,
+#    q_session_windows, q_skew_salted_events, text_dedup_paragraphs,
+#    text_dedup_paragraphs_global, doc_quality_calibration,
+#    text_quality_buckets, text_profile, text_bigram_lift,
+#    doc_winnow_fingerprints, q3_top_orders, q5_nation_revenue,
+#    q_top_customers_per_nation, q_rollup_order_priority,
+#    q_customers_without_orders, q_orders_without_items,
+#    q_parts_with_cheap_suppliers, q_quantity_percentiles,
+#    q_above_nation_avg, q_running_order_totals, q_product_profit.
+#    (That list is every r12-row query not kept in step 4 and not
+#    retired in step 1 -- recompute from CORRECTNESS files if the
+#    r13 driver row set differs from the simulation.)
+# Round-15 consequence: its window must absorb those 27 + ~6 r15
+# registrations, leaving ~17 slots for r13-vintage rows -- fine, but
+# register only ~6 of the 11-entry r15 queue (see the split note
+# above) and pair with retirements.
 # Before this rotation every promoted query was verified green in its
 # latest CORRECTNESS row (r10) and every demoted query green in
 # CORRECTNESS_r12.json (scripts/window_audit.py run before and after).
