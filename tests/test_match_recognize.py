@@ -582,3 +582,54 @@ def test_all_rows_truncate_sentinel_survives(spark):
     s = sentinels[0]
     assert s["classifier"] is None and s["event_id"] is None
     assert s["ne"] is None
+
+
+def test_match_recognize_on_bucketed_table_is_zero_exchange(spark, tmp_path):
+    """The 100-TB composition: MATCH_RECOGNIZE over an event log
+    bucketed on the partition key runs WITHOUT ANY shuffle — the SQL
+    front end inherits the kernel's pre_partitioned path (Scan → Sort →
+    FlatMapGroupsInPandas), so a standing bucketed log serves SQL row-
+    pattern queries shuffle-free, exactly like the YAML surface."""
+    import re
+
+    from reflinkcep_spark.sinks import write_bucketed
+
+    rows = [(u, i, "error" if i % 3 else "purchase", float(i))
+            for u in range(8) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, value double"
+    )
+    write_bucketed(df, "t_mr_bucketed", "user_id", buckets=8,
+                   path=str(tmp_path / "mr"))
+    try:
+        out = match_recognize(
+            spark.table("t_mr_bucketed"),
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES FIRST(E.event_id) AS fe, COUNT(E.*) AS n
+               PATTERN (E+) DEFINE E AS E.event_type = 'error'""",
+            pre_partitioned=True,
+        )
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert len(re.findall(r"(?<!Broadcast)Exchange", plan)) == 0, plan
+        assert "FlatMapGroupsInPandas" in plan
+        # and the result is still right: maximal error runs per user
+        got = sorted(tuple(r) for r in out.collect())
+        want = []
+        for u in range(8):
+            runs, cur = [], []
+            for i in range(40):
+                if i % 3:
+                    cur.append(i)
+                else:
+                    if cur: runs.append(cur)
+                    cur = []
+            if cur: runs.append(cur)
+            for seq, run in enumerate(runs):
+                want.append((u, seq, run[0], len(run)))
+        assert got == sorted(want)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_mr_bucketed")
