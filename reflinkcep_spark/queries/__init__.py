@@ -17,16 +17,17 @@ from reflinkcep_spark.queries import cep_queries, pipeline, relational, temporal
 
 _MODULES = (pipeline, temporal, cep_queries, relational)
 
-# Round-13 queue: REGISTERED this round (doc_hll_registers,
-# doc_bloom_decontam, doc_span_merge, sim_kmeans, text_tfidf_search)
-# -- all pre-staged + oracle-green since round 11; now covered by the
-# full check_oracles replay.  Registry 120 + 5 = 125 (no retirements
-# this round; the round-14 registrations pair with the candidate list
-# below).  Window: 20 promoted 2-round-stale PLANNED_SITOUTS first,
-# then the 5 new, then 25 r11-stale heavy keepers -- see the window
-# comment above PLANNED_SITOUTS.
-# Round-14 seed (implemented, locally oracle-verified at sf0.001 AND
-# sf0.01, pinned by tests/test_check_oracles.py::
+# Round-14 queue: REGISTERED this round (doc_snapshot_diff,
+# doc_link_pagerank, sim_jl_project, multimodal_wav_stats,
+# multimodal_ppm_stats) -- all pre-staged + oracle-green since rounds
+# 11-12; now covered by the full check_oracles replay.  Registry
+# 125 + 5 - 6 = 124 (the six pre-named retirement candidates moved to
+# RETIRED, coverage arguments re-confirmed -- see the RETIRED block).
+# Window: 24 promoted 2-round-stale PLANNED_SITOUTS first, then the 5
+# new, then 21 r12-stale heavy keepers -- see the window comment above
+# PLANNED_SITOUTS.
+# The round-14 registrations (descriptions kept for the audit trail;
+# oracle pin: tests/test_check_oracles.py::
 # test_prestaged_round14_queries_match_oracles):
 #   doc_snapshot_diff   (pipeline.py + functions/snapshot.py -- CDC
 #                        snapshot reconciliation: ONE full-outer id
@@ -118,23 +119,24 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #                        measure; oracle is the next-qualifying-row
 #                        window idiom; verified at 3 SFs, round 13)
 #
-# Registering all five in round 13 puts the registry at 120 + 5 = 125;
-# with the 50-slot window and the hard 2-round staleness ceiling the
-# capacity bound is 3 x 50 = 150 registered queries, so rotation
-# stays feasible (125/3 = 41.7 average slots per round) with margin
-# 25 -- maintained by the retire-a-near-duplicate-shape-per-addition
-# policy started round 12 (see RETIRED below).
+# Capacity after the round-14 rotation: registry 124; with the
+# 50-slot window and the hard 2-round staleness ceiling the capacity
+# bound is 3 x 50 = 150 registered queries, so rotation stays feasible
+# (124/3 = 41.3 average slots per round) with margin 26 -- maintained
+# by the retire-a-near-duplicate-shape-per-addition policy started
+# round 12 (see RETIRED below).
 #
-# The round-15 queue grew to ELEVEN entries in round 13 (the original
-# eight + cep_funnel_within_time + cep_sql_error_runs +
-# cep_sql_funnel).  Eleven registrations in one round would squeeze
-# the window (each new row needs a first-check slot while ~25-30
-# promoted sit-outs are mandatory), so SPLIT the queue: register ~6 in
-# round 15 (prioritize the three CEP rows -- they are the round-13
-# feature work -- plus doc_cms_estimates, q_scd2_user_status,
-# text_boilerplate whose streaming twins are already wired) and the
-# remaining ~5 in round 16, pairing registrations with retirements
-# per the capacity policy both times.
+# The eleven-entry round-15 queue is SPLIT (decided round 14; the
+# committed plan with named retirement pairs is the ROUND-15 ROTATION
+# PLAN comment above PLANNED_SITOUTS): round 15 registers the three
+# CEP rows (cep_funnel_within_time, cep_sql_error_runs,
+# cep_sql_funnel -- the round-13 feature work) plus doc_cms_estimates,
+# q_scd2_user_status, text_boilerplate (streaming twins already
+# wired); round 16 registers doc_domain_caps, text_gopher_rules,
+# q_events_zorder_stats, multimodal_avi_stats, dedup_incremental,
+# plus the round-14 DEFINE-navigation query cep_sql_prev_ascent --
+# pairing registrations with retirements per the capacity policy both
+# times.
 #
 # Retired queries (round 12 onward): removed from the driver contract
 # (queries()/oracle_sql()) to keep rotation capacity margin >= 25, but
@@ -162,6 +164,34 @@ _MODULES = (pipeline, temporal, cep_queries, relational)
 #   text_token_histogram   -- token-count bucket agg; near-dup of
 #                             text_profile stats; also unit-tested
 #                             directly (test_token_histogram_buckets)
+# Added round 14 (the six candidates pre-named in the round-13 plan;
+# every coverage argument re-confirmed at retirement time):
+#   doc_top_terms          -- per-term tf/df ranking; fully subsumed by
+#                             the registered text_tfidf_search (same tf
+#                             agg, same df join, PLUS the two-phase
+#                             ranked-retrieval stage; green r13)
+#   doc_mixture_sample     -- per-source Bernoulli mixture draw; the
+#                             registered doc_mixture_rebalance computes
+#                             the same per-source rate algebra and
+#                             doc_token_budget the same capped take
+#                             (both in the r14 window)
+#   q_orders_by_month      -- calendar-bucket count agg; the bucket-agg
+#                             plan shape is q_events_sliding's (in the
+#                             r14 window) over F.window instead of
+#                             date_trunc -- one Exchange, partial aggs
+#   q_distinct_counts      -- plain multi-column count_distinct scan;
+#                             the expand-based distinct agg plan rides
+#                             inside registered rows (q_order_count_
+#                             distribution, doc_vocab_coverage) and the
+#                             retired q_part_supplier_counts check
+#   doc_length_outliers    -- percentile-threshold trim; percentile
+#                             machinery is q_balance_quartiles (ntile,
+#                             r14 window) + q_quantity_percentiles
+#                             (percentile_disc agg); the length stage
+#                             itself rides in doc_curation_funnel
+#   q_scalar_functions     -- scalar-expression scan with no join/agg;
+#                             exercised by queries/exact.py unit tests
+#                             and by every registered scan's projection
 RETIRED = (
     "q_events_tumbling",
     "q_asof_next_error",
@@ -169,74 +199,79 @@ RETIRED = (
     "q_part_supplier_counts",
     "doc_hash_sample",
     "text_token_histogram",
+    # round 14
+    "doc_top_terms",
+    "doc_mixture_sample",
+    "q_orders_by_month",
+    "q_distinct_counts",
+    "doc_length_outliers",
+    "q_scalar_functions",
 )
 
-# Front of the driver's 50-entry check window (round 13 rotation),
-# executed exactly as pre-planned in round 12: FIRST the twenty
-# 2-round-stale PLANNED_SITOUTS from the round-12 plan (r10-vintage
-# rows, at the hard ceiling), then the five queries registered this
-# round (pre-staged + oracle-verified since round 11:
-# doc_hll_registers, doc_bloom_decontam, doc_span_merge, sim_kmeans,
-# text_tfidf_search -- never driver-checked), then the twenty-five
-# r11-vintage heavy / plan-sensitive keepers: all fifteen CEP rows,
-# all eight dedup rows, doc_pack_ffd, text_lm_quality.  Window
-# arithmetic: 125 registered queries, 20 promoted + 5 new + 50
-# r11-stale = 75 candidates for 50 slots, so TWENTY-FIVE r11-green
-# cheap scan/agg/window shapes sit out and go two rounds stale at
-# round 13 -- promote (or retire) every PLANNED_SITOUT FIRST in the
-# round-14 rotation.
+# Front of the driver's 50-entry check window (round 14 rotation),
+# executed exactly as pre-planned in round 13: FIRST the twenty-four
+# 2-round-stale PLANNED_SITOUTS surviving from the round-13 plan
+# (r11-vintage rows, at the hard ceiling; doc_mixture_sample was the
+# 25th -- retired instead), then the five queries registered this
+# round (pre-staged + oracle-verified since rounds 11-12:
+# doc_snapshot_diff, doc_link_pagerank, sim_jl_project,
+# multimodal_wav_stats, multimodal_ppm_stats -- never driver-checked),
+# then twenty-one r12-vintage heavy / plan-sensitive keepers: the
+# eight r12-row CEP queries, dedup_clusters + the two md5 sketch rows
+# + dedup_canonical_quality, the five ANN rows, sim_embedding_neardup,
+# multimodal_bytes, doc_decontam, doc_pack_sequences,
+# text_dedup_xdoc_fuzzy.  Window arithmetic: 124 registered queries;
+# 24 promoted + 5 new + 50 r13-vintage + 48 surviving r12-vintage
+# rows compete for 50 slots, so TWENTY-SEVEN r12-green queries sit
+# out and go two rounds stale at round 14 -- promote (or retire)
+# every PLANNED_SITOUT FIRST in the round-15 rotation.
 #
-# ROUND-14 ROTATION PLAN (pre-computed round 13 from the post-r13
+# ROUND-15 ROTATION PLAN (pre-computed round 14 from the post-r14
 # staleness simulation; execute exactly):
-# 1. RETIRE the six candidates (coverage arguments PRE-VERIFIED round
-#    13 -- re-confirm each still holds, then move to RETIRED +
-#    tests/test_retired_queries.py): doc_top_terms (tf/df subsumed by
-#    text_tfidf_search, REGISTERED round 13), doc_mixture_sample (the
-#    registered doc_mixture_rebalance + doc_token_budget family),
-#    q_orders_by_month (calendar bucket agg, the q_events_sliding
-#    shape), q_distinct_counts (plain count-distinct agg, the shape
-#    rides in several registered rows), doc_length_outliers
-#    (percentile trim ~ q_balance_quartiles ntile + the curation
-#    funnel's length stage), q_scalar_functions (scalar-expression
-#    scan, exercised by queries/exact.py tests and a dozen registered
-#    queries).  Registry 125 + 5 - 6 = 124.
-# 2. PROMOTE the 24 surviving PLANNED_SITOUTS (r11 rows, at the hard
-#    ceiling; doc_mixture_sample is the 25th, retired instead).
-# 3. REGISTER the five round-14 seeds: doc_snapshot_diff,
-#    doc_link_pagerank, sim_jl_project, multimodal_wav_stats,
-#    multimodal_ppm_stats.
-# 4. KEEP these 21 r12-vintage heavy/plan-sensitive shapes in the
-#    window (24 + 5 + 21 = 50): the eight CEP rows (cep_high_purchases,
-#    cep_funnel_3step, cep_funnel_within, cep_error_runs,
-#    cep_purchase_then_error, cep_error_runs_skiptolast,
-#    cep_signup_purchase_skipfirst, cep_purchase_no_immediate_error),
-#    dedup_clusters, dedup_minhash_lsh_md5, dedup_simhash_md5,
-#    dedup_canonical_quality, sim_cosine_topk, sim_ann_lsh,
-#    sim_ann_ivf, sim_ann_pq, sim_embedding_neardup, multimodal_bytes,
-#    doc_decontam, doc_pack_sequences, text_dedup_xdoc_fuzzy.
-# 5. NAME the remaining 27 r12-vintage queries as round-14
-#    PLANNED_SITOUTS (exactly 2-stale at r14 -- legal once; they MUST
-#    enter the round-15 window): doc_curation_funnel,
-#    doc_importance_weights, doc_split_leakage, doc_winnow_robust,
-#    dedup_url_canonical, q_asof_last_click, q_range_join_clicks,
-#    q_session_windows, q_skew_salted_events, text_dedup_paragraphs,
-#    text_dedup_paragraphs_global, doc_quality_calibration,
-#    text_quality_buckets, text_profile, text_bigram_lift,
-#    doc_winnow_fingerprints, q3_top_orders, q5_nation_revenue,
-#    q_top_customers_per_nation, q_rollup_order_priority,
-#    q_customers_without_orders, q_orders_without_items,
-#    q_parts_with_cheap_suppliers, q_quantity_percentiles,
-#    q_above_nation_avg, q_running_order_totals, q_product_profit.
-#    (That list is every r12-row query not kept in step 4 and not
-#    retired in step 1 -- recompute from CORRECTNESS files if the
-#    r13 driver row set differs from the simulation.)
-# Round-15 consequence: its window must absorb those 27 + ~6 r15
-# registrations, leaving ~17 slots for r13-vintage rows -- fine, but
-# register only ~6 of the 11-entry r15 queue (see the split note
-# above) and pair with retirements.
+# 1. PROMOTE all 27 PLANNED_SITOUTS below (r12 rows, at the hard
+#    ceiling at r15 -- mandatory).
+# 2. REGISTER the six-entry round-15 half of the split queue (the
+#    round-13 feature rows first): cep_funnel_within_time,
+#    cep_sql_error_runs, cep_sql_funnel, doc_cms_estimates,
+#    q_scd2_user_status, text_boilerplate.  PAIR each with the named
+#    retirement (re-confirm each coverage argument at retirement
+#    time, then move to RETIRED):
+#      cep_funnel_within_time -> retire q_small_quantity_revenue
+#        (scan-filter-sum on lineitem; the shape is q6_revenue_delta
+#        minus the delta arm, also q1_pricing_summary's agg)
+#      cep_sql_error_runs     -> retire q_binational_volume
+#        (two-nation join+agg; the multi-join volume shape is
+#        q5_nation_revenue / q_nation_market_share)
+#      cep_sql_funnel         -> retire q_large_quantity_orders
+#        (group-agg + HAVING threshold; the shape is
+#        q_order_count_distribution / q_big_building_buyers)
+#      doc_cms_estimates      -> retire q_excess_inventory_suppliers
+#        (agg-subquery threshold join; the shape is
+#        q_min_cost_suppliers / q_above_nation_avg)
+#      q_scd2_user_status     -> retire q_user_sessions
+#        (per-user gaps-and-islands sessionization; q_session_windows
+#        keeps the operator registered and SCD2 is the same islands
+#        idiom with richer output)
+#      text_boilerplate       -> retire q_promo_revenue_share
+#        (conditional-sum revenue ratio; the shape is q1_pricing_
+#        summary's conditional aggs + retired q_late_lines_by_status)
+#    Registry 124 + 6 - 6 = 124; margin stays 26.
+# 3. KEEP in the window the heavy / plan-sensitive r13-vintage rows
+#    (fifteen CEP rows, eight dedup rows, doc_pack_ffd,
+#    text_lm_quality are the r13 precedent -- recompute the exact
+#    keep/sit-out split from CORRECTNESS_r14 at rotation time:
+#    27 + 6 leaves 17 slots).
+# 4. NAME the remaining ~33 r13-vintage queries as round-15
+#    PLANNED_SITOUTS (2-stale at r16, legal once).
+# Round-16 consequence: those ~33 sit-outs + the six-entry round-16
+# queue half (doc_domain_caps, text_gopher_rules,
+# q_events_zorder_stats, multimodal_avi_stats, dedup_incremental,
+# cep_sql_prev_ascent -- the DEFINE-navigation query added round 14)
+# fill ~39 slots; pair the six registrations with retirements chosen
+# at round-16 planning time.  124 + 6 - 6 = 124 keeps margin 26.
 # Before this rotation every promoted query was verified green in its
-# latest CORRECTNESS row (r10) and every demoted query green in
-# CORRECTNESS_r12.json (scripts/window_audit.py run before and after).
+# latest CORRECTNESS row (r11) and every demoted query green in
+# CORRECTNESS_r13.json (scripts/window_audit.py run before and after).
 
 # Machine-readable sit-out plan: queries whose latest driver row is
 # EXPECTED to be exactly 2 rounds stale at the NEXT driver run, because
@@ -245,98 +280,96 @@ RETIRED = (
 # this plan exactly -- any unplanned-stale query, any planned one that
 # is stale-and-red, or ANY row more than 2 rounds stale (planned or
 # not -- the hard ceiling added round 11) is a rotation bug and exits
-# nonzero.  Chosen round 13 (exactly as pre-named in the round-12
-# plan): the twenty-five simplest r11-green shapes -- the eighteen
-# cheap scan/agg/window relational+pipeline shapes, the three
-# sub-second round-11 registrations (text_dedup_paragraphs_fuzzy,
-# doc_contamination_matrix, doc_mixture_rebalance), and the four
-# one-pass multi-grouping aggs.  Every heavy or plan-sensitive r11
-# query (all fifteen CEP rows, all eight dedup rows, doc_pack_ffd,
-# text_lm_quality) stays in the window.
+# nonzero.  Chosen round 14 (exactly as pre-named in the round-13
+# plan): the twenty-seven r12-green rows not kept in the window and
+# not retired -- cheap scan/agg/window relational shapes, the
+# sub-second text/doc pipeline rows, and the four r12 registrations
+# whose plan shapes have heavier registered siblings.
 PLANNED_SITOUTS = (
-    "doc_source_stats",
-    "doc_token_budget",
-    "doc_mixture_sample",
-    "doc_mixture_upsample",
-    "doc_split_assign",
-    "doc_global_shuffle",
-    "doc_vocab_coverage",
-    "doc_rolling_fingerprint",
-    "doc_chunk_overlap",
-    "doc_pii_scrub",
+    "doc_curation_funnel",
+    "doc_importance_weights",
+    "doc_split_leakage",
+    "doc_winnow_robust",
+    "dedup_url_canonical",
+    "q_asof_last_click",
+    "q_range_join_clicks",
+    "q_session_windows",
+    "q_skew_salted_events",
+    "text_dedup_paragraphs",
+    "text_dedup_paragraphs_global",
+    "doc_quality_calibration",
+    "text_quality_buckets",
+    "text_profile",
+    "text_bigram_lift",
+    "doc_winnow_fingerprints",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q_top_customers_per_nation",
+    "q_rollup_order_priority",
+    "q_customers_without_orders",
+    "q_orders_without_items",
+    "q_parts_with_cheap_suppliers",
+    "q_quantity_percentiles",
+    "q_above_nation_avg",
+    "q_running_order_totals",
+    "q_product_profit",
+)
+
+_PRIORITY = (
+    # 2-rounds-stale round-13 sit-outs (last row r11) -- first, per plan
     "text_repetition",
     "text_language",
-    "q_balance_quartiles",
-    "q_events_props_json",
-    "q_events_sliding",
-    "q_local_supplier_volume",
-    "q_returned_item_customers",
-    "q_waiting_suppliers",
+    "doc_rolling_fingerprint",
+    "doc_mixture_upsample",
+    "doc_source_stats",
+    "doc_pii_scrub",
+    "doc_chunk_overlap",
+    "doc_vocab_coverage",
+    "doc_split_assign",
+    "doc_global_shuffle",
+    "doc_token_budget",
     "text_dedup_paragraphs_fuzzy",
     "doc_contamination_matrix",
     "doc_mixture_rebalance",
+    "q_events_sliding",
+    "q_events_props_json",
     "q_cube_lineitem_flags",
     "q_grouping_sets",
     "q_pivot_status_priority",
     "q_unpivot_balances",
-)
-
-_PRIORITY = (
-    # 2-rounds-stale round-12 sit-outs (last row r10) -- first, per plan
-    "q1_pricing_summary",
-    "q6_revenue_delta",
-    "q_big_building_buyers",
-    "q_scalar_functions",
-    "q_orders_by_month",
-    "q_distinct_counts",
-    "q_late_ship_priority",
-    "q_order_count_distribution",
-    "q_promo_revenue_share",
-    "q_large_quantity_orders",
-    "q_segment_opportunity",
-    "q_disjunctive_revenue",
-    "q_binational_volume",
-    "q_top_supplier",
-    "q_small_quantity_revenue",
-    "q_excess_inventory_suppliers",
-    "q_nation_market_share",
-    "q_min_cost_suppliers",
-    "q_important_parts",
-    "q_user_sessions",
-    # new in round 13 (never driver-checked; pre-staged round 11)
-    "doc_hll_registers",
-    "doc_bloom_decontam",
-    "doc_span_merge",
-    "sim_kmeans",
-    "text_tfidf_search",
-    # r11-stale: CEP family (all fifteen)
-    "cep_conversion_rate",
-    "cep_error_pairs_skippast",
-    "cep_error_streaks_skip",
-    "cep_error_then_purchase_grouped",
-    "cep_error_triples",
-    "cep_high_purchase_chains",
-    "cep_nested_funnel_relaxed",
-    "cep_optional_click_prefix",
-    "cep_signup_abandoned",
-    "cep_signup_any_purchase",
-    "cep_signup_to_purchase",
-    "cep_spending_burst",
-    "cep_view_click_cycles",
-    "cep_view_click_runs",
-    "cep_view_combos_ndrelaxed",
-    # r11-stale: dedup family (all eight)
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_scrub_spans",
-    "dedup_semantic",
-    "dedup_simhash",
-    "dedup_substring_spans",
-    "dedup_winnow_pairs",
-    # r11-stale: remaining Python-kernel / plan-sensitive keepers
-    "doc_pack_ffd",
-    "text_lm_quality",
+    "q_balance_quartiles",
+    "q_waiting_suppliers",
+    "q_returned_item_customers",
+    "q_local_supplier_volume",
+    # new in round 14 (never driver-checked; pre-staged rounds 11-12)
+    "doc_snapshot_diff",
+    "doc_link_pagerank",
+    "sim_jl_project",
+    "multimodal_wav_stats",
+    "multimodal_ppm_stats",
+    # r12-stale keepers: CEP family (the eight r12-row queries)
+    "cep_high_purchases",
+    "cep_funnel_3step",
+    "cep_funnel_within",
+    "cep_error_runs",
+    "cep_purchase_then_error",
+    "cep_error_runs_skiptolast",
+    "cep_signup_purchase_skipfirst",
+    "cep_purchase_no_immediate_error",
+    # r12-stale keepers: dedup / sketch / ANN / Python-kernel shapes
+    "dedup_clusters",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "dedup_canonical_quality",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_pq",
+    "sim_embedding_neardup",
+    "multimodal_bytes",
+    "doc_decontam",
+    "doc_pack_sequences",
+    "text_dedup_xdoc_fuzzy",
 )
 
 

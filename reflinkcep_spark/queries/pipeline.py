@@ -3861,6 +3861,13 @@ QUERIES = {
     "doc_span_merge": doc_span_merge,
     "sim_kmeans": sim_kmeans,
     "text_tfidf_search": text_tfidf_search,
+    # registered round 14 (pre-staged + oracle-verified since rounds
+    # 11-12; pinned by test_prestaged_round14_queries_match_oracles)
+    "doc_snapshot_diff": doc_snapshot_diff,
+    "doc_link_pagerank": doc_link_pagerank,
+    "sim_jl_project": sim_jl_project,
+    "multimodal_wav_stats": multimodal_wav_stats,
+    "multimodal_ppm_stats": multimodal_ppm_stats,
 }
 
 ORACLES = {
@@ -3932,4 +3939,13 @@ ORACLES = {
     # lazy: resolved by all_oracles() on first use (the tf·idf corpus
     # statistics are embedded as literals on both engines).
     "text_tfidf_search": _sql_text_tfidf_search,
+    # registered round 14 (pre-staged + oracle-verified since rounds
+    # 11-12)
+    "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
+    "doc_link_pagerank": SQL_DOC_LINK_PAGERANK,
+    # lazy: the quantized hyperplane literals are built on first use
+    # (pure arithmetic, no parquet read — lazy only for import cost).
+    "sim_jl_project": _sql_sim_jl_project,
+    "multimodal_wav_stats": SQL_MULTIMODAL_WAV_STATS,
+    "multimodal_ppm_stats": SQL_MULTIMODAL_PPM_STATS,
 }

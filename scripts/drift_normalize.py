@@ -70,6 +70,7 @@ def main() -> int:
     ca, cb = a.get("calibration_sec"), b.get("calibration_sec")
     print(f"common subset: {len(common)} queries")
     print(f"raw total ratio      (B/A): {raw:.3f}  ({total_a:.2f}s -> {total_b:.2f}s)")
+    shuf = None
     if ca is not None and cb is not None and ca > 0 and cb > 0:
         calib = cb / ca
         label = "normalized"
@@ -105,16 +106,44 @@ def main() -> int:
         # A zero/near-zero side is reported as an infinite mover, never
         # divided by (a 0.0 recording with a measurable other side is
         # exactly the row a human should look at).
-        r = float("inf") if qa[q] <= 0 else (qb[q] / qa[q]) / calib
+        if qa[q] <= 0:
+            movers.append((float("inf"), float("inf"), q, qa[q], qb[q]))
+            continue
+        r_cpu = (qb[q] / qa[q]) / calib
+        # A mover must exceed the floor under BOTH divisors (rule stated
+        # in the r13 verdict): raw inflation the shuffle row also shows
+        # is box bandwidth state; inflation NEITHER divisor explains is
+        # the regression-hunt signal.
+        r_shuf = (qb[q] / qa[q]) / shuf if shuf else r_cpu
+        r = min(r_cpu, r_shuf) if r_cpu > 1 else max(r_cpu, r_shuf)
         if r > NOISE_FLOOR or r < 1 / NOISE_FLOOR:
-            movers.append((r, q, qa[q], qb[q]))
+            movers.append((r_cpu, r_shuf, q, qa[q], qb[q]))
     if movers:
-        what = "calibration" if label == "normalized" else f"x{NOISE_FLOOR} raw"
-        print(f"\nmovers beyond {what} (reproduce these bench-vs-bench):")
-        for r, q, ta, tb in sorted(movers, reverse=True):
-            print(f"  {q:32s} {ta:7.3f}s -> {tb:7.3f}s   {label} x{r:.2f}")
+        what = ("BOTH calibration divisors" if shuf
+                else "calibration" if label == "normalized"
+                else f"x{NOISE_FLOOR} raw")
+        print(f"\nmovers beyond {what} (reproduce these interleaved median-of-3):")
+        for r_cpu, r_shuf, q, ta, tb in sorted(movers, reverse=True):
+            both = f"cpu-norm x{r_cpu:.2f}"
+            if shuf:
+                both += f"  shuf-norm x{r_shuf:.2f}"
+            print(f"  {q:32s} {ta:7.3f}s -> {tb:7.3f}s   {both}")
     else:
         print("\nno per-query mover exceeds what calibration explains — chase nothing")
+    # Explicit verdict line (round 14): name the box-vs-code call so the
+    # adjudication is mechanical, not a judgment re-made each round.
+    if shuf is not None:
+        if raw > NOISE_FLOOR and raw / shuf <= 1.1:
+            print("\nVERDICT: raw inflation tracks the shuffle calibration row — "
+                  "box bandwidth mode, chase nothing.")
+        elif raw > NOISE_FLOOR and abs(shuf - 1.0) < 0.1:
+            print("\nVERDICT: raw inflation with calib_shuffle FLAT — this is a "
+                  "REGRESSION HUNT, not box state (NOTES_r13 rule).")
+        elif movers:
+            print("\nVERDICT: totals within noise but per-query movers exceed both "
+                  "divisors — reproduce each interleaved median-of-3.")
+        else:
+            print("\nVERDICT: no drift beyond what the calibration rows explain.")
     return 0
 
 
