@@ -176,7 +176,11 @@ def match_pattern(
         streaming twin's does (Flink's time-bounded ``within()``).
         Must be non-decreasing in ``order_by`` order within each key
         (event time on an ordered log is), because expired-run pruning
-        assumes monotone stamps.  Default ``None`` keeps the
+        assumes monotone stamps — the kernel ENFORCES this with a
+        vectorized per-group check (NULL or regressing stamps raise
+        ``ValueError`` naming the key and order position, instead of
+        silently dropping or inventing matches).  Default ``None``
+        keeps the
         reference-parity behavior: stamps are the ``order_by`` values
         themselves.  The fast-path planner is bypassed when this
         differs from ``order_by`` (its span post-filter sees only
@@ -300,9 +304,34 @@ def match_pattern(
         declared = list(query.schema.keys())
         sole_type = declared[0] if len(declared) == 1 else None
 
+    # Run pruning (runtime.feed) assumes stamps are non-decreasing in
+    # feed order; with a decoupled stamp column that is a DATA property
+    # the plan cannot guarantee — check it per group (vectorized, ~free
+    # next to the NFA loop) instead of documenting it and silently
+    # dropping or inventing matches when real data violates it.
+    check_stamps = within_col is not None and within is not None
+
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="mergesort")
         key_values = {k: pdf.iloc[0][k] for k in keys} if len(pdf) else {}
+        if check_stamps and len(pdf):
+            s = pdf[stamp_col]
+            if bool(s.isna().any()):
+                raise ValueError(
+                    f"within_col {stamp_col!r} has NULL stamps for key "
+                    f"{key_values!r} — the within bound needs a stamp on "
+                    "every event"
+                )
+            regress = s.diff() < 0
+            if bool(regress.any()):
+                at = pdf.loc[regress.idxmax(), order_by]
+                raise ValueError(
+                    f"within_col {stamp_col!r} regresses at "
+                    f"{order_by}={at!r} for key {key_values!r} — stamps "
+                    f"must be non-decreasing in {order_by} order (run "
+                    "pruning assumes monotone stamps); order by the stamp "
+                    "column or fix the stamp derivation"
+                )
         records = pdf[attr_cols].to_dict("records")
         if type_col is not None:
             types: Iterable = pdf[type_col].tolist()

@@ -65,23 +65,31 @@ __all__ = ["match_pattern_stream"]
 
 
 def _save_engine(
-    engine: MatchEngine, match_seq: int, buffer: dict, pending: list
+    engine: MatchEngine, match_seq: int, buffer: dict, pending: list,
+    last_stamp=None,
 ) -> bytes:
     runs = [
         (k, (c.state, c.env, c.caps, c.last_take, c.eps_seen, c.first))
         for k, c in engine.runs
     ]
-    return pickle.dumps((engine.pos, runs, match_seq, buffer, pending), protocol=5)
+    return pickle.dumps(
+        (engine.pos, runs, match_seq, buffer, pending, last_stamp),
+        protocol=5,
+    )
 
 
-def _load_engine(blob: bytes, engine: MatchEngine) -> tuple[int, dict, list]:
-    pos, runs, match_seq, buffer, pending = pickle.loads(blob)
+def _load_engine(blob: bytes, engine: MatchEngine) -> tuple:
+    data = pickle.loads(blob)
+    # pre-round-14 checkpoints have no last_stamp element (same
+    # migration contract as _coerce_eps below)
+    pos, runs, match_seq, buffer, pending = data[:5]
+    last_stamp = data[5] if len(data) > 5 else None
     engine.pos = pos
     engine.runs = [
         (k, _Cfg(state, env, caps, last_take, _coerce_eps(eps), first))
         for k, (state, env, caps, last_take, eps, first) in runs
     ]
-    return match_seq, buffer, pending
+    return match_seq, buffer, pending, last_stamp
 
 
 def _coerce_eps(eps) -> int:
@@ -136,7 +144,9 @@ def match_pattern_stream(
     column (e.g. ``unix_micros(ts)``) whose values stamp events for
     the ``within`` bound instead of ``order_by`` — the time-based
     ``within()`` semantics.  Must be non-decreasing in ``order_by``
-    order within each key.
+    order within each key — enforced at runtime (the last stamp
+    persists in the key's state, so a regression ACROSS micro-batches
+    raises too, exactly like the batch kernel's per-group check).
     """
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     if not keys:
@@ -180,9 +190,32 @@ def match_pattern_stream(
     n_keys = len(keys)
     timeout = "ProcessingTimeTimeout" if idle_timeout_ms else "NoTimeout"
 
-    def feed(engine, incoming, buffer, match_seq, key, key_values):
+    # Same data-property check as the batch kernel (operators/cep.py):
+    # run pruning assumes stamps are non-decreasing in feed order; the
+    # previous stamp rides in the key's state so cross-batch
+    # regressions are caught, not just intra-batch ones.
+    check_stamps = within_col is not None and within is not None
+
+    def feed(engine, incoming, buffer, match_seq, key, key_values,
+             last_stamp=None):
         rows: list[dict] = []
         for ev_type, rec in incoming:
+            if check_stamps:
+                st = rec[stamp_col]
+                if st is None or st != st:
+                    raise ValueError(
+                        f"within_col {stamp_col!r} has a NULL stamp at "
+                        f"{order_by}={rec[order_by]!r} for key {key!r} — "
+                        "the within bound needs a stamp on every event"
+                    )
+                if last_stamp is not None and st < last_stamp:
+                    raise ValueError(
+                        f"within_col {stamp_col!r} regresses at "
+                        f"{order_by}={rec[order_by]!r} for key {key!r} — "
+                        f"stamps must be non-decreasing in {order_by} "
+                        "order (run pruning assumes monotone stamps)"
+                    )
+                last_stamp = st
             buffer[engine.pos] = rec
             for m in engine.feed(ev_type, rec, rec[stamp_col]):
                 row = dict(key_values)
@@ -206,7 +239,7 @@ def match_pattern_stream(
                     f"live run-set exceeded {max_active_runs} for key "
                     f"{key!r}; add a stricter condition or raise the limit"
                 )
-        return rows, match_seq
+        return rows, match_seq, last_stamp
 
     def step(key: tuple, pdf_iter: Iterable[pd.DataFrame], state):
         if state.hasTimedOut:
@@ -216,19 +249,22 @@ def match_pattern_stream(
             rows: list[dict] = []
             if event_time_col is not None and state.exists:
                 engine = MatchEngine(automaton, strategy, within)
-                match_seq, buffer, pending = _load_engine(state.get[0], engine)
+                match_seq, buffer, pending, last_stamp = _load_engine(
+                    state.get[0], engine
+                )
                 wm = state.getCurrentWatermarkMs()
                 ready = sorted(
                     (p for p in pending if p[0] <= wm),
                     key=lambda p: (p[2][order_by],),
                 )
-                rows, _ = feed(
+                rows, _, _ = feed(
                     engine,
                     [(t, r) for _ms, t, r in ready],
                     buffer,
                     match_seq,
                     key,
                     dict(zip(keys, key[:n_keys])),
+                    last_stamp,
                 )
             state.remove()
             if rows:
@@ -236,9 +272,11 @@ def match_pattern_stream(
             return
 
         engine = MatchEngine(automaton, strategy, within)
-        match_seq, buffer, pending = 0, {}, []
+        match_seq, buffer, pending, last_stamp = 0, {}, [], None
         if state.exists:
-            match_seq, buffer, pending = _load_engine(state.get[0], engine)
+            match_seq, buffer, pending, last_stamp = _load_engine(
+                state.get[0], engine
+            )
 
         chunks = [p for p in pdf_iter if len(p)]
         incoming: list = []  # [(ev_type, record)] in feed order
@@ -275,9 +313,10 @@ def match_pattern_stream(
 
         rows: list[dict] = []
         if incoming:
-            rows, match_seq = feed(
+            rows, match_seq, last_stamp = feed(
                 engine, incoming, buffer, match_seq, key,
                 dict(zip(keys, key[:n_keys])),
+                last_stamp,
             )
 
         # Prune the buffer to what live runs can still reference: every
@@ -288,7 +327,9 @@ def match_pattern_stream(
         else:
             buffer = {}
 
-        state.update((_save_engine(engine, match_seq, buffer, pending),))
+        state.update(
+            (_save_engine(engine, match_seq, buffer, pending, last_stamp),)
+        )
         if idle_timeout_ms:
             state.setTimeoutDuration(idle_timeout_ms)
         if rows:

@@ -369,7 +369,9 @@ def test_load_engine_coerces_legacy_eps_tuple():
     eng = MatchEngine(aut, q.strategy)
     first = run(PAIRS[:half], eng)
     blob = _save_engine(eng, match_seq=0, buffer={}, pending=[])
-    pos, runs, match_seq, buffer, pending = pickle.loads(blob)
+    # [:5] — round 14 appended last_stamp; this test builds the LEGACY
+    # 5-tuple layout on purpose
+    pos, runs, match_seq, buffer, pending = pickle.loads(blob)[:5]
     legacy_runs = [
         (
             k,
