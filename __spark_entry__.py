@@ -152,7 +152,7 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     starts it with ``.writeStream`` (memory sink +
     ``trigger(availableNow=True)`` in the tests).
 
-    The fifteen entries cover every streaming execution path the repo
+    The sixteen entries cover every streaming execution path the repo
     has (STREAMING_READY.md): the stateful NFA kernel (plain and
     span-bounded — ``within`` doubles as the run-state bound, in
     order-column units AND in event time via ``within_col``), three
@@ -167,13 +167,15 @@ def queries_streaming() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     both complete mode).
     Each one's batch twin is a REGISTERED driver query with IDENTICAL
     arithmetic (exact cent sums / md5 digests / canonical URLs) —
-    except ``text_boilerplate_stream`` and
-    ``cep_funnel_within_time_stream``, whose twins are queue-staged
-    round-15 queries (oracle-verified + suite-pinned, registration
-    queued), and ``doc_cms_registers_stream``, whose batch twin is the
-    shared ``sketch.cms_registers`` helper (the registered-queue form
-    is the derived ``doc_cms_estimates``; register equality is pinned
-    in tests).
+    except ``text_boilerplate_stream``,
+    ``cep_funnel_within_time_stream`` and ``cep_sql_funnel_stream``
+    (the SQL:2016 MATCH_RECOGNIZE front end on a stream — round 14),
+    whose twins are queue-staged round-15 queries (oracle-verified +
+    suite-pinned, registration queued), and
+    ``doc_cms_registers_stream``, whose batch twin is the shared
+    ``sketch.cms_registers`` helper (the registered-queue form is the
+    derived ``doc_cms_estimates``; register equality is pinned in
+    tests).
     The streaming check is
     "stream result == batch twin (== oracle)": full equality for the
     kernel, dedup, and gate entries, and equality on watermark-CLOSED
@@ -525,6 +527,28 @@ context:
             _stream_table(spark, sf_dir, "documents")
         )
 
+    def cep_sql_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming twin of ``cep_sql_funnel`` (round-15 queue): the
+        SQL:2016 MATCH_RECOGNIZE front end on a STREAM — sixteenth
+        entry, proving the front end is not batch-only.  The shared
+        spec (reluctant filler ``S G*? P`` + SKIP TO NEXT ROW) is
+        exactly the finalization-free combination the streaming
+        kernel's SQL selection supports: a start's winner is its
+        first-completing candidate, so every match emits the moment it
+        completes and equality vs batch is EXACT and total — modulo
+        ``match_seq``, which is completion-ordered on the stream and
+        start-ordered in batch, so both sides drop it in the pin
+        (tests/test_streaming_entry.py)."""
+        from reflinkcep_spark.cep.match_recognize import match_recognize_stream
+        from reflinkcep_spark.queries.cep_queries import MR_FUNNEL_SPEC
+        from reflinkcep_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(spark)
+        stream = _stream_events(spark, sf_dir).select(
+            "user_id", "event_id", "event_type", "value"
+        )
+        return match_recognize_stream(stream, MR_FUNNEL_SPEC).drop("match_seq")
+
     return {
         "cep_signup_to_purchase_stream": cep_signup_to_purchase_stream,
         "q_events_tumbling_stream": q_events_tumbling_stream,
@@ -541,4 +565,5 @@ context:
         "doc_cms_registers_stream": doc_cms_registers_stream,
         "cep_funnel_within_time_stream": cep_funnel_within_time_stream,
         "text_boilerplate_stream": text_boilerplate_stream,
+        "cep_sql_funnel_stream": cep_sql_funnel_stream,
     }

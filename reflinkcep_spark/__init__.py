@@ -27,6 +27,7 @@ __all__ = [
     "Query",
     "compile_query",
     "match_recognize",
+    "match_recognize_stream",
     "MatchEngine",
     "run_pattern",
 ]
@@ -35,10 +36,10 @@ __all__ = [
 def __getattr__(name):
     # Lazy: match_recognize pulls in pyspark; the CEP core (Pattern /
     # Query / run_pattern) stays importable without a JVM on the path.
-    if name == "match_recognize":
-        from reflinkcep_spark.cep.match_recognize import match_recognize
+    if name in ("match_recognize", "match_recognize_stream"):
+        from reflinkcep_spark.cep import match_recognize as _mr
 
-        return match_recognize
+        return getattr(_mr, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __version__ = "0.1.0"

@@ -14,8 +14,11 @@ these with a builtins-stripped ``eval``; genjava.py:371-379 rewrites
   (``F.expr``) and inside the DuckDB oracle.
 
 Only a whitelisted AST subset is accepted: names, int/float/str/bool
-literals, comparisons (incl. chained), ``and/or/not``, unary ``-`` and
-``+ - * / // %`` arithmetic.  Anything else (calls, attributes,
+literals, comparisons (incl. chained), ``and/or/not``, unary ``-``,
+``+ - * / // %`` arithmetic, and the conditional expression
+``a if cond else b`` (→ SQL ``CASE WHEN``; added round 14 for the
+MATCH_RECOGNIZE DEFINE-navigation registers, whose FIRST(V.col)
+update is inherently conditional).  Anything else (calls, attributes,
 subscripts, lambdas, comprehensions…) is rejected at compile time, which
 is both the sandbox and the guarantee that ``to_sql`` is total on
 accepted input.
@@ -66,6 +69,7 @@ _ALLOWED_NODES = (
     _pyast.Name,
     _pyast.Load,
     _pyast.Constant,
+    _pyast.IfExp,
 )
 
 _ALLOWED_CONST_TYPES = (int, float, str, bool, type(None))
@@ -198,6 +202,11 @@ def to_sql(expr: str, column_map: Mapping[str, str] | None = None) -> str:
                 return f"((({a} % {b}) + {b}) % {b})"
             op = _BIN_SQL[type(node.op)]
             return f"({emit(node.left)} {op} {emit(node.right)})"
+        if isinstance(node, _pyast.IfExp):
+            return (
+                f"(CASE WHEN {emit(node.test)} THEN {emit(node.body)} "
+                f"ELSE {emit(node.orelse)} END)"
+            )
         if isinstance(node, _pyast.Compare):
             parts = []
             left = node.left

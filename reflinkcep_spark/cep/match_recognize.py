@@ -45,12 +45,28 @@ Supported subset
   preference would be ambiguous).
 * ``DEFINE`` — boolean conditions over the CURRENT row's columns,
   written SQL-style (``B.value > 50 AND B.event_type = 'error'``);
-  the ``var.`` qualifier must be the variable being defined
-  (navigation like ``LAST(A.x)`` / ``PREV(x)`` inside DEFINE is not
-  supported — use the YAML surface's iterative conditions for that).
+  a plain ``var.`` qualifier must be the variable being defined.
   Undefined variables match any row (SQL semantics).  Conditions are
   translated into the engine's expression sub-language and validated
   by its sandbox (:mod:`reflinkcep_spark.cep.expr`).
+
+  **Navigation (round 14)**: ``PREV(col [, n])`` / ``NEXT(col [, n])``
+  are SQL:2016 PHYSICAL navigation — they read the row n before/after
+  the current one in PARTITION order (including rows outside the
+  match, e.g. before the match start), exactly Flink SQL's semantics —
+  implemented as ``lag``/``lead`` window columns computed before the
+  kernel on the same key partitioning (no extra shuffle).
+  ``FIRST(V.col [, n])`` / ``LAST(V.col [, n])`` are LOGICAL
+  navigation over the rows mapped to ``V`` in the current match
+  attempt, implemented as per-run accumulator registers on V's leaf
+  (the engine's iterative-condition ``variables`` mechanism;
+  reference lpat-n-m-ic.yml).  Inside V's own DEFINE the current row
+  counts as mapped (SQL RUNNING semantics): ``LAST(V.col)`` is the
+  current row, ``LAST(V.col, 1)`` the previous row V took.  An
+  out-of-range offset or an unmapped variable navigates to NULL, and
+  the NULL rule below makes the predicate not TRUE — matching SQL.
+  ``LAST`` offsets are supported up to a depth-2 register chain
+  (deeper raises); navigation inside MEASURES is not supported.
 
   NULL handling: a row with NULL (or NaN) in ANY column the
   variable's condition references does NOT match that variable — the
@@ -104,7 +120,12 @@ from reflinkcep_spark.cep.query import Query
 if TYPE_CHECKING:  # pragma: no cover - typing only
     from pyspark.sql import DataFrame
 
-__all__ = ["match_recognize", "MatchRecognizeError", "translate"]
+__all__ = [
+    "match_recognize",
+    "match_recognize_stream",
+    "MatchRecognizeError",
+    "translate",
+]
 
 
 class MatchRecognizeError(ValueError):
@@ -155,6 +176,28 @@ _CLAUSE_KEYWORDS = (
 )
 
 
+def _clause_shape_ok(up: str, nxt: str | None, nxt2: str | None) -> bool:
+    """A depth-0 clause keyword only OPENS a clause when the following
+    token(s) match the clause's fixed shape — otherwise an identifier
+    that happens to be named ALL/ORDER/PATTERN/… (a measure alias, a
+    DEFINE variable) would hijack clause splitting and surface as a
+    misleading 'duplicate clause' error."""
+    if up in ("PARTITION", "ORDER"):
+        return nxt == "BY"
+    if up == "AFTER":
+        return nxt == "MATCH"
+    if up == "ONE":
+        return nxt == "ROW"
+    if up == "ALL":
+        return nxt == "ROWS"
+    if up == "PATTERN":
+        return nxt == "("
+    if up == "DEFINE":
+        return nxt2 == "AS"  # DEFINE <var> AS …
+    return True  # MEASURES: no fixed shape (aliases named MEASURES are
+    #             rejected in _parse_measures instead)
+
+
 def _split_clauses(tokens: list[str]) -> dict[str, list[str]]:
     """Split the token stream into clause-keyword → body tokens (the
     keyword token(s) included), tracking paren depth so identifiers
@@ -162,9 +205,17 @@ def _split_clauses(tokens: list[str]) -> dict[str, list[str]]:
     clauses: dict[str, list[str]] = {}
     current: str | None = None
     depth = 0
-    for tok in tokens:
+    for i, tok in enumerate(tokens):
         up = tok.upper()
-        if depth == 0 and up in _CLAUSE_KEYWORDS:
+        if (
+            depth == 0
+            and up in _CLAUSE_KEYWORDS
+            and _clause_shape_ok(
+                up,
+                tokens[i + 1].upper() if i + 1 < len(tokens) else None,
+                tokens[i + 2].upper() if i + 2 < len(tokens) else None,
+            )
+        ):
             if up in clauses:
                 raise MatchRecognizeError(f"duplicate {up} clause")
             clauses[up] = []
@@ -248,6 +299,16 @@ def _parse_measures(tokens: list[str]) -> list[tuple]:
         alias = part[-1]
         if not re.match(r"^[A-Za-z_]\w*$", alias):
             raise MatchRecognizeError(f"bad measure alias {alias!r}")
+        if alias.upper() in _CLAUSE_KEYWORDS:
+            raise MatchRecognizeError(
+                f"measure alias {alias!r} collides with a clause keyword "
+                "— rename it"
+            )
+        if alias.startswith("__"):
+            raise MatchRecognizeError(
+                f"measure alias {alias!r}: the '__' prefix is reserved "
+                "for internal projection names"
+            )
         body = part[:-2]
         if body and body[0].upper() == "RUNNING":
             raise MatchRecognizeError(
@@ -342,6 +403,11 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
         var = body[i]
         if not re.match(r"^[A-Za-z_]\w*$", var):
             raise MatchRecognizeError(f"bad pattern variable {var!r}")
+        if var.startswith("__"):
+            raise MatchRecognizeError(
+                f"pattern variable {var!r}: the '__' prefix is reserved "
+                "for internal navigation registers"
+            )
         i += 1
         lo, hi, quantified = 1, 1, False
         if i < len(body) and body[i] in _QUANT_OPEN:
@@ -398,16 +464,202 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
 
 _SQL_KEYWORD_MAP = {"AND": "and", "OR": "or", "NOT": "not", "TRUE": "True", "FALSE": "False"}
 
+_NAV_FNS = ("PREV", "NEXT", "FIRST", "LAST")
 
-def _condition_to_expr(var: str, tokens: list[str]) -> str:
+# maximum last-taken-row register index the LAST(V.col, n) chain keeps
+# (each index is one more per-run register; deeper offsets are rare
+# enough in real DEFINEs that the clear error beats silent state bloat)
+_MAX_LAST_CHAIN = 2
+
+
+class _Nav:
+    """Per-spec collector for DEFINE navigation (round 14).
+
+    * ``physical``: ``PREV``/``NEXT`` navigate PARTITION rows
+      (SQL:2016 physical navigation — including rows before the match
+      start), so each distinct ``(kind, col, n)`` becomes a
+      ``lag``/``lead`` window column computed Spark-side BEFORE the
+      kernel (same key partitioning as the kernel exchange → no extra
+      shuffle) and referenced by name in the condition.
+    * ``registers``: ``FIRST``/``LAST(V.col)`` navigate the rows mapped
+      to V in the CURRENT match attempt (logical navigation), which is
+      run state — each becomes a per-run accumulator register on V's
+      leaf via the engine's iterative-condition ``variables`` mechanism
+      (reference lpat-n-m-ic.yml's running-sum shape, compile.py:22-27).
+    """
+
+    def __init__(self) -> None:
+        self.physical: dict[str, tuple] = {}  # name -> (kind, col, n)
+        self.registers: dict[str, dict] = {}  # owner var -> {reg: spec}
+        self.guards: dict[str, list[str]] = {}  # define var -> guard exprs
+
+    def _reg(self, owner: str, name: str, initial, update: str) -> str:
+        self.registers.setdefault(owner, {})[name] = {
+            "initial": initial,
+            "update": update,
+        }
+        return name
+
+    def _count(self, owner: str) -> str:
+        return self._reg(
+            owner, f"__mr_n_{owner}", 0, f"__mr_n_{owner} + 1"
+        )
+
+    def _last_chain(self, owner: str, col: str, upto: int) -> str:
+        """Registers ``__mr_l{j}_{owner}_{col}`` = ``col`` of the
+        (j+1)-th-from-last row ALREADY taken by ``owner`` (simultaneous
+        assignment shifts the chain on each take)."""
+        if upto > _MAX_LAST_CHAIN:
+            raise MatchRecognizeError(
+                f"LAST offset {upto} inside DEFINE exceeds the supported "
+                f"register chain ({_MAX_LAST_CHAIN})"
+            )
+        prev = col
+        for j in range(upto + 1):
+            name = f"__mr_l{j}_{owner}_{col}"
+            self._reg(owner, name, None, prev)
+            prev = name
+        return f"__mr_l{upto}_{owner}_{col}"
+
+    def _first(self, owner: str, col: str, n: int) -> str:
+        cnt = self._count(owner)
+        name = f"__mr_f{n}_{owner}_{col}"
+        return self._reg(
+            owner, name, None, f"({col} if {cnt} == {n} else {name})"
+        )
+
+
+def _consume_nav(
+    kw: str,
+    var: str,
+    tokens: list[str],
+    i: int,
+    pattern_vars: list[str],
+    columns: list[str],
+    partition_by: str,
+    nav: _Nav,
+) -> tuple[str, str | None, int]:
+    """Parse a navigation call starting at ``tokens[i]`` (the keyword).
+    Returns ``(replacement_expr, guard_expr_or_None, next_index)``.
+    Guard exprs enforce SQL's NULL rule on the NAVIGATED value (an
+    out-of-range PREV / an unmapped variable yields NULL → the
+    predicate is never TRUE); physical navigation needs no explicit
+    guard because its replacement is a plain column name the standard
+    referenced-column guard covers."""
+    up = kw.upper()
+    if i + 1 >= len(tokens) or tokens[i + 1] != "(":
+        raise MatchRecognizeError(f"DEFINE {var}: {up} needs parentheses")
+    try:
+        close = tokens.index(")", i + 2)
+    except ValueError:
+        raise MatchRecognizeError(f"DEFINE {var}: {up}( … not closed") from None
+    args = tokens[i + 2 : close]
+    qualifier: str | None = None
+    if len(args) >= 3 and args[1] == ".":
+        qualifier, args = args[0], args[2:]
+    col = args[0] if args else None
+    n: int
+    if len(args) == 1:
+        n = 1 if up in ("PREV", "NEXT") else 0
+    elif len(args) == 3 and args[1] == "," and re.match(r"^\d+$", args[2]):
+        n = int(args[2])
+    else:
+        raise MatchRecognizeError(
+            f"DEFINE {var}: bad {up} arguments {' '.join(tokens[i:close+1])!r} "
+            f"(supported: {up}([V.]col [, n]))"
+            if up in ("PREV", "NEXT")
+            else f"DEFINE {var}: bad {up} arguments "
+            f"{' '.join(tokens[i:close+1])!r} (supported: {up}(V.col [, n]))"
+        )
+    if col is None or not re.match(r"^[A-Za-z_]\w*$", col):
+        raise MatchRecognizeError(f"DEFINE {var}: {up} needs a column argument")
+    if col == partition_by:
+        raise MatchRecognizeError(
+            f"DEFINE {var}: {up}({col}) navigates the PARTITION BY key — "
+            "it is constant within a key and not a navigable attribute"
+        )
+    if col not in columns:
+        raise MatchRecognizeError(
+            f"DEFINE {var}: {up} references unknown column {col!r}"
+        )
+
+    if up in ("PREV", "NEXT"):
+        if qualifier is not None and qualifier != var:
+            raise MatchRecognizeError(
+                f"DEFINE {var}: {up}({qualifier}.{col}) — physical "
+                "navigation may only qualify with the variable being "
+                f"defined ({up} reads PARTITION rows regardless of the "
+                "qualifier in SQL:2016; write the defining variable or "
+                "no qualifier)"
+            )
+        if n == 0:
+            return col, None, close + 1  # current row
+        kind = "prev" if up == "PREV" else "next"
+        name = f"__mr_{kind}{n}_{col}"
+        nav.physical[name] = (kind, col, n)
+        return name, None, close + 1
+
+    # FIRST / LAST: logical navigation over the rows mapped to V
+    if qualifier is None:
+        raise MatchRecognizeError(
+            f"DEFINE {var}: {up}({col}) — logical navigation needs the "
+            f"pattern variable: {up}(V.{col} [, n])"
+        )
+    if qualifier not in pattern_vars:
+        raise MatchRecognizeError(
+            f"DEFINE {var}: {up}({qualifier}.{col}) references unknown "
+            f"pattern variable {qualifier!r} (have {pattern_vars})"
+        )
+    owner = qualifier
+    if owner == var:
+        # RUNNING semantics: the current row is tentatively mapped to
+        # the variable being defined, so offsets shift by one onto the
+        # already-taken registers (offset 0 = the current row itself).
+        if up == "LAST":
+            repl = col if n == 0 else nav._last_chain(owner, col, n - 1)
+        else:
+            cnt = nav._count(owner)
+            reg = nav._first(owner, col, n)
+            repl = f"({col} if {cnt} == {n} else {reg})"
+    else:
+        repl = (
+            nav._last_chain(owner, col, n)
+            if up == "LAST"
+            else nav._first(owner, col, n)
+        )
+    guard = None if repl == col else f"({repl} == {repl} and {repl} != None)"
+    return repl, guard, close + 1
+
+
+def _condition_to_expr(
+    var: str,
+    tokens: list[str],
+    pattern_vars: list[str],
+    columns: list[str],
+    partition_by: str,
+    nav: _Nav,
+) -> str:
     """Translate a SQL DEFINE condition into the engine's expression
     sub-language: strip the self-variable qualifier, map operators and
-    keywords, keep literals.  Validated by expr.validate afterwards."""
+    keywords, keep literals, and expand PREV/NEXT/FIRST/LAST navigation
+    (see :class:`_Nav`).  Validated by expr.validate afterwards."""
     out: list[str] = []
     i = 0
     while i < len(tokens):
         tok = tokens[i]
         up = tok.upper()
+        if (
+            up in _NAV_FNS
+            and i + 1 < len(tokens)
+            and tokens[i + 1] == "("
+        ):
+            repl, guard, i = _consume_nav(
+                tok, var, tokens, i, pattern_vars, columns, partition_by, nav
+            )
+            if guard is not None and guard not in nav.guards.setdefault(var, []):
+                nav.guards[var].append(guard)
+            out.append(repl)
+            continue
         if (
             re.match(r"^[A-Za-z_]\w*$", tok)
             and i + 2 < len(tokens)
@@ -416,9 +668,9 @@ def _condition_to_expr(var: str, tokens: list[str]) -> str:
             if tok != var:
                 raise MatchRecognizeError(
                     f"DEFINE {var}: condition references {tok}.{tokens[i+2]} "
-                    "— only the variable being defined may qualify columns "
-                    "in this subset (cross-variable navigation needs the "
-                    "YAML surface's iterative conditions)"
+                    "— a plain cross-variable column read is not in this "
+                    "subset (navigate it: LAST({0}.{1}) / "
+                    "FIRST({0}.{1}))".format(tok, tokens[i + 2])
                 )
             out.append(tokens[i + 2])
             i += 3
@@ -473,7 +725,20 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         _parse_skip(clauses["AFTER"]) if "AFTER" in clauses else ("past_last", None)
     )
     elems = _parse_pattern(clauses["PATTERN"])
+    pattern_vars = [e[0] for e in elems]
+    if sum(e[1] for e in elems) == 0:
+        # SQL:2016 emits an EMPTY MATCH per eligible row for such
+        # patterns; this engine has no row to anchor one to, so reject
+        # at translate time (mirroring Flink SQL's "pattern can match
+        # empty" rejection) instead of silently emitting nothing.
+        raise MatchRecognizeError(
+            f"PATTERN ({' '.join(pattern_vars)}) can match zero rows "
+            "(every quantifier's lower bound is 0) — SQL's empty-match "
+            "semantics are not supported; give some variable a nonzero "
+            "lower bound"
+        )
 
+    nav = _Nav()
     defines: dict[str, str] = {}
     if "DEFINE" in clauses:
         for part in _split_top_commas(clauses["DEFINE"]):
@@ -485,13 +750,13 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
             var = part[0]
             if var in defines:
                 raise MatchRecognizeError(f"variable {var!r} defined twice")
-            defines[var] = _condition_to_expr(var, part[2:])
-
-    pattern_vars = [e[0] for e in elems]
-    for var in defines:
-        if var not in pattern_vars:
-            raise MatchRecognizeError(
-                f"DEFINE {var!r} does not appear in PATTERN {pattern_vars}"
+            if var not in pattern_vars:
+                raise MatchRecognizeError(
+                    f"DEFINE {var!r} does not appear in PATTERN "
+                    f"{pattern_vars}"
+                )
+            defines[var] = _condition_to_expr(
+                var, part[2:], pattern_vars, list(columns), partition_by, nav
             )
     if skip[1] is not None and skip[1] not in pattern_vars:
         raise MatchRecognizeError(
@@ -538,9 +803,36 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         )
     prefer = "shortest" if reluctants == {True} else "longest"
 
+    # Fence the documented selection approximation where it would BITE:
+    # with several FLEXIBLY-quantified variables (lo ≠ hi — a fixed
+    # {n} extent is deterministic) the engine's longest-overall /
+    # emission-index choice can assign rows to variables differently
+    # from SQL:2016's lexicographic-greedy preference, silently
+    # changing any measure over those variables.  Same contract as the
+    # mixed greedy/reluctant raise above.
+    flexible = {e[0] for e in elems if e[2] is None or e[1] != e[2]}
+    if len(flexible) > 1:
+        offending = [
+            alias for _k, mvar, _c, alias in measures if mvar in flexible
+        ]
+        if offending:
+            raise MatchRecognizeError(
+                f"measures {offending} read flexibly-quantified variables "
+                f"while PATTERN has several ({sorted(flexible)}): the "
+                "engine's per-start selection is longest-OVERALL, not "
+                "SQL:2016's per-quantifier lexicographic preference, so "
+                "those measures could silently diverge — restructure the "
+                "pattern (fixed {n} extents are fine) or measure only "
+                "singleton/fixed variables"
+            )
+
     import ast as _pyast
 
     attr_cols = [c for c in columns if c != partition_by]
+    nav_names = set(nav.physical)
+    register_names = {
+        r for regs in nav.registers.values() for r in regs
+    }
     for var, cond in list(defines.items()):
         try:
             expr_mod.validate(cond)
@@ -550,8 +842,9 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
             ) from exc
         # Names must resolve at kernel time: the condition sees the
         # current row's non-key columns (the partition column is the
-        # grouping key, not an event attribute) — catch a bad name
-        # here instead of a KeyError inside a running executor.
+        # grouping key, not an event attribute) plus the navigation
+        # columns/registers — catch a bad name here instead of a
+        # KeyError inside a running executor.
         referenced = []
         for node in _pyast.walk(_pyast.parse(cond, mode="eval")):
             if isinstance(node, _pyast.Name):
@@ -561,7 +854,10 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
                         "PARTITION BY key — it is constant within a "
                         "match and not visible to conditions"
                     )
-                if node.id not in attr_cols:
+                if node.id in register_names:
+                    continue  # per-run registers: NULL semantics are
+                    #           handled by nav.guards, never column-style
+                if node.id not in attr_cols and node.id not in nav_names:
                     raise MatchRecognizeError(
                         f"DEFINE {var}: unknown column {node.id!r} "
                         f"(row columns: {attr_cols})"
@@ -572,32 +868,42 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         # column → the variable does not match the row.  `c == c`
         # rejects NaN (NaN != NaN), `c != None` rejects None; `and`
         # short-circuits, so ordered comparisons never see a None.
-        if referenced:
-            guard = " and ".join(
-                f"({c} == {c} and {c} != None)" for c in referenced
-            )
-            defines[var] = f"{guard} and ({cond})"
+        # Navigation results get the same rule via nav.guards (an
+        # out-of-range PREV / unmapped variable is NULL → never TRUE).
+        guards = [
+            f"({c} == {c} and {c} != None)" for c in referenced
+        ] + nav.guards.get(var, [])
+        if guards:
+            defines[var] = f"{' and '.join(guards)} and ({cond})"
 
     # SQL matches CONTIGUOUS rows: strict combine + strict loops.
     def leaf(var: str, lo: int, hi: int | None) -> dict:
         cndt = {"expr": defines.get(var, "True")}
+        node: dict
         if lo == 1 and hi == 1:
-            return {"type": "spat", "name": var, "event": "row", "cndt": cndt}
-        if hi is None:
-            return {
+            node = {"type": "spat", "name": var, "event": "row", "cndt": cndt}
+        elif hi is None:
+            node = {
                 "type": "lpat-inf",
                 "name": var,
                 "event": "row",
                 "cndt": cndt,
                 "loop": {"contiguity": "strict", "from": lo},
             }
-        return {
-            "type": "lpat",
-            "name": var,
-            "event": "row",
-            "cndt": cndt,
-            "loop": {"contiguity": "strict", "from": lo, "to": hi},
-        }
+        else:
+            node = {
+                "type": "lpat",
+                "name": var,
+                "event": "row",
+                "cndt": cndt,
+                "loop": {"contiguity": "strict", "from": lo, "to": hi},
+            }
+        if var in nav.registers:
+            # FIRST/LAST navigation registers ride the engine's
+            # iterative-condition `variables` mechanism: per-run
+            # accumulators updated on each row this variable takes.
+            node["variables"] = nav.registers[var]
+        return node
 
     patseq = leaf(*elems[0][:3])
     for var, lo, hi, _rel in elems[1:]:
@@ -635,7 +941,46 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         "prefer": prefer,
         "rows_per_match": rows_per_match,
         "pattern_vars": pattern_vars,
+        # PREV/NEXT physical navigation: {col_name: (kind, col, n)} the
+        # caller must materialize as lag/lead window columns keyed on
+        # the partition column BEFORE running the kernel.
+        "nav_columns": nav.physical,
     }
+
+
+def _attach_nav_columns(df: DataFrame, t: dict, kernel_kwargs: dict):
+    """Materialize PREV/NEXT physical-navigation columns as lag/lead
+    window columns BEFORE the kernel.  Plan shape: the window needs the
+    same hash(partition key) distribution the kernel's grouped map
+    does, so repartition ONCE here and assert ``pre_partitioned`` to
+    the kernel — Exchange → Sort → Window → FlatMapGroupsInPandas, one
+    exchange total, exactly the no-navigation plan's count.  A caller
+    that already asserted ``pre_partitioned=True`` (bucketed log) keeps
+    its zero-exchange plan: the window reuses the bucket clustering."""
+    nav = t.get("nav_columns") or {}
+    if not nav:
+        return df, kernel_kwargs
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    for c in df.columns:
+        if c.startswith("__mr_"):
+            raise MatchRecognizeError(
+                f"input column {c!r}: the '__mr_' prefix is reserved for "
+                "navigation columns"
+            )
+    kernel_kwargs = dict(kernel_kwargs)
+    if not kernel_kwargs.get("pre_partitioned"):
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        df = df.repartition(n_parts, t["partition_by"])
+        kernel_kwargs["pre_partitioned"] = True
+    w = Window.partitionBy(t["partition_by"]).orderBy(t["order_by"])
+    for name, (kind, col, n) in nav.items():
+        fn = F.lag if kind == "prev" else F.lead
+        df = df.withColumn(name, fn(col, n).over(w))
+    return df, kernel_kwargs
 
 
 def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
@@ -653,11 +998,11 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
     :func:`reflinkcep_spark.operators.match_pattern`
     (``max_active_runs``, ``on_limit``, ``pre_partitioned`` …).
     """
-    from pyspark.sql import functions as F
-
     from reflinkcep_spark.operators import match_pattern
 
     t = translate(spec, df.columns)
+    orig_columns = list(df.columns)
+    df, kernel_kwargs = _attach_nav_columns(df, t, kernel_kwargs)
     out = match_pattern(
         df,
         t["query"],
@@ -668,11 +1013,19 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
         sql_prefer=t["prefer"],
         **kernel_kwargs,
     )
+    return _project(out, t, df.schema, orig_columns)
+
+
+def _measure_columns(t: dict, schema) -> list:
+    """MEASURES → codegen column algebra over the kernel's capture
+    arrays (``element_at`` / ``size`` / ``aggregate`` — no Python).
+    ``schema`` is the kernel INPUT schema (for SUM's widening)."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import DecimalType
 
     integral = {"byte", "short", "integer", "long"}
-    field_types = {f.name: f.dataType.typeName() for f in df.schema.fields}
-    field_dtypes = {f.name: f.dataType for f in df.schema.fields}
+    field_types = {f.name: f.dataType.typeName() for f in schema.fields}
+    field_dtypes = {f.name: f.dataType for f in schema.fields}
     measure_cols = []
     for kind, var, col, alias in t["measures"]:
         if kind == "count":
@@ -713,7 +1066,16 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
                     ),
                 )
         measure_cols.append(c.alias(alias))
+    return measure_cols
 
+
+def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
+    """Project the kernel output to the declared MATCH_RECOGNIZE shape
+    (shared by the batch and streaming surfaces — pure column algebra,
+    valid on streaming DataFrames)."""
+    from pyspark.sql import functions as F
+
+    measure_cols = _measure_columns(t, schema)
     if t["rows_per_match"] == "one":
         return out.select(
             F.col(t["partition_by"]), F.col("match_seq"), *measure_cols
@@ -746,7 +1108,8 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
             ]
         )
     )
-    event_cols = [c for c in df.columns if c != t["partition_by"]]
+    # original columns only: __mr_* navigation columns are internal
+    event_cols = [c for c in orig_columns if c != t["partition_by"]]
     return (
         out.select(
             F.col(t["partition_by"]),
@@ -766,3 +1129,47 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
             *[F.col(alias) for _k, _v, _c, alias in t["measures"]],
         )
     )
+
+
+def match_recognize_stream(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
+    """Run a SQL ``MATCH_RECOGNIZE`` clause over a *streaming*
+    DataFrame — the same translation onto the same kernel the
+    streaming CEP path already runs, so the front end is not
+    batch-only (round 14).
+
+    Restrictions, both with clear errors:
+
+    * only the finalization-free selection combination the streaming
+      kernel supports — ``AFTER MATCH SKIP TO NEXT ROW`` with
+      reluctant quantifiers (see
+      :func:`reflinkcep_spark.streaming.cep.match_pattern_stream`);
+      greedy preference or ordered skip modes need stream-end match
+      finalization an unbounded stream cannot provide;
+    * no ``PREV``/``NEXT`` physical navigation (Spark does not support
+      non-time windows — ``lag``/``lead`` — on streams); ``FIRST`` /
+      ``LAST`` logical navigation works (engine-side registers).
+
+    ``match_seq`` is completion-ordered, where the batch surface
+    numbers by start order — project it away (or renumber) when
+    pinning stream ≡ batch equality.
+    """
+    from reflinkcep_spark.streaming.cep import match_pattern_stream
+
+    t = translate(spec, df.columns)
+    if t["nav_columns"]:
+        raise MatchRecognizeError(
+            "PREV/NEXT navigation needs a lag/lead window, which Spark "
+            "does not support on streaming DataFrames — use the batch "
+            "surface (FIRST/LAST logical navigation streams fine)"
+        )
+    out = match_pattern_stream(
+        df,
+        t["query"],
+        order_by=t["order_by"],
+        partition_by=t["partition_by"],
+        type_col=None,
+        sql_skip=t["skip"],
+        sql_prefer=t["prefer"],
+        **kernel_kwargs,
+    )
+    return _project(out, t, df.schema, list(df.columns))

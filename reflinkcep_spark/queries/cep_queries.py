@@ -889,20 +889,25 @@ def cep_sql_funnel(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "value"
     )
-    return match_recognize(
-        ev,
-        """MATCH_RECOGNIZE (
-             PARTITION BY user_id
-             ORDER BY event_id
-             MEASURES S.event_id AS signup_id,
-                      P.event_id AS purchase_id,
-                      COUNT(G.*) AS gap_len
-             AFTER MATCH SKIP TO NEXT ROW
-             PATTERN (S G*? P)
-             DEFINE S AS S.event_type = 'signup',
-                    P AS P.event_type = 'purchase' AND P.value > 50
-           )""",
-    )
+    return match_recognize(ev, MR_FUNNEL_SPEC)
+
+
+# shared by the batch driver query above and the streaming twin
+# (__spark_entry__.cep_sql_funnel_stream) so the two surfaces cannot
+# drift apart — (reluctant, SKIP TO NEXT ROW) is exactly the
+# finalization-free combination the streaming kernel's SQL selection
+# supports.
+MR_FUNNEL_SPEC = """MATCH_RECOGNIZE (
+     PARTITION BY user_id
+     ORDER BY event_id
+     MEASURES S.event_id AS signup_id,
+              P.event_id AS purchase_id,
+              COUNT(G.*) AS gap_len
+     AFTER MATCH SKIP TO NEXT ROW
+     PATTERN (S G*? P)
+     DEFINE S AS S.event_type = 'signup',
+            P AS P.event_type = 'purchase' AND P.value > 50
+   )"""
 
 
 SQL_CEP_SQL_FUNNEL = """
@@ -927,6 +932,72 @@ SELECT s.user_id,
 FROM nb s
 JOIN nb p ON p.user_id = s.user_id AND p.rn = s.next_p_rn
 WHERE s.event_type = 'signup'
+"""
+
+
+def cep_sql_prev_ascent(spark, sf_dir):
+    """Maximal ascending-value runs per user via MATCH_RECOGNIZE
+    DEFINE navigation (round 14): ``B AS PREV(value) < B.value`` — the
+    canonical SQL:2016 stock-ascent shape (Flink SQL's first
+    MATCH_RECOGNIZE example) that needs PHYSICAL row navigation: the
+    first B row compares against A's row through PREV, which reads the
+    PARTITION's previous row regardless of variable mapping
+    (cep/match_recognize.py:_Nav).  Greedy ``B+`` + SKIP PAST LAST ROW
+    selects one maximal non-overlapping run per eligible start.
+
+    Scale shape: the lag column rides the kernel's key partitioning —
+    Exchange → Sort → Window → FlatMapGroupsInPandas, ONE exchange
+    total (plan-asserted in tests/test_match_recognize.py); the oracle
+    is the LAG + gaps-and-islands idiom."""
+    from reflinkcep_spark.cep.match_recognize import match_recognize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    return match_recognize(
+        ev,
+        """MATCH_RECOGNIZE (
+             PARTITION BY user_id
+             ORDER BY event_id
+             MEASURES A.event_id AS start_id,
+                      LAST(B.event_id) AS end_id,
+                      A.value AS start_value,
+                      LAST(B.value) AS end_value,
+                      COUNT(B.*) AS n_up
+             AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (A B+)
+             DEFINE B AS PREV(value) < B.value
+           )""",
+    )
+
+
+SQL_CEP_SQL_PREV_ASCENT = """
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS pid,
+         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+  FROM events
+),
+ascending AS (  -- rows that ascend from their physical predecessor
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+              AS island
+  FROM seq WHERE pv IS NOT NULL AND value > pv
+),
+runs AS (  -- one maximal chain per island; A is the row BEFORE it
+  SELECT user_id,
+         arg_min(pid, rn) AS start_id,
+         max(event_id)    AS end_id,
+         arg_min(pv, rn)  AS start_value,
+         arg_max(value, rn) AS end_value,
+         count(*)         AS n_up
+  FROM ascending GROUP BY user_id, island
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY start_id) - 1
+         AS match_seq,
+       start_id, end_id, start_value, end_value, n_up
+FROM runs
 """
 
 

@@ -66,30 +66,32 @@ __all__ = ["match_pattern_stream"]
 
 def _save_engine(
     engine: MatchEngine, match_seq: int, buffer: dict, pending: list,
-    last_stamp=None,
+    last_stamp=None, emitted_starts=None,
 ) -> bytes:
     runs = [
         (k, (c.state, c.env, c.caps, c.last_take, c.eps_seen, c.first))
         for k, c in engine.runs
     ]
     return pickle.dumps(
-        (engine.pos, runs, match_seq, buffer, pending, last_stamp),
+        (engine.pos, runs, match_seq, buffer, pending, last_stamp,
+         emitted_starts),
         protocol=5,
     )
 
 
 def _load_engine(blob: bytes, engine: MatchEngine) -> tuple:
     data = pickle.loads(blob)
-    # pre-round-14 checkpoints have no last_stamp element (same
-    # migration contract as _coerce_eps below)
+    # pre-round-14 checkpoints have no last_stamp / emitted_starts
+    # elements (same migration contract as _coerce_eps below)
     pos, runs, match_seq, buffer, pending = data[:5]
     last_stamp = data[5] if len(data) > 5 else None
+    emitted_starts = data[6] if len(data) > 6 else None
     engine.pos = pos
     engine.runs = [
         (k, _Cfg(state, env, caps, last_take, _coerce_eps(eps), first))
         for k, (state, env, caps, last_take, eps, first) in runs
     ]
-    return match_seq, buffer, pending, last_stamp
+    return match_seq, buffer, pending, last_stamp, emitted_starts
 
 
 def _coerce_eps(eps) -> int:
@@ -118,6 +120,8 @@ def match_pattern_stream(
     event_time_col: str | None = None,
     within=None,
     within_col: str | None = None,
+    sql_skip=None,
+    sql_prefer: str = "longest",
 ) -> DataFrame:
     """Run a CEP pattern query over a *streaming* DataFrame.
 
@@ -147,10 +151,41 @@ def match_pattern_stream(
     order within each key — enforced at runtime (the last stamp
     persists in the key's state, so a regression ACROSS micro-batches
     raises too, exactly like the batch kernel's per-group check).
+
+    ``sql_skip`` / ``sql_prefer`` (round 14): SQL:2016 MATCH_RECOGNIZE
+    match selection on a stream, restricted to the combination that is
+    finalization-free — ``("to_next", None)`` with ``"shortest"``
+    (reluctant quantifiers): candidates per start arrive in
+    ``(end, emission)`` order, so the first one IS the reluctant
+    winner, and TO NEXT ROW makes every start eligible — each match
+    emits the moment it completes, no holdback.  The emitted-start
+    dedup set rides in the key's state, pruned below the live-run
+    frontier.  Greedy preference / ordered skip modes raise (they
+    need stream-end finalization).  ``match_seq`` is
+    completion-ordered (the batch kernel numbers by start order).
     """
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     if not keys:
         raise ValueError("streaming CEP requires partition_by (keyed state)")
+    if sql_skip is not None:
+        if query.strategy != "NoSkip":
+            raise ValueError(
+                "sql_skip requires strategy NoSkip (SQL selection is "
+                f"applied over the full emission), got {query.strategy!r}"
+            )
+        if sql_skip[0] != "to_next" or sql_prefer != "shortest":
+            raise ValueError(
+                "streaming SQL match selection supports AFTER MATCH SKIP "
+                "TO NEXT ROW with reluctant quantifiers only: under "
+                "(shortest, to_next) a start's winner is its FIRST-"
+                "completing candidate — final the moment it appears — and "
+                "TO NEXT ROW never blocks later starts, so no match is "
+                "ever held back waiting for stream-end finalization.  "
+                "Greedy preference or ordered skip modes need match "
+                "finalization an unbounded stream cannot provide "
+                f"(got {sql_skip[0]!r} / {sql_prefer!r}); run those "
+                "through the batch kernel."
+            )
 
     if attr_cols is None:
         attr_cols = [c for c in df.columns if c not in keys]
@@ -196,8 +231,10 @@ def match_pattern_stream(
     # regressions are caught, not just intra-batch ones.
     check_stamps = within_col is not None and within is not None
 
+    sql_mode = sql_skip is not None
+
     def feed(engine, incoming, buffer, match_seq, key, key_values,
-             last_stamp=None):
+             last_stamp=None, emitted_starts=None):
         rows: list[dict] = []
         for ev_type, rec in incoming:
             if check_stamps:
@@ -218,9 +255,24 @@ def match_pattern_stream(
                 last_stamp = st
             buffer[engine.pos] = rec
             for m in engine.feed(ev_type, rec, rec[stamp_col]):
+                all_pos = [p for idxs in m.captures.values() for p in idxs]
+                if sql_mode:
+                    # (shortest, to_next) selection, incremental: the
+                    # batch fold keeps min (end, emission) per start —
+                    # candidates arrive in exactly that order, so the
+                    # FIRST candidate per start IS the winner and later
+                    # ones are discarded; every start is eligible under
+                    # TO NEXT ROW.  match_seq is completion-ordered
+                    # (batch numbers by start order — drop or renumber
+                    # it when pinning stream ≡ batch).
+                    if not all_pos:
+                        continue  # empty match: nothing to anchor to
+                    start = min(all_pos)
+                    if start in emitted_starts:
+                        continue
+                    emitted_starts.add(start)
                 row = dict(key_values)
                 row["match_seq"] = match_seq
-                all_pos = [p for idxs in m.captures.values() for p in idxs]
                 row["start_ord"] = (
                     buffer[min(all_pos)][order_by] if all_pos else None
                 )
@@ -249,9 +301,8 @@ def match_pattern_stream(
             rows: list[dict] = []
             if event_time_col is not None and state.exists:
                 engine = MatchEngine(automaton, strategy, within)
-                match_seq, buffer, pending, last_stamp = _load_engine(
-                    state.get[0], engine
-                )
+                (match_seq, buffer, pending, last_stamp,
+                 emitted_starts) = _load_engine(state.get[0], engine)
                 wm = state.getCurrentWatermarkMs()
                 ready = sorted(
                     (p for p in pending if p[0] <= wm),
@@ -265,6 +316,7 @@ def match_pattern_stream(
                     key,
                     dict(zip(keys, key[:n_keys])),
                     last_stamp,
+                    emitted_starts if emitted_starts is not None else set(),
                 )
             state.remove()
             if rows:
@@ -273,10 +325,12 @@ def match_pattern_stream(
 
         engine = MatchEngine(automaton, strategy, within)
         match_seq, buffer, pending, last_stamp = 0, {}, [], None
+        emitted_starts: set = set()
         if state.exists:
-            match_seq, buffer, pending, last_stamp = _load_engine(
-                state.get[0], engine
-            )
+            (match_seq, buffer, pending, last_stamp,
+             loaded_starts) = _load_engine(state.get[0], engine)
+            if loaded_starts is not None:
+                emitted_starts = loaded_starts
 
         chunks = [p for p in pdf_iter if len(p)]
         incoming: list = []  # [(ev_type, record)] in feed order
@@ -317,6 +371,7 @@ def match_pattern_stream(
                 engine, incoming, buffer, match_seq, key,
                 dict(zip(keys, key[:n_keys])),
                 last_stamp,
+                emitted_starts,
             )
 
         # Prune the buffer to what live runs can still reference: every
@@ -326,9 +381,17 @@ def match_pattern_stream(
             buffer = {p: r for p, r in buffer.items() if p >= oldest}
         else:
             buffer = {}
+        if sql_mode:
+            # a start below every live run's spawn offset can never gain
+            # another candidate — its dedup entry is dead state
+            frontier = (
+                min(k for k, _ in engine.runs) if engine.runs else engine.pos
+            )
+            emitted_starts = {s for s in emitted_starts if s >= frontier}
 
         state.update(
-            (_save_engine(engine, match_seq, buffer, pending, last_stamp),)
+            (_save_engine(engine, match_seq, buffer, pending, last_stamp,
+                          emitted_starts if sql_mode else None),)
         )
         if idle_timeout_ms:
             state.setTimeoutDuration(idle_timeout_ms)

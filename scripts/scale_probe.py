@@ -136,6 +136,7 @@ PROBES = [
     ("cep_funnel_within_time", "events"),
     ("cep_sql_error_runs", "events"),
     ("cep_sql_funnel", "events"),
+    ("cep_sql_prev_ascent", "events"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

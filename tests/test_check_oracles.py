@@ -160,3 +160,32 @@ def test_prestaged_round15_queries_match_oracles(spark):
         want = check_oracles.normalize(con.execute(sql).fetchdf())
         assert len(got) > 0
         assert compare(fn.__name__, got, want) == []
+
+
+def test_prestaged_round16_queries_match_oracles(spark):
+    """Round-16 queue addition built in round 14 (the queue split in
+    queries/__init__.py): the MATCH_RECOGNIZE DEFINE-navigation query.
+    Same contract as the earlier queue pins — oracle-green at sf0.001
+    every pytest run (3-SF verified at build time: 343 / 3,309 /
+    33,053 rows), so registration is a dict edit."""
+    import duckdb
+
+    from reflinkcep_spark.queries.cep_queries import (
+        SQL_CEP_SQL_PREV_ASCENT,
+        cep_sql_prev_ascent,
+    )
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS FROM "
+        f"'{os.path.join(SF_DIR, 'events.parquet')}'"
+    )
+    got = check_oracles.normalize(
+        cep_sql_prev_ascent(spark, SF_DIR).toPandas()
+    )
+    want = check_oracles.normalize(
+        con.execute(SQL_CEP_SQL_PREV_ASCENT).fetchdf()
+    )
+    assert len(got) > 0
+    assert compare("cep_sql_prev_ascent", got, want) == []

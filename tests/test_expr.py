@@ -20,7 +20,6 @@ REJECTED = [
     "[x for x in ()]",                # comprehension
     "x[0]",                           # subscript
     "f'{name}'",                      # f-string
-    "name if price else 0",           # conditional
     "name := 3",                      # walrus / invalid
     "import os",                      # statement
     "",                               # empty
@@ -31,6 +30,21 @@ REJECTED = [
 def test_sandbox_rejects_at_compile_time(expr):
     with pytest.raises(ExprError):
         compile_predicate(expr)
+
+
+def test_conditional_expression_accepted_and_translated():
+    # `a if cond else b` entered the sub-language in round 14 (the
+    # MATCH_RECOGNIZE FIRST(V.col) register update is conditional)
+    p = compile_predicate("(price if X == 0 else Y) > 3")
+    assert p({"price": 5}, {"X": 0, "Y": 1}) is True
+    assert p({"price": 5}, {"X": 1, "Y": 1}) is False
+    up = compile_update({"Y": "price if X == 0 else Y"})
+    assert up({"price": 7}, {"X": 0, "Y": None})["Y"] == 7
+    assert up({"price": 9}, {"X": 1, "Y": 7})["Y"] == 7
+    assert (
+        to_sql("price if X == 0 else Y")
+        == "(CASE WHEN (X = 0) THEN price ELSE Y END)"
+    )
 
 
 def test_predicate_and_update_semantics():

@@ -59,10 +59,13 @@ def test_translate_builds_strict_ast_and_greedy_default():
 
 
 def test_translate_concatenation_quantifiers_and_wrapper():
+    # measures avoid B/C on purpose: with TWO flexibly-quantified
+    # variables, measuring one trips the round-14 divergence rail
+    # (tested separately below)
     t = translate(
         """MATCH_RECOGNIZE (
           PARTITION BY user_id ORDER BY event_id
-          MEASURES A.event_id AS a_id, COUNT(B.*) AS nb
+          MEASURES A.event_id AS a_id
           AFTER MATCH SKIP TO NEXT ROW
           PATTERN (A B{2,4} C?)
           DEFINE A AS A.value > 10, C AS C.event_type <> 'error'
@@ -116,7 +119,7 @@ def test_translate_reluctant_and_skip_to_var():
         ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A+ B*?)",
          "mixing greedy and reluctant"),
         ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A) "
-         "DEFINE A AS B.x > 1", "only the variable being defined"),
+         "DEFINE A AS B.x > 1", "not in this subset"),
         ("PARTITION BY u ORDER BY e MEASURES Z.x AS x PATTERN (A)",
          "unknown variable"),
         ("PARTITION BY u ORDER BY e MEASURES A.nope AS x PATTERN (A)",
@@ -140,7 +143,7 @@ def test_define_sandbox_rejects_out_of_language():
     with pytest.raises(MatchRecognizeError, match="sub-language"):
         translate(
             "PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A) "
-            "DEFINE A AS A.x / 0 if 1 else 2",
+            "DEFINE A AS abs(A.x) > 1",
             ["u", "e", "x"],
         )
 
@@ -633,3 +636,274 @@ def test_match_recognize_on_bucketed_table_is_zero_exchange(spark, tmp_path):
         assert got == sorted(want)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_mr_bucketed")
+
+
+# --- round-14: parser rails (clause shapes, reserved names, rails) ------
+
+
+@pytest.mark.parametrize(
+    "spec,msg",
+    [
+        # a measure alias named like a clause keyword must give the
+        # clear collision error, not hijack clause splitting
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS ALL PATTERN (A)",
+         "collides with a clause keyword"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS ORDER PATTERN (A)",
+         "collides with a clause keyword"),
+        # internal projection names are reserved
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS __r PATTERN (A)",
+         "reserved"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS __o PATTERN (A)",
+         "reserved"),
+        # pattern whose every variable can match zero rows: SQL emits
+        # an empty match per row — reject, don't silently emit nothing
+        ("PARTITION BY u ORDER BY e MEASURES COUNT(A.*) AS n "
+         "PATTERN (A* B?)", "can match zero rows"),
+        # several flexibly-quantified variables + a measure over one:
+        # selection preference could silently diverge from SQL:2016
+        ("PARTITION BY u ORDER BY e MEASURES COUNT(B.*) AS nb "
+         "PATTERN (A B{2,4} C?)", "flexibly-quantified"),
+        # pattern variables may not use the internal register prefix
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS ax "
+         "PATTERN (A __B)", "reserved"),
+    ],
+)
+def test_round14_parser_rails(spec, msg):
+    with pytest.raises(MatchRecognizeError, match=msg):
+        translate(spec, ["u", "v", "e", "x"])
+
+
+def test_fixed_extents_do_not_trip_the_flexible_rail():
+    # A{2} and B{3} are deterministic extents — measuring them is safe
+    t = translate(
+        "PARTITION BY u ORDER BY e MEASURES COUNT(A.*) AS na, "
+        "SUM(B.x) AS sb PATTERN (A{2} B{3} C+) DEFINE C AS C.x > 0",
+        ["u", "e", "x"],
+    )
+    assert t["prefer"] == "longest"
+
+
+# --- round-14: DEFINE navigation — translation -------------------------
+
+
+def test_translate_prev_builds_lag_column_and_guard():
+    t = translate(
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES LAST(B.value) AS bv
+           PATTERN (A B+)
+           DEFINE B AS PREV(value) < B.value""",
+        COLS,
+    )
+    assert t["nav_columns"] == {"__mr_prev1_value": ("prev", "value", 1)}
+    cond = t["query"].patseq["right"]["cndt"]["expr"]
+    # both the lag column and the current column are null-guarded
+    assert "__mr_prev1_value == __mr_prev1_value" in cond
+    assert "(__mr_prev1_value < value)" in cond
+
+
+def test_translate_prev_offset_and_next():
+    t = translate(
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES A.value AS av PATTERN (A)
+           DEFINE A AS PREV(value, 2) < NEXT(A.value)""",
+        COLS,
+    )
+    assert t["nav_columns"] == {
+        "__mr_prev2_value": ("prev", "value", 2),
+        "__mr_next1_value": ("next", "value", 1),
+    }
+
+
+def test_translate_last_self_registers():
+    t = translate(
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(B.*) AS nb PATTERN (A B+)
+           DEFINE B AS B.value > LAST(B.value, 1)""",
+        COLS,
+    )
+    regs = t["query"].patseq["right"]["variables"]
+    # self LAST offset 1 = the previously-taken row = register l0
+    assert set(regs) == {"__mr_l0_B_value"}
+    assert regs["__mr_l0_B_value"] == {"initial": None, "update": "value"}
+    cond = t["query"].patseq["right"]["cndt"]["expr"]
+    assert "__mr_l0_B_value != None" in cond
+
+
+def test_translate_first_cross_variable_registers():
+    t = translate(
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES B.value AS bv PATTERN (A+ B)
+           DEFINE A AS A.value > 0, B AS B.value > FIRST(A.value)""",
+        COLS,
+    )
+    regs = t["query"].patseq["left"]["variables"]
+    assert set(regs) == {"__mr_n_A", "__mr_f0_A_value"}
+    assert regs["__mr_n_A"] == {"initial": 0, "update": "__mr_n_A + 1"}
+    assert regs["__mr_f0_A_value"]["update"] == (
+        "(value if __mr_n_A == 0 else __mr_f0_A_value)"
+    )
+    # B's leaf carries no registers (it only READS A's)
+    assert "variables" not in t["query"].patseq["right"]
+
+
+@pytest.mark.parametrize(
+    "define,msg",
+    [
+        ("B AS PREV(A.value) < B.value", "variable being defined"),
+        ("B AS FIRST(value) > 1", "needs the pattern variable"),
+        ("B AS LAST(Z.value) > 1", "unknown.*pattern variable"),
+        ("B AS LAST(B.value, 9) > 1", "exceeds the supported"),
+        ("B AS PREV(nope) > 1", "unknown column"),
+        ("B AS PREV(user_id) > 1", "PARTITION BY key"),
+        ("B AS PREV(value", "parenthes"),  # tokenizer catches it first
+        ("B AS SUM(B.value) > 1", "sub-language"),
+    ],
+)
+def test_navigation_error_rails(define, msg):
+    with pytest.raises(MatchRecognizeError, match=msg):
+        translate(
+            f"""PARTITION BY user_id ORDER BY event_id
+                MEASURES A.value AS av PATTERN (A B)
+                DEFINE {define}""",
+            COLS,
+        )
+
+
+# --- round-14: DEFINE navigation — execution on planted streams --------
+
+
+def _mk(spark, values):
+    return spark.createDataFrame(
+        [(1, i, "row", float(v)) for i, v in enumerate(values)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+
+
+def test_prev_ascending_runs(spark):
+    """PATTERN (A B+), B AS PREV(value) < B.value = maximal ascending
+    runs — the classic MATCH_RECOGNIZE stock-ascent shape."""
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            _mk(spark, [5, 3, 4, 6, 2, 7]),
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES A.value AS start_v, LAST(B.value) AS end_v,
+                        COUNT(B.*) AS n_up
+               PATTERN (A B+)
+               DEFINE B AS PREV(value) < B.value""",
+        ).collect()
+    )
+    assert got == [(1, 0, 3.0, 6.0, 2), (1, 1, 2.0, 7.0, 1)]
+
+
+def test_prev_null_at_partition_start_never_matches(spark):
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            _mk(spark, [1, 3, 2]),
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES B.event_id AS eid PATTERN (B)
+               DEFINE B AS PREV(value) < B.value""",
+        ).collect()
+    )
+    assert got == [(1, 0, 1)]  # only id 1 (1<3); id 0 has NULL PREV
+
+
+def test_next_lead_navigation(spark):
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            _mk(spark, [1, 3, 2]),
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES B.event_id AS eid PATTERN (B)
+               DEFINE B AS NEXT(value) > B.value""",
+        ).collect()
+    )
+    assert got == [(1, 0, 0)]  # id 0 (3>1); id 1 no (2<3); id 2 NULL NEXT
+
+
+def test_first_self_running_semantics(spark):
+    """B AS B.value >= FIRST(B.value): the first B row compares against
+    itself (RUNNING semantics include the current row)."""
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            _mk(spark, [1, 5, 4, 6, 2]),
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES LAST(B.value) AS bv, COUNT(B.*) AS nb
+               PATTERN (A B{1,3})
+               DEFINE B AS B.value >= FIRST(B.value)""",
+        ).collect()
+    )
+    # start 0: B greedy takes 5,4? no — 4 >= 5 fails; B=[5] only?  5>=5
+    # ok, 4>=5 no → B=[5].  start 2 (after skip past 1): A=4, B=[6],
+    # 2>=6 no.  start 4: A=2, no B row left.
+    assert got == [(1, 0, 5.0, 1), (1, 1, 6.0, 1)]
+
+
+def test_last_cross_variable(spark):
+    """B reads A's captured value: B AS B.value > LAST(A.value)."""
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            _mk(spark, [2, 5, 7, 3]),
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES LAST(A.value) AS av, B.value AS bv
+               PATTERN (A B)
+               DEFINE B AS B.value > LAST(A.value)""",
+        ).collect()
+    )
+    assert got == [(1, 0, 2.0, 5.0)]  # [2,5]; then start 2: 3 > 7 fails
+
+
+def test_forward_variable_navigation_is_null(spark):
+    """A references LAST(B.value) with B AFTER A in the pattern: B is
+    unmapped while A is evaluated → NULL → A never matches (SQL)."""
+    got = match_recognize(
+        _mk(spark, [1, 2, 3]),
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES A.value AS av PATTERN (A B)
+           DEFINE A AS A.value > LAST(B.value)""",
+    ).collect()
+    assert got == []
+
+
+def test_navigation_plan_has_single_exchange(spark):
+    """The lag window rides the kernel's key partitioning: Exchange →
+    Sort → Window → FlatMapGroupsInPandas, ONE exchange total — the
+    same count as a navigation-free MATCH_RECOGNIZE."""
+    import re as _re
+
+    out = match_recognize(
+        _mk(spark, [5, 3, 4, 6, 2, 7]),
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(B.*) AS n PATTERN (A B+)
+           DEFINE B AS PREV(value) < B.value""",
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # formatted mode prints each node in the tree AND a detail section —
+    # count the detail headers, one per physical node
+    assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan and "Window" in plan
+
+
+def test_all_rows_per_match_hides_navigation_columns(spark):
+    out = match_recognize(
+        _mk(spark, [5, 3, 4]),
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(B.*) AS n
+           ALL ROWS PER MATCH
+           PATTERN (A B+)
+           DEFINE B AS PREV(value) < B.value""",
+    )
+    assert [c for c in out.columns if c.startswith("__mr_")] == []
+    rows = sorted(tuple(r) for r in out.collect())
+    # one match [id1=3, id2=4]: A row then B row, n=1 on both
+    assert rows == [
+        (1, 0, "A", 1, "row", 3.0, 1),
+        (1, 0, "B", 2, "row", 4.0, 1),
+    ]

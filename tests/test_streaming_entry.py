@@ -533,3 +533,69 @@ def test_streaming_entry_boilerplate_matches_batch(spark, tmp_path):
     cols = batch.columns
     want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
     assert got == want and got
+
+
+def test_streaming_entry_sql_funnel_matches_batch(spark, tmp_path):
+    """The sixteenth entry (round 14): SQL:2016 MATCH_RECOGNIZE on a
+    STREAM.  (reluctant, SKIP TO NEXT ROW) is the finalization-free
+    selection combination — a start's winner is its first-completing
+    candidate — so the stream's match SET equals the queue-staged
+    batch twin ``cep_sql_funnel`` exactly; ``match_seq`` is dropped on
+    both sides (completion-ordered on the stream, start-ordered in
+    batch — the one documented difference)."""
+    import __spark_entry__ as entrymod
+
+    from reflinkcep_spark.queries.cep_queries import cep_sql_funnel
+
+    out = entrymod.queries_streaming()["cep_sql_funnel_stream"](spark, SF_DIR)
+    assert out.isStreaming
+    assert "match_seq" not in out.columns
+    sink = f"entry_sql_funnel_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sql_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"], r["gap_len"])
+        for r in spark.table(sink).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"], r["gap_len"])
+        for r in cep_sql_funnel(spark, SF_DIR).collect()
+    )
+    assert got == want and got
+
+
+def test_streaming_sql_selection_rejects_greedy_and_ordered_modes(spark):
+    """The streaming kernel's SQL selection is fenced to the
+    finalization-free combination — greedy preference / ordered skip
+    modes raise with the explanation, never silently hold back or
+    drop matches."""
+    import pytest as _pytest
+
+    import __spark_entry__ as entrymod
+    from reflinkcep_spark.cep.match_recognize import match_recognize_stream
+
+    stream = entrymod._stream_events(spark, SF_DIR).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    with _pytest.raises(Exception, match="finalization"):
+        match_recognize_stream(
+            stream,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(E.*) AS n PATTERN (E+)
+               DEFINE E AS E.event_type = 'error'""",
+        )
+    with _pytest.raises(Exception, match="lag/lead"):
+        match_recognize_stream(
+            stream,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(B.*) AS n PATTERN (A B+?)
+               AFTER MATCH SKIP TO NEXT ROW
+               DEFINE B AS PREV(value) < B.value""",
+        )

@@ -99,8 +99,8 @@ def test_save_load_engine_roundtrips_last_stamp():
     eng = MatchEngine(compile_query(q), q.strategy)
     blob = _save_engine(eng, match_seq=3, buffer={}, pending=[], last_stamp=42)
     eng2 = MatchEngine(compile_query(q), q.strategy)
-    match_seq, buffer, pending, last_stamp = _load_engine(blob, eng2)
-    assert (match_seq, last_stamp) == (3, 42)
+    match_seq, buffer, pending, last_stamp, emitted = _load_engine(blob, eng2)
+    assert (match_seq, last_stamp, emitted) == (3, 42, None)
 
 
 def test_load_engine_legacy_blob_defaults_last_stamp_none():
@@ -117,8 +117,8 @@ def test_load_engine_legacy_blob_defaults_last_stamp_none():
     new = pickle.loads(_save_engine(eng, 1, {}, [], last_stamp=7))
     legacy = pickle.dumps(new[:5])
     eng2 = MatchEngine(compile_query(q), q.strategy)
-    *_rest, last_stamp = _load_engine(legacy, eng2)
-    assert last_stamp is None
+    _seq, _buf, _pend, last_stamp, emitted = _load_engine(legacy, eng2)
+    assert last_stamp is None and emitted is None
 
 
 def test_stream_cross_batch_regression_raises(spark, tmp_path):
