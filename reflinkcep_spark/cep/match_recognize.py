@@ -758,6 +758,17 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
             defines[var] = _condition_to_expr(
                 var, part[2:], pattern_vars, list(columns), partition_by, nav
             )
+    if nav.physical or nav.registers:
+        # navigation resolves names through ChainMap(attrs, registers):
+        # an input column spelled like a register would silently shadow
+        # the per-run state — reject it on BOTH surfaces, for logical
+        # and physical navigation alike.
+        for c in columns:
+            if c.startswith("__mr_"):
+                raise MatchRecognizeError(
+                    f"input column {c!r}: the '__mr_' prefix is reserved "
+                    "for navigation columns and registers"
+                )
     if skip[1] is not None and skip[1] not in pattern_vars:
         raise MatchRecognizeError(
             f"AFTER MATCH SKIP targets unknown variable {skip[1]!r}"
@@ -963,12 +974,6 @@ def _attach_nav_columns(df: DataFrame, t: dict, kernel_kwargs: dict):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    for c in df.columns:
-        if c.startswith("__mr_"):
-            raise MatchRecognizeError(
-                f"input column {c!r}: the '__mr_' prefix is reserved for "
-                "navigation columns"
-            )
     kernel_kwargs = dict(kernel_kwargs)
     if not kernel_kwargs.get("pre_partitioned"):
         n_parts = int(
@@ -977,9 +982,25 @@ def _attach_nav_columns(df: DataFrame, t: dict, kernel_kwargs: dict):
         df = df.repartition(n_parts, t["partition_by"])
         kernel_kwargs["pre_partitioned"] = True
     w = Window.partitionBy(t["partition_by"]).orderBy(t["order_by"])
+    # Tied order values would make PREV/NEXT adjacency nondeterministic:
+    # the window sort breaks ties arbitrarily while the kernel's stable
+    # mergesort keeps arrival order, so "the previous row" could differ
+    # between the two — and between runs.  SQL:2016 leaves tied ORDER BY
+    # implementation-dependent; we raise instead (in-plan rail folded
+    # into the lag evaluation: duplicates sort adjacent, one comparison
+    # per row inside the window projection already being computed).
+    dup = F.lag(F.col(t["order_by"]), 1).over(w) == F.col(t["order_by"])
+    rail = F.raise_error(
+        F.lit(
+            f"duplicate {t['order_by']!r} value within a "
+            f"{t['partition_by']!r} partition: PREV/NEXT navigation "
+            "needs a total per-key order (tied order values make "
+            "physical adjacency nondeterministic)"
+        )
+    )
     for name, (kind, col, n) in nav.items():
         fn = F.lag if kind == "prev" else F.lead
-        df = df.withColumn(name, fn(col, n).over(w))
+        df = df.withColumn(name, F.when(dup, rail).otherwise(fn(col, n).over(w)))
     return df, kernel_kwargs
 
 

@@ -111,12 +111,14 @@ def main() -> int:
             continue
         r_cpu = (qb[q] / qa[q]) / calib
         # A mover must exceed the floor under BOTH divisors (rule stated
-        # in the r13 verdict): raw inflation the shuffle row also shows
-        # is box bandwidth state; inflation NEITHER divisor explains is
-        # the regression-hunt signal.
+        # in the r13 verdict): inflation EITHER calibration row explains
+        # is box state; only inflation (or speedup) NEITHER divisor
+        # explains is the regression-hunt signal.  Checked per divisor,
+        # same direction — a query one divisor explains never flags.
         r_shuf = (qb[q] / qa[q]) / shuf if shuf else r_cpu
-        r = min(r_cpu, r_shuf) if r_cpu > 1 else max(r_cpu, r_shuf)
-        if r > NOISE_FLOOR or r < 1 / NOISE_FLOOR:
+        up = r_cpu > NOISE_FLOOR and r_shuf > NOISE_FLOOR
+        down = r_cpu < 1 / NOISE_FLOOR and r_shuf < 1 / NOISE_FLOOR
+        if up or down:
             movers.append((r_cpu, r_shuf, q, qa[q], qb[q]))
     if movers:
         what = ("BOTH calibration divisors" if shuf
@@ -133,17 +135,25 @@ def main() -> int:
     # Explicit verdict line (round 14): name the box-vs-code call so the
     # adjudication is mechanical, not a judgment re-made each round.
     if shuf is not None:
-        if raw > NOISE_FLOOR and raw / shuf <= 1.1:
-            print("\nVERDICT: raw inflation tracks the shuffle calibration row — "
-                  "box bandwidth mode, chase nothing.")
-        elif raw > NOISE_FLOOR and abs(shuf - 1.0) < 0.1:
-            print("\nVERDICT: raw inflation with calib_shuffle FLAT — this is a "
-                  "REGRESSION HUNT, not box state (NOTES_r13 rule).")
+        if raw > NOISE_FLOOR:
+            if raw / shuf <= 1.1:
+                print("\nVERDICT: raw inflation tracks the shuffle "
+                      "calibration row — box bandwidth mode, chase nothing.")
+            elif abs(shuf - 1.0) < 0.1:
+                print("\nVERDICT: raw inflation with calib_shuffle FLAT — "
+                      "this is a REGRESSION HUNT, not box state "
+                      "(NOTES_r13 rule).")
+            else:
+                print(f"\nVERDICT: raw inflation x{raw:.2f} of which the "
+                      f"shuffle row explains only x{shuf:.2f} "
+                      f"(residual x{raw / shuf:.2f}) — treat the residual "
+                      "as a REGRESSION HUNT.")
         elif movers:
-            print("\nVERDICT: totals within noise but per-query movers exceed both "
-                  "divisors — reproduce each interleaved median-of-3.")
+            print("\nVERDICT: totals within noise but per-query movers exceed "
+                  "both divisors — reproduce each interleaved median-of-3.")
         else:
-            print("\nVERDICT: no drift beyond what the calibration rows explain.")
+            print("\nVERDICT: no drift beyond what the calibration rows "
+                  "explain.")
     return 0
 
 

@@ -907,3 +907,35 @@ def test_all_rows_per_match_hides_navigation_columns(spark):
         (1, 0, "A", 1, "row", 3.0, 1),
         (1, 0, "B", 2, "row", 4.0, 1),
     ]
+
+
+def test_prev_duplicate_order_values_raise(spark):
+    """Tied ORDER BY values make physical adjacency nondeterministic
+    (window sort vs the kernel's stable mergesort) — the in-plan rail
+    raises instead of silently picking an order."""
+    df = spark.createDataFrame(
+        [(1, 0, "row", 1.0), (1, 1, "row", 2.0), (1, 1, "row", 3.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    out = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(B.*) AS n PATTERN (A B+)
+           DEFINE B AS PREV(value) < B.value""",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        out.collect()
+
+
+def test_reserved_prefix_input_column_rejected_for_register_nav():
+    """An input column spelled like a navigation register would shadow
+    the per-run state through the kernel's ChainMap — rejected at
+    translate time for LOGICAL navigation too (not just lag/lead), so
+    the streaming surface is covered as well."""
+    with pytest.raises(MatchRecognizeError, match="__mr_"):
+        translate(
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(B.*) AS n PATTERN (A B+)
+               DEFINE B AS B.value > LAST(B.value, 1)""",
+            COLS + ["__mr_l0_B_value"],
+        )
