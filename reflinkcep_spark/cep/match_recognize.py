@@ -91,13 +91,21 @@ Supported subset
   the latter emits one output row per MATCHED INPUT ROW: the
   partition column, ``match_seq``, the implicit ``classifier`` column
   (which pattern variable consumed the row — SQL's ``CLASSIFIER()``),
-  every event column, then the measures.  Measures use FINAL
-  semantics in both modes (SQL's ``FINAL agg(...)``; the optional
-  ``FINAL`` keyword is accepted, ``RUNNING`` raises — running
-  aggregates are not supported).  Both modes project from the same
-  kernel output: all-rows mode labels each variable's capture array,
-  concatenates, sorts by the order column, and explodes — codegen
-  array algebra, no second kernel pass.
+  every event column, then the measures.
+
+  **Measure semantics (SQL:2016, round 14)**: under ONE ROW PER MATCH
+  every measure is FINAL (``RUNNING`` is accepted — the two coincide
+  when the one output row is the completed match).  Under ALL ROWS
+  PER MATCH the DEFAULT is ``RUNNING`` — each output row's aggregate
+  covers the rows mapped AT OR BEFORE it (``RUNNING COUNT(V.*)`` is
+  0 before V's first row; ``RUNNING LAST(V.col)`` is NULL there) —
+  and ``FINAL agg(...)`` asks for the completed-match value.  Both
+  modes project from the same kernel output: all-rows mode labels
+  each variable's capture array, concatenates, sorts by the order
+  column, and explodes; RUNNING measures aggregate the labeled
+  prefix per element (in-row slice/filter/aggregate algebra,
+  quadratic in match length — bounded by the pattern/``within``, not
+  the partition) — codegen array algebra, no second kernel pass.
 * The four ``AFTER MATCH SKIP`` modes above (default ``PAST LAST
   ROW``).  ``SKIP TO FIRST/LAST v`` raises at runtime if ``v``
   captured nothing or resolves to the match's own start row
@@ -288,9 +296,13 @@ def _split_top_commas(tokens: list[str]) -> list[list[str]]:
     return parts
 
 
-def _parse_measures(tokens: list[str]) -> list[tuple]:
-    """→ list of (kind, var, col, alias); kind ∈ first|last|count."""
+def _parse_measures(tokens: list[str]) -> tuple[list[tuple], dict]:
+    """→ (list of (kind, var, col, alias), {alias: mode}) where mode is
+    "running" / "final" / None (no keyword — the per-rows-mode default
+    is resolved in translate: FINAL under ONE ROW PER MATCH, RUNNING
+    under ALL ROWS PER MATCH, both per SQL:2016)."""
     out = []
+    modes: dict[str, str | None] = {}
     for part in _split_top_commas(tokens):
         if len(part) < 3 or part[-2].upper() != "AS":
             raise MatchRecognizeError(
@@ -310,13 +322,11 @@ def _parse_measures(tokens: list[str]) -> list[tuple]:
                 "for internal projection names"
             )
         body = part[:-2]
-        if body and body[0].upper() == "RUNNING":
-            raise MatchRecognizeError(
-                "RUNNING measure semantics are not supported (measures "
-                "are FINAL in both row-per-match modes)"
-            )
-        if body and body[0].upper() == "FINAL":
-            body = body[1:]  # FINAL is our semantics already
+        mode = None
+        if body and body[0].upper() in ("RUNNING", "FINAL"):
+            mode = body[0].lower()
+            body = body[1:]
+        modes[alias] = mode
         if not body:
             raise MatchRecognizeError(
                 f"empty measure expression before 'AS {alias}'"
@@ -355,7 +365,7 @@ def _parse_measures(tokens: list[str]) -> list[tuple]:
             )
     if not out:
         raise MatchRecognizeError("MEASURES clause is empty")
-    return out
+    return out, modes
 
 
 def _parse_skip(tokens: list[str]) -> tuple[str, str | None]:
@@ -720,7 +730,19 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
 
     partition_by = _parse_by(clauses["PARTITION"], "PARTITION")
     order_by = _parse_by(clauses["ORDER"], "ORDER")
-    measures = _parse_measures(clauses["MEASURES"])
+    measures, raw_modes = _parse_measures(clauses["MEASURES"])
+    # SQL:2016 measure semantics: under ONE ROW PER MATCH the match is
+    # complete when the row is emitted, so RUNNING ≡ FINAL; under ALL
+    # ROWS PER MATCH the DEFAULT is RUNNING (aggregates over the rows
+    # mapped so far, per output row) and FINAL must be asked for.
+    measure_modes = {
+        alias: (
+            "final"
+            if rows_per_match == "one"
+            else (raw_modes.get(alias) or "running")
+        )
+        for _k, _v, _c, alias in measures
+    }
     skip = (
         _parse_skip(clauses["AFTER"]) if "AFTER" in clauses else ("past_last", None)
     )
@@ -952,6 +974,7 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         "prefer": prefer,
         "rows_per_match": rows_per_match,
         "pattern_vars": pattern_vars,
+        "measure_modes": measure_modes,
         # PREV/NEXT physical navigation: {col_name: (kind, col, n)} the
         # caller must materialize as lag/lead window columns keyed on
         # the partition column BEFORE running the kernel.
@@ -1037,18 +1060,33 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
     return _project(out, t, df.schema, orig_columns)
 
 
-def _measure_columns(t: dict, schema) -> list:
-    """MEASURES → codegen column algebra over the kernel's capture
-    arrays (``element_at`` / ``size`` / ``aggregate`` — no Python).
-    ``schema`` is the kernel INPUT schema (for SUM's widening)."""
-    from pyspark.sql import functions as F
+def _sum_acc_type(schema, col: str) -> str:
+    """SQL SUM widening: integral → BIGINT, DECIMAL stays EXACT at max
+    precision / same scale (the repo's exact-cents discipline),
+    floating → DOUBLE."""
     from pyspark.sql.types import DecimalType
 
     integral = {"byte", "short", "integer", "long"}
-    field_types = {f.name: f.dataType.typeName() for f in schema.fields}
-    field_dtypes = {f.name: f.dataType for f in schema.fields}
+    dt = next((f.dataType for f in schema.fields if f.name == col), None)
+    if dt is not None and dt.typeName() in integral:
+        return "long"
+    if isinstance(dt, DecimalType):
+        return f"decimal(38,{dt.scale})"
+    return "double"
+
+
+def _measure_columns(t: dict, schema, measures=None) -> list:
+    """FINAL MEASURES → codegen column algebra over the kernel's
+    capture arrays (``element_at`` / ``size`` / ``aggregate`` — no
+    Python).  ``schema`` is the kernel INPUT schema (for SUM's
+    widening); ``measures`` restricts to a subset (the ALL ROWS
+    projection computes RUNNING measures separately)."""
+    from pyspark.sql import functions as F
+
     measure_cols = []
-    for kind, var, col, alias in t["measures"]:
+    for kind, var, col, alias in (
+        t["measures"] if measures is None else measures
+    ):
         if kind == "count":
             # 0 over an empty optional capture (SQL COUNT), but NULL on
             # the on_limit="truncate" sentinel row (match_seq = -1) —
@@ -1068,16 +1106,7 @@ def _measure_columns(t: dict, schema) -> list:
             elif kind == "max":
                 c = F.array_max(vals)
             else:
-                # SQL SUM widens: integral → BIGINT, DECIMAL stays
-                # EXACT at max precision / same scale (the repo's
-                # exact-cents discipline), floating → DOUBLE.
-                dt = field_dtypes.get(col)
-                if field_types.get(col) in integral:
-                    acc = "long"
-                elif isinstance(dt, DecimalType):
-                    acc = f"decimal(38,{dt.scale})"
-                else:
-                    acc = "double"
+                acc = _sum_acc_type(schema, col)
                 c = F.when(
                     F.size(F.col(var)) > 0,
                     F.aggregate(
@@ -1096,15 +1125,27 @@ def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
     valid on streaming DataFrames)."""
     from pyspark.sql import functions as F
 
-    measure_cols = _measure_columns(t, schema)
     if t["rows_per_match"] == "one":
         return out.select(
-            F.col(t["partition_by"]), F.col("match_seq"), *measure_cols
+            F.col(t["partition_by"]),
+            F.col("match_seq"),
+            *_measure_columns(t, schema),
         )
 
     # ALL ROWS PER MATCH: label each variable's capture array with its
     # CLASSIFIER, concatenate, sort by the order column, explode — one
-    # output row per matched input row, measures in FINAL semantics.
+    # output row per matched input row.  FINAL measures project from
+    # the capture arrays; RUNNING measures (the SQL:2016 default in
+    # this mode, round 14) aggregate the labeled prefix up to each
+    # row — in-row array algebra (filter/slice/aggregate over the
+    # already-built labeled array), quadratic in MATCH length, which
+    # is bounded by the pattern/within, not the partition.
+    modes = t.get("measure_modes") or {
+        m[3]: "final" for m in t["measures"]
+    }
+    final_measures = [m for m in t["measures"] if modes[m[3]] == "final"]
+    running_measures = [m for m in t["measures"] if modes[m[3]] == "running"]
+    measure_cols = _measure_columns(t, schema, final_measures)
     order_by = t["order_by"]
 
     def _labeler(vname):
@@ -1131,6 +1172,80 @@ def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
     )
     # original columns only: __mr_* navigation columns are internal
     event_cols = [c for c in orig_columns if c != t["partition_by"]]
+
+    def _running_expr(prefix, kind, var, col):
+        """One RUNNING measure over the labeled prefix (the rows mapped
+        at or before the current output row, SQL RUNNING semantics)."""
+        flt = F.filter(prefix, lambda x: x["classifier"] == F.lit(var))
+        if kind == "count":
+            return F.size(flt).cast("long")  # 0 before V's first row
+        vals = F.transform(flt, lambda x: x["ev"][col])
+        if kind == "min":
+            return F.array_min(vals)
+        if kind == "max":
+            return F.array_max(vals)
+        if kind == "first":
+            return F.get(vals, F.lit(0))  # NULL while V is unmapped
+        if kind == "last":
+            return F.get(vals, F.size(vals) - 1)
+        acc = _sum_acc_type(schema, col)  # sum
+        return F.when(
+            F.size(vals) > 0,
+            F.aggregate(
+                vals, F.lit(0).cast(acc), lambda a, x: a + x.cast(acc)
+            ),
+        )
+
+    if running_measures:
+        # Two-step select so `labeled` is named once (__l) and the
+        # per-element annotation slices IT rather than rebuilding the
+        # concat per measure.
+        base = out.select(
+            F.col(t["partition_by"]),
+            F.col("match_seq"),
+            *measure_cols,
+            labeled.alias("__l"),
+        )
+        annotated = F.transform(
+            F.col("__l"),
+            lambda e, i: F.struct(
+                e["classifier"].alias("classifier"),
+                e["ev"].alias("ev"),
+                *[
+                    _running_expr(
+                        F.slice(F.col("__l"), F.lit(1), i + F.lit(1)),
+                        kind,
+                        var,
+                        col,
+                    ).alias(alias)
+                    for kind, var, col, alias in running_measures
+                ],
+            ),
+        )
+        running_aliases = {m[3] for m in running_measures}
+        return (
+            base.select(
+                F.col(t["partition_by"]),
+                F.col("match_seq"),
+                *[F.col(m[3]) for m in final_measures],
+                # explode_outer: keep the truncate sentinel (NULL
+                # classifier/event/measure columns), same as below.
+                F.explode_outer(annotated).alias("__r"),
+            )
+            .select(
+                F.col(t["partition_by"]),
+                F.col("match_seq"),
+                F.col("__r.classifier").alias("classifier"),
+                *[F.col(f"__r.ev.{c}").alias(c) for c in event_cols],
+                *[
+                    F.col(f"__r.{alias}").alias(alias)
+                    if alias in running_aliases
+                    else F.col(alias)
+                    for _k, _v, _c, alias in t["measures"]
+                ],
+            )
+        )
+
     return (
         out.select(
             F.col(t["partition_by"]),

@@ -401,9 +401,11 @@ def test_all_rows_per_match_classifier_and_final_measures(spark):
         ).collect()
     )
     # one match: E=[0,1], P=[2] → three output rows in order, each
-    # carrying classifier + all event columns + FINAL measures
+    # carrying classifier + all event columns + measures: `ne` is
+    # RUNNING (the ALL ROWS default, SQL:2016 — errors seen so far),
+    # `sv` is explicitly FINAL (the completed match's sum, repeated)
     assert got == [
-        (1, 0, "E", 0, "error", 1.0, 2, 3.0),
+        (1, 0, "E", 0, "error", 1.0, 1, 3.0),
         (1, 0, "E", 1, "error", 2.0, 2, 3.0),
         (1, 0, "P", 2, "purchase", 9.0, 2, 3.0),
     ]
@@ -431,13 +433,22 @@ def test_all_rows_per_match_optional_var_contributes_no_rows(spark):
                    (1, 0, "P", 1, "purchase", 9.0, 0)]
 
 
-def test_running_measures_raise():
-    with pytest.raises(MatchRecognizeError, match="RUNNING"):
-        translate(
-            "PARTITION BY u ORDER BY e MEASURES RUNNING SUM(A.x) AS s "
-            "PATTERN (A+) DEFINE A AS A.x > 0",
-            ["u", "e", "x"],
-        )
+def test_measure_mode_resolution():
+    # ONE ROW PER MATCH: RUNNING ≡ FINAL (the one output row is the
+    # completed match); ALL ROWS PER MATCH: the SQL default is RUNNING
+    t = translate(
+        "PARTITION BY u ORDER BY e MEASURES RUNNING SUM(A.x) AS s "
+        "PATTERN (A+) DEFINE A AS A.x > 0",
+        ["u", "e", "x"],
+    )
+    assert t["measure_modes"] == {"s": "final"}
+    t = translate(
+        "PARTITION BY u ORDER BY e "
+        "MEASURES SUM(A.x) AS s, FINAL SUM(A.x) AS sf "
+        "ALL ROWS PER MATCH PATTERN (A+) DEFINE A AS A.x > 0",
+        ["u", "e", "x"],
+    )
+    assert t["measure_modes"] == {"s": "running", "sf": "final"}
 
 
 def test_one_and_all_rows_both_given_raise():
@@ -902,9 +913,10 @@ def test_all_rows_per_match_hides_navigation_columns(spark):
     )
     assert [c for c in out.columns if c.startswith("__mr_")] == []
     rows = sorted(tuple(r) for r in out.collect())
-    # one match [id1=3, id2=4]: A row then B row, n=1 on both
+    # one match [id1=3, id2=4]: COUNT(B.*) is RUNNING (the ALL ROWS
+    # default) — 0 on the A row, 1 on the B row
     assert rows == [
-        (1, 0, "A", 1, "row", 3.0, 1),
+        (1, 0, "A", 1, "row", 3.0, 0),
         (1, 0, "B", 2, "row", 4.0, 1),
     ]
 
@@ -939,3 +951,72 @@ def test_reserved_prefix_input_column_rejected_for_register_nav():
                DEFINE B AS B.value > LAST(B.value, 1)""",
             COLS + ["__mr_l0_B_value"],
         )
+
+
+def test_all_rows_running_measures_full_matrix(spark):
+    """RUNNING semantics per output row (the SQL:2016 ALL ROWS
+    default): COUNT counts rows mapped so far (0 before the variable's
+    first row), SUM/MIN/MAX aggregate the prefix, FIRST/LAST are NULL
+    while the variable is unmapped — all hand-computed."""
+    df = spark.createDataFrame(
+        [(1, 0, "error", 4.0), (1, 1, "error", 1.0), (1, 2, "purchase", 9.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = [
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(E.*) AS ne, SUM(E.value) AS se,
+                        MIN(E.value) AS mne, MAX(E.value) AS mxe,
+                        FIRST(P.value) AS fp, LAST(E.event_id) AS le
+               ALL ROWS PER MATCH
+               PATTERN (E+ P)
+               DEFINE E AS E.event_type = 'error',
+                      P AS P.event_type = 'purchase'""",
+        ).sort("event_id").collect()
+    ]
+    assert got == [
+        # row E@0: one E so far; P unmapped → fp NULL
+        (1, 0, "E", 0, "error", 4.0, 1, 4.0, 4.0, 4.0, None, 0),
+        # row E@1: both Es; running MIN drops to 1.0
+        (1, 0, "E", 1, "error", 1.0, 2, 5.0, 1.0, 4.0, None, 1),
+        # row P@2: P now mapped; E aggregates unchanged
+        (1, 0, "P", 2, "purchase", 9.0, 2, 5.0, 1.0, 4.0, 9.0, 1),
+    ]
+
+
+def test_all_rows_final_keyword_overrides_running_default(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "error", 4.0), (1, 1, "error", 1.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = [
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES FINAL COUNT(E.*) AS ne
+               ALL ROWS PER MATCH
+               PATTERN (E{2})
+               DEFINE E AS E.event_type = 'error'""",
+        ).sort("event_id").collect()
+    ]
+    assert got == [
+        (1, 0, "E", 0, "error", 4.0, 2),
+        (1, 0, "E", 1, "error", 1.0, 2),
+    ]
+
+
+def test_one_row_running_equals_final(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "error", 4.0), (1, 1, "error", 1.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    spec = """PARTITION BY user_id ORDER BY event_id
+              MEASURES {kw}SUM(E.value) AS se
+              PATTERN (E+) DEFINE E AS E.event_type = 'error'"""
+    a = sorted(tuple(r) for r in match_recognize(df, spec.format(kw="RUNNING ")).collect())
+    b = sorted(tuple(r) for r in match_recognize(df, spec.format(kw="FINAL ")).collect())
+    c = sorted(tuple(r) for r in match_recognize(df, spec.format(kw="")).collect())
+    assert a == b == c == [(1, 0, 5.0)]
