@@ -37,13 +37,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # noise, NOTES_r09/r10), and the freed ~170 chars keep the one-line
 # summary inside the driver's 2000-char tail capture with room for
 # future registrations.
+# Round-14 changes: doc_top_terms left the headline because it left
+# the REGISTRY (retired; tf/df shape subsumed by the registered
+# text_tfidf_search, which stays a headline row).  Two more trivially
+# cheap rows headline-retired under the standing policy to make room:
+# cep_high_purchases (247 ms r13; the pure-filter fast path rides in
+# cep_signup_to_purchase / cep_funnel_3step) and q_asof_last_click
+# (348 ms; the union+window single-shuffle shape is
+# q_range_join_clicks' — both stay REGISTERED driver queries).  Added
+# the four round-14 registrations with timing signal:
+# doc_snapshot_diff, doc_link_pagerank, multimodal_wav_stats,
+# multimodal_ppm_stats (sim_jl_project is a zero-exchange sub-second
+# projection — no signal, not added).
 HEADLINE = [
     "q1_pricing_summary",      # scan + partial agg
     "q3_top_orders",           # 3-way join + agg + top-k
     "q5_nation_revenue",       # multi-join through broadcast dims
     "q_user_sessions",         # gap sessionization (window + agg)
-    "q_asof_last_click",       # as-of join (union + window)
-    "cep_high_purchases",      # CEP fast path: pure filter
     "cep_error_triples",       # CEP fast path: strict loop windows
     "cep_signup_to_purchase",  # CEP relaxed sequence (window fast path)
     "cep_funnel_3step",        # CEP 3-step relaxed chain (window fast path)
@@ -54,7 +64,6 @@ HEADLINE = [
     "dedup_clusters",          # iterative connected components
     "sim_cosine_topk",         # brute-force vector search
     "text_profile",            # higher-order-function text analysis
-    "doc_top_terms",           # tf/df join + per-doc top-k window
     "doc_decontam",            # broadcast n-gram decontamination join
     "cep_signup_abandoned",    # absence pattern (union + window)
     "q_grouping_sets",         # one-pass grouping-sets aggregation
@@ -102,6 +111,10 @@ HEADLINE = [
     "doc_span_merge",          # interval-union span merge (zero-exchange fold)
     "sim_kmeans",              # fixed-point Lloyd k-means (centroid broadcast)
     "text_tfidf_search",       # exact-rational tf-idf ranked retrieval
+    "doc_snapshot_diff",       # CDC snapshot reconciliation (one full-outer digest join)
+    "doc_link_pagerank",       # fixed-point PageRank (per-round rank exchange only)
+    "multimodal_wav_stats",    # real RIFF/WAV decode round-trip (mapInPandas)
+    "multimodal_ppm_stats",    # real netpbm decode + resample (mapInPandas)
     "calibration_cpu",         # fixed-work box-state calibration (no IO, no data)
     "calibration_shuffle",     # fixed-work shuffle/bandwidth calibration (no data)
 ]
@@ -261,14 +274,13 @@ def main() -> int:
     # `parsed: null` because 69 seconds-float rows with default
     # separators outgrew that window and the line's head was cut).
     # So the one stdout line is COMPACT: integer milliseconds, no
-    # whitespace — 64 timed rows (66 HEADLINE entries minus the TWO
-    # popped calibration rows) ≈ 1.78 kB measured against the 2000-char
-    # capture (assert rail at 1.9 kB; round 13 swapped five sub-second
-    # rows with heavier timed siblings — doc_pii_scrub,
-    # q_order_count_distribution, q_events_sliding, doc_global_shuffle,
-    # text_dedup_paragraphs, all still registered and oracle-gated —
-    # for the five round-13 registrations; round 12 did the same for
-    # seven rows).  Full seconds-precision detail goes to
+    # whitespace — 65 timed rows (67 HEADLINE entries minus the TWO
+    # popped calibration rows) ≈ 1.82 kB measured against the 2000-char
+    # capture (assert rail at 1.9 kB; round 14 dropped the retired
+    # doc_top_terms plus two sub-second rows and added four round-14
+    # registrations — see the HEADLINE comment; round 13 swapped five
+    # sub-second rows for the five round-13 registrations; round 12
+    # did the same for seven rows).  Full seconds-precision detail goes to
     # bench_detail.json for local tooling (drift_normalize reads
     # either format).  If the row count grows this line past ~1.9 kB,
     # retire trivial sub-second scan rows from HEADLINE rather than

@@ -37,12 +37,15 @@ Supported subset
 * Quantifier preference: SQL default is GREEDY (maximal rows); a
   trailing ``?`` makes a quantifier reluctant.  The engine emits every
   nondeterministic assignment (NoSkip) and the kernel's SQL selection
-  layer keeps, per eligible start row, the match with the greatest
-  (greedy) or smallest (reluctant) END row — exactly
-  lexicographic-greedy when one variable is quantified, a documented
-  longest-overall approximation when several are.  Mixing greedy and
-  reluctant quantifiers in one pattern raises (the per-start
-  preference would be ambiguous).
+  layer keeps, per eligible start row, the SQL:2016-preferred match:
+  candidates compare LEXICOGRAPHICALLY on their per-variable capture
+  lengths in pattern order — maximized for greedy, minimized for
+  reluctant — which for this front end's flat concatenation patterns
+  is exactly the standard's leftmost-quantifier-first preferment
+  (round 14; previously a documented longest-overall approximation
+  when several variables were quantified).  Mixing greedy and
+  reluctant quantifiers in one pattern still raises (the per-start
+  preference direction must be uniform).
 * ``DEFINE`` — boolean conditions over the CURRENT row's columns,
   written SQL-style (``B.value > 50 AND B.event_type = 'error'``);
   a plain ``var.`` qualifier must be the variable being defined.
@@ -836,28 +839,12 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         )
     prefer = "shortest" if reluctants == {True} else "longest"
 
-    # Fence the documented selection approximation where it would BITE:
-    # with several FLEXIBLY-quantified variables (lo ≠ hi — a fixed
-    # {n} extent is deterministic) the engine's longest-overall /
-    # emission-index choice can assign rows to variables differently
-    # from SQL:2016's lexicographic-greedy preference, silently
-    # changing any measure over those variables.  Same contract as the
-    # mixed greedy/reluctant raise above.
+    # Selection is exact lexicographic preference since round 14, so
+    # several flexibly-quantified variables are fine in batch; the
+    # STREAMING surface still needs the flexible-variable count (its
+    # first-candidate-wins emission equals lexicographic-min only with
+    # one flexible variable — match_recognize_stream gates on this).
     flexible = {e[0] for e in elems if e[2] is None or e[1] != e[2]}
-    if len(flexible) > 1:
-        offending = [
-            alias for _k, mvar, _c, alias in measures if mvar in flexible
-        ]
-        if offending:
-            raise MatchRecognizeError(
-                f"measures {offending} read flexibly-quantified variables "
-                f"while PATTERN has several ({sorted(flexible)}): the "
-                "engine's per-start selection is longest-OVERALL, not "
-                "SQL:2016's per-quantifier lexicographic preference, so "
-                "those measures could silently diverge — restructure the "
-                "pattern (fixed {n} extents are fine) or measure only "
-                "singleton/fixed variables"
-            )
 
     import ast as _pyast
 
@@ -975,6 +962,7 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         "rows_per_match": rows_per_match,
         "pattern_vars": pattern_vars,
         "measure_modes": measure_modes,
+        "flexible_vars": sorted(flexible),
         # PREV/NEXT physical navigation: {col_name: (kind, col, n)} the
         # caller must materialize as lag/lead window columns keyed on
         # the partition column BEFORE running the kernel.
@@ -1297,6 +1285,15 @@ def match_recognize_stream(df: DataFrame, spec: str, **kernel_kwargs) -> DataFra
             "PREV/NEXT navigation needs a lag/lead window, which Spark "
             "does not support on streaming DataFrames — use the batch "
             "surface (FIRST/LAST logical navigation streams fine)"
+        )
+    if len(t["flexible_vars"]) > 1:
+        raise MatchRecognizeError(
+            "streaming MATCH_RECOGNIZE supports at most ONE flexibly-"
+            f"quantified variable (got {t['flexible_vars']}): the "
+            "stream emits a start's FIRST-completing candidate, which "
+            "equals SQL's lexicographic preference only when a single "
+            "variable's length varies — run multi-quantifier patterns "
+            "through the batch surface"
         )
     out = match_pattern_stream(
         df,

@@ -54,10 +54,16 @@ class MatchLimitExceeded(RuntimeError):
     """Raised when a key's live run-set exceeds ``max_active_runs``."""
 
 
-def _sql_select(matches, skip, prefer):
+def _sql_select(matches, skip, prefer, names):
     """SQL:2016 row-pattern match selection: scan candidate starts in
-    row order, keep one match per eligible start — the longest (greedy
-    quantifiers) or shortest (reluctant) by ``(end, emission_idx)`` —
+    row order, keep one match per eligible start — by SQL:2016's
+    LEXICOGRAPHIC quantifier preference: candidates compare on the
+    tuple of per-variable capture lengths in PATTERN order (``names``),
+    maximized for greedy quantifiers, minimized for reluctant, which
+    for the front end's flat concatenation patterns is exactly the
+    standard's leftmost-quantifier-first preferment (round 14 — the
+    previous longest-OVERALL-by-end approximation could assign rows
+    differently when several variables were flexibly quantified) —
     then advance the next eligible start per the AFTER MATCH SKIP
     mode.  This is the semantic layer MATCH_RECOGNIZE adds over the
     Flink-CEP-style engine, whose own skip strategies act on EMISSION
@@ -77,15 +83,18 @@ def _sql_select(matches, skip, prefer):
     for m in matches:
         if m[0] is not None:
             by_start.setdefault(m[0], []).append(m)
+
+    def lens(m):
+        return tuple(len(m[3].get(n) or ()) for n in names)
+
     out = []
     min_start = 0
     for s in sorted(by_start):
         if s < min_start:
             continue
-        # candidates ordered by (end, emission): longer loop takes emit
-        # later, so the emission index is the deterministic tie-break
-        # between same-span nondeterministic assignments.
-        cands = sorted(by_start[s], key=lambda m: (m[1], m[2]))
+        # equal length tuples = identical row assignment (contiguous
+        # rows); the emission index only makes the sort deterministic.
+        cands = sorted(by_start[s], key=lambda m: (lens(m), m[2]))
         chosen = cands[-1] if prefer == "longest" else cands[0]
         out.append(chosen)
         if mode == "past_last":
@@ -198,10 +207,11 @@ def match_pattern(
         picks ``"longest"`` (SQL greedy quantifiers, the default) or
         ``"shortest"`` (reluctant) among a start's candidates.  The
         fast path is bypassed (its emission equals the kernel's
-        UNSELECTED stream).  Selection preference is by match END
-        (exactly lexicographic-greedy for patterns with one quantified
-        variable; a documented longest-overall approximation when
-        several variables are quantified).
+        UNSELECTED stream).  Selection preference is SQL:2016's
+        lexicographic quantifier preferment: per-variable capture
+        lengths in pattern order, maximized (greedy) or minimized
+        (reluctant) — exact for flat concatenation patterns
+        (round 14; see ``_sql_select``).
     pre_partitioned:
         The caller asserts the input is ALREADY hash-distributed on
         the partition key(s) — e.g. a table written with
@@ -356,15 +366,20 @@ def match_pattern(
                 if sql_skip is not None:
                     if not all_pos:
                         continue  # empty match: nothing to anchor to
+                    # SQL:2016 lexicographic preference: per-variable
+                    # capture lengths in PATTERN order (see _sql_select)
+                    key = tuple(
+                        len(captured.get(n) or ()) for n in names
+                    )
                     cand = (min(all_pos), max(all_pos), emitted, captured)
                     emitted += 1
-                    cur = best_by_start.get(cand[0])
+                    cur, cur_key = best_by_start.get(cand[0], (None, None))
                     if (
                         cur is None
-                        or (sql_prefer == "longest" and cand[1:3] > cur[1:3])
-                        or (sql_prefer == "shortest" and cand[1:3] < cur[1:3])
+                        or (sql_prefer == "longest" and key > cur_key)
+                        or (sql_prefer == "shortest" and key < cur_key)
                     ):
-                        best_by_start[cand[0]] = cand
+                        best_by_start[cand[0]] = (cand, key)
                     continue
                 collected.append(
                     (
@@ -385,7 +400,8 @@ def match_pattern(
                 break
         if sql_skip is not None:
             collected = _sql_select(
-                list(best_by_start.values()), sql_skip, sql_prefer
+                [c for c, _k in best_by_start.values()], sql_skip,
+                sql_prefer, names,
             )
         rows = []
         for match_seq, (mn, mx, _i, captured) in enumerate(collected):

@@ -670,10 +670,6 @@ def test_match_recognize_on_bucketed_table_is_zero_exchange(spark, tmp_path):
         # an empty match per row — reject, don't silently emit nothing
         ("PARTITION BY u ORDER BY e MEASURES COUNT(A.*) AS n "
          "PATTERN (A* B?)", "can match zero rows"),
-        # several flexibly-quantified variables + a measure over one:
-        # selection preference could silently diverge from SQL:2016
-        ("PARTITION BY u ORDER BY e MEASURES COUNT(B.*) AS nb "
-         "PATTERN (A B{2,4} C?)", "flexibly-quantified"),
         # pattern variables may not use the internal register prefix
         ("PARTITION BY u ORDER BY e MEASURES A.x AS ax "
          "PATTERN (A __B)", "reserved"),
@@ -684,14 +680,21 @@ def test_round14_parser_rails(spec, msg):
         translate(spec, ["u", "v", "e", "x"])
 
 
-def test_fixed_extents_do_not_trip_the_flexible_rail():
-    # A{2} and B{3} are deterministic extents — measuring them is safe
+def test_flexible_vars_reported_and_multi_quantifier_allowed():
+    # selection is exact lexicographic since round 14, so measuring a
+    # flexibly-quantified variable among several is fine in batch
+    t = translate(
+        "PARTITION BY u ORDER BY e MEASURES COUNT(B.*) AS nb "
+        "PATTERN (A B{2,4} C?)",
+        ["u", "e", "x"],
+    )
+    assert t["flexible_vars"] == ["B", "C"]
     t = translate(
         "PARTITION BY u ORDER BY e MEASURES COUNT(A.*) AS na, "
         "SUM(B.x) AS sb PATTERN (A{2} B{3} C+) DEFINE C AS C.x > 0",
         ["u", "e", "x"],
     )
-    assert t["prefer"] == "longest"
+    assert t["flexible_vars"] == ["C"]  # fixed extents are deterministic
 
 
 # --- round-14: DEFINE navigation — translation -------------------------
@@ -1020,3 +1023,75 @@ def test_one_row_running_equals_final(spark):
     b = sorted(tuple(r) for r in match_recognize(df, spec.format(kw="FINAL ")).collect())
     c = sorted(tuple(r) for r in match_recognize(df, spec.format(kw="")).collect())
     assert a == b == c == [(1, 0, 5.0)]
+
+
+# --- round-14: SQL:2016 lexicographic selection preference --------------
+
+
+def test_lexicographic_greedy_prefers_leftmost_quantifier(spark):
+    """PATTERN (A+ B+) where both (len_A, len_B) = (2, 1) and (1, 2)
+    are feasible: SQL:2016 maximizes A FIRST → (2, 1).  The previous
+    longest-overall-by-end approximation could not distinguish these
+    (both end on the same row); this pins the exact preference."""
+    df = spark.createDataFrame(
+        # A := value < 10, B := value > 5 — rows 4, 7, 20: row 7
+        # satisfies BOTH, so A can take [4, 7] (B = [20]) or [4]
+        # (B = [7, 20])
+        [(1, 0, "row", 4.0), (1, 1, "row", 7.0), (1, 2, "row", 20.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = [
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb,
+                        FIRST(B.value) AS b0
+               PATTERN (A+ B+)
+               DEFINE A AS A.value < 10, B AS B.value > 5""",
+        ).collect()
+    ]
+    assert got == [(1, 0, 2, 1, 20.0)]
+
+
+def test_lexicographic_reluctant_minimizes_leftmost_first(spark):
+    """Reluctant twin: PATTERN (A+? B+?) with the same feasible set —
+    SQL minimizes A first → (1, 2)."""
+    df = spark.createDataFrame(
+        [(1, 0, "row", 4.0), (1, 1, "row", 7.0), (1, 2, "row", 20.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = [
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb
+               AFTER MATCH SKIP PAST LAST ROW
+               PATTERN (A+? B{2}?)
+               DEFINE A AS A.value < 10, B AS B.value > 5""",
+        ).collect()
+    ]
+    # B{2} is fixed; reluctant A+? takes the minimum (1 row: [4]),
+    # leaving B = [7, 20]
+    assert got == [(1, 0, 1, 2)]
+
+
+def test_streaming_mr_rejects_multiple_flexible_vars(spark):
+    import __spark_entry__ as entrymod
+    from reflinkcep_spark.cep.match_recognize import match_recognize_stream
+
+    from tests.conftest import SF_DIR
+
+    stream = entrymod._stream_events(spark, SF_DIR).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    with pytest.raises(MatchRecognizeError, match="ONE flexibly"):
+        match_recognize_stream(
+            stream,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(G.*) AS n
+               AFTER MATCH SKIP TO NEXT ROW
+               PATTERN (S G*? P*?)
+               DEFINE S AS S.event_type = 'signup'""",
+        )
