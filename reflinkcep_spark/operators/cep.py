@@ -54,6 +54,57 @@ class MatchLimitExceeded(RuntimeError):
     """Raised when a key's live run-set exceeds ``max_active_runs``."""
 
 
+def _capture_lens(captured, names):
+    """SQL:2016 lexicographic preference key: per-variable capture
+    lengths in PATTERN order.  The ONE definition — the per-start fold
+    in ``run_group`` and ``_sql_select`` must rank identically."""
+    return tuple(len(captured.get(n) or ()) for n in names)
+
+
+def _validate_sql_pattern(query) -> None:
+    """The lexicographic selection key assumes a candidate's capture
+    lengths DETERMINE its rows: strict contiguity everywhere (the
+    match is one contiguous segment) and unique, flat pattern
+    variables (no groups; ``capture_names`` would silently merge a
+    repeated name's captures).  The MATCH_RECOGNIZE translator only
+    emits such queries; reject everything else at the kernel boundary
+    instead of silently ranking by an ambiguous key."""
+    def walk(node):
+        t = node.get("type")
+        if t == "combine":
+            if node.get("contiguity") != "strict":
+                raise ValueError(
+                    "sql_skip requires STRICT contiguity throughout the "
+                    f"pattern (found {node.get('contiguity')!r} combine): "
+                    "with gaps, equal capture-length tuples no longer "
+                    "imply equal matches and the SQL preference key is "
+                    "ambiguous"
+                )
+            walk(node["left"])
+            walk(node["right"])
+        elif t in ("spat", "lpat", "lpat-inf"):
+            loop = node.get("loop")
+            if loop is not None and loop.get("contiguity") != "strict":
+                raise ValueError(
+                    "sql_skip requires STRICT loop contiguity (found "
+                    f"{loop.get('contiguity')!r} on {node.get('name')!r})"
+                )
+            names_seen.append(node["name"])
+        else:
+            raise ValueError(
+                f"sql_skip does not support {t!r} pattern nodes (flat "
+                "strict concatenation only — the MATCH_RECOGNIZE subset)"
+            )
+
+    names_seen: list = []
+    walk(query.patseq)
+    if len(names_seen) != len(set(names_seen)):
+        raise ValueError(
+            "sql_skip requires unique pattern variables (a repeated "
+            "name's captures merge, breaking the per-variable length key)"
+        )
+
+
 def _sql_select(matches, skip, prefer, names):
     """SQL:2016 row-pattern match selection: scan candidate starts in
     row order, keep one match per eligible start — by SQL:2016's
@@ -84,18 +135,20 @@ def _sql_select(matches, skip, prefer, names):
         if m[0] is not None:
             by_start.setdefault(m[0], []).append(m)
 
-    def lens(m):
-        return tuple(len(m[3].get(n) or ()) for n in names)
-
     out = []
     min_start = 0
     for s in sorted(by_start):
         if s < min_start:
             continue
         # equal length tuples = identical row assignment (contiguous
-        # rows); the emission index only makes the sort deterministic.
-        cands = sorted(by_start[s], key=lambda m: (lens(m), m[2]))
-        chosen = cands[-1] if prefer == "longest" else cands[0]
+        # rows, validated by _validate_sql_pattern); max/min are stable
+        # (first emitted wins a tie), matching the run_group fold.
+        cands = by_start[s]
+        chosen = (
+            max(cands, key=lambda m: _capture_lens(m[3], names))
+            if prefer == "longest"
+            else min(cands, key=lambda m: _capture_lens(m[3], names))
+        )
         out.append(chosen)
         if mode == "past_last":
             min_start = chosen[1] + 1
@@ -246,6 +299,7 @@ def match_pattern(
             )
         if sql_prefer not in ("longest", "shortest"):
             raise ValueError(f"sql_prefer must be 'longest' or 'shortest'")
+        _validate_sql_pattern(query)
         allow_fastpath = False
     keys = (
         [partition_by]
@@ -366,11 +420,7 @@ def match_pattern(
                 if sql_skip is not None:
                     if not all_pos:
                         continue  # empty match: nothing to anchor to
-                    # SQL:2016 lexicographic preference: per-variable
-                    # capture lengths in PATTERN order (see _sql_select)
-                    key = tuple(
-                        len(captured.get(n) or ()) for n in names
-                    )
+                    key = _capture_lens(captured, names)
                     cand = (min(all_pos), max(all_pos), emitted, captured)
                     emitted += 1
                     cur, cur_key = best_by_start.get(cand[0], (None, None))

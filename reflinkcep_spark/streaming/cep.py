@@ -168,11 +168,14 @@ def match_pattern_stream(
     if not keys:
         raise ValueError("streaming CEP requires partition_by (keyed state)")
     if sql_skip is not None:
+        from reflinkcep_spark.operators.cep import _validate_sql_pattern
+
         if query.strategy != "NoSkip":
             raise ValueError(
                 "sql_skip requires strategy NoSkip (SQL selection is "
                 f"applied over the full emission), got {query.strategy!r}"
             )
+        _validate_sql_pattern(query)
         if sql_skip[0] != "to_next" or sql_prefer != "shortest":
             raise ValueError(
                 "streaming SQL match selection supports AFTER MATCH SKIP "

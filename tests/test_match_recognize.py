@@ -1095,3 +1095,31 @@ def test_streaming_mr_rejects_multiple_flexible_vars(spark):
                PATTERN (S G*? P*?)
                DEFINE S AS S.event_type = 'signup'""",
         )
+
+
+def test_sql_skip_kernel_boundary_validation(spark):
+    """match_pattern(sql_skip=...) with a pattern outside the
+    MATCH_RECOGNIZE subset (relaxed contiguity / repeated variables /
+    group nodes) must raise at plan time — the lexicographic length
+    key is only meaningful for flat strict unique-variable patterns."""
+    from reflinkcep_spark import Query
+    from reflinkcep_spark.operators import match_pattern
+
+    df = spark.createDataFrame(
+        [(1, 0, "e", 1.0)], "user_id int, id int, t string, v double"
+    )
+    relaxed = Query.from_dict({
+        "patseq": {
+            "type": "combine", "contiguity": "relaxed",
+            "left": {"type": "spat", "name": "a", "event": "e",
+                     "cndt": {"expr": "v > 0"}},
+            "right": {"type": "spat", "name": "b", "event": "e",
+                      "cndt": {"expr": "v > 0"}},
+        },
+        "context": {"schema": {"e": ["id", "v"]}, "strategy": "NoSkip"},
+    })
+    with pytest.raises(ValueError, match="STRICT contiguity"):
+        match_pattern(
+            df, relaxed, order_by="id", partition_by="user_id",
+            type_col="t", sql_skip=("past_last", None),
+        )
