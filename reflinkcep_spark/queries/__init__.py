@@ -256,13 +256,31 @@ RETIRED = (
 #        (conditional-sum revenue ratio; the shape is q1_pricing_
 #        summary's conditional aggs + retired q_late_lines_by_status)
 #    Registry 124 + 6 - 6 = 124; margin stays 26.
-# 3. KEEP in the window the heavy / plan-sensitive r13-vintage rows
-#    (fifteen CEP rows, eight dedup rows, doc_pack_ffd,
-#    text_lm_quality are the r13 precedent -- recompute the exact
-#    keep/sit-out split from CORRECTNESS_r14 at rotation time:
-#    27 + 6 leaves 17 slots).
-# 4. NAME the remaining ~33 r13-vintage queries as round-15
-#    PLANNED_SITOUTS (2-stale at r16, legal once).
+# 3. KEEP in the window these SEVENTEEN heavy / plan-sensitive
+#    r13-vintage rows (27 + 6 + 17 = 50; pre-computed round 14 from
+#    the post-r14 staleness simulation -- recompute only if the r14
+#    driver row set differs): the eight dedup rows (dedup_exact_groups,
+#    dedup_minhash_lsh, dedup_ngram_jaccard, dedup_scrub_spans,
+#    dedup_semantic, dedup_simhash, dedup_substring_spans,
+#    dedup_winnow_pairs), doc_pack_ffd, text_lm_quality, and the seven
+#    most plan-sensitive CEP rows (cep_spending_burst [NFA kernel],
+#    cep_view_combos_ndrelaxed [nd-relaxed], cep_nested_funnel_relaxed,
+#    cep_error_pairs_skippast, cep_error_streaks_skip,
+#    cep_view_click_runs [gpat-inf], cep_view_click_cycles
+#    [gpat-times]).
+# 4. NAME the remaining TWENTY-FOUR r13-vintage queries as round-15
+#    PLANNED_SITOUTS (47 surviving r13-row queries - 6 retired in
+#    step 2 - 17 kept = 24; 2-stale at r16, legal once):
+#    q1_pricing_summary, q6_revenue_delta, q_big_building_buyers,
+#    q_late_ship_priority, q_order_count_distribution,
+#    q_segment_opportunity, q_disjunctive_revenue, q_top_supplier,
+#    q_nation_market_share, q_min_cost_suppliers, q_important_parts,
+#    doc_hll_registers, doc_bloom_decontam, doc_span_merge, sim_kmeans,
+#    text_tfidf_search, cep_conversion_rate,
+#    cep_error_then_purchase_grouped, cep_error_triples,
+#    cep_high_purchase_chains, cep_optional_click_prefix,
+#    cep_signup_abandoned, cep_signup_any_purchase,
+#    cep_signup_to_purchase.
 # Round-16 consequence: those ~33 sit-outs + the six-entry round-16
 # queue half (doc_domain_caps, text_gopher_rules,
 # q_events_zorder_stats, multimodal_avi_stats, dedup_incremental,
