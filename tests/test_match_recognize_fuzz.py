@@ -24,25 +24,31 @@ import pytest
 from reflinkcep_spark.cep.match_recognize import match_recognize
 
 
-def _max_run(feas_row, pos, n):
-    L = 0
-    while pos + L < n and feas_row[pos + L]:
-        L += 1
-    return L
+def _preferred_ctx(values, conds, s, quants, n, prefer):
+    """Like :func:`_preferred` but with ASSIGNMENT-DEPENDENT conditions
+    (cross-variable LAST navigation): row feasibility for variable i is
+    evaluated against the segments already placed for variables < i.
+    Conditions: None (undefined) / ("gt", t) / ("ascent",) ≡
+    PREV(value) < value / ("gt_last", j) ≡ value > LAST(Vj.value)."""
 
+    def cond_ok(i, r, placed):
+        c = conds[i]
+        if c is None:
+            return True
+        if c[0] == "gt":
+            return values[r] > c[1]
+        if c[0] == "ascent":
+            return r > 0 and values[r - 1] < values[r]
+        pj, Lj = placed[c[1]]
+        return values[r] > values[pj + Lj - 1]
 
-def _preferred(feas, s, quants, n, prefer):
-    """Lexicographic-preferred assignment for a match starting at row
-    ``s``: per-variable segment lengths chosen left to right, greedy
-    trying longest first / reluctant shortest first, backtracking on
-    failure.  ``feas[i][r]`` = row r satisfies variable i's condition.
-    Returns [(seg_start, seg_len), …] or None."""
-
-    def rec(i, pos):
+    def rec(i, pos, placed):
         if i == len(quants):
             return []
         lo, hi = quants[i]
-        cap = _max_run(feas[i], pos, n)
+        cap = 0
+        while pos + cap < n and cond_ok(i, pos + cap, placed):
+            cap += 1
         hi_eff = cap if hi is None else min(hi, cap)
         if hi_eff < lo:
             return None
@@ -52,49 +58,45 @@ def _preferred(feas, s, quants, n, prefer):
             else range(lo, hi_eff + 1)
         )
         for L in order:
-            rest = rec(i + 1, pos + L)
+            rest = rec(i + 1, pos + L, placed + [(pos, L)])
             if rest is not None:
                 return [(pos, L)] + rest
         return None
 
-    got = rec(0, s)
+    got = rec(0, s, [])
     if got is not None and sum(L for _p, L in got) == 0:
-        return None  # nothing anchored (translate forbids this anyway)
+        return None
     return got
 
 
-def _reference(values, thresholds, quants, prefer, skip_mode):
+def _reference(values, conds, quants, prefer, skip):
     """All matches for one key per SQL:2016 selection: scan starts in
     row order, emit the preferred assignment per eligible start,
-    advance per the skip mode.  Variable i's condition is
-    ``value > thresholds[i]`` (None = undefined, matches any row)."""
+    advance per the skip mode (``skip`` = ("past_last"|"to_next", None)
+    or ("to_first"|"to_last", var_index))."""
     n = len(values)
-    feas = [
-        [True] * n if t is None else [v > t for v in values]
-        for t in thresholds
-    ]
+    mode, target = skip
     out = []
     min_start = 0
     for s in range(n):
         if s < min_start:
             continue
-        segs = _preferred(feas, s, quants, n, prefer)
+        segs = _preferred_ctx(values, conds, s, quants, n, prefer)
         if segs is None:
             continue
-        # anchor on captured rows only (a leading L=0 variable does
-        # not shift the match start)
         pos = [
             (i, p, L) for i, (p, L) in enumerate(segs) if L > 0
         ]
         start = min(p for _i, p, _L in pos)
         end = max(p + L - 1 for _i, p, L in pos)
-        if start < min_start:
-            continue
         out.append((start, end, segs))
-        if skip_mode == "past_last":
+        if mode == "past_last":
             min_start = end + 1
-        else:  # to_next
+        elif mode == "to_next":
             min_start = start + 1
+        else:
+            pt, Lt = segs[target]
+            min_start = pt if mode == "to_first" else pt + Lt - 1
     return out
 
 
@@ -102,21 +104,41 @@ def _case(seed):
     rng = random.Random(seed)
     k = rng.randint(2, 4)
     prefer = rng.choice(["longest", "shortest"])
-    skip_mode = rng.choice(["past_last", "to_next"])
     quant_pool = [(1, 1), (0, 1), (1, None), (0, None), (1, 3), (2, 2)]
     while True:
         quants = [rng.choice(quant_pool) for _ in range(k)]
         if sum(lo for lo, _hi in quants) >= 1:
             break
-    thresholds = [
-        rng.choice([None, 2, 5, 8]) for _ in range(k)
+    conds = []
+    for i in range(k):
+        pool = [None, ("gt", 2), ("gt", 5), ("gt", 8), ("ascent",)]
+        # cross-variable LAST navigation: only an EARLIER variable with
+        # lo >= 1 (its register is guaranteed set when i evaluates)
+        nav_targets = [
+            j for j in range(i) if quants[j][0] >= 1
+        ]
+        if nav_targets:
+            pool.append(("gt_last", rng.choice(nav_targets)))
+        conds.append(rng.choice(pool))
+    # AFTER MATCH SKIP: ordered modes only when a guaranteed-capturing
+    # variable strictly after the start exists (SQL's infinite-loop
+    # rule would raise otherwise — raising is hand-tested)
+    skip_pool = [("past_last", None), ("to_next", None)]
+    safe_targets = [
+        j for j in range(1, k)
+        if quants[j][0] >= 1
+        and sum(quants[i][0] for i in range(j)) >= 1
     ]
+    if safe_targets:
+        t = rng.choice(safe_targets)
+        skip_pool += [("to_first", t), ("to_last", t)]
+    skip = rng.choice(skip_pool)
     n = rng.randint(8, 16)
     values = [float(rng.randint(0, 10)) for _ in range(n)]
-    return prefer, skip_mode, quants, thresholds, values
+    return prefer, skip, quants, conds, values
 
 
-def _spec(prefer, skip_mode, quants, thresholds):
+def _spec(prefer, skip, quants, conds):
     names = [f"V{i}" for i in range(len(quants))]
     pats = []
     for name, (lo, hi) in zip(names, quants):
@@ -135,36 +157,47 @@ def _spec(prefer, skip_mode, quants, thresholds):
         f"LAST({v}.event_id) AS l_{v.lower()}"
         for v in names
     )
-    defines = ", ".join(
-        f"{v} AS {v}.value > {t}"
-        for v, t in zip(names, thresholds)
-        if t is not None
-    )
-    skip = (
-        "AFTER MATCH SKIP PAST LAST ROW"
-        if skip_mode == "past_last"
-        else "AFTER MATCH SKIP TO NEXT ROW"
-    )
+    define_parts = []
+    for v, c in zip(names, conds):
+        if c is None:
+            continue
+        if c[0] == "gt":
+            define_parts.append(f"{v} AS {v}.value > {c[1]}")
+        elif c[0] == "ascent":
+            define_parts.append(f"{v} AS PREV(value) < {v}.value")
+        else:
+            define_parts.append(
+                f"{v} AS {v}.value > LAST(V{c[1]}.value)"
+            )
+    mode, target = skip
+    skip_sql = {
+        "past_last": "AFTER MATCH SKIP PAST LAST ROW",
+        "to_next": "AFTER MATCH SKIP TO NEXT ROW",
+        "to_first": f"AFTER MATCH SKIP TO FIRST V{target}",
+        "to_last": f"AFTER MATCH SKIP TO LAST V{target}",
+    }[mode]
     spec = (
         f"PARTITION BY user_id ORDER BY event_id MEASURES {measures} "
-        f"{skip} PATTERN ({' '.join(pats)})"
+        f"{skip_sql} PATTERN ({' '.join(pats)})"
     )
-    if defines:
-        spec += f" DEFINE {defines}"
+    if define_parts:
+        spec += f" DEFINE {', '.join(define_parts)}"
     return spec, names
 
 
-SEEDS = list(range(40))
+SEEDS = list(range(60))
 
 
-@pytest.mark.parametrize("batch", [SEEDS[:14], SEEDS[14:27], SEEDS[27:]])
+@pytest.mark.parametrize(
+    "batch", [SEEDS[:15], SEEDS[15:30], SEEDS[30:45], SEEDS[45:]]
+)
 def test_sql_selection_matches_backtracking_reference(spark, batch):
     for seed in batch:
-        prefer, skip_mode, quants, thresholds, values = _case(seed)
+        prefer, skip, quants, conds, values = _case(seed)
         # reluctant-on-singleton is meaningless; _spec only marks
         # flexible quantifiers reluctant, so a shortest case with all
         # fixed extents degenerates to greedy — fine, same semantics.
-        spec, names = _spec(prefer, skip_mode, quants, thresholds)
+        spec, names = _spec(prefer, skip, quants, conds)
         df = spark.createDataFrame(
             [(1, i, v) for i, v in enumerate(values)],
             "user_id int, event_id int, value double",
@@ -176,7 +209,7 @@ def test_sql_selection_matches_backtracking_reference(spark, batch):
 
         want = []
         for seq, (_start, _end, segs) in enumerate(
-            _reference(values, thresholds, quants, prefer, skip_mode)
+            _reference(values, conds, quants, prefer, skip)
         ):
             row = [1, seq]
             for pos, L in segs:
