@@ -1123,3 +1123,28 @@ def test_sql_skip_kernel_boundary_validation(spark):
             df, relaxed, order_by="id", partition_by="user_id",
             type_col="t", sql_skip=("past_last", None),
         )
+
+
+def test_match_recognize_composes_with_within_kwargs(spark):
+    """Flink SQL's `PATTERN (...) WITHIN INTERVAL` semantics are
+    available through the kernel kwargs (`within` / `within_col` pass
+    through `match_recognize(**kernel_kwargs)`): over-long candidates
+    are pruned BEFORE selection, so greedy picks the longest
+    within-bounded match — not nothing, and not the unbounded one."""
+    df = spark.createDataFrame(
+        [(1, i, "error", float(i)) for i in range(6)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    spec = """PARTITION BY user_id ORDER BY event_id
+              MEASURES FIRST(E.event_id) AS fe, COUNT(E.*) AS n
+              PATTERN (E+) DEFINE E AS E.event_type = 'error'"""
+    unbounded = sorted(
+        tuple(r) for r in match_recognize(df, spec).collect()
+    )
+    assert unbounded == [(1, 0, 0, 6)]  # one maximal 6-row run
+    bounded = sorted(
+        tuple(r) for r in match_recognize(df, spec, within=2).collect()
+    )
+    # within=2 (order units, first-to-last span): greedy run is capped
+    # at 3 rows, SKIP PAST LAST ROW tiles the stream
+    assert bounded == [(1, 0, 0, 3), (1, 1, 3, 3)]
