@@ -22,7 +22,7 @@ Supported subset
       [AFTER MATCH SKIP PAST LAST ROW
         | AFTER MATCH SKIP TO NEXT ROW
         | AFTER MATCH SKIP TO {FIRST|LAST} <var>]
-      PATTERN ( <var>[<quant>] ... )
+      PATTERN ( <var>[<quant>] ... ) [WITHIN INTERVAL '<n>' <unit>]
       DEFINE <var> AS <condition> [, ...]
     )
 
@@ -113,6 +113,16 @@ Supported subset
   ROW``).  ``SKIP TO FIRST/LAST v`` raises at runtime if ``v``
   captured nothing or resolves to the match's own start row
   (SQL:2016's infinite-loop rule).
+* ``WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY`` after PATTERN
+  (round 14) — Flink SQL's time-bounded MATCH_RECOGNIZE: the match's
+  first-to-last EVENT TIME span is bounded, measured on the timestamp
+  column the caller names (``match_recognize(df, spec,
+  time_col='ts')``), threaded through the kernel's time-based
+  ``within``/``within_col`` path (which also prunes expired runs —
+  on the streaming surface this bounds per-key state by the key's
+  in-window event rate).  Event time must be non-decreasing in ORDER
+  BY order per key — the kernel's runtime monotonicity guard
+  enforces it.  Mutually exclusive with explicit within kwargs.
 
 Scale shape: identical to every kernel CEP query — project to the
 referenced columns, ONE exchange on the partition key, Arrow-batched
@@ -390,6 +400,57 @@ def _parse_skip(tokens: list[str]) -> tuple[str, str | None]:
 
 
 _QUANT_OPEN = {"*": (0, None), "+": (1, None), "?": (0, 1)}
+
+_INTERVAL_MICROS = {
+    "SECOND": 1_000_000,
+    "MINUTE": 60 * 1_000_000,
+    "HOUR": 3_600 * 1_000_000,
+    "DAY": 86_400 * 1_000_000,
+}
+
+
+def _split_within(tokens: list[str]) -> tuple[list[str], int | None]:
+    """Split a PATTERN clause body into the parenthesized pattern and
+    an optional trailing ``WITHIN INTERVAL '<n>' <unit>`` (Flink SQL's
+    time-bounded MATCH_RECOGNIZE).  Returns (pattern_tokens, micros)."""
+    if not tokens or tokens[0] != "(":
+        raise MatchRecognizeError("PATTERN needs parentheses")
+    depth = 0
+    close = None
+    for i, tok in enumerate(tokens):
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+            if depth == 0:
+                close = i
+                break
+    if close is None:
+        raise MatchRecognizeError("PATTERN needs parentheses")
+    rest = tokens[close + 1 :]
+    if not rest:
+        return tokens, None
+    ups = [t.upper() for t in rest]
+    if (
+        len(rest) == 4
+        and ups[0] == "WITHIN"
+        and ups[1] == "INTERVAL"
+        and rest[2].startswith("'")
+        and ups[3] in _INTERVAL_MICROS
+    ):
+        try:
+            n = int(rest[2][1:-1])
+        except ValueError:
+            raise MatchRecognizeError(
+                f"WITHIN INTERVAL needs an integer literal, got {rest[2]}"
+            ) from None
+        if n <= 0:
+            raise MatchRecognizeError("WITHIN INTERVAL must be positive")
+        return tokens[: close + 1], n * _INTERVAL_MICROS[ups[3]]
+    raise MatchRecognizeError(
+        f"unexpected tokens after PATTERN: {' '.join(rest)!r} "
+        "(supported: WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY)"
+    )
 
 
 def _parse_pattern(tokens: list[str]) -> list[tuple]:
@@ -749,7 +810,8 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
     skip = (
         _parse_skip(clauses["AFTER"]) if "AFTER" in clauses else ("past_last", None)
     )
-    elems = _parse_pattern(clauses["PATTERN"])
+    pattern_tokens, within_micros = _split_within(clauses["PATTERN"])
+    elems = _parse_pattern(pattern_tokens)
     pattern_vars = [e[0] for e in elems]
     if sum(e[1] for e in elems) == 0:
         # SQL:2016 emits an EMPTY MATCH per eligible row for such
@@ -963,6 +1025,11 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         "pattern_vars": pattern_vars,
         "measure_modes": measure_modes,
         "flexible_vars": sorted(flexible),
+        # Flink SQL's time-bounded MATCH_RECOGNIZE: PATTERN (...) WITHIN
+        # INTERVAL '<n>' <unit> → first-to-last match span bound in
+        # MICROSECONDS; the caller supplies the timestamp column
+        # (match_recognize(..., time_col=...)).
+        "within_micros": within_micros,
         # PREV/NEXT physical navigation: {col_name: (kind, col, n)} the
         # caller must materialize as lag/lead window columns keyed on
         # the partition column BEFORE running the kernel.
@@ -1032,8 +1099,10 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
     """
     from reflinkcep_spark.operators import match_pattern
 
+    time_col = kernel_kwargs.pop("time_col", None)
     t = translate(spec, df.columns)
     orig_columns = list(df.columns)
+    df, kernel_kwargs = _attach_within_stamp(df, t, time_col, kernel_kwargs)
     df, kernel_kwargs = _attach_nav_columns(df, t, kernel_kwargs)
     out = match_pattern(
         df,
@@ -1046,6 +1115,61 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
         **kernel_kwargs,
     )
     return _project(out, t, df.schema, orig_columns)
+
+
+def _attach_within_stamp(df, t: dict, time_col, kernel_kwargs: dict):
+    """WITHIN INTERVAL → the kernel's time-based ``within``: stamp the
+    rows with ``unix_micros(time_col)`` (a reserved ``__mr_stamp``
+    column the projections never expose) and thread within/within_col
+    through.  The kernel's monotonicity guard enforces that event time
+    is non-decreasing in ORDER BY order per key."""
+    if t.get("within_micros") is None:
+        if time_col is not None:
+            raise MatchRecognizeError(
+                "time_col was given but the spec has no WITHIN INTERVAL "
+                "clause"
+            )
+        return df, kernel_kwargs
+    if time_col is None:
+        raise MatchRecognizeError(
+            "PATTERN ... WITHIN INTERVAL needs the event-time column: "
+            "match_recognize(df, spec, time_col='<timestamp col>')"
+        )
+    if time_col not in df.columns:
+        raise MatchRecognizeError(
+            f"time_col {time_col!r} is not a column of the input"
+        )
+    if "within" in kernel_kwargs or "within_col" in kernel_kwargs:
+        raise MatchRecognizeError(
+            "WITHIN INTERVAL and explicit within/within_col kwargs are "
+            "mutually exclusive — pick one surface"
+        )
+    if "__mr_stamp" in df.columns:
+        raise MatchRecognizeError(
+            "input column '__mr_stamp': the '__mr_' prefix is reserved"
+        )
+    from pyspark.sql import functions as F
+
+    stamp = F.col(time_col)
+    ts_type = dict(df.dtypes).get(time_col)
+    if ts_type == "timestamp_ntz":
+        # Parquet TIMESTAMP(isAdjustedToUTC=false) reads as
+        # TIMESTAMP_NTZ, which unix_micros() rejects.  Same
+        # normalization as sources/tables.load_table: pin the session
+        # zone so the naive value is read AS UTC, then cast — epoch
+        # micros then agree bit-for-bit with engines that treat naive
+        # values as UTC, regardless of host timezone.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        stamp = stamp.cast("timestamp")
+    elif ts_type != "timestamp":
+        raise MatchRecognizeError(
+            f"time_col {time_col!r} must be a TIMESTAMP column, got "
+            f"{ts_type}"
+        )
+    kernel_kwargs = dict(kernel_kwargs)
+    kernel_kwargs["within"] = t["within_micros"]
+    kernel_kwargs["within_col"] = "__mr_stamp"
+    return df.withColumn("__mr_stamp", F.unix_micros(stamp)), kernel_kwargs
 
 
 def _sum_acc_type(schema, col: str) -> str:
@@ -1279,7 +1403,9 @@ def match_recognize_stream(df: DataFrame, spec: str, **kernel_kwargs) -> DataFra
     """
     from reflinkcep_spark.streaming.cep import match_pattern_stream
 
+    time_col = kernel_kwargs.pop("time_col", None)
     t = translate(spec, df.columns)
+    df, kernel_kwargs = _attach_within_stamp(df, t, time_col, kernel_kwargs)
     if t["nav_columns"]:
         raise MatchRecognizeError(
             "PREV/NEXT navigation needs a lag/lead window, which Spark "

@@ -1148,3 +1148,100 @@ def test_match_recognize_composes_with_within_kwargs(spark):
     # within=2 (order units, first-to-last span): greedy run is capped
     # at 3 rows, SKIP PAST LAST ROW tiles the stream
     assert bounded == [(1, 0, 0, 3), (1, 1, 3, 3)]
+
+
+# --- round-14: WITHIN INTERVAL (Flink SQL time-bounded MR) --------------
+
+
+def test_within_interval_parses_to_micros():
+    t = translate(
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(E.*) AS n
+           PATTERN (E+) WITHIN INTERVAL '2' HOUR
+           DEFINE E AS E.event_type = 'error'""",
+        COLS,
+    )
+    assert t["within_micros"] == 2 * 3_600 * 1_000_000
+
+
+@pytest.mark.parametrize(
+    "tail,msg",
+    [
+        ("WITHIN INTERVAL '0' HOUR", "positive"),
+        ("WITHIN INTERVAL 'x' HOUR", "integer literal"),
+        ("WITHIN INTERVAL '1' FORTNIGHT", "unexpected tokens"),
+        ("WITHIN '1' HOUR", "unexpected tokens"),
+    ],
+)
+def test_within_interval_rails(tail, msg):
+    with pytest.raises(MatchRecognizeError, match=msg):
+        translate(
+            f"""PARTITION BY user_id ORDER BY event_id
+                MEASURES COUNT(E.*) AS n
+                PATTERN (E+) {tail}
+                DEFINE E AS E.event_type = 'error'""",
+            COLS,
+        )
+
+
+def test_within_interval_bounds_matches(spark):
+    """Six error events 1 h apart: WITHIN INTERVAL '2' HOUR caps the
+    greedy run at 3 rows (first-to-last span 2 h) and SKIP PAST LAST
+    ROW tiles — and the result equals the explicit within/within_col
+    kwargs form on the same data."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, i, base + dt.timedelta(hours=i), "error", float(i))
+            for i in range(6)
+        ],
+        "user_id int, event_id int, ts timestamp, event_type string, "
+        "value double",
+    )
+    spec_within = """PARTITION BY user_id ORDER BY event_id
+        MEASURES FIRST(E.event_id) AS fe, COUNT(E.*) AS n
+        PATTERN (E+) WITHIN INTERVAL '2' HOUR
+        DEFINE E AS E.event_type = 'error'"""
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(df, spec_within, time_col="ts").collect()
+    )
+    assert got == [(1, 0, 0, 3), (1, 1, 3, 3)]
+
+    from pyspark.sql import functions as F
+
+    spec_plain = spec_within.replace(" WITHIN INTERVAL '2' HOUR", "")
+    kw = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df.withColumn("us", F.unix_micros("ts")),
+            spec_plain,
+            within=2 * 3_600 * 1_000_000,
+            within_col="us",
+        ).collect()
+    )
+    assert kw == got
+
+
+def test_within_interval_requires_time_col_and_excludes_kwargs(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "e", 1.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    spec = """PARTITION BY user_id ORDER BY event_id
+        MEASURES COUNT(E.*) AS n PATTERN (E+) WITHIN INTERVAL '1' HOUR"""
+    with pytest.raises(MatchRecognizeError, match="time_col"):
+        match_recognize(df, spec)
+    with pytest.raises(MatchRecognizeError, match="not a column"):
+        match_recognize(df, spec, time_col="nope")
+    with pytest.raises(MatchRecognizeError, match="must be a TIMESTAMP"):
+        match_recognize(df, spec, time_col="value")
+    with pytest.raises(MatchRecognizeError, match="no WITHIN INTERVAL"):
+        match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(E.*) AS n PATTERN (E+)""",
+            time_col="value",
+        )

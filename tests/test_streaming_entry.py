@@ -571,6 +571,62 @@ def test_streaming_entry_sql_funnel_matches_batch(spark, tmp_path):
     assert got == want and got
 
 
+def test_streaming_sql_within_interval_matches_batch(spark, tmp_path):
+    """``PATTERN (...) WITHIN INTERVAL`` (round 14) on a STREAM: the
+    shared ``_attach_within_stamp`` helper threads the event-time
+    bound into ``match_pattern_stream``'s within/within_col path, so
+    on a stream the 48-hour bound is ALSO the per-key state bound.
+    The finalization-free funnel spec with the time bound appended
+    must produce exactly the batch front end's match set (modulo
+    ``match_seq``, completion- vs start-ordered)."""
+    import __spark_entry__ as entrymod
+
+    from reflinkcep_spark.cep.match_recognize import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from reflinkcep_spark.queries.cep_queries import MR_FUNNEL_SPEC
+
+    spec = MR_FUNNEL_SPEC.replace(
+        "PATTERN (S G*? P)", "PATTERN (S G*? P) WITHIN INTERVAL '48' HOUR"
+    )
+    assert "WITHIN INTERVAL" in spec
+    cols = ["user_id", "event_id", "event_type", "value", "ts"]
+    stream = entrymod._stream_events(spark, SF_DIR).select(*cols)
+    out = match_recognize_stream(stream, spec, time_col="ts").drop("match_seq")
+    assert out.isStreaming
+    sink = f"entry_sql_within_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sql_within"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"], r["gap_len"])
+        for r in spark.table(sink).collect()
+    )
+    batch = match_recognize(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select(*cols),
+        spec,
+        time_col="ts",
+    )
+    want = sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"], r["gap_len"])
+        for r in batch.collect()
+    )
+    assert got == want and got
+    # the time bound bites: strictly fewer matches than the unbounded spec
+    unbounded = match_recognize(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select(*cols),
+        MR_FUNNEL_SPEC,
+    )
+    assert len(want) < unbounded.count()
+
+
 def test_streaming_sql_selection_rejects_greedy_and_ordered_modes(spark):
     """The streaming kernel's SQL selection is fenced to the
     finalization-free combination — greedy preference / ordered skip
