@@ -1150,18 +1150,21 @@ def _attach_within_stamp(df, t: dict, time_col, kernel_kwargs: dict):
         )
     from pyspark.sql import functions as F
 
-    stamp = F.col(time_col)
     ts_type = dict(df.dtypes).get(time_col)
-    if ts_type == "timestamp_ntz":
+    if ts_type == "timestamp":
+        stamp = F.unix_micros(F.col(time_col))
+    elif ts_type == "timestamp_ntz":
         # Parquet TIMESTAMP(isAdjustedToUTC=false) reads as
-        # TIMESTAMP_NTZ, which unix_micros() rejects.  Same
-        # normalization as sources/tables.load_table: pin the session
-        # zone so the naive value is read AS UTC, then cast — epoch
-        # micros then agree bit-for-bit with engines that treat naive
-        # values as UTC, regardless of host timezone.
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        stamp = stamp.cast("timestamp")
-    elif ts_type != "timestamp":
+        # TIMESTAMP_NTZ, which unix_micros() rejects.  Read the naive
+        # value AS UTC (the load_table convention, bit-for-bit with
+        # engines that treat naive values as UTC) via an NTZ-native
+        # diff — no session-timezone dependence or mutation.
+        quoted = "`" + time_col.replace("`", "``") + "`"
+        stamp = F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {quoted})"
+        )
+    else:
         raise MatchRecognizeError(
             f"time_col {time_col!r} must be a TIMESTAMP column, got "
             f"{ts_type}"
@@ -1169,7 +1172,7 @@ def _attach_within_stamp(df, t: dict, time_col, kernel_kwargs: dict):
     kernel_kwargs = dict(kernel_kwargs)
     kernel_kwargs["within"] = t["within_micros"]
     kernel_kwargs["within_col"] = "__mr_stamp"
-    return df.withColumn("__mr_stamp", F.unix_micros(stamp)), kernel_kwargs
+    return df.withColumn("__mr_stamp", stamp), kernel_kwargs
 
 
 def _sum_acc_type(schema, col: str) -> str:
@@ -1405,6 +1408,7 @@ def match_recognize_stream(df: DataFrame, spec: str, **kernel_kwargs) -> DataFra
 
     time_col = kernel_kwargs.pop("time_col", None)
     t = translate(spec, df.columns)
+    orig_columns = list(df.columns)
     df, kernel_kwargs = _attach_within_stamp(df, t, time_col, kernel_kwargs)
     if t["nav_columns"]:
         raise MatchRecognizeError(
@@ -1431,4 +1435,7 @@ def match_recognize_stream(df: DataFrame, spec: str, **kernel_kwargs) -> DataFra
         sql_prefer=t["prefer"],
         **kernel_kwargs,
     )
-    return _project(out, t, df.schema, list(df.columns))
+    # orig_columns was captured BEFORE _attach_within_stamp so ALL ROWS
+    # PER MATCH never leaks the internal __mr_stamp column (mirrors the
+    # batch surface).
+    return _project(out, t, df.schema, orig_columns)

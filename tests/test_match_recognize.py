@@ -1225,6 +1225,46 @@ def test_within_interval_bounds_matches(spark):
     assert kw == got
 
 
+def test_within_interval_ntz_is_timezone_independent(spark):
+    """TIMESTAMP_NTZ time columns are read naive-as-UTC via an
+    NTZ-native diff: the result is identical under any session
+    timezone and the session conf is NOT mutated (the review-flagged
+    hidden side effect)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, i, base + dt.timedelta(hours=i), "error", float(i))
+            for i in range(6)
+        ],
+        "user_id int, event_id int, ts timestamp_ntz, event_type string, "
+        "value double",
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    spec = """PARTITION BY user_id ORDER BY event_id
+        MEASURES FIRST(E.event_id) AS fe, COUNT(E.*) AS n
+        PATTERN (E+) WITHIN INTERVAL '2' HOUR
+        DEFINE E AS E.event_type = 'error'"""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        got = {}
+        for tz in ("UTC", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got[tz] = sorted(
+                tuple(r)
+                for r in match_recognize(df, spec, time_col="ts").collect()
+            )
+            assert (
+                spark.conf.get("spark.sql.session.timeZone") == tz
+            ), "match_recognize mutated the session timezone"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert got["UTC"] == got["Asia/Tokyo"] == [(1, 0, 0, 3), (1, 1, 3, 3)]
+
+
 def test_within_interval_requires_time_col_and_excludes_kwargs(spark):
     df = spark.createDataFrame(
         [(1, 0, "e", 1.0)],
@@ -1238,6 +1278,17 @@ def test_within_interval_requires_time_col_and_excludes_kwargs(spark):
         match_recognize(df, spec, time_col="nope")
     with pytest.raises(MatchRecognizeError, match="must be a TIMESTAMP"):
         match_recognize(df, spec, time_col="value")
+    from pyspark.sql import functions as F
+
+    ts_df = df.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    with pytest.raises(MatchRecognizeError, match="mutually exclusive"):
+        match_recognize(ts_df, spec, time_col="ts", within=10)
+    with pytest.raises(MatchRecognizeError, match="reserved"):
+        match_recognize(
+            ts_df.withColumn("__mr_stamp", F.lit(0)), spec, time_col="ts"
+        )
     with pytest.raises(MatchRecognizeError, match="no WITHIN INTERVAL"):
         match_recognize(
             df,

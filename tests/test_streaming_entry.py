@@ -625,6 +625,24 @@ def test_streaming_sql_within_interval_matches_batch(spark, tmp_path):
         MR_FUNNEL_SPEC,
     )
     assert len(want) < unbounded.count()
+    # ALL ROWS PER MATCH on the stream must not leak the internal
+    # __mr_stamp column (review finding: orig_columns captured before
+    # the stamp attach) — schema equals the batch surface's
+    all_rows_spec = spec.replace(
+        "AFTER MATCH", "ALL ROWS PER MATCH AFTER MATCH"
+    )
+    stream_cols = match_recognize_stream(
+        entrymod._stream_events(spark, SF_DIR).select(*cols),
+        all_rows_spec,
+        time_col="ts",
+    ).columns
+    batch_cols = match_recognize(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select(*cols),
+        all_rows_spec,
+        time_col="ts",
+    ).columns
+    assert "__mr_stamp" not in stream_cols
+    assert stream_cols == batch_cols
 
 
 def test_streaming_sql_selection_rejects_greedy_and_ordered_modes(spark):
