@@ -24,14 +24,22 @@ import pytest
 from reflinkcep_spark.cep.match_recognize import match_recognize
 
 
-def _preferred_ctx(values, conds, s, quants, n, prefer):
+def _preferred_ctx(values, conds, s, quants, n, prefer, stamps=None, within=None):
     """Like :func:`_preferred` but with ASSIGNMENT-DEPENDENT conditions
     (cross-variable LAST navigation): row feasibility for variable i is
     evaluated against the segments already placed for variables < i.
     Conditions: None (undefined) / ("gt", t) / ("ascent",) ≡
-    PREV(value) < value / ("gt_last", j) ≡ value > LAST(Vj.value)."""
+    PREV(value) < value / ("gt_last", j) ≡ value > LAST(Vj.value).
+
+    ``stamps``/``within`` model PATTERN (...) WITHIN: a row is only
+    feasible while ``stamps[r] - stamps[s] <= within`` (contiguity is
+    strict, so the match's first captured row is always ``s``) —
+    the bound CONSTRains the backtracking search, it is not a
+    post-filter on the unconstrained preferred assignment."""
 
     def cond_ok(i, r, placed):
+        if within is not None and stamps[r] - stamps[s] > within:
+            return False
         c = conds[i]
         if c is None:
             return True
@@ -69,7 +77,7 @@ def _preferred_ctx(values, conds, s, quants, n, prefer):
     return got
 
 
-def _reference(values, conds, quants, prefer, skip):
+def _reference(values, conds, quants, prefer, skip, stamps=None, within=None):
     """All matches for one key per SQL:2016 selection: scan starts in
     row order, emit the preferred assignment per eligible start,
     advance per the skip mode (``skip`` = ("past_last"|"to_next", None)
@@ -81,7 +89,9 @@ def _reference(values, conds, quants, prefer, skip):
     for s in range(n):
         if s < min_start:
             continue
-        segs = _preferred_ctx(values, conds, s, quants, n, prefer)
+        segs = _preferred_ctx(
+            values, conds, s, quants, n, prefer, stamps, within
+        )
         if segs is None:
             continue
         pos = [
@@ -186,6 +196,75 @@ def _spec(prefer, skip, quants, conds):
 
 
 SEEDS = list(range(60))
+
+# --- WITHIN INTERVAL fuzz (round 14): the time bound CONSTRains the
+# backtracking search — a start whose unconstrained preferred
+# assignment overruns the bound can still match with a shorter one.
+
+WITHIN_SEEDS = list(range(1000, 1030))
+
+
+@pytest.mark.parametrize(
+    "batch", [WITHIN_SEEDS[:15], WITHIN_SEEDS[15:]]
+)
+def test_within_interval_matches_constrained_reference(spark, batch):
+    from pyspark.sql import functions as F
+
+    for seed in batch:
+        prefer, skip, quants, conds, values = _case(seed)
+        rng = random.Random(seed ^ 0xBEEF)
+        stamps = []
+        t = 0
+        for _ in values:
+            stamps.append(t)
+            t += rng.randint(0, 3)
+        # adaptive bound: just under the widest unconstrained match
+        # span, so the bound BITES (changes the match set) whenever the
+        # seed allows; 1 otherwise (vacuous composition still checked)
+        spans = [
+            stamps[end] - stamps[start]
+            for start, end, _segs in _reference(
+                values, conds, quants, prefer, skip
+            )
+        ]
+        w = max(spans) - 1 if spans and max(spans) >= 2 else 1
+        spec, names = _spec(prefer, skip, quants, conds)
+        # append the bound to the PATTERN clause (before DEFINE)
+        if " DEFINE " in spec:
+            head, tail = spec.split(" DEFINE ", 1)
+            spec = f"{head} WITHIN INTERVAL '{w}' SECOND DEFINE {tail}"
+        else:
+            spec += f" WITHIN INTERVAL '{w}' SECOND"
+        df = spark.createDataFrame(
+            [(1, i, v, s) for i, (v, s) in enumerate(zip(values, stamps))],
+            "user_id int, event_id int, value double, epoch_s long",
+        ).select(
+            "user_id",
+            "event_id",
+            "value",
+            F.timestamp_seconds("epoch_s").alias("ts"),
+        )
+        got = sorted(
+            tuple(r)
+            for r in match_recognize(df, spec, time_col="ts").collect()
+        )
+
+        want = []
+        for seq, (_start, _end, segs) in enumerate(
+            _reference(values, conds, quants, prefer, skip, stamps, w)
+        ):
+            row = [1, seq]
+            for pos, L in segs:
+                row += [
+                    L,
+                    pos if L else None,
+                    pos + L - 1 if L else None,
+                ]
+            want.append(tuple(row))
+        assert got == sorted(want), (
+            f"seed {seed}: spec={spec!r} values={values} stamps={stamps} "
+            f"within={w} got={got} want={sorted(want)}"
+        )
 
 
 @pytest.mark.parametrize(
