@@ -31,9 +31,15 @@ Supported subset
   SQL pattern matching is over CONTIGUOUS rows (every row of the
   matched segment is consumed by some variable — use an undefined
   filler variable like ``G*`` for gaps), so concatenation translates
-  to STRICT combine and quantifiers to STRICT loops.  Alternation
-  ``|``, grouping, ``PERMUTE``, anchors and exclusions are not
-  supported (clear errors).
+  to STRICT combine and quantifiers to STRICT loops.  Exclusions
+  ``{- V ... -}`` (SQL:2016, round 14) mark variables whose rows are
+  omitted from ALL ROWS PER MATCH output while still matching and
+  feeding every measure — FINAL by construction and RUNNING because
+  the running prefix is computed before the filter (Oracle's
+  documented semantics); no effect under ONE ROW PER MATCH, per the
+  standard.  Exclusions cannot nest, and excluding every variable is
+  rejected.  Alternation ``|``, grouping, ``PERMUTE`` and anchors are
+  not supported (clear errors).
 * Quantifier preference: SQL default is GREEDY (maximal rows); a
   trailing ``?`` makes a quantifier reluctant.  The engine emits every
   nondeterministic assignment (NoSkip) and the kernel's SQL selection
@@ -464,7 +470,6 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
         ("|", "alternation"),
         ("^", "anchors"),
         ("$", "anchors"),
-        ("{-", "exclusions"),
         ("(", "grouping"),
     ):
         if bad in body:
@@ -472,8 +477,27 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
                 f"PATTERN {why} is not supported in this subset"
             )
     elems: list[tuple] = []
+    excluded: set[str] = set()
+    in_exclusion = False
     i = 0
     while i < len(body):
+        if body[i] == "{-":
+            if in_exclusion:
+                raise MatchRecognizeError(
+                    "PATTERN exclusions cannot nest ('{-' inside '{- -}')"
+                )
+            in_exclusion = True
+            mark = len(elems)
+            i += 1
+            continue
+        if body[i] == "-}":
+            if not in_exclusion:
+                raise MatchRecognizeError("'-}' without a matching '{-'")
+            if len(elems) == mark:
+                raise MatchRecognizeError("empty PATTERN exclusion '{- -}'")
+            in_exclusion = False
+            i += 1
+            continue
         var = body[i]
         if not re.match(r"^[A-Za-z_]\w*$", var):
             raise MatchRecognizeError(f"bad pattern variable {var!r}")
@@ -523,6 +547,10 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
                 reluctant = True
                 i += 1
         elems.append((var, lo, hi, reluctant))
+        if in_exclusion:
+            excluded.add(var)
+    if in_exclusion:
+        raise MatchRecognizeError("unclosed PATTERN exclusion ('{-' without '-}')")
     if not elems:
         raise MatchRecognizeError("PATTERN is empty")
     seen = set()
@@ -533,7 +561,12 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
                 "per-variable; rename the second occurrence)"
             )
         seen.add(var)
-    return elems
+    if excluded == seen:
+        raise MatchRecognizeError(
+            "every PATTERN variable is excluded ('{- ... -}' around the "
+            "whole pattern): ALL ROWS PER MATCH would never output a row"
+        )
+    return elems, excluded
 
 
 _SQL_KEYWORD_MAP = {"AND": "and", "OR": "or", "NOT": "not", "TRUE": "True", "FALSE": "False"}
@@ -811,7 +844,7 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         _parse_skip(clauses["AFTER"]) if "AFTER" in clauses else ("past_last", None)
     )
     pattern_tokens, within_micros = _split_within(clauses["PATTERN"])
-    elems = _parse_pattern(pattern_tokens)
+    elems, excluded_vars = _parse_pattern(pattern_tokens)
     pattern_vars = [e[0] for e in elems]
     if sum(e[1] for e in elems) == 0:
         # SQL:2016 emits an EMPTY MATCH per eligible row for such
@@ -1030,6 +1063,11 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         # MICROSECONDS; the caller supplies the timestamp column
         # (match_recognize(..., time_col=...)).
         "within_micros": within_micros,
+        # SQL:2016 pattern exclusion {- V -}: excluded variables match
+        # and feed MEASURES normally, but their rows are omitted from
+        # ALL ROWS PER MATCH output (no effect under ONE ROW PER
+        # MATCH, per the standard).
+        "excluded_vars": sorted(excluded_vars),
         # PREV/NEXT physical navigation: {col_name: (kind, col, n)} the
         # caller must materialize as lag/lead window columns keyed on
         # the partition column BEFORE running the kernel.
@@ -1288,6 +1326,29 @@ def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
     # original columns only: __mr_* navigation columns are internal
     event_cols = [c for c in orig_columns if c != t["partition_by"]]
 
+    # SQL:2016 exclusion {- V -}: excluded variables' rows are dropped
+    # from the OUTPUT only — they still matched, and they still feed
+    # every measure (FINAL by construction; RUNNING because the
+    # running prefix slices the UNfiltered array below).  A match whose
+    # every row is excluded contributes nothing — but the truncate
+    # sentinel (match_seq = -1, empty capture array) must survive, so
+    # the post-explode guard keys on match_seq.
+    excluded = set(t.get("excluded_vars") or [])
+
+    def _drop_excluded(arr):
+        if not excluded:
+            return arr
+        return F.filter(
+            arr, lambda e: ~e["classifier"].isin(*sorted(excluded))
+        )
+
+    def _guard_all_excluded(df_rows):
+        if not excluded:
+            return df_rows
+        return df_rows.filter(
+            F.col("classifier").isNotNull() | (F.col("match_seq") == -1)
+        )
+
     def _running_expr(prefix, kind, var, col):
         """One RUNNING measure over the labeled prefix (the rows mapped
         at or before the current output row, SQL RUNNING semantics)."""
@@ -1338,14 +1399,16 @@ def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
             ),
         )
         running_aliases = {m[3] for m in running_measures}
-        return (
+        return _guard_all_excluded(
             base.select(
                 F.col(t["partition_by"]),
                 F.col("match_seq"),
                 *[F.col(m[3]) for m in final_measures],
                 # explode_outer: keep the truncate sentinel (NULL
                 # classifier/event/measure columns), same as below.
-                F.explode_outer(annotated).alias("__r"),
+                # Exclusion filters AFTER the running annotation, so
+                # excluded rows still count in RUNNING prefixes.
+                F.explode_outer(_drop_excluded(annotated)).alias("__r"),
             )
             .select(
                 F.col(t["partition_by"]),
@@ -1361,7 +1424,7 @@ def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
             )
         )
 
-    return (
+    return _guard_all_excluded(
         out.select(
             F.col(t["partition_by"]),
             F.col("match_seq"),
@@ -1370,7 +1433,7 @@ def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
             # sentinel row has every capture NULL → an EMPTY labeled
             # array — plain explode would silently drop the key's
             # truncation marker, making a partial result look complete.
-            F.explode_outer(labeled).alias("__r"),
+            F.explode_outer(_drop_excluded(labeled)).alias("__r"),
         )
         .select(
             F.col(t["partition_by"]),

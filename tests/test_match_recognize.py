@@ -1296,3 +1296,138 @@ def test_within_interval_requires_time_col_and_excludes_kwargs(spark):
                MEASURES COUNT(E.*) AS n PATTERN (E+)""",
             time_col="value",
         )
+
+
+# --- round-14: pattern exclusion {- V -} (SQL:2016) ---------------------
+
+
+def test_exclusion_parses_and_rails():
+    base = """PARTITION BY user_id ORDER BY event_id
+        MEASURES COUNT(E.*) AS n PATTERN ({pat})
+        DEFINE E AS E.event_type = 'error'"""
+    t = translate(base.format(pat="E {- G* -} E2"), COLS)
+    assert t["excluded_vars"] == ["G"]
+    assert t["pattern_vars"] == ["E", "G", "E2"]
+    for pat, msg in [
+        ("E {- {- G -} -}", "nest"),
+        ("E -} G", "without a matching"),
+        ("E {- -} G", "empty PATTERN exclusion"),
+        ("{- E G -}", "every PATTERN variable is excluded"),
+        ("E {- G", "unclosed"),
+    ]:
+        with pytest.raises(MatchRecognizeError, match=msg):
+            translate(base.format(pat=pat), COLS)
+
+
+def test_exclusion_all_rows_drops_rows_but_feeds_measures(spark):
+    """E G G P: ALL ROWS with {- G+ -} outputs only the E and P rows,
+    but COUNT(G.*) still sees both Gs — RUNNING (the ALL ROWS default)
+    counts the excluded prefix, FINAL counts the full match."""
+    df = spark.createDataFrame(
+        [
+            (1, 0, "error", 1.0),
+            (1, 1, "gap", 2.0),
+            (1, 2, "gap", 3.0),
+            (1, 3, "purchase", 4.0),
+        ],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    spec = """PARTITION BY user_id ORDER BY event_id
+        MEASURES COUNT(G.*) AS g_run, FINAL COUNT(G.*) AS g_fin
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (E {- G+ -} P)
+        DEFINE E AS E.event_type = 'error',
+               P AS P.event_type = 'purchase'"""
+    got = sorted(
+        (r["event_id"], r["classifier"], r["g_run"], r["g_fin"])
+        for r in match_recognize(df, spec).collect()
+    )
+    # G rows (event_id 1, 2) are excluded from output; the excluded
+    # rows still feed both measure modes
+    assert got == [(0, "E", 0, 2), (3, "P", 2, 2)]
+
+
+def test_exclusion_one_row_per_match_is_noop(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0, "error", 1.0),
+            (1, 1, "gap", 2.0),
+            (1, 2, "purchase", 4.0),
+        ],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    with_excl = """PARTITION BY user_id ORDER BY event_id
+        MEASURES FIRST(E.event_id) AS fe, COUNT(G.*) AS g
+        PATTERN (E {- G* -} P)
+        DEFINE E AS E.event_type = 'error',
+               P AS P.event_type = 'purchase'"""
+    without = with_excl.replace("{- G* -}", "G*")
+    a = sorted(tuple(r) for r in match_recognize(df, with_excl).collect())
+    b = sorted(tuple(r) for r in match_recognize(df, without).collect())
+    assert a == b == [(1, 0, 0, 1)]
+
+
+def test_exclusion_fully_excluded_match_emits_no_rows(spark):
+    """PATTERN ({- A+ -} B?): a match where B captures nothing consists
+    only of excluded rows — it contributes NO output rows under ALL
+    ROWS (but still counts as a match under ONE ROW)."""
+    df = spark.createDataFrame(
+        [
+            (1, 0, "a", 1.0),
+            (1, 1, "a", 2.0),
+            (2, 0, "a", 3.0),
+            (2, 1, "b", 4.0),
+        ],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    spec = """PARTITION BY user_id ORDER BY event_id
+        MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ({- A+ -} B?)
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'"""
+    got = sorted(
+        (r["user_id"], r["event_id"], r["classifier"])
+        for r in match_recognize(df, spec).collect()
+    )
+    # key 1: both matches fully excluded -> nothing; key 2: B row only
+    assert got == [(2, 1, "B")]
+    one_row = spec.replace("ALL ROWS PER MATCH\n        ", "")
+    n_matches = match_recognize(df, one_row).count()
+    # greedy A+ takes both a's at key 1 in one match, PAST LAST ROW
+    # advances beyond it; key 2 matches once -> 2 matches, both still
+    # REAL matches under ONE ROW even though key 1's is fully excluded
+    assert n_matches == 2
+
+
+def test_exclusion_keeps_truncate_sentinel(spark):
+    """The all-excluded-match guard keys on match_seq = -1: a hot key's
+    truncate sentinel (empty capture array -> NULL classifier) must
+    survive the exclusion filter."""
+    rows = [(1, i, "error", 1.0) for i in range(60)] + [
+        (2, 0, "error", 1.0),
+        (2, 1, "gap", 2.0),
+        (2, 2, "purchase", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, value double"
+    )
+    out = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(E.*) AS ne
+           ALL ROWS PER MATCH
+           PATTERN (E {- G* -} P)
+           DEFINE E AS E.event_type = 'error',
+                  P AS P.event_type = 'purchase'""",
+        max_active_runs=10,
+        on_limit="truncate",
+    ).collect()
+    sentinels = [r for r in out if r["match_seq"] == -1]
+    assert len(sentinels) == 1 and sentinels[0]["user_id"] == 1
+    assert sentinels[0]["classifier"] is None
+    normal = sorted(
+        (r["event_id"], r["classifier"]) for r in out if r["match_seq"] >= 0
+    )
+    assert normal == [(0, "E"), (2, "P")]  # key 2's G row excluded
