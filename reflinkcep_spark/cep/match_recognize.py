@@ -92,8 +92,12 @@ Supported subset
   (or bare ``COUNT(V)``), ``SUM/MIN/MAX(V.col)`` (NULL over an empty
   optional capture, SQL aggregate semantics; SUM widens integrals to
   BIGINT, keeps DECIMAL exact at precision 38 / same scale, and
-  floats to DOUBLE), and ``V.col`` (≡ ``LAST(V.col)``
-  under ONE ROW PER MATCH final semantics), each ``AS``-aliased.
+  floats to DOUBLE), ``V.col`` (≡ ``LAST(V.col)``
+  under ONE ROW PER MATCH final semantics), and the SQL:2016 nullary
+  built-ins ``MATCH_NUMBER()`` (1-based match number within the
+  partition ≡ ``match_seq + 1``) and ``CLASSIFIER()`` (the matched
+  variable: per-row under ALL ROWS RUNNING, the last row's variable
+  under FINAL / ONE ROW PER MATCH), each ``AS``-aliased.
   Projected Spark-side from the kernel's capture arrays
   (``element_at`` / ``size`` / ``aggregate`` — codegen, no Python).
 * ``ONE ROW PER MATCH`` (the default) and ``ALL ROWS PER MATCH`` —
@@ -351,7 +355,14 @@ def _parse_measures(tokens: list[str]) -> tuple[list[tuple], dict]:
                 f"empty measure expression before 'AS {alias}'"
             )
         up0 = body[0].upper()
-        if (
+        if up0 in ("MATCH_NUMBER", "CLASSIFIER") and body[1:] == ["(", ")"]:
+            # SQL:2016 nullary built-ins.  MATCH_NUMBER() is the
+            # 1-based sequential match number within the partition
+            # (match_seq + 1).  CLASSIFIER() is the matched variable:
+            # per-row under ALL ROWS RUNNING, the LAST row's variable
+            # under FINAL / ONE ROW PER MATCH.
+            out.append((up0.lower(), None, None, alias))
+        elif (
             up0 in ("FIRST", "LAST", "SUM", "MIN", "MAX")
             and len(body) == 6
             and body[1] == "("
@@ -380,7 +391,8 @@ def _parse_measures(tokens: list[str]) -> tuple[list[tuple], dict]:
         else:
             raise MatchRecognizeError(
                 f"unsupported measure {' '.join(body)!r} (supported: "
-                "FIRST/LAST/SUM/MIN/MAX(V.col), COUNT(V.*), V.col)"
+                "FIRST/LAST/SUM/MIN/MAX(V.col), COUNT(V.*), V.col, "
+                "MATCH_NUMBER(), CLASSIFIER())"
             )
     if not out:
         raise MatchRecognizeError("MEASURES clause is empty")
@@ -902,6 +914,18 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         reserved.add("classifier")
         reserved.update(columns)
     for kind, var, col, alias in measures:
+        if kind in ("match_number", "classifier"):
+            if alias in seen_aliases:
+                raise MatchRecognizeError(
+                    f"duplicate measure alias {alias!r}"
+                )
+            if alias in reserved:
+                raise MatchRecognizeError(
+                    f"measure alias {alias!r} collides with an output "
+                    "column"
+                )
+            seen_aliases.add(alias)
+            continue
         if var not in pattern_vars:
             raise MatchRecognizeError(
                 f"measure {alias!r} references unknown variable {var!r}"
@@ -1240,7 +1264,34 @@ def _measure_columns(t: dict, schema, measures=None) -> list:
     for kind, var, col, alias in (
         t["measures"] if measures is None else measures
     ):
-        if kind == "count":
+        if kind == "match_number":
+            # SQL 1-based; NULL on the truncate sentinel (not a match)
+            c = F.when(
+                F.col("match_seq") >= 0, F.col("match_seq") + 1
+            ).cast("long")
+        elif kind == "classifier":
+            # FINAL CLASSIFIER(): the variable that matched the LAST
+            # row — among non-empty captures, the one whose final
+            # order value is greatest (array_max skips the NULL
+            # entries empty optional captures produce; the sentinel's
+            # all-NULL captures yield NULL, matching the contract)
+            c = F.array_max(
+                F.array(
+                    *[
+                        F.when(
+                            F.size(F.coalesce(F.col(v), F.array())) > 0,
+                            F.struct(
+                                F.element_at(F.col(v), -1)[
+                                    t["order_by"]
+                                ].alias("o"),
+                                F.lit(v).alias("v"),
+                            ),
+                        )
+                        for v in t["pattern_vars"]
+                    ]
+                )
+            )["v"]
+        elif kind == "count":
             # 0 over an empty optional capture (SQL COUNT), but NULL on
             # the on_limit="truncate" sentinel row (match_seq = -1) —
             # a truncated key's measures are unknown, not zero.
@@ -1352,6 +1403,14 @@ def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
     def _running_expr(prefix, kind, var, col):
         """One RUNNING measure over the labeled prefix (the rows mapped
         at or before the current output row, SQL RUNNING semantics)."""
+        if kind == "match_number":
+            # constant across the match; 1-based (outer column
+            # reference inside the higher-order function is fine)
+            return (F.col("match_seq") + 1).cast("long")
+        if kind == "classifier":
+            # RUNNING CLASSIFIER(): the current row's variable — the
+            # last element of the prefix IS the current row
+            return F.get(prefix, F.size(prefix) - 1)["classifier"]
         flt = F.filter(prefix, lambda x: x["classifier"] == F.lit(var))
         if kind == "count":
             return F.size(flt).cast("long")  # 0 before V's first row

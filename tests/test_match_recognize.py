@@ -1431,3 +1431,96 @@ def test_exclusion_keeps_truncate_sentinel(spark):
         (r["event_id"], r["classifier"]) for r in out if r["match_seq"] >= 0
     )
     assert normal == [(0, "E"), (2, "P")]  # key 2's G row excluded
+
+
+# --- round-14: MATCH_NUMBER() / CLASSIFIER() measures -------------------
+
+
+def test_match_number_and_classifier_one_row(spark):
+    """ONE ROW PER MATCH: MATCH_NUMBER() is 1-based match_seq,
+    CLASSIFIER() is the LAST row's variable (P when it captures, E
+    when the optional tail is empty)."""
+    df = spark.createDataFrame(
+        [
+            (1, 0, "error", 1.0),
+            (1, 1, "purchase", 2.0),
+            (1, 2, "error", 3.0),
+        ],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+                        FIRST(E.event_id) AS fe
+               PATTERN (E P?)
+               DEFINE E AS E.event_type = 'error',
+                      P AS P.event_type = 'purchase'""",
+        ).collect()
+    )
+    assert got == [(1, 0, 1, "P", 0), (1, 1, 2, "E", 2)]
+
+
+def test_match_number_and_classifier_all_rows(spark):
+    """ALL ROWS PER MATCH: RUNNING CLASSIFIER() (the default) equals
+    the classifier output column per row; FINAL CLASSIFIER() repeats
+    the last row's variable; MATCH_NUMBER() is constant per match."""
+    df = spark.createDataFrame(
+        [
+            (1, 0, "error", 1.0),
+            (1, 1, "gap", 2.0),
+            (1, 2, "purchase", 3.0),
+        ],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    rows = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+                    FINAL CLASSIFIER() AS fcls
+           ALL ROWS PER MATCH
+           PATTERN (E G* P)
+           DEFINE E AS E.event_type = 'error',
+                  P AS P.event_type = 'purchase'""",
+    ).collect()
+    got = sorted(
+        (r["event_id"], r["classifier"], r["mn"], r["cls"], r["fcls"])
+        for r in rows
+    )
+    assert got == [
+        (0, "E", 1, "E", "P"),
+        (1, "G", 1, "G", "P"),
+        (2, "P", 1, "P", "P"),
+    ]
+
+
+def test_classifier_null_on_truncate_sentinel(spark):
+    rows = [(1, i, "error", 1.0) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, value double"
+    )
+    out = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls
+           PATTERN (E+) DEFINE E AS E.event_type = 'error'""",
+        max_active_runs=10,
+        on_limit="truncate",
+    ).collect()
+    s = [r for r in out if r["match_seq"] == -1]
+    assert len(s) == 1 and s[0]["mn"] is None and s[0]["cls"] is None
+
+
+def test_nullary_measure_rails():
+    base = """PARTITION BY user_id ORDER BY event_id
+        MEASURES {m} PATTERN (E) DEFINE E AS E.event_type = 'error'"""
+    with pytest.raises(MatchRecognizeError, match="unsupported measure"):
+        translate(base.format(m="MATCH_NUMBER(x) AS mn"), COLS)
+    with pytest.raises(MatchRecognizeError, match="duplicate measure"):
+        translate(
+            base.format(m="CLASSIFIER() AS c, CLASSIFIER() AS c"), COLS
+        )
+    with pytest.raises(MatchRecognizeError, match="collides"):
+        translate(base.format(m="MATCH_NUMBER() AS user_id"), COLS)
