@@ -131,6 +131,8 @@ class _Builder:
             return self._build_lpat_inf(node)
         if t == "combine":
             return self._build_combine(node)
+        if t == "alt":
+            return self._build_alt(node)
         if t == "gpat":
             return self.build(node["child"])
         if t == "gpat-times":
@@ -242,6 +244,31 @@ class _Builder:
             a.add(chain[0], Edge(EPS, None, None, qf))
 
         return _Frag(chain[0], states)
+
+    def _build_alt(self, node: Mapping) -> _Frag:
+        """Ordered alternation (beyond-reference, round 14): a fresh
+        start state with ε-edges to each branch, declaration order =
+        edge priority, so runs explore the LEFT alternative first (the
+        runtime's worklist insertion expands ε-siblings in declaration
+        order).  Both branches' finals stay finals of the fragment —
+        a following combine merges into and re-links all of them, the
+        same way it treats a multi-final loop fragment.  No new edge
+        kinds, no runtime changes: a match through one branch simply
+        never touches the other branch's sinks, which every consumer
+        (capture materialization, lens keys, row assembly, projection)
+        already treats as an unmatched optional."""
+        left = self.build(node["left"])
+        right = self.build(node["right"])
+        a = self.aut
+        q0 = a.new_state()
+        # REVERSE order: the runtime's worklist insertion expands
+        # ε-siblings last-added-first (see _closure_take_states /
+        # _build_combine's reversed ε-links), so adding right-then-left
+        # makes runs explore the LEFT alternative first — emission
+        # order follows the written order.
+        a.add(q0, Edge(EPS, None, None, right.start))
+        a.add(q0, Edge(EPS, None, None, left.start))
+        return _Frag(q0, [q0] + left.states + right.states)
 
     def _build_combine(self, node: Mapping) -> _Frag:
         """Sequence left·right under a contiguity (reference

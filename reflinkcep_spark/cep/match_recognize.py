@@ -22,7 +22,8 @@ Supported subset
       [AFTER MATCH SKIP PAST LAST ROW
         | AFTER MATCH SKIP TO NEXT ROW
         | AFTER MATCH SKIP TO {FIRST|LAST} <var>]
-      PATTERN ( <var>[<quant>] ... ) [WITHIN INTERVAL '<n>' <unit>]
+      PATTERN ( <seq> [| <seq>]... ) [WITHIN INTERVAL '<n>' <unit>]
+        where <seq> := { <var>[<quant>] | {- <var>[<quant>] ... -} }...
       DEFINE <var> AS <condition> [, ...]
     )
 
@@ -37,9 +38,20 @@ Supported subset
   feeding every measure — FINAL by construction and RUNNING because
   the running prefix is computed before the filter (Oracle's
   documented semantics); no effect under ONE ROW PER MATCH, per the
-  standard.  Exclusions cannot nest, and excluding every variable is
-  rejected.  Alternation ``|``, grouping, ``PERMUTE`` and anchors are
-  not supported (clear errors).
+  standard.  Exclusions cannot nest, and excluding every variable of
+  a branch is rejected.  Top-level ordered alternation ``A B | C``
+  (SQL:2016, round 14): '|'-separated branches of concatenations,
+  alternatives preferred in WRITTEN order — the selection key's
+  per-variable lens tuple implements this exactly under greedy
+  preference, because a left-branch candidate's lens dominates every
+  right-branch candidate's lexicographically.  Variable names must be
+  unique across branches (captures are per-variable); measures over a
+  non-taken branch see empty captures (COUNT 0, FIRST/LAST/SUM NULL);
+  reluctant quantifiers cannot combine with alternation (lexicographic
+  MIN would invert the branch preference — clear error), which also
+  excludes alternation from the streaming surface (it needs
+  reluctant).  Grouped alternation inside a branch, ``PERMUTE`` and
+  anchors are not supported (clear errors).
 * Quantifier preference: SQL default is GREEDY (maximal rows); a
   trailing ``?`` makes a quantifier reluctant.  The engine emits every
   nondeterministic assignment (NoSkip) and the kernel's SQL selection
@@ -479,7 +491,6 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
         raise MatchRecognizeError("PATTERN needs parentheses")
     body = tokens[1:-1]
     for bad, why in (
-        ("|", "alternation"),
         ("^", "anchors"),
         ("$", "anchors"),
         ("(", "grouping"),
@@ -488,6 +499,35 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
             raise MatchRecognizeError(
                 f"PATTERN {why} is not supported in this subset"
             )
+    # top-level ordered alternation: '|'-separated branches, each a
+    # concatenation of var[quant] elements (SQL:2016 prefers
+    # alternatives in written order; grouping inside a branch is not
+    # supported, so '|' can only appear at the top level)
+    branches_tokens: list[list[str]] = [[]]
+    for tok in body:
+        if tok == "|":
+            branches_tokens.append([])
+        else:
+            branches_tokens[-1].append(tok)
+    if len(branches_tokens) > 1 and any(not b for b in branches_tokens):
+        raise MatchRecognizeError(
+            "empty alternation branch ('|' with nothing on one side)"
+        )
+    branches = []
+    excluded: set[str] = set()
+    seen: set[str] = set()
+    for btokens in branches_tokens:
+        belems, bexcluded = _parse_seq(btokens, seen)
+        branches.append(belems)
+        excluded |= bexcluded
+    return branches, excluded
+
+
+def _parse_seq(body: list[str], seen: set) -> tuple[list[tuple], set]:
+    """One alternation branch: a concatenation of ``var[quant]``
+    elements with optional ``{- ... -}`` exclusion spans.  ``seen``
+    carries variable names across branches (captures are per-variable
+    — a name may appear once in the whole PATTERN)."""
     elems: list[tuple] = []
     excluded: set[str] = set()
     in_exclusion = False
@@ -565,7 +605,6 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
         raise MatchRecognizeError("unclosed PATTERN exclusion ('{-' without '-}')")
     if not elems:
         raise MatchRecognizeError("PATTERN is empty")
-    seen = set()
     for var, *_ in elems:
         if var in seen:
             raise MatchRecognizeError(
@@ -573,10 +612,11 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
                 "per-variable; rename the second occurrence)"
             )
         seen.add(var)
-    if excluded == seen:
+    if excluded == {var for var, *_ in elems}:
         raise MatchRecognizeError(
-            "every PATTERN variable is excluded ('{- ... -}' around the "
-            "whole pattern): ALL ROWS PER MATCH would never output a row"
+            "every variable of a PATTERN branch is excluded ('{- ... -}' "
+            "around the whole branch): a match through it would never "
+            "output a row under ALL ROWS PER MATCH"
         )
     return elems, excluded
 
@@ -856,19 +896,23 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         _parse_skip(clauses["AFTER"]) if "AFTER" in clauses else ("past_last", None)
     )
     pattern_tokens, within_micros = _split_within(clauses["PATTERN"])
-    elems, excluded_vars = _parse_pattern(pattern_tokens)
+    branches, excluded_vars = _parse_pattern(pattern_tokens)
+    elems = [e for b in branches for e in b]
     pattern_vars = [e[0] for e in elems]
-    if sum(e[1] for e in elems) == 0:
-        # SQL:2016 emits an EMPTY MATCH per eligible row for such
-        # patterns; this engine has no row to anchor one to, so reject
-        # at translate time (mirroring Flink SQL's "pattern can match
-        # empty" rejection) instead of silently emitting nothing.
-        raise MatchRecognizeError(
-            f"PATTERN ({' '.join(pattern_vars)}) can match zero rows "
-            "(every quantifier's lower bound is 0) — SQL's empty-match "
-            "semantics are not supported; give some variable a nonzero "
-            "lower bound"
-        )
+    for b in branches:
+        if sum(e[1] for e in b) == 0:
+            # SQL:2016 emits an EMPTY MATCH per eligible row for such
+            # patterns; this engine has no row to anchor one to, so
+            # reject at translate time (mirroring Flink SQL's "pattern
+            # can match empty" rejection) instead of silently emitting
+            # nothing.  With alternation, ONE zero-min branch already
+            # makes the whole pattern empty-matchable.
+            raise MatchRecognizeError(
+                f"PATTERN branch ({' '.join(e[0] for e in b)}) can match "
+                "zero rows (every quantifier's lower bound is 0) — SQL's "
+                "empty-match semantics are not supported; give some "
+                "variable a nonzero lower bound"
+            )
 
     nav = _Nav()
     defines: dict[str, str] = {}
@@ -957,13 +1001,27 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
             "not supported (the per-start preference would be ambiguous)"
         )
     prefer = "shortest" if reluctants == {True} else "longest"
+    if len(branches) > 1 and prefer == "shortest":
+        # the selection key's lexicographic MIN would prefer the RIGHT
+        # alternative, inverting SQL's alternatives-in-written-order
+        # preferment (the kernel boundary enforces this too)
+        raise MatchRecognizeError(
+            "alternation with reluctant quantifiers is not supported: "
+            "SQL prefers alternatives in written order, which only the "
+            "greedy (lexicographic-max) selection implements"
+        )
 
     # Selection is exact lexicographic preference since round 14, so
     # several flexibly-quantified variables are fine in batch; the
     # STREAMING surface still needs the flexible-variable count (its
     # first-candidate-wins emission equals lexicographic-min only with
     # one flexible variable — match_recognize_stream gates on this).
-    flexible = {e[0] for e in elems if e[2] is None or e[1] != e[2]}
+    # Under alternation EVERY variable is flexible: it captures zero
+    # rows whenever its branch is not taken.
+    if len(branches) > 1:
+        flexible = set(pattern_vars)
+    else:
+        flexible = {e[0] for e in elems if e[2] is None or e[1] != e[2]}
 
     import ast as _pyast
 
@@ -1044,14 +1102,23 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
             node["variables"] = nav.registers[var]
         return node
 
-    patseq = leaf(*elems[0][:3])
-    for var, lo, hi, _rel in elems[1:]:
-        patseq = {
-            "type": "combine",
-            "contiguity": "strict",
-            "left": patseq,
-            "right": leaf(var, lo, hi),
-        }
+    def seq_ast(belems):
+        node = leaf(*belems[0][:3])
+        for var, lo, hi, _rel in belems[1:]:
+            node = {
+                "type": "combine",
+                "contiguity": "strict",
+                "left": node,
+                "right": leaf(var, lo, hi),
+            }
+        return node
+
+    # alternation: left-fold alt nodes — capture_names and ε-edge
+    # priority both walk left-first, so names order and exploration
+    # order match the written alternative order (SQL's preferment)
+    patseq = seq_ast(branches[0])
+    for b in branches[1:]:
+        patseq = {"type": "alt", "left": patseq, "right": seq_ast(b)}
 
 
     from reflinkcep_spark.cep.query import QueryError

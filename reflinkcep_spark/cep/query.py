@@ -5,6 +5,13 @@ The query surface is the reference's exact YAML/dict AST dialect
 
     PS   := Pattern | PatternConcat
     node := spat | lpat | lpat-inf | combine | gpat | gpat-times | gpat-inf
+          | alt
+
+``alt`` (beyond-reference, round 14) is ordered alternation: the run
+explores ``left`` then ``right`` (declaration-order edge priority, so
+the left alternative's matches emit first); capture names must be
+unique across branches — a match through one branch leaves the other
+branch's captures absent, exactly like an unmatched optional.
 
 plus a ``context`` carrying the event-type schema (used to enumerate
 "other type" skip edges for relaxed contiguity) and the after-match skip
@@ -67,7 +74,7 @@ def parse_strategy(strategy: str) -> tuple[str, str | None]:
 
 LEAF_TYPES = ("spat", "lpat", "lpat-inf")
 GROUP_TYPES = ("gpat", "gpat-times", "gpat-inf")
-NODE_TYPES = LEAF_TYPES + ("combine",) + GROUP_TYPES
+NODE_TYPES = LEAF_TYPES + ("combine", "alt") + GROUP_TYPES
 
 
 class QueryError(ValueError):
@@ -118,6 +125,19 @@ def _validate_node(node: Mapping, where: str = "patseq") -> None:
                 raise QueryError(f"{where}: bad loop lower bound")
             if "until" in node:
                 validate(str(node["until"]["expr"]))
+    elif ntype == "alt":
+        _require(node, ("left", "right"), where)
+        _validate_node(node["left"], where + ".left")
+        _validate_node(node["right"], where + ".right")
+        overlap = set(capture_names(node["left"])) & set(
+            capture_names(node["right"])
+        )
+        if overlap:
+            raise QueryError(
+                f"{where}: alternation branches share capture names "
+                f"{sorted(overlap)} — captures are per-variable, so a "
+                "match could not record which branch it took; rename"
+            )
     elif ntype == "combine":
         _require(node, ("contiguity", "left", "right"), where)
         if node["contiguity"] not in CONTIGUITIES:
@@ -157,7 +177,7 @@ def capture_names(node: Mapping) -> list[str]:
     ntype = node["type"]
     if ntype in LEAF_TYPES:
         return [node["name"]]
-    if ntype == "combine":
+    if ntype in ("combine", "alt"):
         names = capture_names(node["left"])
         for n in capture_names(node["right"]):
             if n not in names:
@@ -257,6 +277,11 @@ def ast_repr(node: Mapping) -> str:
             + _REF_CONTIG_SYMBOL[node["contiguity"]]
             + ast_repr(node["right"])
         )
+    if t == "alt":
+        # beyond-reference node: no reference notation exists, so use
+        # the regex-standard one (never appears in the pinned
+        # reference-corpus differential)
+        return f"({ast_repr(node['left'])}|{ast_repr(node['right'])})"
     if t == "gpat":
         return f"({ast_repr(node['child'])})"
     if t == "gpat-times":
@@ -292,6 +317,8 @@ def describe(node: Mapping) -> str:
             + _CONTIG_SYMBOL[node["contiguity"]]
             + describe(node["right"])
         )
+    if t == "alt":
+        return f"({describe(node['left'])}|{describe(node['right'])})"
     if t == "gpat":
         return f"({describe(node['child'])})"
     if t == "gpat-times":

@@ -61,12 +61,18 @@ def _capture_lens(captured, names):
     return tuple(len(captured.get(n) or ()) for n in names)
 
 
-def _validate_sql_pattern(query) -> None:
+def _validate_sql_pattern(query, sql_prefer: str = "longest") -> None:
     """The lexicographic selection key assumes a candidate's capture
     lengths DETERMINE its rows: strict contiguity everywhere (the
     match is one contiguous segment) and unique, flat pattern
     variables (no groups; ``capture_names`` would silently merge a
-    repeated name's captures).  The MATCH_RECOGNIZE translator only
+    repeated name's captures).  Ordered alternation (``alt``) is fine
+    UNDER GREEDY preference: branch variables occupy disjoint
+    positions of the lens tuple in declaration order, so lexicographic
+    MAX prefers any left-branch candidate over every right-branch one
+    — exactly SQL:2016's alternatives-in-written-order preferment —
+    but lexicographic MIN would invert it, so reluctant selection over
+    an alternation is rejected.  The MATCH_RECOGNIZE translator only
     emits such queries; reject everything else at the kernel boundary
     instead of silently ranking by an ambiguous key."""
     def walk(node):
@@ -79,6 +85,16 @@ def _validate_sql_pattern(query) -> None:
                     "with gaps, equal capture-length tuples no longer "
                     "imply equal matches and the SQL preference key is "
                     "ambiguous"
+                )
+            walk(node["left"])
+            walk(node["right"])
+        elif t == "alt":
+            if sql_prefer != "longest":
+                raise ValueError(
+                    "sql_skip with alternation requires GREEDY selection "
+                    "(sql_prefer='longest'): lexicographic-min would "
+                    "prefer the RIGHT alternative, inverting SQL's "
+                    "alternatives-in-written-order preferment"
                 )
             walk(node["left"])
             walk(node["right"])
@@ -299,7 +315,7 @@ def match_pattern(
             )
         if sql_prefer not in ("longest", "shortest"):
             raise ValueError(f"sql_prefer must be 'longest' or 'shortest'")
-        _validate_sql_pattern(query)
+        _validate_sql_pattern(query, sql_prefer)
         allow_fastpath = False
     keys = (
         [partition_by]

@@ -175,7 +175,7 @@ def match_pattern_stream(
                 "sql_skip requires strategy NoSkip (SQL selection is "
                 f"applied over the full emission), got {query.strategy!r}"
             )
-        _validate_sql_pattern(query)
+        _validate_sql_pattern(query, sql_prefer)
         if sql_skip[0] != "to_next" or sql_prefer != "shortest":
             raise ValueError(
                 "streaming SQL match selection supports AFTER MATCH SKIP "

@@ -110,8 +110,8 @@ def test_translate_reluctant_and_skip_to_var():
     [
         ("ORDER BY e MEASURES A.x AS x PATTERN (A) DEFINE A AS A.x > 1",
          "missing PARTITION"),
-        ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A | B)",
-         "alternation"),
+        ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A |)",
+         "empty alternation"),
         ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN ((A B))",
          "grouping"),
         ("PARTITION BY u ORDER BY e MEASURES A.x AS x PATTERN (A A)",
@@ -1312,7 +1312,7 @@ def test_exclusion_parses_and_rails():
         ("E {- {- G -} -}", "nest"),
         ("E -} G", "without a matching"),
         ("E {- -} G", "empty PATTERN exclusion"),
-        ("{- E G -}", "every PATTERN variable is excluded"),
+        ("{- E G -}", "every variable of a PATTERN branch is excluded"),
         ("E {- G", "unclosed"),
     ]:
         with pytest.raises(MatchRecognizeError, match=msg):
@@ -1524,3 +1524,153 @@ def test_nullary_measure_rails():
         )
     with pytest.raises(MatchRecognizeError, match="collides"):
         translate(base.format(m="MATCH_NUMBER() AS user_id"), COLS)
+
+
+# --- round-14: ordered alternation PATTERN (A B | C) --------------------
+
+
+@pytest.fixture(scope="module")
+def alt_df(spark):
+    rows = [
+        # user 1: s a a b c
+        (1, 0, "s", 1.0), (1, 1, "a", 2.0), (1, 2, "a", 3.0),
+        (1, 3, "b", 4.0), (1, 4, "c", 5.0),
+        # user 2: b b s
+        (2, 10, "b", 1.0), (2, 11, "b", 2.0), (2, 12, "s", 3.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, value double"
+    )
+
+
+ALT_SPEC = """PARTITION BY user_id ORDER BY event_id
+    MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn,
+             COUNT(A.*) AS na, COUNT(B.*) AS nb, COUNT(C.*) AS nc
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A+ | B{1,2} | C)
+    DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b',
+           C AS C.event_type = 'c'"""
+
+
+def test_alternation_matches_each_branch(alt_df):
+    got = sorted(
+        (r["user_id"], r["mn"], r["cls"], r["na"], r["nb"], r["nc"])
+        for r in match_recognize(alt_df, ALT_SPEC).collect()
+    )
+    # user 1: greedy A+ takes both a's; then B; then C.  user 2: B{1,2}
+    # greedy takes both b's in one match.
+    assert got == [
+        (1, 1, "A", 2, 0, 0),
+        (1, 2, "B", 0, 1, 0),
+        (1, 3, "C", 0, 0, 1),
+        (2, 1, "B", 0, 2, 0),
+    ]
+
+
+def test_alternation_prefers_written_order(spark):
+    """A row matching several alternatives goes to the FIRST-written
+    one — even when a later alternative would match MORE rows (branch
+    preference dominates greediness, SQL:2016 preferment)."""
+    df = spark.createDataFrame(
+        [(1, 0, "x", 1.0), (1, 1, "x", 2.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES CLASSIFIER() AS cls, COUNT(S.*) AS ns,
+                        COUNT(L.*) AS nl
+               AFTER MATCH SKIP PAST LAST ROW
+               PATTERN (S | L+)
+               DEFINE S AS S.event_type = 'x', L AS L.event_type = 'x'""",
+        ).collect()
+    )
+    # S (1 row) wins over L+ (2 rows) at each start: two unit matches
+    assert got == [(1, 0, "S", 1, 0), (1, 1, "S", 1, 0)]
+
+
+def test_alternation_sequence_branches_and_all_rows(alt_df):
+    rows = match_recognize(
+        alt_df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES FINAL CLASSIFIER() AS fcls
+           ALL ROWS PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (S A+ | B{2})
+           DEFINE S AS S.event_type = 's', A AS A.event_type = 'a',
+                  B AS B.event_type = 'b'""",
+    ).collect()
+    got = sorted(
+        (r["user_id"], r["event_id"], r["classifier"], r["fcls"])
+        for r in rows
+    )
+    # user 1: S A A (branch 1); user 2: B B (branch 2)
+    assert got == [
+        (1, 0, "S", "A"),
+        (1, 1, "A", "A"),
+        (1, 2, "A", "A"),
+        (2, 10, "B", "B"),
+        (2, 11, "B", "B"),
+    ]
+
+
+def test_alternation_composes_with_within_and_exclusion(spark):
+    """Alternation + WITHIN INTERVAL + exclusion in one spec: branch 1
+    (excluded filler then purchase) within 2h, branch 2 a lone refund."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 0, base, "s", 1.0),
+        (1, 1, base + dt.timedelta(hours=1), "g", 1.0),
+        (1, 2, base + dt.timedelta(hours=2), "p", 9.0),
+        (1, 3, base + dt.timedelta(hours=3), "r", 2.0),
+        # second s...p pair too far apart for the 2h bound
+        (1, 4, base + dt.timedelta(hours=10), "s", 1.0),
+        (1, 5, base + dt.timedelta(hours=13), "p", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id int, event_id int, ts timestamp, event_type string, "
+        "value double",
+    )
+    got = sorted(
+        (r["user_id"], r["event_id"], r["classifier"])
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(G.*) AS g
+               ALL ROWS PER MATCH
+               AFTER MATCH SKIP PAST LAST ROW
+               PATTERN (S {- G* -} P | R) WITHIN INTERVAL '2' HOUR
+               DEFINE S AS S.event_type = 's', P AS P.event_type = 'p',
+                      R AS R.event_type = 'r'""",
+            time_col="ts",
+        ).collect()
+    )
+    # first funnel matches (G row excluded from output), refund matches
+    # via branch 2; the 10h->13h funnel exceeds the bound
+    assert got == [(1, 0, "S"), (1, 2, "P"), (1, 3, "R")]
+
+
+def test_alternation_streaming_raises(spark):
+    from reflinkcep_spark.cep.match_recognize import match_recognize_stream
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "1 as user_id", "value as event_id", "'a' as event_type",
+            "1.0 as value"
+        )
+    )
+    with pytest.raises(Exception, match="ONE flexibly-quantified"):
+        match_recognize_stream(
+            stream,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(A.*) AS n
+               AFTER MATCH SKIP TO NEXT ROW
+               PATTERN (A | B)
+               DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'""",
+        )

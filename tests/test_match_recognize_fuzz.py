@@ -302,3 +302,146 @@ def test_sql_selection_matches_backtracking_reference(spark, batch):
             f"seed {seed}: spec={spec!r} values={values} "
             f"got={got} want={sorted(want)}"
         )
+
+
+# --- alternation fuzz (round 14): PATTERN (seq | seq [| seq]) -----------
+#
+# Branch preference dominates: per SQL:2016 the FIRST-written branch
+# with any feasible assignment wins, and within it the quantifiers'
+# lexicographic preference applies — which is exactly what the
+# kernel's lens-tuple MAX computes (a left-branch candidate's lens
+# dominates every right-branch candidate's).  Greedy only (the
+# translator rejects reluctant+alternation); ordered skip modes are
+# excluded because a skip target may sit in an untaken branch.
+
+ALT_SEEDS = list(range(2000, 2030))
+
+
+def _alt_case(seed):
+    rng = random.Random(seed)
+    n_branches = rng.randint(2, 3)
+    quant_pool = [(1, 1), (0, 1), (1, None), (1, 3), (2, 2)]
+    branches = []
+    for _ in range(n_branches):
+        k = rng.randint(1, 2)
+        while True:
+            quants = [rng.choice(quant_pool) for _ in range(k)]
+            if sum(lo for lo, _hi in quants) >= 1:
+                break
+        conds = []
+        for i in range(k):
+            pool = [None, ("gt", 2), ("gt", 5), ("gt", 8), ("ascent",)]
+            conds.append(rng.choice(pool))
+        branches.append((quants, conds))
+    skip = rng.choice([("past_last", None), ("to_next", None)])
+    n = rng.randint(8, 14)
+    values = [float(rng.randint(0, 10)) for _ in range(n)]
+    return skip, branches, values
+
+
+def _alt_reference(values, branches, skip):
+    """First-written branch with a feasible assignment wins per start;
+    within the branch, greedy backtracking."""
+    n = len(values)
+    mode, _target = skip
+    out = []
+    min_start = 0
+    for s in range(n):
+        if s < min_start:
+            continue
+        hit = None
+        for bi, (quants, conds) in enumerate(branches):
+            segs = _preferred_ctx(values, conds, s, quants, n, "longest")
+            if segs is not None:
+                hit = (bi, segs)
+                break
+        if hit is None:
+            continue
+        bi, segs = hit
+        pos = [(p, L) for p, L in segs if L > 0]
+        start = min(p for p, _L in pos)
+        end = max(p + L - 1 for p, L in pos)
+        out.append((start, end, bi, segs))
+        min_start = end + 1 if mode == "past_last" else start + 1
+    return out
+
+
+@pytest.mark.parametrize("batch", [ALT_SEEDS[:15], ALT_SEEDS[15:]])
+def test_alternation_matches_branch_preference_reference(spark, batch):
+    for seed in batch:
+        skip, branches, values = _alt_case(seed)
+        # build the spec: unique var names across branches
+        vnames = []
+        parts = []
+        defines = []
+        vi = 0
+        for quants, conds in branches:
+            elems = []
+            bnames = []
+            for (lo, hi), c in zip(quants, conds):
+                v = f"V{vi}"
+                vi += 1
+                bnames.append(v)
+                if (lo, hi) == (1, 1):
+                    elems.append(v)
+                elif (lo, hi) == (0, 1):
+                    elems.append(f"{v}?")
+                elif hi is None:
+                    elems.append(f"{v}+")
+                else:
+                    elems.append(f"{v}{{{lo},{hi}}}")
+                if c is not None:
+                    if c[0] == "gt":
+                        defines.append(f"{v} AS {v}.value > {c[1]}")
+                    else:
+                        defines.append(f"{v} AS PREV(value) < {v}.value")
+            vnames.append(bnames)
+            parts.append(" ".join(elems))
+        flat_names = [v for b in vnames for v in b]
+        measures = ", ".join(
+            f"COUNT({v}.*) AS n_{v.lower()}, FIRST({v}.event_id) AS f_{v.lower()}, "
+            f"LAST({v}.event_id) AS l_{v.lower()}"
+            for v in flat_names
+        )
+        skip_sql = (
+            "AFTER MATCH SKIP PAST LAST ROW"
+            if skip[0] == "past_last"
+            else "AFTER MATCH SKIP TO NEXT ROW"
+        )
+        spec = (
+            f"PARTITION BY user_id ORDER BY event_id MEASURES {measures} "
+            f"{skip_sql} PATTERN ({' | '.join(parts)})"
+        )
+        if defines:
+            spec += f" DEFINE {', '.join(defines)}"
+        df = spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate(values)],
+            "user_id int, event_id int, value double",
+        )
+        got = sorted(
+            tuple(r) for r in match_recognize(df, spec).collect()
+        )
+
+        want = []
+        for seq_i, (_s, _e, bi, segs) in enumerate(
+            _alt_reference(values, branches, skip)
+        ):
+            row = [1, seq_i]
+            si = 0
+            for b_idx, (quants, _conds) in enumerate(branches):
+                for q_i in range(len(quants)):
+                    if b_idx == bi:
+                        p, L = segs[q_i]
+                        row += [
+                            L,
+                            p if L else None,
+                            p + L - 1 if L else None,
+                        ]
+                    else:
+                        row += [0, None, None]
+                    si += 1
+            want.append(tuple(row))
+        assert got == sorted(want), (
+            f"seed {seed}: spec={spec!r} values={values} "
+            f"got={got} want={sorted(want)}"
+        )
