@@ -483,10 +483,13 @@ def _split_within(tokens: list[str]) -> tuple[list[str], int | None]:
     )
 
 
-def _parse_pattern(tokens: list[str]) -> list[tuple]:
-    """→ list of (var, from, to|None, reluctant|None).  ``to`` None
-    means unbounded; quantifier None (singleton) has from=to=1 and
-    reluctant=None."""
+def _parse_pattern(tokens: list[str]) -> tuple[list[list[tuple]], set]:
+    """→ (branches, excluded_vars): one element list per '|'-separated
+    alternation branch (a single-branch list when there is no '|'),
+    each element ``(var, from, to|None, reluctant|None)`` — ``to``
+    None means unbounded; quantifier None (singleton) has from=to=1
+    and reluctant=None — plus the set of ``{- -}``-excluded variable
+    names across all branches."""
     if not tokens or tokens[0] != "(" or tokens[-1] != ")":
         raise MatchRecognizeError("PATTERN needs parentheses")
     body = tokens[1:-1]
@@ -504,8 +507,21 @@ def _parse_pattern(tokens: list[str]) -> list[tuple]:
     # alternatives in written order; grouping inside a branch is not
     # supported, so '|' can only appear at the top level)
     branches_tokens: list[list[str]] = [[]]
+    excl_depth = 0
     for tok in body:
+        if tok == "{-":
+            excl_depth += 1
+        elif tok == "-}":
+            excl_depth = max(0, excl_depth - 1)
         if tok == "|":
+            if excl_depth:
+                # the '|' would sever the exclusion span; name the real
+                # problem instead of the confusing 'unclosed exclusion'
+                raise MatchRecognizeError(
+                    "alternation inside an exclusion ('{- ... | ... -}') "
+                    "is not supported — exclude within each branch "
+                    "instead: ({- A -} ... | {- B -} ...)"
+                )
             branches_tokens.append([])
         else:
             branches_tokens[-1].append(tok)
@@ -949,6 +965,17 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         raise MatchRecognizeError(
             f"AFTER MATCH SKIP targets unknown variable {skip[1]!r}"
         )
+    if skip[1] is not None and len(branches) > 1:
+        # every skip target is branch-local (branches span the whole
+        # pattern), so a match through another branch leaves the target
+        # with no captured row — SQL's runtime error, which inside an
+        # executor would abort the whole job data-dependently.  Reject
+        # the combination up front.
+        raise MatchRecognizeError(
+            f"AFTER MATCH SKIP TO FIRST/LAST {skip[1]!r} cannot combine "
+            "with alternation: the target captures nothing when another "
+            "branch matches (use SKIP PAST LAST ROW or SKIP TO NEXT ROW)"
+        )
     seen_aliases: set = set()
     # names the output projection already owns — a colliding measure
     # alias would raise an AMBIGUOUS_REFERENCE AnalysisException later
@@ -958,18 +985,17 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         reserved.add("classifier")
         reserved.update(columns)
     for kind, var, col, alias in measures:
+        # alias rules shared by every measure kind — ONE enforcement
+        if alias in seen_aliases:
+            raise MatchRecognizeError(f"duplicate measure alias {alias!r}")
+        if alias in reserved:
+            raise MatchRecognizeError(
+                f"measure alias {alias!r} collides with an output column "
+                f"({'partition/match_seq/classifier/event columns' if rows_per_match == 'all' else 'partition column or match_seq'})"
+            )
+        seen_aliases.add(alias)
         if kind in ("match_number", "classifier"):
-            if alias in seen_aliases:
-                raise MatchRecognizeError(
-                    f"duplicate measure alias {alias!r}"
-                )
-            if alias in reserved:
-                raise MatchRecognizeError(
-                    f"measure alias {alias!r} collides with an output "
-                    "column"
-                )
-            seen_aliases.add(alias)
-            continue
+            continue  # nullary: no variable/column to validate
         if var not in pattern_vars:
             raise MatchRecognizeError(
                 f"measure {alias!r} references unknown variable {var!r}"
@@ -985,14 +1011,6 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
             raise MatchRecognizeError(
                 f"measure {alias!r} references unknown column {col!r}"
             )
-        if alias in seen_aliases:
-            raise MatchRecognizeError(f"duplicate measure alias {alias!r}")
-        if alias in reserved:
-            raise MatchRecognizeError(
-                f"measure alias {alias!r} collides with an output column "
-                f"({'partition/match_seq/classifier/event columns' if rows_per_match == 'all' else 'partition column or match_seq'})"
-            )
-        seen_aliases.add(alias)
 
     reluctants = {e[3] for e in elems if e[3] is not None}
     if len(reluctants) > 1:
@@ -1159,6 +1177,7 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         # ALL ROWS PER MATCH output (no effect under ONE ROW PER
         # MATCH, per the standard).
         "excluded_vars": sorted(excluded_vars),
+        "n_branches": len(branches),
         # PREV/NEXT physical navigation: {col_name: (kind, col, n)} the
         # caller must materialize as lag/lead window columns keyed on
         # the partition column BEFORE running the kernel.
@@ -1338,26 +1357,22 @@ def _measure_columns(t: dict, schema, measures=None) -> list:
             ).cast("long")
         elif kind == "classifier":
             # FINAL CLASSIFIER(): the variable that matched the LAST
-            # row — among non-empty captures, the one whose final
-            # order value is greatest (array_max skips the NULL
-            # entries empty optional captures produce; the sentinel's
-            # all-NULL captures yield NULL, matching the contract)
-            c = F.array_max(
-                F.array(
-                    *[
-                        F.when(
-                            F.size(F.coalesce(F.col(v), F.array())) > 0,
-                            F.struct(
-                                F.element_at(F.col(v), -1)[
-                                    t["order_by"]
-                                ].alias("o"),
-                                F.lit(v).alias("v"),
-                            ),
-                        )
-                        for v in t["pattern_vars"]
-                    ]
-                )
-            )["v"]
+            # row.  Under strict contiguity the variables' segments lie
+            # in PATTERN order (alternation branches are disjoint, so
+            # only the taken branch has captures), so the owner of the
+            # last row is simply the LAST variable with a non-empty
+            # capture — no order-value comparison, hence no silent
+            # misattribution when order values tie across a variable
+            # boundary.  The sentinel's all-NULL captures yield NULL.
+            c = F.coalesce(
+                *[
+                    F.when(
+                        F.size(F.coalesce(F.col(v), F.array())) > 0,
+                        F.lit(v),
+                    )
+                    for v in reversed(t["pattern_vars"])
+                ]
+            )
         elif kind == "count":
             # 0 over an empty optional capture (SQL COUNT), but NULL on
             # the on_limit="truncate" sentinel row (match_seq = -1) —
@@ -1604,6 +1619,18 @@ def match_recognize_stream(df: DataFrame, spec: str, **kernel_kwargs) -> DataFra
             "PREV/NEXT navigation needs a lag/lead window, which Spark "
             "does not support on streaming DataFrames — use the batch "
             "surface (FIRST/LAST logical navigation streams fine)"
+        )
+    if t.get("n_branches", 1) > 1:
+        # its own rail, not the flexible-variable one: alternation is
+        # greedy-only (written-order preferment) while the streaming
+        # kernel is reluctant-only (first-completing finality) — the
+        # two can never meet, independent of quantifiers
+        raise MatchRecognizeError(
+            "alternation is not supported on the streaming surface: "
+            "SQL's written-order branch preferment needs GREEDY "
+            "selection, and the streaming kernel's finalization-free "
+            "emission is reluctant-only — run alternation patterns "
+            "through the batch surface"
         )
     if len(t["flexible_vars"]) > 1:
         raise MatchRecognizeError(

@@ -61,6 +61,24 @@ def _capture_lens(captured, names):
     return tuple(len(captured.get(n) or ()) for n in names)
 
 
+def _min_len(node) -> int:
+    """Minimum number of rows a pattern node can consume."""
+    t = node.get("type")
+    if t == "spat":
+        return 1
+    if t in ("lpat", "lpat-inf"):
+        return int(node["loop"]["from"])
+    if t == "combine":
+        return _min_len(node["left"]) + _min_len(node["right"])
+    if t == "alt":
+        return min(_min_len(node["left"]), _min_len(node["right"]))
+    if t == "gpat":
+        return _min_len(node["child"])
+    if t in ("gpat-times", "gpat-inf"):
+        return max(1, int(node["loop"]["from"])) * _min_len(node["child"])
+    raise ValueError(f"unknown node type {t!r}")
+
+
 def _validate_sql_pattern(query, sql_prefer: str = "longest") -> None:
     """The lexicographic selection key assumes a candidate's capture
     lengths DETERMINE its rows: strict contiguity everywhere (the
@@ -96,6 +114,15 @@ def _validate_sql_pattern(query, sql_prefer: str = "longest") -> None:
                     "prefer the RIGHT alternative, inverting SQL's "
                     "alternatives-in-written-order preferment"
                 )
+            for side in ("left", "right"):
+                if _min_len(node[side]) == 0:
+                    raise ValueError(
+                        "sql_skip with alternation requires every branch "
+                        "to match at least one row: a zero-min branch's "
+                        "candidate can carry an all-zero lens prefix, and "
+                        "lexicographic MAX would then prefer the RIGHT "
+                        "alternative over the written order"
+                    )
             walk(node["left"])
             walk(node["right"])
         elif t in ("spat", "lpat", "lpat-inf"):

@@ -1665,7 +1665,7 @@ def test_alternation_streaming_raises(spark):
             "1.0 as value"
         )
     )
-    with pytest.raises(Exception, match="ONE flexibly-quantified"):
+    with pytest.raises(Exception, match="alternation is not supported on the streaming"):
         match_recognize_stream(
             stream,
             """PARTITION BY user_id ORDER BY event_id
@@ -1674,3 +1674,96 @@ def test_alternation_streaming_raises(spark):
                PATTERN (A | B)
                DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'""",
         )
+
+
+def test_alternation_review_rails(spark):
+    """Round-14 review fixes: skip-to targets cannot sit in alternation
+    branches (a match via the other branch would abort the job at
+    runtime); '|' inside an exclusion names the real problem."""
+    with pytest.raises(MatchRecognizeError, match="cannot combine with alternation"):
+        translate(
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(A.*) AS n
+               AFTER MATCH SKIP TO LAST C
+               PATTERN (A | C)
+               DEFINE A AS A.value > 1, C AS C.value > 2""",
+            COLS,
+        )
+    with pytest.raises(MatchRecognizeError, match="alternation inside an exclusion"):
+        translate(
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(A.*) AS n
+               PATTERN (A {- B | C -} D)
+               DEFINE A AS A.value > 1""",
+            COLS,
+        )
+
+
+def test_kernel_rejects_zero_min_alt_branch(spark):
+    """Direct kernel use (the translator can't emit this): a zero-min
+    alternation branch breaks the left-branch lens dominance — the
+    validator raises instead of silently preferring the right branch."""
+    from reflinkcep_spark.operators import match_pattern
+    from reflinkcep_spark.cep.query import Query
+
+    q = Query(
+        {
+            "type": "combine",
+            "contiguity": "strict",
+            "left": {
+                "type": "alt",
+                "left": {
+                    "type": "lpat-inf",
+                    "name": "A",
+                    "event": "row",
+                    "cndt": {"expr": "value > 5"},
+                    "loop": {"contiguity": "strict", "from": 0},
+                },
+                "right": {
+                    "type": "spat",
+                    "name": "B",
+                    "event": "row",
+                    "cndt": {"expr": "True"},
+                },
+            },
+            "right": {
+                "type": "spat",
+                "name": "C",
+                "event": "row",
+                "cndt": {"expr": "True"},
+            },
+        },
+        {"schema": {"row": ["event_id", "value"]}, "strategy": "NoSkip"},
+    )
+    df = spark.createDataFrame(
+        [(1, 0, 1.0)], "user_id int, event_id int, value double"
+    )
+    with pytest.raises(Exception, match="zero-min branch"):
+        match_pattern(
+            df,
+            q,
+            order_by="event_id",
+            partition_by="user_id",
+            type_col=None,
+            sql_skip=("past_last", None),
+            sql_prefer="longest",
+        )
+
+
+def test_final_classifier_immune_to_tied_order_values(spark):
+    """FINAL CLASSIFIER() is the last variable with a non-empty capture
+    (pattern order), so duplicate order values across the A/B boundary
+    cannot misattribute the last row."""
+    df = spark.createDataFrame(
+        # both rows share event_id = 5: Z's and B's rows tie on order
+        [(1, 5, "z", 1.0), (1, 5, "b", 2.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES CLASSIFIER() AS cls
+           PATTERN (Z B)
+           DEFINE Z AS Z.event_type = 'z', B AS B.event_type = 'b'""",
+    ).collect()
+    assert [r["cls"] for r in got] == ["B"]

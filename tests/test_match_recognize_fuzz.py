@@ -427,7 +427,6 @@ def test_alternation_matches_branch_preference_reference(spark, batch):
             _alt_reference(values, branches, skip)
         ):
             row = [1, seq_i]
-            si = 0
             for b_idx, (quants, _conds) in enumerate(branches):
                 for q_i in range(len(quants)):
                     if b_idx == bi:
@@ -439,7 +438,6 @@ def test_alternation_matches_branch_preference_reference(spark, batch):
                         ]
                     else:
                         row += [0, None, None]
-                    si += 1
             want.append(tuple(row))
         assert got == sorted(want), (
             f"seed {seed}: spec={spec!r} values={values} "
