@@ -24,6 +24,7 @@ Supported subset
         | AFTER MATCH SKIP TO {FIRST|LAST} <var>]
       PATTERN ( <seq> [| <seq>]... ) [WITHIN INTERVAL '<n>' <unit>]
         where <seq> := { <var>[<quant>] | {- <var>[<quant>] ... -} }...
+      [SUBSET <name> = ( <var> [, <var>]... ) [, ...]]
       DEFINE <var> AS <condition> [, ...]
     )
 
@@ -110,6 +111,14 @@ Supported subset
   partition ≡ ``match_seq + 1``) and ``CLASSIFIER()`` (the matched
   variable: per-row under ALL ROWS RUNNING, the last row's variable
   under FINAL / ONE ROW PER MATCH), each ``AS``-aliased.
+* ``SUBSET <name> = (<var>, ...)`` (SQL:2016, round 14) — union
+  variables usable in MEASURES: the union's captures are the
+  order-merged member captures (``COUNT`` sums sizes, ``SUM/MIN/MAX``
+  fold the concatenation, ``FIRST/LAST`` pick the extreme
+  (order, pattern-position) element — exact under strict contiguity).
+  Especially useful with alternation (``COUNT(U.*)`` across
+  branches).  Union names cannot collide with pattern variables, be
+  AFTER-MATCH-SKIP targets, or appear in DEFINE (members only).
   Projected Spark-side from the kernel's capture arrays
   (``element_at`` / ``size`` / ``aggregate`` — codegen, no Python).
 * ``ONE ROW PER MATCH`` (the default) and ``ALL ROWS PER MATCH`` —
@@ -215,6 +224,7 @@ _CLAUSE_KEYWORDS = (
     "ALL",
     "AFTER",
     "PATTERN",
+    "SUBSET",
     "DEFINE",
 )
 
@@ -235,6 +245,8 @@ def _clause_shape_ok(up: str, nxt: str | None, nxt2: str | None) -> bool:
         return nxt == "ROWS"
     if up == "PATTERN":
         return nxt == "("
+    if up == "SUBSET":
+        return nxt2 == "="  # SUBSET <name> = ( … )
     if up == "DEFINE":
         return nxt2 == "AS"  # DEFINE <var> AS …
     return True  # MEASURES: no fixed shape (aliases named MEASURES are
@@ -429,6 +441,54 @@ def _parse_skip(tokens: list[str]) -> tuple[str, str | None]:
     )
 
 
+def _parse_subsets(tokens: list[str]) -> dict[str, list[str]]:
+    """SQL:2016 SUBSET clause: ``<name> = ( v [, v]... )`` definitions,
+    comma-separated.  → {union_name: [member, ...]} in declaration
+    order.  Name/member validation against the pattern happens in
+    ``translate`` (the pattern is parsed there)."""
+    out: dict[str, list[str]] = {}
+    for part in _split_top_commas(tokens):
+        if (
+            len(part) < 4
+            or part[1] != "="
+            or part[2] != "("
+            or part[-1] != ")"
+        ):
+            raise MatchRecognizeError(
+                f"each SUBSET needs '<name> = ( <var> [, <var>]... )': "
+                f"{' '.join(part)!r}"
+            )
+        name = part[0]
+        if not re.match(r"^[A-Za-z_]\w*$", name):
+            raise MatchRecognizeError(f"bad SUBSET name {name!r}")
+        if name.startswith("__"):
+            raise MatchRecognizeError(
+                f"SUBSET name {name!r}: the '__' prefix is reserved"
+            )
+        if name in out:
+            raise MatchRecognizeError(f"SUBSET {name!r} defined twice")
+        members = [t for t in part[3:-1] if t != ","]
+        expect = part[3:-1]
+        # members must be strictly comma-separated identifiers
+        for i, tok in enumerate(expect):
+            want_ident = i % 2 == 0
+            if want_ident == (tok == ","):
+                raise MatchRecognizeError(
+                    f"bad SUBSET member list in {name!r}: "
+                    f"{' '.join(expect)!r}"
+                )
+        if not members or len(expect) % 2 == 0:
+            raise MatchRecognizeError(
+                f"SUBSET {name!r} needs at least one member variable"
+            )
+        if len(set(members)) != len(members):
+            raise MatchRecognizeError(
+                f"SUBSET {name!r} lists a member twice"
+            )
+        out[name] = members
+    return out
+
+
 _QUANT_OPEN = {"*": (0, None), "+": (1, None), "?": (0, 1)}
 
 _INTERVAL_MICROS = {
@@ -477,6 +537,14 @@ def _split_within(tokens: list[str]) -> tuple[list[str], int | None]:
         if n <= 0:
             raise MatchRecognizeError("WITHIN INTERVAL must be positive")
         return tokens[: close + 1], n * _INTERVAL_MICROS[ups[3]]
+    if ups[0] == "SUBSET":
+        # the SUBSET clause gate needs '<name> =' after the keyword; a
+        # malformed definition leaves these tokens dangling here —
+        # name the real problem
+        raise MatchRecognizeError(
+            f"malformed SUBSET clause {' '.join(rest)!r}: each SUBSET "
+            "needs '<name> = ( <var> [, <var>]... )'"
+        )
     raise MatchRecognizeError(
         f"unexpected tokens after PATTERN: {' '.join(rest)!r} "
         "(supported: WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY)"
@@ -930,6 +998,21 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
                 "variable a nonzero lower bound"
             )
 
+    subsets: dict[str, list[str]] = (
+        _parse_subsets(clauses["SUBSET"]) if "SUBSET" in clauses else {}
+    )
+    for uname, members in subsets.items():
+        if uname in pattern_vars:
+            raise MatchRecognizeError(
+                f"SUBSET name {uname!r} collides with a pattern variable"
+            )
+        for m in members:
+            if m not in pattern_vars:
+                raise MatchRecognizeError(
+                    f"SUBSET {uname!r} member {m!r} does not appear in "
+                    f"PATTERN {pattern_vars}"
+                )
+
     nav = _Nav()
     defines: dict[str, str] = {}
     if "DEFINE" in clauses:
@@ -962,6 +1045,11 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
                     "for navigation columns and registers"
                 )
     if skip[1] is not None and skip[1] not in pattern_vars:
+        if skip[1] in subsets:
+            raise MatchRecognizeError(
+                f"AFTER MATCH SKIP cannot target SUBSET {skip[1]!r} — "
+                "skip to one of its member variables instead"
+            )
         raise MatchRecognizeError(
             f"AFTER MATCH SKIP targets unknown variable {skip[1]!r}"
         )
@@ -996,7 +1084,7 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         seen_aliases.add(alias)
         if kind in ("match_number", "classifier"):
             continue  # nullary: no variable/column to validate
-        if var not in pattern_vars:
+        if var not in pattern_vars and var not in subsets:
             raise MatchRecognizeError(
                 f"measure {alias!r} references unknown variable {var!r}"
             )
@@ -1178,6 +1266,10 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         # MATCH, per the standard).
         "excluded_vars": sorted(excluded_vars),
         "n_branches": len(branches),
+        # SQL:2016 SUBSET unions: {name: [member, ...]} — resolved at
+        # projection time (a union's captures are the order-merged
+        # member captures); pattern matching itself never sees them.
+        "subsets": subsets,
         # PREV/NEXT physical navigation: {col_name: (kind, col, n)} the
         # caller must materialize as lag/lead window columns keyed on
         # the partition column BEFORE running the kernel.
@@ -1373,6 +1465,8 @@ def _measure_columns(t: dict, schema, measures=None) -> list:
                     for v in reversed(t["pattern_vars"])
                 ]
             )
+        elif var in (t.get("subsets") or {}):
+            c = _subset_measure(t, schema, kind, var, col)
         elif kind == "count":
             # 0 over an empty optional capture (SQL COUNT), but NULL on
             # the on_limit="truncate" sentinel row (match_seq = -1) —
@@ -1403,6 +1497,62 @@ def _measure_columns(t: dict, schema, measures=None) -> list:
                 )
         measure_cols.append(c.alias(alias))
     return measure_cols
+
+
+def _subset_measure(t: dict, schema, kind: str, uname: str, col):
+    """FINAL measure over a SUBSET union: the union's captures are the
+    order-merged member captures.  COUNT/SUM/MIN/MAX are
+    order-insensitive (sum of sizes / fold over the concatenation);
+    FIRST/LAST pick the member element with the extreme
+    (order value, pattern position) pair — the pattern-position
+    tie-break is exact under strict contiguity (a later variable's
+    rows never precede an earlier one's) and makes duplicated order
+    values across a member boundary harmless."""
+    from pyspark.sql import functions as F
+
+    members = t["subsets"][uname]
+    arrs = {m: F.coalesce(F.col(m), F.array()) for m in members}
+    if kind == "count":
+        total = None
+        for m in members:
+            s = F.size(arrs[m])
+            total = s if total is None else total + s
+        return F.when(F.col("match_seq") >= 0, total).cast("long")
+    if kind in ("min", "max", "sum"):
+        # single-arity closure: a two-parameter lambda would receive
+        # the ARRAY INDEX as its second argument, shadowing a `c=col`
+        # default (the F.transform pitfall)
+        def _extract(arr):
+            return F.transform(arr, lambda e: e[col])
+
+        vals = F.flatten(F.array(*[_extract(arrs[m]) for m in members]))
+        if kind == "min":
+            return F.array_min(vals)
+        if kind == "max":
+            return F.array_max(vals)
+        acc = _sum_acc_type(schema, col)
+        return F.when(
+            F.size(vals) > 0,
+            F.aggregate(vals, F.lit(0).cast(acc), lambda a, x: a + x.cast(acc)),
+        )
+    # first / last
+    pos = {m: i for i, m in enumerate(t["pattern_vars"])}
+    idx = 1 if kind == "first" else -1
+    agg = F.array_min if kind == "first" else F.array_max
+    cands = F.array(
+        *[
+            F.when(
+                F.size(arrs[m]) > 0,
+                F.struct(
+                    F.element_at(arrs[m], idx)[t["order_by"]].alias("o"),
+                    F.lit(pos[m]).alias("i"),
+                    F.element_at(arrs[m], idx)[col].alias("v"),
+                ),
+            )
+            for m in members
+        ]
+    )
+    return agg(cands)["v"]
 
 
 def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
@@ -1493,7 +1643,14 @@ def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
             # RUNNING CLASSIFIER(): the current row's variable — the
             # last element of the prefix IS the current row
             return F.get(prefix, F.size(prefix) - 1)["classifier"]
-        flt = F.filter(prefix, lambda x: x["classifier"] == F.lit(var))
+        members = (t.get("subsets") or {}).get(var)
+        if members:
+            # SUBSET union: rows mapped to ANY member count
+            flt = F.filter(
+                prefix, lambda x: x["classifier"].isin(*members)
+            )
+        else:
+            flt = F.filter(prefix, lambda x: x["classifier"] == F.lit(var))
         if kind == "count":
             return F.size(flt).cast("long")  # 0 before V's first row
         vals = F.transform(flt, lambda x: x["ev"][col])

@@ -1767,3 +1767,123 @@ def test_final_classifier_immune_to_tied_order_values(spark):
            DEFINE Z AS Z.event_type = 'z', B AS B.event_type = 'b'""",
     ).collect()
     assert [r["cls"] for r in got] == ["B"]
+
+
+# --- round-14: SUBSET union variables -----------------------------------
+
+
+def test_subset_measures_over_alternation(spark):
+    """SUBSET U = (A, B) over PATTERN (A+ | B{1,2}): COUNT/FIRST/LAST/
+    SUM over U resolve to the taken branch's captures."""
+    df = spark.createDataFrame(
+        [
+            (1, 0, "a", 1.0), (1, 1, "a", 2.0),   # A A   (branch 1)
+            (1, 2, "b", 4.0), (1, 3, "b", 8.0),   # B B   (branch 2)
+        ],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(U.*) AS nu, FIRST(U.event_id) AS fu,
+                        LAST(U.event_id) AS lu, SUM(U.value) AS su,
+                        MIN(U.value) AS mnu, MAX(U.value) AS mxu
+               AFTER MATCH SKIP PAST LAST ROW
+               PATTERN (A+ | B{1,2})
+               SUBSET U = (A, B)
+               DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'""",
+        ).collect()
+    )
+    assert got == [
+        (1, 0, 2, 0, 1, 3.0, 1.0, 2.0),
+        (1, 1, 2, 2, 3, 12.0, 4.0, 8.0),
+    ]
+
+
+def test_subset_spans_sequence_variables(spark):
+    """SUBSET across consecutive sequence variables: FIRST/LAST cross
+    the member boundary correctly (order + pattern-position pick)."""
+    df = spark.createDataFrame(
+        [(1, 0, "s", 1.0), (1, 1, "g", 2.0), (1, 2, "p", 4.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES FIRST(SP.event_id) AS f, LAST(SP.event_id) AS l,
+                        COUNT(SP.*) AS n, COUNT(G.*) AS g
+               PATTERN (S G* P)
+               SUBSET SP = (S, P)
+               DEFINE S AS S.event_type = 's', P AS P.event_type = 'p'""",
+        ).collect()
+    )
+    # SP = {row 0 (S), row 2 (P)}: gap row 1 not in the union
+    assert got == [(1, 0, 0, 2, 2, 1)]
+
+
+def test_subset_running_measures_all_rows(spark):
+    """RUNNING COUNT(U.*) under ALL ROWS counts rows mapped to ANY
+    member at or before each output row."""
+    df = spark.createDataFrame(
+        [(1, 0, "a", 1.0), (1, 1, "g", 2.0), (1, 2, "b", 4.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    rows = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(U.*) AS nu
+           ALL ROWS PER MATCH
+           PATTERN (A G* B)
+           SUBSET U = (A, B)
+           DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'""",
+    ).collect()
+    got = sorted((r["event_id"], r["classifier"], r["nu"]) for r in rows)
+    assert got == [(0, "A", 1), (1, "G", 1), (2, "B", 2)]
+
+
+def test_subset_empty_union_and_sentinel(spark):
+    """A union whose every member captured nothing: COUNT 0, FIRST/
+    LAST/SUM NULL; on the truncate sentinel everything is NULL."""
+    rows = [(1, i, "a", 1.0) for i in range(60)] + [(2, 0, "a", 1.0)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, value double"
+    )
+    out = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(U.*) AS nu, FIRST(U.value) AS fu
+           PATTERN (A+ C? D?)
+           SUBSET U = (C, D)
+           DEFINE A AS A.event_type = 'a', C AS C.event_type = 'c',
+                  D AS D.event_type = 'd'""",
+        max_active_runs=10,
+        on_limit="truncate",
+    ).collect()
+    sent = [r for r in out if r["match_seq"] == -1]
+    assert len(sent) == 1 and sent[0]["nu"] is None and sent[0]["fu"] is None
+    normal = [r for r in out if r["match_seq"] >= 0]
+    assert normal and all(r["nu"] == 0 and r["fu"] is None for r in normal)
+
+
+def test_subset_rails(spark):
+    base = """PARTITION BY user_id ORDER BY event_id
+        MEASURES {m} PATTERN (A B) {s}
+        DEFINE A AS A.event_type = 'a'"""
+    with pytest.raises(MatchRecognizeError, match="cannot target SUBSET"):
+        translate(
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(A.*) AS n
+               AFTER MATCH SKIP TO LAST U PATTERN (A B)
+               SUBSET U = (A, B)
+               DEFINE A AS A.event_type = 'a'""",
+            COLS,
+        )
+    with pytest.raises(MatchRecognizeError, match="malformed SUBSET"):
+        translate(base.format(m="COUNT(A.*) AS n", s="SUBSET U (A)"), COLS)
+    # subset usable as a measure var, unknown union still rejected
+    with pytest.raises(MatchRecognizeError, match="unknown variable"):
+        translate(base.format(m="COUNT(W.*) AS n", s="SUBSET U = (A)"), COLS)
