@@ -467,20 +467,26 @@ def _parse_subsets(tokens: list[str]) -> dict[str, list[str]]:
             )
         if name in out:
             raise MatchRecognizeError(f"SUBSET {name!r} defined twice")
-        members = [t for t in part[3:-1] if t != ","]
-        expect = part[3:-1]
-        # members must be strictly comma-separated identifiers
-        for i, tok in enumerate(expect):
+        body = part[3:-1]
+        # strictly comma-separated identifiers: idents at even
+        # positions, commas at odd, ending on an ident
+        for i, tok in enumerate(body):
             want_ident = i % 2 == 0
             if want_ident == (tok == ","):
                 raise MatchRecognizeError(
                     f"bad SUBSET member list in {name!r}: "
-                    f"{' '.join(expect)!r}"
+                    f"{' '.join(body)!r}"
                 )
-        if not members or len(expect) % 2 == 0:
+        if not body:
             raise MatchRecognizeError(
                 f"SUBSET {name!r} needs at least one member variable"
             )
+        if len(body) % 2 == 0:
+            raise MatchRecognizeError(
+                f"trailing comma in SUBSET {name!r} member list: "
+                f"{' '.join(body)!r}"
+            )
+        members = body[::2]
         if len(set(members)) != len(members):
             raise MatchRecognizeError(
                 f"SUBSET {name!r} lists a member twice"
@@ -518,11 +524,10 @@ def _split_within(tokens: list[str]) -> tuple[list[str], int | None]:
     if close is None:
         raise MatchRecognizeError("PATTERN needs parentheses")
     rest = tokens[close + 1 :]
-    if not rest:
-        return tokens, None
+    micros = None
     ups = [t.upper() for t in rest]
     if (
-        len(rest) == 4
+        len(rest) >= 4
         and ups[0] == "WITHIN"
         and ups[1] == "INTERVAL"
         and rest[2].startswith("'")
@@ -536,11 +541,15 @@ def _split_within(tokens: list[str]) -> tuple[list[str], int | None]:
             ) from None
         if n <= 0:
             raise MatchRecognizeError("WITHIN INTERVAL must be positive")
-        return tokens[: close + 1], n * _INTERVAL_MICROS[ups[3]]
+        micros = n * _INTERVAL_MICROS[ups[3]]
+        rest, ups = rest[4:], ups[4:]
+    if not rest:
+        return tokens[: close + 1], micros
     if ups[0] == "SUBSET":
         # the SUBSET clause gate needs '<name> =' after the keyword; a
-        # malformed definition leaves these tokens dangling here —
-        # name the real problem
+        # malformed definition leaves these tokens dangling here
+        # (whether or not a valid WITHIN preceded them) — name the
+        # real problem
         raise MatchRecognizeError(
             f"malformed SUBSET clause {' '.join(rest)!r}: each SUBSET "
             "needs '<name> = ( <var> [, <var>]... )'"
@@ -1535,24 +1544,37 @@ def _subset_measure(t: dict, schema, kind: str, uname: str, col):
             F.size(vals) > 0,
             F.aggregate(vals, F.lit(0).cast(acc), lambda a, x: a + x.cast(acc)),
         )
-    # first / last
+    # first / last: pick the member with the extreme (order value,
+    # pattern position) key, then extract the value SEPARATELY — the
+    # measured column must not ride inside the array_min/array_max
+    # comparison struct, or non-orderable column types (e.g. map)
+    # would fail where plain-variable FIRST/LAST works
     pos = {m: i for i, m in enumerate(t["pattern_vars"])}
     idx = 1 if kind == "first" else -1
     agg = F.array_min if kind == "first" else F.array_max
-    cands = F.array(
+    best = agg(
+        F.array(
+            *[
+                F.when(
+                    F.size(arrs[m]) > 0,
+                    F.struct(
+                        F.element_at(arrs[m], idx)[t["order_by"]].alias("o"),
+                        F.lit(pos[m]).alias("i"),
+                    ),
+                )
+                for m in members
+            ]
+        )
+    )
+    # `i` is unique per member, so it alone identifies the winner
+    return F.coalesce(
         *[
             F.when(
-                F.size(arrs[m]) > 0,
-                F.struct(
-                    F.element_at(arrs[m], idx)[t["order_by"]].alias("o"),
-                    F.lit(pos[m]).alias("i"),
-                    F.element_at(arrs[m], idx)[col].alias("v"),
-                ),
+                best["i"] == pos[m], F.element_at(arrs[m], idx)[col]
             )
             for m in members
         ]
     )
-    return agg(cands)["v"]
 
 
 def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
@@ -1584,6 +1606,8 @@ def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
     measure_cols = _measure_columns(t, schema, final_measures)
     order_by = t["order_by"]
 
+    vpos = {v: i for i, v in enumerate(t["pattern_vars"])}
+
     def _labeler(vname):
         # single-arity on purpose: a two-parameter lambda would make
         # F.transform pass the ARRAY INDEX as the second argument,
@@ -1592,6 +1616,13 @@ def _project(out: DataFrame, t: dict, schema, orig_columns) -> DataFrame:
         def lab(e):
             return F.struct(
                 e[order_by].alias("__o"),
+                # PATTERN-position tie-break: under strict contiguity a
+                # later variable's rows never precede an earlier one's,
+                # so duplicated order values across a variable boundary
+                # sort by pattern order — matching _subset_measure's
+                # FINAL tie-break (an alphabetical classifier tie-break
+                # here made RUNNING FIRST/LAST(U.col) contradict FINAL)
+                F.lit(vpos[vname]).alias("__p"),
                 F.lit(vname).alias("classifier"),
                 e.alias("ev"),
             )

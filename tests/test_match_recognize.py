@@ -1887,3 +1887,65 @@ def test_subset_rails(spark):
     # subset usable as a measure var, unknown union still rejected
     with pytest.raises(MatchRecognizeError, match="unknown variable"):
         translate(base.format(m="COUNT(W.*) AS n", s="SUBSET U = (A)"), COLS)
+
+
+def test_subset_review_rails_and_ties(spark):
+    """Round-14 review fixes over the SUBSET batch."""
+    # malformed SUBSET after a valid WITHIN names the SUBSET shape
+    with pytest.raises(MatchRecognizeError, match="malformed SUBSET"):
+        translate(
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(A.*) AS n
+               PATTERN (A B) WITHIN INTERVAL '5' SECOND SUBSET U (A)
+               DEFINE A AS A.value > 1""",
+            COLS,
+        )
+    # trailing comma names the real problem
+    with pytest.raises(MatchRecognizeError, match="trailing comma"):
+        translate(
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(A.*) AS n
+               PATTERN (A B) SUBSET U = (A,)
+               DEFINE A AS A.value > 1""",
+            COLS,
+        )
+    # RUNNING FIRST/LAST over a SUBSET agrees with FINAL even when
+    # order values tie across the member boundary (labeled array now
+    # tie-breaks by pattern position, same rule as _subset_measure)
+    df = spark.createDataFrame(
+        [(1, 7, "z", 10.0), (1, 7, "b", 20.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    rows = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES FIRST(U.value) AS rf, LAST(U.value) AS rl,
+                    FINAL FIRST(U.value) AS ff, FINAL LAST(U.value) AS fl
+           ALL ROWS PER MATCH
+           PATTERN (Z B)
+           SUBSET U = (Z, B)
+           DEFINE Z AS Z.event_type = 'z', B AS B.event_type = 'b'""",
+    ).collect()
+    last_row = [r for r in rows if r["classifier"] == "B"][0]
+    assert last_row["ff"] == 10.0 and last_row["fl"] == 20.0
+    assert last_row["rf"] == 10.0 and last_row["rl"] == 20.0
+
+
+def test_subset_first_last_on_non_orderable_column(spark):
+    """FIRST/LAST(U.col) must work on column types array_min cannot
+    order (the value is selected AFTER the (o, i) comparison)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 0, "a", 1.0), (1, 1, "b", 2.0)],
+        "user_id int, event_id int, event_type string, value double",
+    ).withColumn("m", F.create_map(F.lit("k"), F.col("value")))
+    got = match_recognize(
+        df,
+        """PARTITION BY user_id ORDER BY event_id
+           MEASURES FIRST(U.m) AS fm, LAST(U.m) AS lm
+           PATTERN (A B)
+           SUBSET U = (A, B)
+           DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'""",
+    ).collect()
+    assert got[0]["fm"] == {"k": 1.0} and got[0]["lm"] == {"k": 2.0}
