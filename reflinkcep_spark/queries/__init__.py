@@ -287,6 +287,13 @@ RETIRED = (
 # cep_sql_prev_ascent -- the DEFINE-navigation query added round 14)
 # fill ~39 slots; pair the six registrations with retirements chosen
 # at round-16 planning time.  124 + 6 - 6 = 124 keeps margin 26.
+# Round-17 queue seed (built in the round-14 continuation):
+# cep_sql_alternation -- PATTERN (H | E{3}) with CLASSIFIER /
+# MATCH_NUMBER / SUBSET-union measures, 3-SF oracle-green at build
+# time (176 / 1,673 / 17,014 rows), suite-pinned
+# (test_prestaged_round17_queries_match_oracles), AUDITED + PROBES
+# entries in place; pair its registration with a retirement at
+# round-17 planning time.
 # Before this rotation every promoted query was verified green in its
 # latest CORRECTNESS row (r11) and every demoted query green in
 # CORRECTNESS_r13.json (scripts/window_audit.py run before and after).

@@ -1657,3 +1657,79 @@ ORACLES = {
     "cep_nested_funnel_relaxed": SQL_NESTED_FUNNEL_RELAXED,
     "cep_purchase_no_immediate_error": SQL_PURCHASE_NO_IMMEDIATE_ERROR,
 }
+
+
+def cep_sql_alternation(spark, sf_dir):
+    """Ordered alternation through the SQL front end (round-14
+    continuation): per user, every row that begins EITHER a single
+    high-value event (``H``, any type, value >= 90) OR a run of three
+    consecutive errors (``E{3}``) — with SQL:2016's written-order
+    preferment deciding overlaps (a high-value error that also starts
+    an error triple classifies as ``H``), which the kernel implements
+    via the lens-tuple lexicographic MAX (a left-branch candidate's
+    lens dominates every right-branch one).  AFTER MATCH SKIP TO NEXT
+    ROW emits exactly one match per eligible start, so the oracle is a
+    pure lead-window CASE.  The measures exercise the round's whole
+    new surface at once: CLASSIFIER() (which branch), MATCH_NUMBER(),
+    and FIRST/LAST/COUNT over the SUBSET union U = (H, E).
+
+    Scale shape: identical to every kernel CEP row — project to the
+    referenced columns, ONE exchange on user_id, Arrow-batched
+    FlatMapGroupsInPandas, per-key state bounded by the live run-set
+    (runs die within three events here).
+
+    Oracle: lead(event_type, 1..2) + lead(event_id, 2) over the same
+    per-user event order; preference is the CASE arm order."""
+    from reflinkcep_spark.cep.match_recognize import match_recognize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    return match_recognize(
+        ev,
+        """MATCH_RECOGNIZE (
+             PARTITION BY user_id
+             ORDER BY event_id
+             MEASURES CLASSIFIER() AS cls,
+                      MATCH_NUMBER() AS mn,
+                      FIRST(U.event_id) AS start_id,
+                      LAST(U.event_id) AS end_id,
+                      COUNT(U.*) AS n_rows
+             AFTER MATCH SKIP TO NEXT ROW
+             PATTERN (H | E{3})
+             SUBSET U = (H, E)
+             DEFINE H AS H.value >= 90,
+                    E AS E.event_type = 'error'
+           )""",
+    )
+
+
+SQL_CEP_SQL_ALTERNATION = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, value,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(event_id, 2)   OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+hits AS (
+  SELECT user_id, event_id, e2,
+         CASE WHEN value >= 90 THEN 'H'
+              WHEN event_type = 'error' AND t1 = 'error'
+                   AND t2 = 'error' THEN 'E'
+         END AS cls
+  FROM seq
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+         AS match_seq,
+       cls,
+       row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+         AS mn,
+       event_id AS start_id,
+       CASE WHEN cls = 'H' THEN event_id ELSE e2 END AS end_id,
+       CASE WHEN cls = 'H' THEN 1 ELSE 3 END::BIGINT AS n_rows
+FROM hits
+WHERE cls IS NOT NULL
+"""

@@ -122,6 +122,7 @@ AUDITED = [
     ("cep_sql_error_runs", "MATCH_RECOGNIZE greedy E+ maximal runs (pre-staged r15): the SQL:2016 front end translates onto the SAME kernel plan as every CEP row — ONE exchange on the partition key into Arrow-batched FlatMapGroupsInPandas; SQL match selection is a per-key post-pass, zero extra exchanges; the measures projection is codegen element_at/size column algebra"),
     ("cep_sql_funnel", "MATCH_RECOGNIZE reluctant filler funnel S G*? P (pre-staged r15): same ONE-exchange kernel shape; SKIP TO NEXT ROW selection per key in the kernel post-pass, COUNT(G.*) gap measure from the capture array in the codegen projection"),
     ("cep_sql_prev_ascent", "MATCH_RECOGNIZE DEFINE navigation (pre-staged r16): PREV(value) ascending runs — the lag window column rides the kernel's key partitioning (Exchange -> Sort -> Window -> FlatMapGroupsInPandas), ONE exchange total, same count as a navigation-free MATCH_RECOGNIZE"),
+    ("cep_sql_alternation", "MATCH_RECOGNIZE ordered alternation (pre-staged r17): PATTERN (H | E{3}) + CLASSIFIER/MATCH_NUMBER/SUBSET measures — the alt node compiles into the same one-exchange kernel plan (Exchange -> FlatMapGroupsInPandas -> codegen measures projection), zero extra exchanges for the extra branch"),
 ]
 
 

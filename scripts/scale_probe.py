@@ -137,6 +137,7 @@ PROBES = [
     ("cep_sql_error_runs", "events"),
     ("cep_sql_funnel", "events"),
     ("cep_sql_prev_ascent", "events"),
+    ("cep_sql_alternation", "events"),
 ]
 
 # Replication order matters: orders/lineitem/customer/part share key

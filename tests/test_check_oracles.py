@@ -189,3 +189,33 @@ def test_prestaged_round16_queries_match_oracles(spark):
     )
     assert len(got) > 0
     assert compare("cep_sql_prev_ascent", got, want) == []
+
+
+def test_prestaged_round17_queries_match_oracles(spark):
+    """Round-17 queue seed built in the round-14 continuation: the
+    alternation query exercising the whole new MATCH_RECOGNIZE surface
+    (PATTERN (H | E{3}), CLASSIFIER(), MATCH_NUMBER(), SUBSET union
+    measures).  Same contract as the earlier queue pins — oracle-green
+    at sf0.001 every pytest run (3-SF verified at build time:
+    176 / 1,673 / 17,014 rows), so registration is a dict edit."""
+    import duckdb
+
+    from reflinkcep_spark.queries.cep_queries import (
+        SQL_CEP_SQL_ALTERNATION,
+        cep_sql_alternation,
+    )
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS FROM "
+        f"'{os.path.join(SF_DIR, 'events.parquet')}'"
+    )
+    got = check_oracles.normalize(
+        cep_sql_alternation(spark, SF_DIR).toPandas()
+    )
+    want = check_oracles.normalize(
+        con.execute(SQL_CEP_SQL_ALTERNATION).fetchdf()
+    )
+    assert len(got) > 0
+    assert compare("cep_sql_alternation", got, want) == []
