@@ -22,8 +22,9 @@ Supported subset
       [AFTER MATCH SKIP PAST LAST ROW
         | AFTER MATCH SKIP TO NEXT ROW
         | AFTER MATCH SKIP TO {FIRST|LAST} <var>]
-      PATTERN ( <seq> [| <seq>]... ) [WITHIN INTERVAL '<n>' <unit>]
+      PATTERN ( [^] <seq> [| <seq>]... [$] ) [WITHIN INTERVAL '<n>' <unit>]
         where <seq> := { <var>[<quant>] | {- <var>[<quant>] ... -} }...
+        (anchors cannot combine with '|')
       [SUBSET <name> = ( <var> [, <var>]... ) [, ...]]
       DEFINE <var> AS <condition> [, ...]
     )
@@ -51,8 +52,15 @@ Supported subset
   reluctant quantifiers cannot combine with alternation (lexicographic
   MIN would invert the branch preference — clear error), which also
   excludes alternation from the streaming surface (it needs
-  reluctant).  Grouped alternation inside a branch, ``PERMUTE`` and
-  anchors are not supported (clear errors).
+  reluctant).  Partition anchors (round 14): a leading ``^`` pins
+  matches to the key's FIRST row, a trailing ``$`` to its LAST —
+  enforced kernel-side by filtering candidates before the per-start
+  selection fold, so e.g. ``PATTERN (A+ $)`` keeps only runs that
+  reach the partition end.  Anchors are batch-only (an unbounded
+  stream has no last row), edges-only, and cannot combine with
+  alternation (SQL would anchor individual branches).  Grouped
+  alternation inside a branch and ``PERMUTE`` are not supported
+  (clear errors).
 * Quantifier preference: SQL default is GREEDY (maximal rows); a
   trailing ``?`` makes a quantifier reluctant.  The engine emits every
   nondeterministic assignment (NoSkip) and the kernel's SQL selection
@@ -560,25 +568,44 @@ def _split_within(tokens: list[str]) -> tuple[list[str], int | None]:
     )
 
 
-def _parse_pattern(tokens: list[str]) -> tuple[list[list[tuple]], set]:
-    """→ (branches, excluded_vars): one element list per '|'-separated
-    alternation branch (a single-branch list when there is no '|'),
-    each element ``(var, from, to|None, reluctant|None)`` — ``to``
-    None means unbounded; quantifier None (singleton) has from=to=1
-    and reluctant=None — plus the set of ``{- -}``-excluded variable
-    names across all branches."""
+def _parse_pattern(
+    tokens: list[str],
+) -> tuple[list[list[tuple]], set, bool, bool]:
+    """→ (branches, excluded_vars, anchor_start, anchor_end): one
+    element list per '|'-separated alternation branch (a single-branch
+    list when there is no '|'), each element ``(var, from, to|None,
+    reluctant|None)`` — ``to`` None means unbounded; quantifier None
+    (singleton) has from=to=1 and reluctant=None — plus the set of
+    ``{- -}``-excluded variable names across all branches and the
+    SQL:2016 partition anchors (leading ``^`` / trailing ``$``)."""
     if not tokens or tokens[0] != "(" or tokens[-1] != ")":
         raise MatchRecognizeError("PATTERN needs parentheses")
     body = tokens[1:-1]
-    for bad, why in (
-        ("^", "anchors"),
-        ("$", "anchors"),
-        ("(", "grouping"),
-    ):
-        if bad in body:
-            raise MatchRecognizeError(
-                f"PATTERN {why} is not supported in this subset"
-            )
+    anchor_start = bool(body) and body[0] == "^"
+    if anchor_start:
+        body = body[1:]
+    anchor_end = bool(body) and body[-1] == "$"
+    if anchor_end:
+        body = body[:-1]
+    if (anchor_start or anchor_end) and "|" in body:
+        # SQL parses `^ A | B $` as `(^ A) | (B $)` — alternation
+        # binds looser than anchoring — and per-branch anchors are not
+        # supported, so reject instead of silently anchoring every
+        # branch
+        raise MatchRecognizeError(
+            "anchors with alternation are not supported (SQL would "
+            "anchor individual branches; parenthesize-per-branch "
+            "anchoring is outside this subset)"
+        )
+    if "^" in body or "$" in body:
+        raise MatchRecognizeError(
+            "anchors are only supported at the PATTERN edges "
+            "(leading '^', trailing '$')"
+        )
+    if "(" in body:
+        raise MatchRecognizeError(
+            "PATTERN grouping is not supported in this subset"
+        )
     # top-level ordered alternation: '|'-separated branches, each a
     # concatenation of var[quant] elements (SQL:2016 prefers
     # alternatives in written order; grouping inside a branch is not
@@ -613,7 +640,7 @@ def _parse_pattern(tokens: list[str]) -> tuple[list[list[tuple]], set]:
         belems, bexcluded = _parse_seq(btokens, seen)
         branches.append(belems)
         excluded |= bexcluded
-    return branches, excluded
+    return branches, excluded, anchor_start, anchor_end
 
 
 def _parse_seq(body: list[str], seen: set) -> tuple[list[tuple], set]:
@@ -989,7 +1016,9 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         _parse_skip(clauses["AFTER"]) if "AFTER" in clauses else ("past_last", None)
     )
     pattern_tokens, within_micros = _split_within(clauses["PATTERN"])
-    branches, excluded_vars = _parse_pattern(pattern_tokens)
+    branches, excluded_vars, anchor_start, anchor_end = _parse_pattern(
+        pattern_tokens
+    )
     elems = [e for b in branches for e in b]
     pattern_vars = [e[0] for e in elems]
     for b in branches:
@@ -1275,6 +1304,11 @@ def translate(spec: str, columns: Sequence[str]) -> dict:
         # MATCH, per the standard).
         "excluded_vars": sorted(excluded_vars),
         "n_branches": len(branches),
+        # SQL:2016 partition anchors: ^ pins matches to the key's
+        # first row, $ to its last — enforced kernel-side (candidates
+        # filtered before the per-start fold)
+        "anchor_start": anchor_start,
+        "anchor_end": anchor_end,
         # SQL:2016 SUBSET unions: {name: [member, ...]} — resolved at
         # projection time (a union's captures are the order-merged
         # member captures); pattern matching itself never sees them.
@@ -1361,6 +1395,8 @@ def match_recognize(df: DataFrame, spec: str, **kernel_kwargs) -> DataFrame:
         type_col=None,
         sql_skip=t["skip"],
         sql_prefer=t["prefer"],
+        anchor_start=t["anchor_start"],
+        anchor_end=t["anchor_end"],
         **kernel_kwargs,
     )
     return _project(out, t, df.schema, orig_columns)
@@ -1807,6 +1843,13 @@ def match_recognize_stream(df: DataFrame, spec: str, **kernel_kwargs) -> DataFra
             "PREV/NEXT navigation needs a lag/lead window, which Spark "
             "does not support on streaming DataFrames — use the batch "
             "surface (FIRST/LAST logical navigation streams fine)"
+        )
+    if t.get("anchor_start") or t.get("anchor_end"):
+        raise MatchRecognizeError(
+            "anchors (^/$) are not supported on the streaming surface: "
+            "'$' needs the partition's LAST row, which an unbounded "
+            "stream never has, and '^' would pin state to stream start "
+            "— run anchored patterns through the batch surface"
         )
     if t.get("n_branches", 1) > 1:
         # its own rail, not the flexible-variable one: alternation is

@@ -231,6 +231,8 @@ def match_pattern(
     pre_partitioned: bool = False,
     sql_skip: tuple[str, str | None] | None = None,
     sql_prefer: str = "longest",
+    anchor_start: bool = False,
+    anchor_end: bool = False,
 ) -> DataFrame:
     """Run a CEP pattern query over a DataFrame of events.
 
@@ -344,6 +346,11 @@ def match_pattern(
             raise ValueError(f"sql_prefer must be 'longest' or 'shortest'")
         _validate_sql_pattern(query, sql_prefer)
         allow_fastpath = False
+    if (anchor_start or anchor_end) and sql_skip is None:
+        raise ValueError(
+            "anchor_start/anchor_end are part of the SQL selection "
+            "surface (MATCH_RECOGNIZE ^/$) — pass sql_skip too"
+        )
     keys = (
         [partition_by]
         if isinstance(partition_by, str)
@@ -463,6 +470,13 @@ def match_pattern(
                 if sql_skip is not None:
                     if not all_pos:
                         continue  # empty match: nothing to anchor to
+                    # SQL anchors (^/$): a candidate not pinned to the
+                    # partition edge is discarded BEFORE the per-start
+                    # fold, so selection ranks anchored candidates only
+                    if anchor_start and min(all_pos) != 0:
+                        continue
+                    if anchor_end and max(all_pos) != len(records) - 1:
+                        continue
                     key = _capture_lens(captured, names)
                     cand = (min(all_pos), max(all_pos), emitted, captured)
                     emitted += 1

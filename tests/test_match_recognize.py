@@ -1949,3 +1949,93 @@ def test_subset_first_last_on_non_orderable_column(spark):
            DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'""",
     ).collect()
     assert got[0]["fm"] == {"k": 1.0} and got[0]["lm"] == {"k": 2.0}
+
+
+# --- round-14: partition anchors ^ / $ ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def anchor_df(spark):
+    rows = [
+        # user 1: e e p e e  -> error runs [0,1] and [3,4]
+        (1, 0, "error", 1.0), (1, 1, "error", 2.0), (1, 2, "purchase", 3.0),
+        (1, 3, "error", 4.0), (1, 4, "error", 5.0),
+        # user 2: p e e      -> one error run [11,12] at partition end
+        (2, 10, "purchase", 1.0), (2, 11, "error", 2.0), (2, 12, "error", 3.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, value double"
+    )
+
+
+def test_anchor_start_keeps_prefix_runs_only(anchor_df):
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            anchor_df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES FIRST(E.event_id) AS fe, COUNT(E.*) AS n
+               PATTERN (^ E+) DEFINE E AS E.event_type = 'error'""",
+        ).collect()
+    )
+    # user 1 starts with errors -> its prefix run survives; user 2
+    # starts with a purchase -> nothing
+    assert got == [(1, 0, 0, 2)]
+
+
+def test_anchor_end_keeps_suffix_runs_only(anchor_df):
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            anchor_df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES FIRST(E.event_id) AS fe, COUNT(E.*) AS n
+               PATTERN (E+ $) DEFINE E AS E.event_type = 'error'""",
+        ).collect()
+    )
+    # runs that reach the partition end: user 1's [3,4] (both starts
+    # 3 and 4 anchor, PAST LAST ROW keeps the first), user 2's [11,12]
+    assert got == [(1, 0, 3, 2), (2, 0, 11, 2)]
+
+
+def test_anchor_both_full_partition_or_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "error", 1.0), (1, 1, "error", 2.0),
+         (2, 0, "error", 1.0), (2, 1, "purchase", 2.0)],
+        "user_id int, event_id int, event_type string, value double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in match_recognize(
+            df,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(E.*) AS n
+               PATTERN (^ E+ $) DEFINE E AS E.event_type = 'error'""",
+        ).collect()
+    )
+    assert got == [(1, 0, 2)]  # key 2 is not all-errors
+
+
+def test_anchor_rails(spark):
+    base = """PARTITION BY user_id ORDER BY event_id
+        MEASURES COUNT(E.*) AS n PATTERN ({p})
+        DEFINE E AS E.event_type = 'error'"""
+    with pytest.raises(MatchRecognizeError, match="edges"):
+        translate(base.format(p="E ^ E2"), COLS)
+    with pytest.raises(MatchRecognizeError, match="anchors with alternation"):
+        translate(base.format(p="^ E | E2"), COLS)
+    from reflinkcep_spark.cep.match_recognize import match_recognize_stream
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("1 as user_id", "value as event_id",
+                    "'error' as event_type", "1.0 as value")
+    )
+    with pytest.raises(MatchRecognizeError, match="not supported on the streaming"):
+        match_recognize_stream(
+            stream,
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES COUNT(E.*) AS n
+               AFTER MATCH SKIP TO NEXT ROW
+               PATTERN (E+? $) DEFINE E AS E.event_type = 'error'""",
+        )
