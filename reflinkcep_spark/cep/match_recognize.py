@@ -598,9 +598,11 @@ def _parse_pattern(
             "anchoring is outside this subset)"
         )
     if "^" in body or "$" in body:
+        # also covers the wrong-edge forms ($ E) / (E ^): after the
+        # edge strip any remaining anchor token is misplaced
         raise MatchRecognizeError(
-            "anchors are only supported at the PATTERN edges "
-            "(leading '^', trailing '$')"
+            "misplaced PATTERN anchor: '^' may only LEAD the pattern "
+            "and '$' may only TRAIL it"
         )
     if "(" in body:
         raise MatchRecognizeError(

@@ -310,6 +310,13 @@ def match_pattern(
         lengths in pattern order, maximized (greedy) or minimized
         (reluctant) — exact for flat concatenation patterns
         (round 14; see ``_sql_select``).
+    anchor_start / anchor_end:
+        SQL:2016 partition anchors (MATCH_RECOGNIZE ``^`` / ``$``):
+        discard candidates whose first captured row is not the key's
+        FIRST row (``anchor_start``) or whose last captured row is
+        not the key's LAST row (``anchor_end``) BEFORE the per-start
+        selection fold.  Part of the SQL selection surface — passing
+        either without ``sql_skip`` raises.
     pre_partitioned:
         The caller asserts the input is ALREADY hash-distributed on
         the partition key(s) — e.g. a table written with
@@ -470,15 +477,16 @@ def match_pattern(
                 if sql_skip is not None:
                     if not all_pos:
                         continue  # empty match: nothing to anchor to
+                    mn_pos, mx_pos = min(all_pos), max(all_pos)
                     # SQL anchors (^/$): a candidate not pinned to the
                     # partition edge is discarded BEFORE the per-start
                     # fold, so selection ranks anchored candidates only
-                    if anchor_start and min(all_pos) != 0:
+                    if anchor_start and mn_pos != 0:
                         continue
-                    if anchor_end and max(all_pos) != len(records) - 1:
+                    if anchor_end and mx_pos != len(records) - 1:
                         continue
                     key = _capture_lens(captured, names)
-                    cand = (min(all_pos), max(all_pos), emitted, captured)
+                    cand = (mn_pos, mx_pos, emitted, captured)
                     emitted += 1
                     cur, cur_key = best_by_start.get(cand[0], (None, None))
                     if (

@@ -2020,8 +2020,10 @@ def test_anchor_rails(spark):
     base = """PARTITION BY user_id ORDER BY event_id
         MEASURES COUNT(E.*) AS n PATTERN ({p})
         DEFINE E AS E.event_type = 'error'"""
-    with pytest.raises(MatchRecognizeError, match="edges"):
+    with pytest.raises(MatchRecognizeError, match="misplaced PATTERN anchor"):
         translate(base.format(p="E ^ E2"), COLS)
+    with pytest.raises(MatchRecognizeError, match="misplaced PATTERN anchor"):
+        translate(base.format(p="$ E"), COLS)
     with pytest.raises(MatchRecognizeError, match="anchors with alternation"):
         translate(base.format(p="^ E | E2"), COLS)
     from reflinkcep_spark.cep.match_recognize import match_recognize_stream
