@@ -228,7 +228,21 @@ def ngram_jaccard_pairs(
     # (the staged array is materialized as an UnsafeArrayData row
     # before the Generate instead of feeding it directly).
     ex = df.select(F.col(id_col).alias("doc_id"), F.explode(hashed).alias("g"))
-    sizes = df.select(F.col(id_col).alias("doc_id"), F.size(hashed).alias("n"))
+    # Sizes derive from the SAME exploded frame instead of a second
+    # row-wise size projection (round 14): the row-wise form re-ran
+    # the whole scan → shingle → hash pipeline — a full extra corpus
+    # pass (~0.8 s of the ~2 s row at sf0.1; one less 100-TB scan at
+    # scale) — while `hashed` is already array_distinct'd, so the
+    # per-doc explode row count IS size(hashed) exactly.  The lazy
+    # checkpoint guarantees the feature pipeline executes once for the
+    # posting aggregate AND the size count (two different keys — no
+    # exchange to share; the count agg is map-side combinable, a
+    # doc-keyed exchange of pre-aggregated longs).  A doc absent from
+    # `ex` (NULL text) had a NULL size before and cannot appear in a
+    # pair (no features → no postings), so the inner size-joins are
+    # unchanged.
+    ex = ex.localCheckpoint(eager=False)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return _jaccard_from_features(
         ex, "g", threshold, sizes=sizes, max_df=max_df,
         n_docs=_n_docs(df) if max_df is not None else None,
