@@ -788,6 +788,14 @@ def dedup_paragraphs_global(
     occ = df.select(
         F.col(id_col), F.posexplode(units).alias("pos", "unit")
     )
+    # The occurrence table feeds TWO consumers — the first-occurrence
+    # aggregate and the mark join — keyed differently, so Catalyst
+    # re-runs the scan → split → posexplode subtree for each (round
+    # 14: the audited plan held 6 parquet scans of the corpus).  A
+    # lazy localCheckpoint computes the explode once; both consumers
+    # read the materialized frame (one corpus pass instead of two,
+    # the dedup_clusters/tfidf_topk recipe).
+    occ = occ.localCheckpoint(eager=False)
     first = occ.groupBy("unit").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
     )
@@ -910,6 +918,16 @@ def dedup_paragraphs_global_fuzzy(
     occ = df.select(
         F.col(id_col), F.posexplode(units).alias("pos", "unit")
     )
+    # Four consumers reference the unit/posting pipeline — the hot-
+    # shingle count, BOTH sides of the candidate self-join, and the
+    # reassembly — and Catalyst re-runs the scan → split → shingle →
+    # explode subtree for each (round 14: the audited plan held 12
+    # parquet scans of the corpus).  Two lazy localCheckpoints collapse
+    # that to ONE corpus pass: `occ` (unit explode — shared by the
+    # posting pipeline and the reassembly join) and `cold` (the capped
+    # posting index — shared by both self-join sides, so the shingle
+    # computation AND the hot-anti-join run once, not twice).
+    occ = occ.localCheckpoint(eager=False)
     post = (
         occ.filter(F.col("unit") != "")  # empty units: structure, exempt
         .select(
@@ -918,6 +936,9 @@ def dedup_paragraphs_global_fuzzy(
             _unit_shingles(F.col("unit"), shingle_n).alias("__sh"),
         )
         .select(id_col, "pos", "__sh", F.explode("__sh").alias("__g"))
+        # hot-count AND the anti-join's left side both consume the
+        # posting pipeline; pin it so shingling runs exactly once
+        .localCheckpoint(eager=False)
     )
     hot = (
         post.groupBy("__g")
@@ -925,7 +946,7 @@ def dedup_paragraphs_global_fuzzy(
         .filter(F.col("__df") > max_df)
         .select("__g")
     )
-    cold = post.join(hot, "__g", "left_anti")
+    cold = post.join(hot, "__g", "left_anti").localCheckpoint(eager=False)
     a = cold.select(
         F.col("__g"),
         F.col(id_col).alias("__ida"),
