@@ -139,14 +139,21 @@ def incremental_dedup(
 
 
 def shingles(col, n: int = 3):
-    """Word n-gram shingles as strings (for MinHash)."""
-    from reflinkcep_spark.functions.text import tokens
+    """Word n-gram shingles as strings (for MinHash).
 
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(F.size(toks) >= n, F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    )).otherwise(F.array_distinct(F.array(F.array_join(toks, " "))))
+    Tokens are bound once per row (text.bind1) before the per-position
+    transform — inlined in the lambda, the HOF re-evaluates the whole
+    tokenizer per shingle position (round 14, measured 9× on the
+    decontam gram pipeline; same fix as text.ngrams)."""
+    from reflinkcep_spark.functions.text import bind1, tokens
+
+    def _inner(toks):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.when(F.size(toks) >= n, F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )).otherwise(F.array_distinct(F.array(F.array_join(toks, " "))))
+
+    return bind1(tokens(col), _inner)
 
 
 def _hash64(col, hash_fn: str = "xxhash64"):
