@@ -1302,26 +1302,54 @@ def substring_spans(
             )
         ).alias("pos", "h"),
     )
-    grams = grams.localCheckpoint(eager=False)  # used 3x: df-count + both join sides
+    # Posting-list pair expansion (round 14) instead of the old
+    # rare-filter + gram-table SELF-JOIN: ONE gram-keyed exchange
+    # (the collect_list aggregate) replaces three passes over the
+    # position-level gram table — the df-count aggregate, and BOTH
+    # exchange-heavy sides of the equi-join (the gram table is the
+    # corpus at per-token granularity, the largest frame this operator
+    # touches; at 100 TB those were two extra full-corpus shuffles).
+    # Paired ABBA at sf0.1: 1.46/1.85 s (old) -> 1.07/1.05 s (new),
+    # identical output; plan 5 -> 3 Exchange nodes (substring_spans),
+    # 6 -> 5 (scrub_spans).  The in-list expansion
+    # enumerates exactly the pairs the join produced (every
+    # (pos_a, pos_b) combination of a shared gram, doc_a < doc_b), so
+    # downstream — diagonal run-merge, span filter — is untouched.
+    # `h` is non-null by construction (md5/xxhash of a non-null join
+    # over the size>=k-filtered token array), so the NULL-key group an
+    # equi-join would have dropped cannot arise.
+    posts = grams.groupBy("h").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("ids")
+    )
     # max_df counts DISTINCT DOCUMENTS per gram (the winnow_pairs
     # convention): a phrase repeated many times inside ONE document is
     # span structure, not boilerplate, and must not evict the gram for
     # the two-document duplicate the operator exists to find.
-    rare = (
-        grams.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("h")
+    ids = F.col("ids")
+    n_docs_in = F.size(F.array_distinct(F.transform(ids, lambda x: x["doc_id"])))
+    posts = posts.filter((F.size(ids) >= 2) & (n_docs_in <= max_df))
+    combos = F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda a: F.transform(
+                    ids,
+                    lambda b: F.struct(
+                        a["doc_id"].alias("doc_a"),
+                        b["doc_id"].alias("doc_b"),
+                        a["pos"].alias("pos_a"),
+                        b["pos"].alias("pos_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
     )
-    idx = grams.join(rare, "h")
-    pairs = (
-        idx.select("h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"))
-        .join(
-            idx.select("h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")),
-            "h",
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("diag", F.col("pos_b") - F.col("pos_a"))
+    pairs = posts.select(F.explode(combos).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"),
+        F.col("p.doc_b").alias("doc_b"),
+        F.col("p.pos_a").alias("pos_a"),
+        (F.col("p.pos_b") - F.col("p.pos_a")).alias("diag"),
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     return (
