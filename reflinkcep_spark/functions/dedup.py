@@ -174,7 +174,16 @@ def _n_docs(df: DataFrame) -> DataFrame:
     computed IN-PLAN (broadcast cross join of a count aggregate), never
     via a driver-side ``df.count()`` action.  Defined as TOTAL input
     documents — predictable for the caller, and a doc contributing zero
-    features can't pair with anything anyway."""
+    features can't pair with anything anyway.
+
+    Counts the PRE-``spread`` frame when the caller handed us a
+    round-robin-repartitioned scan (round 14): the count is
+    partitioning-invariant, and aggregating the bare scan instead of
+    the repartition output drops a full-corpus exchange of the text
+    column (the broadcast side must materialize before the posting
+    filter, so that exchange sat on the critical path — measured
+    +0.72 s on the sf0.1 n-gram row)."""
+    df = getattr(df, "_pre_spread", df)
     return df.agg(F.count(F.lit(1)).alias("__n_docs"))
 
 
@@ -303,24 +312,7 @@ def _jaccard_from_features(
             posts.crossJoin(F.broadcast(n_docs))
             .filter(F.size("ids") <= F.col("__n_docs") * F.lit(max_df))
         )
-    ids = F.col("ids")
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                ids,
-                lambda a: F.transform(
-                    ids, lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
-                ),
-            )
-        ),
-        lambda p: p["doc_a"] < p["doc_b"],
-    )
-    common = (
-        posts.filter(F.size("ids") >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    common = _pair_counts(posts.filter(F.size("ids") >= 2).select("ids"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -330,6 +322,82 @@ def _jaccard_from_features(
         .withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _pair_counts(src: DataFrame) -> DataFrame:
+    """Co-occurrence counts ``(doc_a, doc_b, n_common)`` with
+    ``doc_a < doc_b`` from a one-column frame of posting lists
+    (``ids``: array<long>, every list ≥ 2 elements, non-null).
+
+    numpy ``mapInPandas`` kernel (round 14) instead of the old
+    ``explode(filter(flatten(transform×transform)))`` expression:
+    Catalyst higher-order functions are INTERPRETED (CodegenFallback),
+    so the in-row cross paid |posting|² lambda dispatches plus struct
+    boxing per element — measured +0.64 s of the sf0.1 n-gram row.
+    The kernel stacks equal-length lists into one matrix, takes
+    ``triu_indices`` column pairs, and (min, max)-normalizes — exactly
+    the pairs the expression form emitted: for every index pair i<j
+    one (smaller, larger) value pair, dropped when the values are
+    equal (the a<b filter discarded both ordered combos).  It also
+    pre-aggregates within each Arrow batch (lexsort + run-length),
+    so the downstream exchange carries partial counts, not raw pairs —
+    a map-side combine the Generate-based plan could not have.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("doc_a", LongType(), False),
+            StructField("doc_b", LongType(), False),
+            StructField("cnt", LongType(), False),
+        ]
+    )
+
+    def _expand(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            arrs = pdf["ids"].tolist()
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            los: list = []
+            his: list = []
+            for m in np.unique(lens):
+                rows = [
+                    np.asarray(arrs[i], dtype=np.int64)
+                    for i in np.nonzero(lens == m)[0]
+                ]
+                mat = np.vstack(rows)
+                iu, ju = np.triu_indices(int(m), k=1)
+                a = mat[:, iu].ravel()
+                b = mat[:, ju].ravel()
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                keep = lo != hi
+                los.append(lo[keep])
+                his.append(hi[keep])
+            lo = np.concatenate(los) if los else np.empty(0, dtype=np.int64)
+            hi = np.concatenate(his) if his else np.empty(0, dtype=np.int64)
+            if not len(lo):
+                continue
+            order = np.lexsort((hi, lo))
+            lo, hi = lo[order], hi[order]
+            new = np.empty(len(lo), dtype=bool)
+            new[0] = True
+            np.logical_or(lo[1:] != lo[:-1], hi[1:] != hi[:-1], out=new[1:])
+            starts = np.nonzero(new)[0]
+            cnt = np.diff(np.append(starts, len(lo)))
+            yield pd.DataFrame(
+                {"doc_a": lo[starts], "doc_b": hi[starts], "cnt": cnt}
+            )
+
+    return (
+        src.mapInPandas(_expand, out_schema)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("cnt").alias("n_common"))
     )
 
 

@@ -120,7 +120,15 @@ def spread(df: DataFrame) -> DataFrame:
     except Exception:  # non-local/non-file plan or odd conf: leave it alone
         return df
     if 0 < splits < p:
+        src = df
         df = df.repartition(p)
+        # Remember the pre-shuffle frame (round 14): row-count-only
+        # consumers (e.g. the max_df denominator in the Jaccard
+        # pipelines) can aggregate the bare scan instead of paying the
+        # round-robin exchange of the full text column — the count is
+        # partitioning-invariant, so the value is identical by
+        # construction.
+        df._pre_spread = src
     return df
 
 

@@ -251,3 +251,48 @@ def test_ivf_assignment_matches_hof_reference(spark):
         .toPandas()
     )
     assert got.equals(want)
+
+
+def test_pair_counts_matches_expression_form(spark):
+    """_pair_counts (numpy triu expansion + in-batch run-length
+    pre-aggregation) reproduces the retired
+    explode(filter(flatten(transform×transform))) expression exactly,
+    including the edge cases the a<b value filter implied: duplicate
+    doc ids inside one posting list contribute one pair per index
+    combination, equal-value pairs are dropped entirely, and lists of
+    different lengths coexist in one Arrow batch."""
+    from reflinkcep_spark.functions.dedup import _pair_counts
+
+    rng = np.random.RandomState(11)
+    lists = []
+    for _ in range(200):
+        m = rng.randint(2, 9)
+        ids = rng.randint(0, 40, size=m).tolist()  # collisions on purpose
+        lists.append((ids,))
+    # adversarial rows: all-equal list, sorted, reverse-sorted
+    lists += [([7, 7, 7],), ([1, 2, 3, 4],), ([9, 5, 3],)]
+    src = spark.createDataFrame(lists, "ids array<long>").repartition(4)
+
+    ids = F.col("ids")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda a: F.transform(
+                    ids, lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+    want = (
+        src.select(F.explode(pairs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .orderBy("doc_a", "doc_b")
+        .toPandas()
+    )
+    got = _pair_counts(src).orderBy("doc_a", "doc_b").toPandas()
+    assert got["doc_a"].tolist() == want["doc_a"].tolist()
+    assert got["doc_b"].tolist() == want["doc_b"].tolist()
+    assert got["n_common"].tolist() == want["n_common"].tolist()
