@@ -52,10 +52,21 @@ def pagerank_fixedpoint(
     aggregate; then ONE src-keyed join (rank → edges) and ONE
     dst-keyed aggregate — the canonical edge-partitioned PageRank
     round, shuffling the EDGE table twice per iteration and the rank
-    vector once, nothing quadratic anywhere.  ``iters`` is a small
-    constant here; a production run with tens of iterations would add
-    the CC resolver's lazy-checkpoint lineage truncation
-    (functions/dedup.py) — noted rather than speculatively added.
+    vector once, nothing quadratic anywhere.
+
+    The static fan-out frames (edge list, out-degrees, base-rank
+    vector — each referenced every round) are pinned with LAZY
+    ``localCheckpoint`` — the CC resolver's lineage-truncation
+    discipline
+    (functions/dedup.py:duplicate_clusters).  Without it every
+    reference re-derives the full upstream plan: at iters=2 the
+    registered doc_link_pagerank query re-scanned (and re-exploded)
+    the documents table 14 TIMES — one derivation per reference to
+    ``e``/``base``/``outdeg``/``pr`` in the unrolled loop (round-14
+    optimization; plans/r14/doc_link_pagerank_{before,after}.txt:
+    14 scans → 1).  Same trade as every lazy-checkpoint site in this
+    package: lineage is destroyed, so an executor loss during the
+    consuming job retries the job instead of recomputing the subtree.
 
     Overflow rail: ranks are bounded by ``mass`` (mass only ever
     leaks) and per-node in-mass sums are ≤ mass, but the damped mix
@@ -77,13 +88,29 @@ def pagerank_fixedpoint(
             f"{(2**63 - 1) // max(d_num, d_den - d_num)} for damping {d_num}/{d_den}"
         )
     n = nodes.select(F.col(id_col).alias("id"))
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Pin the frames the unrolled loop references more than once (edge
+    # list: 2 refs/iter via outdeg + the inmass join; base: 1 ref/iter
+    # + init; outdeg: 1 ref/iter) — lazy localCheckpoint, computed on
+    # first action, lineage truncated (see docstring).
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
     n_count = n.agg(F.count(F.lit(1)).alias("n_nodes"))
     base = (
         n.crossJoin(F.broadcast(n_count))
         .select("id", F.expr(f"CAST({mass} AS BIGINT) div n_nodes").alias("base"))
+        .localCheckpoint(eager=False)
     )
+    # pr itself is referenced ONCE per round (a linear chain), so it
+    # needs no checkpoint at these small constant iteration counts —
+    # only the fan-out frames above do.  A production run with tens of
+    # iterations would pin pr per round too, purely to keep the plan
+    # depth bounded.
     pr = base.select("id", F.col("base").alias("pr"))
     for _ in range(iters):
         contrib = (
