@@ -287,10 +287,16 @@ def bloom_gate(
 
     Same gram closure as ``dedup.contaminated_docs`` (shared
     ``_distinct_gram_rows``), different membership machinery: the
-    benchmark side collapses to a FIXED-SIZE bit array (m_bits/
-    word_bits words) broadcast twice — once per hash — so probe cost
-    is two broadcast-hash-joins on a ≤128-row build side and the
-    corpus never shuffles until the final per-doc count.  A gram is
+    benchmark side collapses to a FIXED-SIZE bit array densified into
+    ONE row (position w+1 = that word's bits, absent word = 0) and
+    broadcast ONCE; both hashes of every corpus gram test against it
+    IN-ROW (``element_at`` word lookup + mask, whole-stage codegen),
+    so the corpus never shuffles until the final per-doc count.
+    (The previous shape broadcast the sparse (w, bits) frame twice —
+    once per hash — as two hash joins, which re-derived the whole
+    benchmark-side pipeline per broadcast: 2 gram closures, 6
+    exchanges; round-14 optimization, FP-for-FP output identical —
+    plans/r14/doc_bloom_decontam_{before,after}.txt.)  A gram is
     flagged iff BOTH its bits are set; per-doc counts therefore
     include the filter's deterministic false positives, identically
     on any engine sharing md5 (the registered query's oracle checks
@@ -303,9 +309,27 @@ def bloom_gate(
     """
     from reflinkcep_spark.functions.dedup import _distinct_gram_rows
 
+    _check_bloom_geometry(m_bits, word_bits)
+    n_words = m_bits // word_bits
     bench_grams = _distinct_gram_rows(benchmark, n, text_col, id_col, hashed=False)
-    bloom = F.broadcast(
+    # Dense 1-row form of the (w, bits) words: the single broadcast
+    # every probe row reads.  The 128-element transform is interpreted
+    # but runs ONCE on one row.
+    dense = (
         bloom_bits(bench_grams.select("g").distinct(), "g", m_bits, word_bits)
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("bits")
+            ).alias("__m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i), F.lit(0).cast("long")
+                ),
+            ).alias("__bloom")
+        )
     )
     probe = _distinct_gram_rows(corpus, n, text_col, id_col, hashed=False).select(
         "doc_id",
@@ -313,17 +337,17 @@ def bloom_gate(
         (_hex_slice(F.col("g"), _VALUE_HEX + 2, _VALUE_HEX) % m_bits).alias("p2"),
     )
 
-    b1 = bloom.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
-    b2 = bloom.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
-    hit = (
-        probe.withColumn("w1", _word_of(F.col("p1"), word_bits))
-        .withColumn("w2", _word_of(F.col("p2"), word_bits))
-        .join(b1, "w1")  # inner: a missing word is 0 bits — cannot match
-        .join(b2, "w2")
-        .filter(
-            (F.col("bits1").bitwiseAND(_mask_of(F.col("p1"), word_bits)) != 0)
-            & (F.col("bits2").bitwiseAND(_mask_of(F.col("p2"), word_bits)) != 0)
+    def _bit_set(p: Column) -> Column:
+        # element_at over the dense array: absent words were densified
+        # to 0 above, so the old inner-join "missing word cannot match"
+        # semantics are preserved exactly.
+        word = F.element_at(
+            F.col("__bloom"), _word_of(p, word_bits).cast("int") + 1
         )
+        return word.bitwiseAND(_mask_of(p, word_bits)) != 0
+
+    hit = probe.crossJoin(F.broadcast(dense)).filter(
+        _bit_set(F.col("p1")) & _bit_set(F.col("p2"))
     )
     return hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_flagged_grams"))
 
