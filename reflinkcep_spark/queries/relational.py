@@ -1467,9 +1467,6 @@ def q_min_cost_suppliers(spark, sf_dir):
     (p_partkey breaks all remaining ties) so LIMIT 100 is
     deterministic."""
     li = _t(spark, sf_dir, "lineitem")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(cents("l_extendedprice")).alias("cost_cents")
-    )
     nr = _t(spark, sf_dir, "nation").join(
         F.broadcast(
             _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -1481,17 +1478,37 @@ def q_min_cost_suppliers(spark, sf_dir):
         .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_name")
+    )
+    # Cut lineitem to EUROPE suppliers × ECONOMY parts BEFORE the
+    # (part, supplier) aggregate (guide §2.3 "shuffle fewer bytes" /
+    # §3.2 pre-filter the big side): both predicates are exactly the
+    # downstream inner-join keys, and MIN within a surviving group
+    # never sees rows of dropped groups, so the result is unchanged
+    # while the aggregate's exchange carries ~1/25 of the rows.  The
+    # dims broadcast (region→nation→supplier is bounded; the part list
+    # is a key-only projection of an already-filtered dim).
+    li = li.join(
+        F.broadcast(eu.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "leftsemi",
+    ).join(
+        F.broadcast(part_f.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "leftsemi",
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents("l_extendedprice")).alias("cost_cents")
+    )
     cr = cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey).select(
         "l_partkey", "cost_cents", "s_name", "s_acctbal", "n_name"
     )
     w = Window.partitionBy("l_partkey")
     best = cr.withColumn("min_cost", F.min("cost_cents").over(w)).filter(
         F.col("cost_cents") == F.col("min_cost")
-    )
-    part_f = (
-        _t(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "ECONOMY")
-        .select("p_partkey", "p_name")
     )
     return (
         best.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
