@@ -1673,8 +1673,15 @@ def text_bigram_lift(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = docs.select(text.tokens(F.col("text")).alias("t"))
     uni = toks.select(F.explode("t").alias("w"))
+    # Round-14 pass rework: the unigram-count table feeds BOTH lift
+    # joins, so pin it (lazy localCheckpoint — VOCABULARY-sized, safe
+    # to materialize at any corpus scale), and take the token total as
+    # Σn over it instead of a separate corpus-wide count.  Together: 4
+    # scan→tokenize passes become 2 (one for unigram counts, one for
+    # bigrams; plans/r14/text_bigram_lift_{before,after}.txt).
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-    tot = uni.agg(F.count(F.lit(1)).alias("N"))
+    ucnt = ucnt.localCheckpoint(eager=False)
+    tot = ucnt.agg(F.sum("n").alias("N"))
     big = toks.select(F.explode(text.ngrams(F.col("t"), 2)).alias("bg"))
     bcnt = (
         big.groupBy("bg")

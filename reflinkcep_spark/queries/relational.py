@@ -1042,6 +1042,10 @@ def q_top_supplier(spark, sf_dir):
             unit4_revenue("l_extendedprice", "l_discount")
         ).alias("total_revenue"),
     )
+    # Referenced twice (the max + the selection scan): pin the
+    # supplier-sized aggregate so the lineitem scan+agg runs once
+    # (round 14; was 2 full fact passes).
+    rev = rev.localCheckpoint(eager=False)
     top = rev.agg(F.max("rev4").alias("max4"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
