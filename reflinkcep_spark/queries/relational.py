@@ -1581,6 +1581,10 @@ def q_important_parts(spark, sf_dir):
     v = li.groupBy("l_partkey").agg(
         F.sum(cents("l_extendedprice")).alias("value_cents")
     )
+    # Referenced twice (the 1-row total + the threshold scan): pin the
+    # part-sized aggregate so the fact semi-join+agg runs once
+    # (round 14; was 2 full fact passes).
+    v = v.localCheckpoint(eager=False)
     total = v.agg(F.sum("value_cents").alias("total_cents"))
     return (
         v.crossJoin(F.broadcast(total))
