@@ -375,6 +375,11 @@ def importance_weights(
         F.sum(F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))).alias("tgt_c"),
         F.count(F.lit(1)).alias("raw_c"),
     )
+    # cnt is referenced twice (the 1-row totals + the scoring
+    # broadcast), and each reference re-aggregates the GRAM-level
+    # frame — a corpus-scale duplicate pass.  Pin the ≤`buckets`-row
+    # stats table so the bucket aggregate runs once (round 14).
+    cnt = cnt.localCheckpoint(eager=False)
     tot = cnt.agg(
         F.sum("tgt_c").alias("__tgt_total"), F.sum("raw_c").alias("__raw_total")
     )
