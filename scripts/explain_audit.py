@@ -65,9 +65,9 @@ AUDITED = [
     ("dedup_winnow_pairs", "winnow dedup: selected-fingerprint postings, absolute max_df cap"),
     ("q_binational_volume", "Q7: nation broadcast twice in distinct roles, customer/supplier nation-reduced before the fact joins (shuffle joins at scale; AQE-broadcast at this SF)"),
     ("cep_conversion_rate", "CEP matches as a DataFrame: cohort rollup composes onto the fast-path plan"),
-    ("q_top_supplier", "Q15: exact-integer max-of-aggregate via 1-row broadcast, aggregate computed once"),
+    ("q_top_supplier", "Q15: exact-integer max-of-aggregate via 1-row broadcast; the per-supplier aggregate is PINNED (r14) so the fact pass runs once (was twice)"),
     ("q_small_quantity_revenue", "Q17: brand-filtered self-aggregate broadcast, exact-cents threshold"),
-    ("text_bigram_lift", "collocation lift: word-keyed aggs, pruned bigram joins, log-free exact scores"),
+    ("text_bigram_lift", "collocation lift: word-keyed aggs, pruned bigram joins, log-free exact scores; unigram counts PINNED + token total derived from them (r14: 4 scan-tokenize passes -> 2)"),
     ("q_waiting_suppliers", "Q21: late frame computed once, LEFT SEMI + LEFT ANTI self-joins on orderkey, no row-duplicating inner join"),
     ("q_excess_inventory_suppliers", "Q20: nested semi-join chain, one composite-key shuffle, exact-cents threshold"),
     ("doc_winnow_robust", "robust winnowing: per-document array fold, no algorithmic exchange"),
@@ -76,8 +76,8 @@ AUDITED = [
     ("text_lm_quality", "LM quality: one bigram explode checkpointed, count-table join, doc-keyed agg"),
     ("doc_pack_ffd", "FFD packing: one stratum-keyed exchange into applyInPandas, packing local per shard"),
     ("dedup_minhash_lsh_md5", "MinHash verify (r7 rework): candidate-id semi join applied BEFORE the shingle projection (explicit order — Catalyst won't push it) — corpus shingled once, verify shingles only candidates"),
-    ("q_min_cost_suppliers", "Q2 (registered r8): one partkey exchange, window min filter, tie-preserving, dims broadcast"),
-    ("q_important_parts", "Q11 (registered r8): supplier semi broadcast into fact, per-part agg, 1-row total broadcast crossJoin"),
+    ("q_min_cost_suppliers", "Q2 (registered r8): broadcast LEFT-SEMI pre-filters (EUROPE suppliers x ECONOMY parts) cut lineitem BEFORE the (part,supplier) aggregate (r14, ~1/25 of rows into the exchange); window min filter, tie-preserving, dims broadcast"),
+    ("q_important_parts", "Q11 (registered r8): supplier semi broadcast into fact, per-part agg PINNED (r14: fact pass once, was twice), 1-row total broadcast crossJoin"),
     ("q_local_supplier_volume", "Q5 (registered r8): broadcast ASIA-supplier frame reduces the fact first, same-nation residual rides the customer equi-join (orderkey/custkey shuffle joins at scale; AQE-broadcast at this SF)"),
     ("doc_token_budget", "token budget (registered r8): narrow staged frame checkpointed (one text scan), shard offsets tiny + broadcast, past-budget shards dropped before the one (source, shard) detail exchange, no Python"),
     ("dedup_substring_spans", "substring spans (registered r9): gram explode checkpointed, doc-capped posting semi-filter, hash self-join, (pair, diag) window run-merge — keyed exchanges bounded, join fanout capped by max_df"),
@@ -89,7 +89,7 @@ AUDITED = [
     ("q_part_supplier_counts", "Q16 (registered r9): broadcast anti join for the supplier out-list, broadcast part dim, pair-distinct + count-distinct share keys"),
     ("text_dedup_paragraphs", "paragraph dedup (registered r10): per-doc split -> array_distinct -> join fold, zero exchanges, no Python"),
     ("cep_purchase_no_immediate_error", "notNext (registered r10): union + ONE user-keyed window pass, no join, no Python"),
-    ("doc_importance_weights", "DSIR (registered r10): gram-bucket explode checkpointed, ONE bounded bucket agg (<= `buckets` rows) broadcast back, doc-keyed agg, exact-integer score"),
+    ("doc_importance_weights", "DSIR (registered r10): gram-bucket explode checkpointed, ONE bounded bucket agg (<= `buckets` rows, PINNED r14 — the stats were re-aggregated per reference) broadcast back, doc-keyed agg, exact-integer score"),
     ("dedup_canonical_quality", "quality canonicalization (registered r10): pair-graph CC reused, id-keyed quality join, per-cluster argmax as a struct-MAX aggregate (map-side combinable) — no row_number window"),
     ("text_quality_buckets", "CCNet tiers (registered r10): lm_quality shape (explode checkpointed, singleton-elided count join), 1-row global agg broadcast, 3-group fold — the corpus never shuffles for the cutoffs"),
     ("text_dedup_paragraphs_fuzzy", "fuzzy paragraph dedup (registered r11): per-doc shingle-set fold with in-row i<j Jaccard matrix, zero exchanges, no Python"),
@@ -101,14 +101,14 @@ AUDITED = [
     ("text_dedup_xdoc_fuzzy", "cross-doc NEAR-dup unit removal (registered r12): capped shingle posting index, per-shingle fan-out <= cap^2, verify in the join projection, occurrence distinct + mark + reassembly, no Python"),
     ("sim_ann_pq", "PQ/ADC ANN (registered r12): codebook literal, encode = codegen argmin projection, broadcast query side, ADC in the join projection, one window top-k — no UDF, no lookup joins"),
     ("doc_hll_registers", "HLL register sketch (pre-staged r13): token explode, md5 bucket/rank projection, ONE groupingSets max/count agg (per-source + rollup in the same pass — a union would tokenize twice) over <= (groups+1)*64 cells; output size independent of corpus"),
-    ("doc_bloom_decontam", "Bloom decontamination gate (pre-staged r13): bench grams -> <=128-word bit_or agg broadcast TWICE (one per hash), corpus streams through two broadcast joins + bit tests, ONE doc-keyed count agg"),
+    ("doc_bloom_decontam", "Bloom decontamination gate (pre-staged r13, densified r14): bench grams -> <=128-word bit_or agg densified to ONE array row broadcast ONCE; both hash positions tested IN-ROW (element_at + mask, codegen), ONE doc-keyed count agg — the old two-hash-join form re-derived the bench pipeline per broadcast"),
     ("doc_span_merge", "annotation span union (pre-staged r13): derived spans + array_sort + aggregate fold, ZERO exchanges — the gaps-and-islands window without the window"),
     ("multimodal_wav_stats", "WAV decode roundtrip (pre-staged r14): mapInPandas over the id column only — Arrow-batched per-row codec work, zero exchanges; the multimodal pattern where the codec is the cost, never the shuffle"),
     ("multimodal_ppm_stats", "netpbm decode roundtrip (pre-staged r14): the image twin — mapInPandas over the id column only, real PPM encode/parse/resample per row, zero exchanges"),
     ("multimodal_avi_stats", "AVI container roundtrip (pre-staged r15): the video member — real RIFF tree write + real container walk per row incl. word-alignment padding, mapInPandas over the id column only, zero exchanges"),
     ("dedup_incremental", "incremental ingest dedup (pre-staged r15): corpus side projected to ~16-byte digests BEFORE the join, digest-keyed membership join + ONE map-combinable MIN agg joined back — the asymmetric nightly-refresh shape, corpus text never moves"),
     ("sim_jl_project", "integer JL projection (pre-staged r14): 16 literal-plane dot-product folds in ONE codegen projection + posexplode — zero exchanges, scales with the scan"),
-    ("doc_link_pagerank", "fixed-point PageRank (pre-staged r14): static outdeg agg, per round ONE src-keyed join + ONE dst-keyed agg over the edge table — the canonical edge-partitioned round, nothing quadratic; all-integer damped mix"),
+    ("doc_link_pagerank", "fixed-point PageRank (pre-staged r14): static outdeg agg, per round ONE src-keyed join + ONE dst-keyed agg over the edge table — the canonical edge-partitioned round, nothing quadratic; all-integer damped mix; fan-out frames PINNED (r14: the unrolled loop re-scanned documents 14x without them)"),
     ("doc_snapshot_diff", "snapshot reconciliation (pre-staged r14): digests in the scan projection, ONE full-outer id join over ~40-byte rows, codegen status + delta filter — output scales with change rate, not corpus"),
     ("text_tfidf_search", "tf-idf retrieval (pre-staged r13): vocabulary isin hits the token explode immediately, ONE checkpointed (doc,term) tf agg reused by the df count AND the scoring join (the lm_quality recipe — without it the corpus explode ran twice), tiny weight frame broadcast back, TWO-PHASE top-k (shard ranks then <=q*shards*k final) — no single-task window over a query's full posting list"),
     ("sim_kmeans", "fixed-point Lloyd k-means (pre-staged r13): per round the <=k centroids collapse to ONE broadcast row, assignment is an in-row array_min argmin (NO corpus-sized exchange anywhere); only the map-side-combinable (cluster,dim) recenter agg and the <=k-row stats agg shuffle"),
