@@ -417,8 +417,14 @@ def importance_weights(
         .select(id_col, "n_grams", score.alias("score"))
     )
     # LEFT join back so sub-n-token documents keep a row (score NULL).
+    # Take the pre-`spread` scan for the id projection (round 14): the
+    # left side is row-set-invariant to partitioning (its ids feed a
+    # keyed join, not CPU-heavy per-row work), so reading the bare scan
+    # drops the round-robin exchange of the corpus id column that
+    # otherwise sits under this join's hash exchange.
+    base = getattr(df, "_pre_spread", df)
     return (
-        df.select(F.col(id_col)).join(scored, id_col, "left")
+        base.select(F.col(id_col)).join(scored, id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),

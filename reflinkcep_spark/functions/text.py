@@ -859,9 +859,11 @@ def dedup_paragraphs_global(
     )
     # empty documents never reach posexplode — restore them via the
     # pruning-friendly id-only left join (same contract as the
-    # intra-doc oracle's COALESCE branch)
+    # intra-doc oracle's COALESCE branch).  Pre-`spread` scan for the
+    # id projection (round 14): row-set-invariant to partitioning, so
+    # the bare scan skips the round-robin exchange of the id column.
     return (
-        df.select(id_col)
+        getattr(df, "_pre_spread", df).select(id_col)
         .join(agg, id_col, "left")
         .select(
             id_col,
@@ -1032,8 +1034,10 @@ def dedup_paragraphs_global_fuzzy(
             .alias("n_removed"),
         )
     )
+    # Pre-`spread` scan for the id projection (round 14): same
+    # rationale as dedup_paragraphs_global above.
     return (
-        df.select(id_col)
+        getattr(df, "_pre_spread", df).select(id_col)
         .join(agg, id_col, "left")
         .select(
             id_col,
