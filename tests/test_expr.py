@@ -56,6 +56,32 @@ def test_predicate_and_update_semantics():
     assert u({"price": 4}, {"X": 1, "Y": 0}) == {"X": 5, "Y": 1}
 
 
+def test_scope_resolution_semantics():
+    """The round-14 merged-dict scope (was ChainMap) must keep the
+    reference's resolution rules (DST.py:88-89 ``{**env, **attrs}``):
+    attributes shadow data variables on collision, a name missing from
+    both raises NameError, and evaluation never mutates the caller's
+    env or attrs mappings."""
+    p = compile_predicate("v > 10")
+    # attrs shadow env on name collision
+    assert p({"v": 20}, {"v": 0}) is True
+    assert p({"v": 0}, {"v": 20}) is False
+    # missing name -> NameError, with and without a non-empty env
+    with pytest.raises(NameError):
+        p({"w": 1}, {})
+    with pytest.raises(NameError):
+        p({"w": 1}, {"x": 2})
+    # neither mapping is mutated by predicate or update evaluation
+    attrs, env = {"v": 20, "u": 1}, {"S": 3}
+    u = compile_update({"S": "S + v"})
+    new_env = u(attrs, env)
+    assert new_env == {"S": 23}
+    assert attrs == {"v": 20, "u": 1} and env == {"S": 3}
+    # update expressions see attrs shadowing env too
+    u2 = compile_update({"S": "v"})
+    assert u2({"v": 7}, {"v": 1, "S": 0}) == {"v": 1, "S": 7}
+
+
 def test_to_sql_translation():
     assert (
         to_sql("name == 1 and not (price < 4 or price >= 10)")
