@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
+from reflinkcep_spark.operators.cep import records as _records
+
 __all__ = ["not_followed_by_stream", "not_next_stream"]
 
 
@@ -117,7 +119,7 @@ def not_followed_by_stream(
 
         if not state.hasTimedOut:
             for pdf in pdf_iter:
-                for rec in pdf.to_dict("records"):
+                for rec in _records(pdf, list(pdf.columns)):
                     is_left = rec.pop("__is_left")
                     for k in keys:
                         rec.pop(k, None)
@@ -266,7 +268,7 @@ def not_next_stream(
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not state.hasTimedOut:
             for pdf in pdf_iter:
-                for rec in pdf.to_dict("records"):
+                for rec in _records(pdf, list(pdf.columns)):
                     is_left = rec.pop("__is_left")
                     is_neg = bool(rec.pop("__is_neg"))
                     for k in keys:

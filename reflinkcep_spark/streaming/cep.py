@@ -60,6 +60,7 @@ from pyspark.sql.types import ArrayType, BinaryType, LongType, StructField, Stru
 from reflinkcep_spark.cep.compiler import compile_query
 from reflinkcep_spark.cep.query import Query
 from reflinkcep_spark.cep.runtime import MatchEngine, _Cfg
+from reflinkcep_spark.operators.cep import records as _records
 
 __all__ = ["match_pattern_stream"]
 
@@ -340,7 +341,7 @@ def match_pattern_stream(
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(order_by, kind="mergesort")
-            records = pdf[attr_cols].to_dict("records")
+            records = _records(pdf, attr_cols)
             types: Iterable = (
                 pdf[type_col].tolist() if type_col is not None
                 else [sole_type] * len(records)

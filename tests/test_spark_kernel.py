@@ -333,3 +333,48 @@ def test_engine_handles_more_than_64_states():
     # Exactly one full assignment of 40 events to 40 chain steps.
     assert len(out) == 1
     assert [c[0]["v"] for c in out[0].values()] == list(range(40))
+
+
+def test_records_matches_to_dict_records():
+    """The round-14 fast converter (operators.cep.records) must build
+    dicts identical to pdf[cols].to_dict("records") for every value
+    class the kernel ships: int64, float64 (incl. NaN), object strings
+    (incl. None), bool, and datetime64 Timestamps — same keys, same
+    value types, same boxing."""
+    import math
+
+    import pandas as pd
+
+    from reflinkcep_spark.operators.cep import records
+
+    pdf = pd.DataFrame(
+        {
+            "i": pd.array([1, -2, 3], dtype="int64"),
+            "f": [1.5, float("nan"), -0.0],
+            "s": ["a", None, "c"],
+            "b": [True, False, True],
+            "t": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:11.172425",
+                    "2024-06-30 01:02:03.000000",
+                    "2025-12-31 23:59:59.999999",
+                ]
+            ),
+            "extra": [10, 20, 30],  # excluded by cols
+        }
+    )
+    cols = ["i", "f", "s", "b", "t"]
+    want = pdf[cols].to_dict("records")
+    got = records(pdf, cols)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert list(g) == list(w)  # key order too
+        for k in w:
+            gv, wv = g[k], w[k]
+            assert type(gv) is type(wv), (k, type(gv), type(wv))
+            if isinstance(wv, float) and math.isnan(wv):
+                assert math.isnan(gv)
+            else:
+                assert gv == wv
+    # empty frame -> empty record list
+    assert records(pdf.iloc[0:0], cols) == []
