@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
+from reflinkcep_spark.operators.cep import frame as _frame
 from reflinkcep_spark.operators.cep import records as _records
 
 __all__ = ["not_followed_by_stream", "not_next_stream"]
@@ -141,7 +142,7 @@ def not_followed_by_stream(
             state.remove()
 
         if out_rows:
-            yield pd.DataFrame(out_rows, columns=out_columns)
+            yield _frame(out_rows, out_columns)
 
     return projected.groupBy(*keys).applyInPandasWithState(
         step,
@@ -309,7 +310,7 @@ def not_next_stream(
             state.remove()
 
         if out_rows:
-            yield pd.DataFrame(out_rows, columns=out_columns)
+            yield _frame(out_rows, out_columns)
 
     return projected.groupBy(*keys).applyInPandasWithState(
         step,

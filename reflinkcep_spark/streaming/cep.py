@@ -60,6 +60,7 @@ from pyspark.sql.types import ArrayType, BinaryType, LongType, StructField, Stru
 from reflinkcep_spark.cep.compiler import compile_query
 from reflinkcep_spark.cep.query import Query
 from reflinkcep_spark.cep.runtime import MatchEngine, _Cfg
+from reflinkcep_spark.operators.cep import frame as _frame
 from reflinkcep_spark.operators.cep import records as _records
 
 __all__ = ["match_pattern_stream"]
@@ -324,7 +325,7 @@ def match_pattern_stream(
                 )
             state.remove()
             if rows:
-                yield pd.DataFrame(rows, columns=out_columns)
+                yield _frame(rows, out_columns)
             return
 
         engine = MatchEngine(automaton, strategy, within)
@@ -400,7 +401,7 @@ def match_pattern_stream(
         if idle_timeout_ms:
             state.setTimeoutDuration(idle_timeout_ms)
         if rows:
-            yield pd.DataFrame(rows, columns=out_columns)
+            yield _frame(rows, out_columns)
 
     return projected.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
         step,

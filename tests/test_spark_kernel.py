@@ -378,3 +378,33 @@ def test_records_matches_to_dict_records():
                 assert gv == wv
     # empty frame -> empty record list
     assert records(pdf.iloc[0:0], cols) == []
+
+
+def test_frame_matches_list_of_dicts_constructor():
+    """The round-14 output-side builder (operators.cep.frame) must
+    produce frames identical to pd.DataFrame(rows, columns=cols) for
+    the kernels' row shapes: full-key dicts, int/None bounds, list-of-
+    dict capture cells, all-None capture columns, and the zero-row
+    case (object-dtype empty, the list-of-dicts constructor's result)."""
+    import pandas as pd
+
+    from reflinkcep_spark.operators.cep import frame
+
+    cols = ["user_id", "match_seq", "start_ord", "end_ord", "a", "b"]
+    rows = [
+        {"user_id": 7, "match_seq": 0, "start_ord": 3, "end_ord": 9,
+         "a": [{"event_id": 3, "value": 1.5}], "b": None},
+        {"user_id": 7, "match_seq": 1, "start_ord": None, "end_ord": None,
+         "a": [{"event_id": 5, "value": 2.0}, {"event_id": 6, "value": 0.5}],
+         "b": None},
+    ]
+    want = pd.DataFrame(rows, columns=cols)
+    got = frame(rows, cols)
+    pd.testing.assert_frame_equal(got, want)
+    # zero rows: identical empty frame whether or not a cache is passed
+    want0 = pd.DataFrame([], columns=cols)
+    empty = pd.DataFrame(columns=cols)
+    pd.testing.assert_frame_equal(frame([], cols, empty), want0)
+    pd.testing.assert_frame_equal(frame([], cols), want0)
+    # the cached object is returned as-is (no copy per group)
+    assert frame([], cols, empty) is empty
