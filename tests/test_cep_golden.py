@@ -108,3 +108,36 @@ context:
     matches = run_pattern(q, make_events([(3, 0), (2, 0)]))
     assert matches == [{"c": [{"id": 1, "name": 3, "price": 0}]}]
     assert "a" not in matches[0]
+
+
+@pytest.mark.parametrize(
+    "name,qyaml",
+    [(c[0], c[1]) for c in GOLDEN_CASES],
+    ids=[c[0] for c in GOLDEN_CASES],
+)
+def test_dig_table_matches_dynamic_search(name, qyaml):
+    """The round-14 precomputed dig table must hold, for every state of
+    every golden-case automaton, exactly what the dynamic epsilon-
+    closure search produces for the fresh mask (eps_seen == {state},
+    last_take=True) — the only shape feed() asks for."""
+    from reflinkcep_spark.cep.compiler import compile_query
+    from reflinkcep_spark.cep.runtime import MatchEngine, _Cfg
+
+    q = Query.from_yaml(qyaml)
+    eng = MatchEngine(compile_query(q), q.strategy)
+    for s in range(len(eng.aut.edges)):
+        cfg = _Cfg(s, eng.aut.init_env, {}, True, 1 << s)
+        # the table path
+        got = eng._dig_accept(cfg)
+        # force the dynamic path by building an equivalent config whose
+        # mask the table does not serve (extra high bit changes nothing
+        # semantically: no state uses it)
+        spare = 1 << (len(eng.aut.edges) + 1)
+        cfg2 = _Cfg(s, eng.aut.init_env, {}, True, (1 << s) | spare)
+        want = eng._dig_accept(cfg2)
+        if got is None or want is None:
+            assert got is None and want is None, (name, s, got, want)
+        else:
+            assert got.state == want.state, (name, s)
+            assert got.eps_seen == (want.eps_seen & ~spare), (name, s)
+            assert got.last_take == want.last_take
